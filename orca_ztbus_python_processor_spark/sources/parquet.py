@@ -1,0 +1,66 @@
+"""Batch parquet catalog over the driver corpus.
+
+Spark's parquet source gives predicate pushdown, column pruning,
+row-group skipping and a vectorized reader for free — the reference's
+hand-assembled SELECT strings (reference ``processor/main.py:91-144``)
+collapse into ``spark.read.parquet(...).where(...)``.
+
+100 TB posture: at scale the same tables would live as a
+date-partitioned / key-bucketed layout (see ``docs/SCALE.md``); the
+loader only binds paths, so swapping in a partitioned root or a catalog
+table is a one-line change.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from orca_ztbus_python_processor_spark.schemas import CORPUS_TABLES
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one corpus table, normalizing physical-type quirks.
+
+    ``events.ts`` is stored as parquet TIMESTAMP(NANOS), which Spark's
+    reader rejects. We read it as raw int64 nanoseconds
+    (``nanosAsLong`` — a runtime-settable SQL conf, so this also works
+    under the driver's own session) and truncate to microseconds with
+    integer division (DuckDB's reader truncates ns→us the same way;
+    a double-precision division here would lose sub-ms precision on
+    ~1.7e18 ns epochs).
+    """
+    # Oracle parity requires UTC-naive timestamp semantics end-to-end;
+    # the session timeZone is runtime-settable, so pin it here in case
+    # the caller's session (e.g. the driver's) was built without it.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    path = table_path(sf_dir, name)
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        return (
+            spark.read.parquet(path)
+            .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+            .select("event_id", "ts", "user_id", "event_type", "value", "props")
+        )
+    return spark.read.parquet(path)
+
+
+def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
+    """Load every corpus table as a DataFrame (lazy; nothing is read yet)."""
+    return {name: read_table(spark, sf_dir, name) for name in CORPUS_TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
+    """Load and register each table as a temp view for the SQL API."""
+    dfs = load_tables(spark, sf_dir)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs

@@ -1,0 +1,428 @@
+"""Relational spine: scans, filters, joins, aggregations, sorts, set ops
+on the TPC-H-ish corpus.
+
+These exercise the operator families the reference delegates to Postgres
+(SURVEY.md §2.1-2.7): parameterized range scans (``processor/main.py:91-144``),
+the broadcast equi-join + DISTINCT (``:169-182``), top-1 sorts
+(``simulator/main.py:63-71``), point lookups (``processor/main.py:207-234``),
+UNION ALL (``:277-288``), and the aggregate library (``:449-598``).
+
+Scale notes are inline per query; the global posture: dimension tables
+are broadcast, fact-side filters sit directly on the parquet scan
+(pushdown), aggregates are partial-agg friendly (no holistic fns in the
+hot path except where parity demands exact percentile).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from orca_ztbus_python_processor_spark.functions.stats import (
+    column_stats,
+    f32,
+    guarded_div,
+    oracle_column_stats,
+)
+from orca_ztbus_python_processor_spark.sources.parquet import read_table
+from orca_ztbus_python_processor_spark.workloads.base import Catalog
+
+CATALOG = Catalog()
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return read_table(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------------
+# q1_pricing_summary — scan + pushed filter + groupBy + 8-way fused agg.
+# TPC-H Q1 shape; covers A2/A3/A4 and the fused-aggregation pattern the
+# engine uses for algorithm dispatch (SURVEY.md §3 EP2 rewrite).
+# Scale: partial aggregation map-side; 6 groups -> shuffle is trivial.
+# --------------------------------------------------------------------------
+@CATALOG.query(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(l_quantity) AS REAL)                                    AS sum_qty,
+           CAST(sum(l_extendedprice) AS REAL)                               AS sum_base_price,
+           CAST(sum(l_extendedprice * (1 - l_discount)) AS REAL)            AS sum_disc_price,
+           CAST(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS REAL) AS sum_charge,
+           CAST(avg(l_quantity) AS REAL)                                    AS avg_qty,
+           CAST(avg(l_extendedprice) AS REAL)                               AS avg_price,
+           CAST(avg(l_discount) AS REAL)                                    AS avg_disc,
+           count(*)                                                         AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.where(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            f32(F.sum("l_quantity")).alias("sum_qty"),
+            f32(F.sum("l_extendedprice")).alias("sum_base_price"),
+            f32(F.sum(disc_price)).alias("sum_disc_price"),
+            f32(F.sum(disc_price * (1 + F.col("l_tax")))).alias("sum_charge"),
+            f32(F.avg("l_quantity")).alias("avg_qty"),
+            f32(F.avg("l_extendedprice")).alias("avg_price"),
+            f32(F.avg("l_discount")).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# top1_latest_order — ORDER BY ... DESC LIMIT 1 (reference sim-log cursor
+# read, simulator/main.py:63-74). Catalyst plans TakeOrderedAndProject:
+# per-partition top-1 then a single-row merge — no global sort at scale.
+# --------------------------------------------------------------------------
+@CATALOG.query(
+    "top1_latest_order",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderdate, CAST(o_totalprice AS REAL) AS o_totalprice
+    FROM orders
+    ORDER BY o_orderdate DESC, o_orderkey DESC
+    LIMIT 1
+    """,
+)
+def top1_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "orders")
+        .orderBy(F.col("o_orderdate").desc(), F.col("o_orderkey").desc())
+        .limit(1)
+        .select("o_orderkey", "o_custkey", "o_orderdate", f32(F.col("o_totalprice")).alias("o_totalprice"))
+    )
+
+
+# --------------------------------------------------------------------------
+# point_lookup_customer — keyed point lookup (reference trip lookup,
+# processor/main.py:207-234: SELECT ... WHERE id = ? LIMIT 1).
+# Scale: with a sorted/bucketed layout this is a row-group skip, not a scan.
+# --------------------------------------------------------------------------
+@CATALOG.query(
+    "point_lookup_customer",
+    oracle="""
+    SELECT c_custkey, c_name, c_nationkey, CAST(c_acctbal AS REAL) AS c_acctbal, c_mktsegment
+    FROM customer WHERE c_custkey = 42 LIMIT 1
+    """,
+)
+def point_lookup_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") == 42)
+        .limit(1)
+        .select("c_custkey", "c_name", "c_nationkey", f32(F.col("c_acctbal")).alias("c_acctbal"), "c_mktsegment")
+    )
+
+
+# --------------------------------------------------------------------------
+# q3_top_orders — 3-way join + group + top-k (TPC-H Q3 shape).
+# customer is the small side -> broadcast; lineitem filter pushed to scan.
+# --------------------------------------------------------------------------
+@CATALOG.query(
+    "q3_top_orders",
+    oracle="""
+    SELECT o.o_orderkey,
+           CAST(sum(l.l_extendedprice * (1 - l.l_discount)) AS REAL) AS revenue,
+           o.o_orderdate
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1997-06-01'
+      AND l.l_shipdate > TIMESTAMP '1997-06-01'
+    GROUP BY o.o_orderkey, o.o_orderdate
+    ORDER BY sum(l.l_extendedprice * (1 - l.l_discount)) DESC, o.o_orderkey
+    LIMIT 10
+    """,
+)
+def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").where(F.col("o_orderdate") < "1997-06-01")
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > "1997-06-01")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("_rev"))
+        .orderBy(F.col("_rev").desc(), F.col("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", f32(F.col("_rev")).alias("revenue"), "o_orderdate")
+    )
+
+
+# --------------------------------------------------------------------------
+# q5_region_revenue — 6-way star join (TPC-H Q5 shape). All dimensions
+# broadcast; only orders><lineitem is a shuffle join, on the fact keys.
+# --------------------------------------------------------------------------
+@CATALOG.query(
+    "q5_region_revenue",
+    oracle="""
+    SELECT n.n_name,
+           CAST(sum(l.l_extendedprice * (1 - l.l_discount)) AS REAL) AS revenue
+    FROM region r
+    JOIN nation n   ON n.n_regionkey = r.r_regionkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND s.s_nationkey = c.c_nationkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY n.n_name
+    """,
+)
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), (li.l_suppkey == supp.s_suppkey) & (supp.s_nationkey == cust.c_nationkey))
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(f32(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
+    )
+
+
+# --------------------------------------------------------------------------
+# semi / anti joins — EXISTS / NOT EXISTS, shuffle-free on the dim side.
+# --------------------------------------------------------------------------
+@CATALOG.query(
+    "customers_with_orders_by_nation",
+    oracle="""
+    SELECT c.c_nationkey, count(*) AS n_customers
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c.c_nationkey
+    """,
+)
+def customers_with_orders_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+@CATALOG.query(
+    "customers_without_orders",
+    oracle="""
+    SELECT c.c_custkey, c.c_name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+# --------------------------------------------------------------------------
+# rollup_revenue — GROUPING SETS / ROLLUP (SURVEY.md §2.4 note).
+# --------------------------------------------------------------------------
+@CATALOG.query(
+    "rollup_revenue",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(l_extendedprice) AS REAL) AS sum_price,
+           count(*) AS n_rows
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(f32(F.sum("l_extendedprice")).alias("sum_price"), F.count("*").alias("n_rows"))
+    )
+
+
+# --------------------------------------------------------------------------
+# pivot_linestatus — pivot == conditional aggregation (map-side friendly).
+# --------------------------------------------------------------------------
+@CATALOG.query(
+    "pivot_linestatus",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END) AS REAL) AS qty_open,
+           CAST(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END) AS REAL) AS qty_filled
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def pivot_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum("l_quantity"))
+        .select(
+            "l_returnflag",
+            f32(F.col("O")).alias("qty_open"),
+            f32(F.col("F")).alias("qty_filled"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# topk_orders_per_segment — top-k per group via ranking window
+# (generalizes the reference's top-1 cursor read to keyed top-k).
+# --------------------------------------------------------------------------
+@CATALOG.query(
+    "topk_orders_per_segment",
+    oracle="""
+    SELECT c_mktsegment, o_orderkey, CAST(o_totalprice AS REAL) AS o_totalprice
+    FROM (
+        SELECT c.c_mktsegment, o.o_orderkey, o.o_totalprice,
+               row_number() OVER (PARTITION BY c.c_mktsegment
+                                  ORDER BY o.o_totalprice DESC, o.o_orderkey) AS rn
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    )
+    WHERE rn <= 3
+    """,
+)
+def topk_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("c_mktsegment", "o_orderkey", f32(F.col("o_totalprice")).alias("o_totalprice"))
+    )
+
+
+# --------------------------------------------------------------------------
+# union_price_slices — UNION ALL of two time slices then aggregate
+# (reference lookback concat, processor/main.py:277-288).
+# --------------------------------------------------------------------------
+@CATALOG.query(
+    "union_price_slices",
+    oracle="""
+    SELECT l_returnflag,
+           count(*) AS n_rows,
+           CAST(sum(l_extendedprice) AS REAL) AS sum_price
+    FROM (
+        SELECT l_returnflag, l_extendedprice FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1996-01-01'
+        UNION ALL
+        SELECT l_returnflag, l_extendedprice FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1998-01-01' AND l_shipdate < TIMESTAMP '1999-01-01'
+    )
+    GROUP BY l_returnflag
+    """,
+)
+def union_price_slices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice", "l_shipdate")
+    a = li.where((F.col("l_shipdate") >= "1995-01-01") & (F.col("l_shipdate") < "1996-01-01"))
+    b = li.where((F.col("l_shipdate") >= "1998-01-01") & (F.col("l_shipdate") < "1999-01-01"))
+    return (
+        a.unionByName(b)
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("n_rows"), f32(F.sum("l_extendedprice")).alias("sum_price"))
+    )
+
+
+# --------------------------------------------------------------------------
+# intersect / except — set ops on key domains.
+# --------------------------------------------------------------------------
+@CATALOG.query(
+    "nations_with_customers_and_suppliers",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def nations_with_customers_and_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    supp = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return cust.intersect(supp)
+
+
+@CATALOG.query(
+    "nations_without_suppliers",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def nations_without_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    supp = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return cust.subtract(supp)
+
+
+# --------------------------------------------------------------------------
+# part_type_stats — the describe() stat bundle per group (reference
+# other_metrics.py:27-38, the 32 commented algorithm surfaces), as ONE
+# fused agg. Exact percentiles = correctness path; approx_percentile is
+# the documented 100 TB path.
+# --------------------------------------------------------------------------
+@CATALOG.query(
+    "part_type_stats",
+    oracle=f"""
+    SELECT p_type, {oracle_column_stats("p_retailprice", "price_")}
+    FROM part
+    GROUP BY p_type
+    """,
+)
+def part_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "part")
+        .groupBy("p_type")
+        .agg(*column_stats("p_retailprice", "price_"))
+    )
+
+
+# --------------------------------------------------------------------------
+# priority_value_share — guarded division + conditional aggregation
+# (reference kwh_per_km NULL guards, processor/main.py:506-514).
+# --------------------------------------------------------------------------
+@CATALOG.query(
+    "priority_value_share",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           CAST(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0 END) AS REAL) AS filled_value,
+           CAST(CASE WHEN count(CASE WHEN o_orderstatus = 'F' THEN 1 END) > 0
+                THEN sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0 END)
+                     / count(CASE WHEN o_orderstatus = 'F' THEN 1 END)
+                END AS REAL) AS avg_filled_value
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def priority_value_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    is_f = F.col("o_orderstatus") == "F"
+    filled_value = F.sum(F.when(is_f, F.col("o_totalprice")).otherwise(F.lit(0.0)))
+    filled_count = F.sum(F.when(is_f, 1).otherwise(0))
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            f32(filled_value).alias("filled_value"),
+            f32(guarded_div(filled_value, filled_count)).alias("avg_filled_value"),
+        )
+    )

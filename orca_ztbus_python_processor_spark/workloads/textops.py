@@ -1,0 +1,221 @@
+"""Text-analysis / dedup workload over ``documents`` — the
+driver-mandated LLM-data-pipeline surface (SURVEY.md §2.11 X1/X5).
+
+Everything here stays JVM-side (built-in string/regexp functions inside
+whole-stage codegen); no Python UDFs. Near-dup (MinHash/SimHash) and
+fingerprinting live in ``operators/dedup.py`` and are registered by
+``workloads/vectors.py`` / M6 entries as rows-only checks.
+
+Scale: all per-document transforms are embarrassingly parallel map
+work; the dedup groupBys shuffle on a hash of the text (uniform keys,
+no skew). At 100 TB, exact dedup on sha256(text) is the standard
+pattern — the hash is computed map-side and the shuffle carries only
+(hash, doc_id).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from orca_ztbus_python_processor_spark.functions.stats import f32
+from orca_ztbus_python_processor_spark.sources.parquet import read_table
+from orca_ztbus_python_processor_spark.workloads.base import Catalog
+
+CATALOG = Catalog()
+
+# Shared token / stopword regexes — keep the dialect-neutral subset so
+# Java (Spark) and RE2-ish (DuckDB) agree.
+TOKEN_RE = "[A-Za-z0-9]+"
+STOPWORD_RE = r"\b(the|a|of|and|in|is|to|it)\b"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return read_table(spark, sf_dir, "documents")
+
+
+# --------------------------------------------------------------------------
+# dedup_exact — exact duplicate grouping by content (X1): canonical id =
+# min(doc_id) per identical text. groupBy on text hashes map-side.
+# --------------------------------------------------------------------------
+@CATALOG.query(
+    "dedup_exact",
+    oracle="""
+    SELECT min(doc_id) AS canonical_doc_id,
+           count(*) AS n_copies
+    FROM documents
+    GROUP BY text
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _docs(spark, sf_dir)
+        .groupBy("text")
+        .agg(F.min("doc_id").alias("canonical_doc_id"), F.count("*").alias("n_copies"))
+        .select("canonical_doc_id", "n_copies")
+    )
+
+
+# --------------------------------------------------------------------------
+# dedup_sha256 — content-hash dedup (X1): at 100 TB you never shuffle
+# the text itself; sha256 is computed at the scan and only (hash, id)
+# moves. Spark sha2 and DuckDB sha256 both emit lowercase hex.
+# --------------------------------------------------------------------------
+@CATALOG.query(
+    "dedup_sha256",
+    oracle="""
+    SELECT sha256(text) AS content_hash,
+           min(doc_id) AS canonical_doc_id,
+           count(*) AS n_copies
+    FROM documents
+    GROUP BY sha256(text)
+    """,
+)
+def dedup_sha256(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _docs(spark, sf_dir)
+        .groupBy(F.sha2(F.col("text"), 256).alias("content_hash"))
+        .agg(F.min("doc_id").alias("canonical_doc_id"), F.count("*").alias("n_copies"))
+    )
+
+
+# --------------------------------------------------------------------------
+# token_stats — token counting (X5): regex token count + whitespace
+# word count per document, all codegen'd string ops.
+# --------------------------------------------------------------------------
+@CATALOG.query(
+    "token_stats",
+    oracle=f"""
+    SELECT doc_id,
+           length(text) AS n_chars_actual,
+           CAST(len(regexp_extract_all(text, '{TOKEN_RE}')) AS BIGINT) AS n_tokens,
+           CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_words
+    FROM documents
+    """,
+)
+def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars_actual"),
+        F.regexp_count(F.col("text"), F.lit(TOKEN_RE)).cast("long").alias("n_tokens"),
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("n_words"),
+    )
+
+
+# --------------------------------------------------------------------------
+# doc_quality — quality scoring (X5): length + stopword-ratio features
+# (the heuristics an LLM-data pipeline gates on).
+# --------------------------------------------------------------------------
+@CATALOG.query(
+    "doc_quality",
+    oracle=f"""
+    SELECT doc_id,
+           length(text) AS n_chars_actual,
+           CAST(len(regexp_extract_all(text, '{STOPWORD_RE}')) AS BIGINT) AS n_stopwords,
+           CAST(CASE WHEN len(regexp_extract_all(text, '{TOKEN_RE}')) > 0
+                THEN CAST(len(regexp_extract_all(text, '{STOPWORD_RE}')) AS DOUBLE)
+                     / len(regexp_extract_all(text, '{TOKEN_RE}'))
+                END AS REAL) AS stopword_ratio,
+           CAST(CASE WHEN length(text) >= 100
+                      AND len(regexp_extract_all(text, '{TOKEN_RE}')) >= 20
+                THEN 1.0 ELSE 0.0 END AS REAL) AS quality_score
+    FROM documents
+    """,
+)
+def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n_tokens = F.regexp_count(F.col("text"), F.lit(TOKEN_RE))
+    n_stop = F.regexp_count(F.col("text"), F.lit(STOPWORD_RE))
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars_actual"),
+        n_stop.cast("long").alias("n_stopwords"),
+        f32(F.when(n_tokens > 0, n_stop.cast("double") / n_tokens)).alias("stopword_ratio"),
+        f32(
+            F.when((F.length("text") >= 100) & (n_tokens >= 20), 1.0).otherwise(0.0)
+        ).alias("quality_score"),
+    )
+
+
+# --------------------------------------------------------------------------
+# lang_source_profile — grouped profile over the lang/source dimensions.
+# --------------------------------------------------------------------------
+@CATALOG.query(
+    "lang_source_profile",
+    oracle="""
+    SELECT lang, source,
+           count(*) AS n_docs,
+           CAST(avg(n_chars) AS REAL) AS avg_chars,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY lang, source
+    """,
+)
+def lang_source_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _docs(spark, sf_dir)
+        .groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            f32(F.avg("n_chars")).alias("avg_chars"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# lang_id_heuristic — n-gram/stopword language-ID heuristic (X5): score
+# each language by marker-word hits, argmax with deterministic
+# tie-break. (On this synthetic corpus the labels are random; the
+# point is the deterministic, shippable scoring plumbing.)
+# --------------------------------------------------------------------------
+_LANG_MARKERS: dict[str, str] = {
+    "en": r"\b(the|and|of|is)\b",
+    "es": r"\b(el|la|de|que)\b",
+    "fr": r"\b(le|la|et|les)\b",
+    "de": r"\b(der|die|und|das)\b",
+    "zh": r"(的|是|了|在)",
+}
+
+
+@CATALOG.query(
+    "lang_id_heuristic",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, lang,
+               CAST(len(regexp_extract_all(text, '{_LANG_MARKERS["en"]}')) AS BIGINT) AS score_en,
+               CAST(len(regexp_extract_all(text, '{_LANG_MARKERS["es"]}')) AS BIGINT) AS score_es,
+               CAST(len(regexp_extract_all(text, '{_LANG_MARKERS["fr"]}')) AS BIGINT) AS score_fr,
+               CAST(len(regexp_extract_all(text, '{_LANG_MARKERS["de"]}')) AS BIGINT) AS score_de,
+               CAST(len(regexp_extract_all(text, '{_LANG_MARKERS["zh"]}')) AS BIGINT) AS score_zh
+        FROM documents
+    )
+    SELECT doc_id, lang, score_en, score_es, score_fr, score_de, score_zh,
+           CASE
+             WHEN score_en >= greatest(score_es, score_fr, score_de, score_zh) THEN 'en'
+             WHEN score_es >= greatest(score_fr, score_de, score_zh) THEN 'es'
+             WHEN score_fr >= greatest(score_de, score_zh) THEN 'fr'
+             WHEN score_de >= score_zh THEN 'de'
+             ELSE 'zh'
+           END AS pred_lang
+    FROM scored
+    """,
+)
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scores = {
+        lang: F.regexp_count(F.col("text"), F.lit(pat)).cast("long")
+        for lang, pat in _LANG_MARKERS.items()
+    }
+    df = _docs(spark, sf_dir).select(
+        "doc_id",
+        "lang",
+        *[scores[lang].alias(f"score_{lang}") for lang in _LANG_MARKERS],
+    )
+    s = {lang: F.col(f"score_{lang}") for lang in _LANG_MARKERS}
+    pred = (
+        F.when(s["en"] >= F.greatest(s["es"], s["fr"], s["de"], s["zh"]), "en")
+        .when(s["es"] >= F.greatest(s["fr"], s["de"], s["zh"]), "es")
+        .when(s["fr"] >= F.greatest(s["de"], s["zh"]), "fr")
+        .when(s["de"] >= s["zh"], "de")
+        .otherwise("zh")
+    )
+    return df.withColumn("pred_lang", pred)

@@ -1,0 +1,364 @@
+"""Time-series / window workload over the ``events`` stream table —
+the driver-corpus analog of the reference's ZTBus minute-window
+algorithm dispatch (SURVEY.md §3).
+
+Mapping to the reference:
+  - ``events(ts, user_id, ...)``  ~  ``telemetry(time, trip_id, ...)``
+  - minute buckets                ~  EveryMinute windows
+    (reference ``simulator/main.py:85-112``)
+  - per-(minute, user) fused agg  ~  EveryMinutePerTripPerBus × the 5
+    per-trip algorithms collapsed into ONE pass (EP3 rewrite of
+    reference ``processor/main.py:342-371,449-598``)
+  - gap/run detection             ~  brake-run FSM
+    (reference ``processor/main.py:296-338``) in its batch
+    gap-and-islands form — pure window functions, no UDF.
+
+Scale: every query here groups or windows by (time-bucket, user_id) —
+exactly the keys a 100 TB layout would partition by (date) and bucket
+by (user/trip), so the shuffles are either pruned or co-located. The
+lag/window queries shuffle once on user_id and sort within partitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from orca_ztbus_python_processor_spark.functions.stats import (
+    column_stats,
+    f32,
+    guarded_div,
+    oracle_column_stats,
+)
+from orca_ztbus_python_processor_spark.sources.parquet import read_table
+from orca_ztbus_python_processor_spark.workloads.base import Catalog
+
+CATALOG = Catalog()
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return read_table(spark, sf_dir, "events")
+
+
+# --------------------------------------------------------------------------
+# distinct_active_triples — THE reference join (J1): time-range scan +
+# broadcast equi-join on the dimension + DISTINCT over the key triple
+# (reference processor/main.py:169-182 — FindActiveBuses' SELECT DISTINCT
+# t.trip_id, tr.bus_id, tr.route_id ... JOIN ... WHERE time BETWEEN).
+# customer stands in for trips; (user, nation, segment) for
+# (trip, bus, route). Broadcast: dimension ships to every executor,
+# no fact shuffle; distinct is a partial-agg.
+# --------------------------------------------------------------------------
+@CATALOG.query(
+    "distinct_active_triples",
+    oracle="""
+    SELECT DISTINCT e.user_id, c.c_nationkey, c.c_mktsegment
+    FROM events e
+    JOIN customer c ON e.user_id = c.c_custkey
+    WHERE e.ts BETWEEN TIMESTAMP '2024-01-05 00:00:00' AND TIMESTAMP '2024-01-12 00:00:00'
+    """,
+)
+def distinct_active_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).where(
+        F.col("ts").between("2024-01-05 00:00:00", "2024-01-12 00:00:00")
+    )
+    cust = read_table(spark, sf_dir, "customer")
+    return (
+        ev.join(F.broadcast(cust), ev.user_id == cust.c_custkey, "inner")
+        .select("user_id", "c_nationkey", "c_mktsegment")
+        .distinct()
+    )
+
+
+# --------------------------------------------------------------------------
+# active_users_per_minute — tumbling 60 s windows (ST1,
+# reference simulator/main.py:85-93) + the FindActiveBuses count (A2,
+# reference processor/main.py:353-371). Native F.window; the window
+# struct is projected to start/end for the oracle.
+# --------------------------------------------------------------------------
+@CATALOG.query(
+    "active_users_per_minute",
+    oracle="""
+    SELECT date_trunc('minute', ts) AS window_start,
+           date_trunc('minute', ts) + INTERVAL 1 MINUTE AS window_end,
+           count(DISTINCT user_id) AS n_active_users,
+           count(*) AS n_events
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def active_users_per_minute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _events(spark, sf_dir)
+        .groupBy(F.window("ts", "60 seconds").alias("w"))
+        .agg(
+            F.countDistinct("user_id").alias("n_active_users"),
+            F.count("*").alias("n_events"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_active_users",
+            "n_events",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# fused_per_user_minute — the EP3 rewrite and the engine's flagship:
+# instead of the reference's 1 EveryMinute -> N derived windows -> 5
+# algorithms x N re-scans of the same minute (processor/main.py:342-371
+# then :449-598), ONE groupBy(minute, user) computes every algorithm's
+# aggregates in a single pass. Covers A2-A9, A12, F4-F6.
+# --------------------------------------------------------------------------
+@CATALOG.query(
+    "fused_per_user_minute",
+    oracle="""
+    SELECT date_trunc('minute', ts) AS window_start,
+           user_id,
+           count(*) AS n_events,
+           CAST(sum(value) AS REAL) AS sum_value,
+           CAST(avg(value) AS REAL) AS avg_value,
+           CAST(min(value) AS REAL) AS min_value,
+           CAST(max(value) AS REAL) AS max_value,
+           CAST(stddev_samp(value) AS REAL) AS std_value,
+           count(CASE WHEN event_type = 'error' THEN 1 END) AS n_errors,
+           CAST(CASE WHEN count(*) > 0
+                THEN CAST(count(CASE WHEN event_type = 'error' THEN 1 END) AS DOUBLE) / count(*)
+                END AS REAL) AS error_fraction
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def fused_per_user_minute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n_errors = F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+    n_events = F.count("*")
+    return (
+        _events(spark, sf_dir)
+        .groupBy(F.date_trunc("minute", F.col("ts")).alias("window_start"), F.col("user_id"))
+        .agg(
+            n_events.alias("n_events"),
+            f32(F.sum("value")).alias("sum_value"),
+            f32(F.avg("value")).alias("avg_value"),
+            f32(F.min("value")).alias("min_value"),
+            f32(F.max("value")).alias("max_value"),
+            f32(F.stddev_samp("value")).alias("std_value"),
+            n_errors.alias("n_errors"),
+            f32(guarded_div(n_errors.cast("double"), n_events)).alias("error_fraction"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# value_describe — the describe() stat bundle (A10), global grain
+# (reference other_metrics.py:27-38).
+# --------------------------------------------------------------------------
+@CATALOG.query(
+    "value_describe",
+    oracle=f"""
+    SELECT event_type, {oracle_column_stats("value", "value_")}
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def value_describe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _events(spark, sf_dir).groupBy("event_type").agg(*column_stats("value", "value_"))
+
+
+# --------------------------------------------------------------------------
+# value_lag_diff — discrete derivative via lag-1 (W1, reference
+# accel = speed.diff() / jerk = accel.diff(), processor/main.py:563-565),
+# with the reference's fillna(0) coalesce (processor/main.py:493-503).
+# One shuffle on user_id; sort within partition.
+# --------------------------------------------------------------------------
+@CATALOG.query(
+    "value_lag_diff",
+    oracle="""
+    WITH diffed AS (
+        SELECT event_id, user_id, ts,
+               coalesce(value - lag(value)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id), 0) AS d
+        FROM events
+    )
+    SELECT event_id, user_id,
+           CAST(d AS REAL) AS d_value,
+           CAST(d - coalesce(lag(d)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id), 0) AS REAL) AS d2_value
+    FROM diffed
+    """,
+)
+def value_lag_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    diffed = _events(spark, sf_dir).select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.coalesce(F.col("value") - F.lag("value").over(w), F.lit(0.0)).alias("d"),
+    )
+    d2 = F.col("d") - F.coalesce(F.lag("d").over(w), F.lit(0.0))
+    return diffed.select(
+        "event_id",
+        "user_id",
+        f32(F.col("d")).alias("d_value"),
+        f32(d2).alias("d2_value"),
+    )
+
+
+# --------------------------------------------------------------------------
+# user_sessions_gap — sessionization by inactivity gap: the batch
+# gap-and-islands form of the reference's run FSM (W3/ST3,
+# processor/main.py:296-338): a "session" closes when the next event is
+# more than GAP away, exactly like a run closing on the first false
+# sample. Pure window functions: lag -> boundary flag -> running sum ->
+# group. No UDF, no collect.
+# --------------------------------------------------------------------------
+_GAP_US = 600_000_000  # 10 minutes
+
+
+@CATALOG.query(
+    "user_sessions_gap",
+    oracle=f"""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                        OVER (PARTITION BY user_id ORDER BY ts, event_id) > {_GAP_US}
+                    OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+    ), numbered AS (
+        SELECT user_id, ts, event_id,
+               CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        FROM flagged
+    )
+    SELECT user_id, session_id, min(ts) AS session_start, max(ts) AS session_end,
+           count(*) AS n_events
+    FROM numbered
+    GROUP BY user_id, session_id
+    """,
+)
+def user_sessions_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_us = F.lag(F.unix_micros(F.col("ts"))).over(w)
+    is_new = F.when(
+        prev_us.isNull() | (F.unix_micros(F.col("ts")) - prev_us > _GAP_US), 1
+    ).otherwise(0)
+    return (
+        _events(spark, sf_dir)
+        .withColumn("is_new", is_new)
+        .withColumn("session_id", F.sum("is_new").over(w.rowsBetween(W.unboundedPreceding, 0)))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# event_type_runs — gap-and-islands over a VALUE CHANGE (the exact W3
+# rewrite of the reference FSM, processor/main.py:296-338: open a run
+# when the flag rises, close when it falls; here generalized to runs of
+# equal event_type per user).
+# --------------------------------------------------------------------------
+@CATALOG.query(
+    "event_type_runs",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, event_type, ts, event_id,
+               CASE WHEN event_type IS DISTINCT FROM
+                         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                    THEN 1 ELSE 0 END AS changed
+        FROM events
+    ), numbered AS (
+        SELECT user_id, event_type, ts,
+               CAST(sum(changed) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_id
+        FROM flagged
+    )
+    SELECT user_id, run_id, event_type,
+           min(ts) AS run_start, max(ts) AS run_end, count(*) AS n_events
+    FROM numbered
+    GROUP BY user_id, run_id, event_type
+    """,
+)
+def event_type_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    changed = F.when(
+        ~F.col("event_type").eqNullSafe(F.lag("event_type").over(w)), 1
+    ).otherwise(0)
+    return (
+        _events(spark, sf_dir)
+        .withColumn("changed", changed)
+        .withColumn("run_id", F.sum("changed").over(w.rowsBetween(W.unboundedPreceding, 0)))
+        .groupBy("user_id", "run_id", "event_type")
+        .agg(
+            F.min("ts").alias("run_start"),
+            F.max("ts").alias("run_end"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# json_props_by_type — JSON extraction from the props column (X6).
+# get_json_object stays JVM-side (no Python UDF).
+# --------------------------------------------------------------------------
+@CATALOG.query(
+    "json_props_by_type",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(avg(CAST(json_extract(props, '$.k') AS BIGINT)) AS REAL) AS avg_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def json_props_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        _events(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(k).alias("sum_k"),
+            f32(F.avg(k)).alias("avg_k"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# minute_window_events — the window-event fan-out stream (S8/ST2,
+# reference processor/main.py:356-369: FindActiveBuses emits one
+# EveryMinutePerTripPerBus window per active key). Batch parity form:
+# the windows table the streaming path appends via foreachBatch.
+# --------------------------------------------------------------------------
+@CATALOG.query(
+    "minute_window_events",
+    oracle="""
+    SELECT DISTINCT
+           date_trunc('minute', ts) AS time_from,
+           date_trunc('minute', ts) + INTERVAL 1 MINUTE AS time_to,
+           'EveryMinutePerUser' AS name,
+           '1.0.0' AS version,
+           'active_user_emitter' AS origin,
+           user_id
+    FROM events
+    """,
+)
+def minute_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _events(spark, sf_dir)
+        .select(
+            F.date_trunc("minute", F.col("ts")).alias("time_from"),
+            (F.date_trunc("minute", F.col("ts")) + F.expr("INTERVAL 1 MINUTE")).alias("time_to"),
+            F.lit("EveryMinutePerUser").alias("name"),
+            F.lit("1.0.0").alias("version"),
+            F.lit("active_user_emitter").alias("origin"),
+            F.col("user_id"),
+        )
+        .distinct()
+    )

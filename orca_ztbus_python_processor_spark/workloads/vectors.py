@@ -1,0 +1,144 @@
+"""Embedding / similarity workload over ``embeddings`` — the
+driver-mandated similarity-search surface (SURVEY.md §2.11 X3).
+
+Vector math is done with Spark's higher-order array functions
+(``zip_with`` + ``aggregate``), which evaluate JVM-side — no Python in
+the hot path. Embeddings are cast float32 -> float64 before arithmetic
+(exact), and scores are cast back to float32 at the output boundary so
+the cross-engine hash is summation-order-proof.
+
+Scale posture: the brute-force top-k broadcasts the (small) query set
+against the full corpus — a map-only pass, no shuffle of the corpus.
+For corpus x corpus at 100 TB, the LSH-bucketed variant
+(``operators/similarity.py``) replaces the cross join with an
+equi-join on bucket ids.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from orca_ztbus_python_processor_spark.functions.stats import f32
+from orca_ztbus_python_processor_spark.sources.parquet import read_table
+from orca_ztbus_python_processor_spark.workloads.base import Catalog
+
+CATALOG = Catalog()
+
+TOP_K = 5
+QUERY_MOD = 50  # vec_id % QUERY_MOD == 0 defines the query subset
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return read_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("emb"),
+        F.col("label").cast("long").alias("label"),
+    )
+
+
+def _l2_norm(col: Column) -> Column:
+    return F.sqrt(F.aggregate(col, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+# --------------------------------------------------------------------------
+# embedding_norms — per-vector L2 norm via aggregate() fold.
+# --------------------------------------------------------------------------
+@CATALOG.query(
+    "embedding_norms",
+    oracle="""
+    SELECT vec_id,
+           CAST(label AS BIGINT) AS label,
+           CAST(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AS REAL) AS l2_norm
+    FROM embeddings
+    """,
+)
+def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _emb(spark, sf_dir)
+    return df.select("vec_id", "label", f32(_l2_norm(F.col("emb"))).alias("l2_norm"))
+
+
+# --------------------------------------------------------------------------
+# label_centroids — mean embedding per label, in long format
+# (label, dim, centroid_val) to keep the oracle array-free.
+# posexplode -> groupBy is the scalable form: partial aggregation
+# map-side, shuffle carries (label, dim) partial sums only.
+# --------------------------------------------------------------------------
+@CATALOG.query(
+    "label_centroids",
+    oracle="""
+    WITH ex AS (
+        SELECT label,
+               unnest(CAST(embedding AS DOUBLE[])) AS val,
+               generate_subscripts(embedding, 1) AS i
+        FROM embeddings
+    )
+    SELECT CAST(label AS BIGINT) AS label,
+           CAST(i - 1 AS BIGINT) AS dim,
+           CAST(avg(val) AS REAL) AS centroid_val,
+           count(*) AS n_vectors
+    FROM ex
+    GROUP BY label, i
+    """,
+)
+def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _emb(spark, sf_dir)
+        .select("label", F.posexplode("emb").alias("dim", "val"))
+        .groupBy("label", F.col("dim").cast("long").alias("dim"))
+        .agg(f32(F.avg("val")).alias("centroid_val"), F.count("*").alias("n_vectors"))
+    )
+
+
+# --------------------------------------------------------------------------
+# cosine_topk_bruteforce — exact top-k cosine neighbors for the query
+# subset (X3 baseline). Query side is broadcast; ranking is done on the
+# float32-cast score with vec_id tie-break so Spark and the oracle rank
+# identically.
+# --------------------------------------------------------------------------
+@CATALOG.query(
+    "cosine_topk_bruteforce",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+        FROM embeddings WHERE vec_id % {QUERY_MOD} = 0
+    ), c AS (
+        SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS ce
+        FROM embeddings
+    ), scored AS (
+        SELECT query_id, neighbor_id,
+               CAST(list_cosine_similarity(qe, ce) AS REAL) AS score
+        FROM q CROSS JOIN c
+        WHERE query_id <> neighbor_id
+    ), ranked AS (
+        SELECT query_id, neighbor_id, score,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, neighbor_id) AS rn
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, score, CAST(rn AS BIGINT) AS rank
+    FROM ranked WHERE rn <= {TOP_K}
+    """,
+)
+def cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir).withColumn("norm", _l2_norm(F.col("emb")))
+    q = emb.where(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("qe"), F.col("norm").alias("qnorm")
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("emb").alias("ce"), F.col("norm").alias("cnorm")
+    )
+    score = f32(_dot(F.col("qe"), F.col("ce")) / (F.col("qnorm") * F.col("cnorm")))
+    w = W.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id"))
+    return (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", score.alias("score"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= TOP_K)
+    )
