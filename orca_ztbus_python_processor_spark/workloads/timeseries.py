@@ -362,3 +362,56 @@ def minute_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+
+
+# --------------------------------------------------------------------------
+# error_event_runs — the sessionize operator (operators/sessionize.py,
+# the W3/ST3 FSM rewrite) exercised through the driver's oracle gate:
+# contiguous runs of error events per user, closed runs only, with the
+# closing sample's timestamp (the FSM's run-closing false sample,
+# reference processor/main.py:300-337).
+# --------------------------------------------------------------------------
+@CATALOG.query(
+    "error_event_runs",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id,
+               (event_type = 'error') AS flag,
+               CASE WHEN lead(event_type = 'error')
+                             OVER (PARTITION BY user_id ORDER BY ts, event_id) = false
+                    THEN lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                    END AS run_close,
+               CASE WHEN (event_type = 'error') IS DISTINCT FROM
+                         lag(event_type = 'error')
+                             OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                    THEN 1 ELSE 0 END AS changed
+        FROM events
+    ), numbered AS (
+        SELECT *, CAST(sum(changed) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_id
+        FROM flagged
+    ), runs AS (
+        SELECT user_id,
+               min(ts) AS time_from,
+               max(ts) AS time_to,
+               count(*) AS n_samples,
+               max(run_close) AS closing_time
+        FROM numbered WHERE flag
+        GROUP BY user_id, run_id
+    )
+    SELECT user_id, time_from, time_to, n_samples, closing_time
+    FROM runs WHERE closing_time IS NOT NULL
+    """,
+)
+def error_event_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from orca_ztbus_python_processor_spark.operators.sessionize import flag_runs
+
+    ev = _events(spark, sf_dir).withColumn("is_error", F.col("event_type") == "error")
+    return flag_runs(
+        ev,
+        "is_error",
+        time_col="ts",
+        keys=("user_id",),
+        closed_only=True,
+        order_by=("ts", "event_id"),
+    )
