@@ -1,0 +1,143 @@
+"""Streaming query pipelines (SURVEY.md §2.8 ST1-ST8).
+
+The reference's processing loop — core delivers a window event, the
+bound algorithm re-reads that window's rows and aggregates
+(``processor/main.py:342-371,449-598``) — becomes a single incremental
+plan: ``readStream -> withWatermark -> groupBy(window, keys).agg(...)``.
+The fan-out (one derived window per active key, ST2) is the grouping
+key set; the result sink (S9) is the streaming output; the windows
+table (S8) is a foreachBatch append.
+
+Watermark policy: the reference bounds lookback state at 400 s
+(20 x 20 s, ``processor/main.py:246-247``) — ``withWatermark(ts,
+"400 seconds")`` is the native equivalent (ST4): state for a window is
+kept exactly until event time passes its end + 400 s.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+DEFAULT_WATERMARK = "400 seconds"
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events as a file stream (one-file parquet source; at scale this
+    is the Kafka/Delta ingest edge)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    raw_schema = "event_id long, ts long, user_id long, event_type string, value double, props string"
+    return (
+        spark.readStream.schema(raw_schema)
+        # glob form: the table is a single parquet file, and the
+        # file-stream source requires a directory-rooted glob to derive
+        # its basePath
+        .parquet(f"{sf_dir}/{{events.parquet}}")
+        .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    )
+
+
+def windowed_agg_stream(
+    events: DataFrame,
+    agg_cols: list[Column],
+    keys: tuple[str, ...] = ("user_id",),
+    time_col: str = "ts",
+    duration: str = "60 seconds",
+    watermark: str = DEFAULT_WATERMARK,
+) -> DataFrame:
+    """Tumbling-window keyed aggregation over a stream (ST1 + ST2 + EP2
+    in one incremental plan)."""
+    agged = (
+        events.withWatermark(time_col, watermark)
+        .groupBy(F.window(F.col(time_col), duration).alias("w"), *keys)
+        .agg(*agg_cols)
+    )
+    rest = [c for c in agged.columns if c != "w"]
+    return agged.select(
+        F.col("w.start").alias("time_from"), F.col("w.end").alias("time_to"), *rest
+    )
+
+
+def run_to_memory(
+    stream_df: DataFrame,
+    query_name: str,
+    output_mode: str = "complete",
+) -> StreamingQuery:
+    """Drive a streaming frame to completion synchronously into an
+    in-memory table (test/driver harness path): availableNow processes
+    all existing input then stops — the batch≡stream bridge."""
+    spark = stream_df.sparkSession
+    for q in spark.streams.active:
+        if q.name == query_name:
+            q.stop()
+    query = (
+        stream_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return query
+
+
+def windows_table_sink(
+    window_events: DataFrame,
+    checkpoint_dir: str,
+    out_path: str,
+) -> StreamingQuery:
+    """S8: append window-event rows to a parquet ``windows`` table via
+    foreachBatch (the reference's EmitWindow gRPC sink,
+    ``simulator/main.py:104-112``, as an exactly-once table append)."""
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.write.mode("append").parquet(out_path)
+
+    return (
+        window_events.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def session_runs_stream(
+    events: DataFrame,
+    flag_col: str,
+    keys: tuple[str, ...] = ("user_id",),
+    time_col: str = "ts",
+    gap: str = "1500 milliseconds",
+    watermark: str = DEFAULT_WATERMARK,
+) -> DataFrame:
+    """ST3: contiguous-run detection as a streaming session window.
+
+    On 1 Hz data a run of consecutive flag-true samples is exactly a
+    session over the flag-true subset with any gap in (1 s, 2 s): a
+    false sample creates a 2 s hole between trues, which must CLOSE the
+    session — and Spark merges sessions that merely touch
+    (last + gap == next), so the gap must be strictly under 2 s;
+    1.5 s keeps 1 s cadence merged and 2 s holes split
+    (SURVEY.md §7 decision 3, adjusted). State spans micro-batches natively —
+    the reference's manual 400 s lookback re-reads (ST4,
+    ``processor/main.py:246-293``) disappear into the watermark.
+    In append mode a session is emitted once, when finalized (ST5/ST8).
+    """
+    return (
+        events.where(F.col(flag_col))
+        .withWatermark(time_col, watermark)
+        .groupBy(F.session_window(F.col(time_col), gap).alias("s"), *keys)
+        .agg(F.count("*").alias("n_samples"))
+        .select(
+            F.col("s.start").alias("time_from"),
+            F.col("s.end").alias("time_to"),
+            *keys,
+            "n_samples",
+        )
+    )
+
+
+StateFactory = Callable[[], object]

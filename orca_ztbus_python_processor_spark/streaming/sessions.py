@@ -1,0 +1,97 @@
+"""Exact-FSM stateful streaming run detection via
+``applyInPandasWithState`` (SURVEY.md §2.8 ST3-ST5, §4 custom-strategy
+note (a)).
+
+``session_window`` (``pipeline.session_runs_stream``) matches the
+reference FSM on gap-free 1 Hz data; this operator reproduces the FSM
+*mechanically* — open on rising edge, close on the first false sample,
+trailing run held open across micro-batches (reference
+``processor/main.py:296-338``) — so it also holds on irregular
+sampling, and serves as the exactness oracle for the session-window
+form.
+
+State per key: (run_open, run_start_us, last_true_us). Rows must
+arrive in event-time order across batches (true for replayed/archival
+sources; at the Kafka edge pair with a watermark-sorted pre-stage).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUTPUT_SCHEMA = (
+    "key long, time_from timestamp, time_to timestamp, n_samples long"
+)
+STATE_SCHEMA = "run_open boolean, run_start long, last_true long, n long"
+
+
+def _fsm_fn(
+    key: tuple[Any, ...],
+    pdf_iter: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    if state.exists:
+        run_open, run_start, last_true, n = state.get
+    else:
+        run_open, run_start, last_true, n = False, 0, 0, 0
+
+    out_rows: list[tuple[Any, int, int, int]] = []
+    for pdf in pdf_iter:
+        pdf = pdf.sort_values("_ts_us")
+        for ts_us, flag in zip(pdf["_ts_us"], pdf["_flag"]):
+            if flag and not run_open:
+                run_open, run_start, n = True, int(ts_us), 1
+                last_true = int(ts_us)
+            elif flag and run_open:
+                last_true = int(ts_us)
+                n += 1
+            elif not flag and run_open:
+                # close on the first false sample; emit [first, last] true
+                out_rows.append((key[0], run_start, last_true, n))
+                run_open, n = False, 0
+
+    state.update((run_open, run_start, last_true, n))
+    if out_rows:
+        df = pd.DataFrame(
+            out_rows, columns=["key", "time_from", "time_to", "n_samples"]
+        )
+        df["time_from"] = pd.to_datetime(df["time_from"], unit="us")
+        df["time_to"] = pd.to_datetime(df["time_to"], unit="us")
+        yield df
+
+
+def fsm_runs_stream(
+    events: DataFrame,
+    flag_col: str,
+    key_col: str,
+    time_col: str = "ts",
+    watermark: str = "400 seconds",
+) -> DataFrame:
+    """Apply the exact FSM over a stream, keyed by ``key_col``.
+
+    Output: ``key, time_from, time_to, n_samples`` — one row per CLOSED
+    run; the trailing open run is retained in state, never emitted
+    (reference ST5 semantics).
+    """
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    prepared = (
+        events.withWatermark(time_col, watermark)
+        .select(
+            F.col(key_col).alias("key"),
+            F.unix_micros(F.col(time_col)).alias("_ts_us"),
+            F.col(flag_col).alias("_flag"),
+        )
+    )
+    return prepared.groupBy("key").applyInPandasWithState(
+        _fsm_fn,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -31,13 +31,14 @@ def merged_catalog() -> Catalog:
     from orca_ztbus_python_processor_spark.workloads import (  # noqa: PLC0415
         registrations,
         relational,
+        streamqueries,
         textops,
         timeseries,
         vectors,
     )
 
     merged = Catalog()
-    for mod in (relational, timeseries, textops, vectors, registrations):
+    for mod in (relational, timeseries, textops, vectors, registrations, streamqueries):
         cat = mod.CATALOG
         for name, fn in cat.queries.items():
             if name in merged.queries:

@@ -1,0 +1,50 @@
+"""Streaming workload entries: Structured Streaming queries driven to
+completion with availableNow (ST1/ST6/ST7), correctness-gated against
+the same oracle as their batch twins — the batch ≡ stream equivalence
+the reference cannot express (it has no batch mode at all).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from orca_ztbus_python_processor_spark.functions.stats import f32
+from orca_ztbus_python_processor_spark.streaming.pipeline import (
+    read_events_stream,
+    run_to_memory,
+    windowed_agg_stream,
+)
+from orca_ztbus_python_processor_spark.workloads.base import Catalog
+
+CATALOG = Catalog()
+
+
+@CATALOG.query(
+    "stream_minute_user_agg",
+    oracle="""
+    SELECT date_trunc('minute', ts) AS time_from,
+           date_trunc('minute', ts) + INTERVAL 1 MINUTE AS time_to,
+           user_id,
+           count(*) AS n_events,
+           CAST(sum(value) AS REAL) AS sum_value,
+           CAST(max(value) AS REAL) AS max_value
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
+def stream_minute_user_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental tumbling-window aggregation executed as a real
+    streaming query (file source -> watermark -> window agg -> memory
+    sink, availableNow), then returned as a DataFrame. Complete output
+    mode keeps every window, so the result equals the batch form."""
+    stream = windowed_agg_stream(
+        read_events_stream(spark, sf_dir),
+        [
+            F.count("*").alias("n_events"),
+            f32(F.sum("value")).alias("sum_value"),
+            f32(F.max("value")).alias("max_value"),
+        ],
+    )
+    run_to_memory(stream, "q_stream_minute_user_agg", output_mode="complete")
+    return spark.table("q_stream_minute_user_agg")

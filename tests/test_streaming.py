@@ -1,0 +1,158 @@
+"""Streaming tests (SURVEY.md §5 strategy #3): batch ≡ stream
+equivalence via availableNow, simulator projection parity, and
+session-window / exact-FSM run detection against the batch
+gap-and-islands oracle."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from orca_ztbus_python_processor_spark.functions.stats import f32
+from orca_ztbus_python_processor_spark.operators.sessionize import flag_runs
+from orca_ztbus_python_processor_spark.sources.parquet import read_table
+from orca_ztbus_python_processor_spark.streaming.pipeline import (
+    read_events_stream,
+    run_to_memory,
+    session_runs_stream,
+    windowed_agg_stream,
+)
+from orca_ztbus_python_processor_spark.streaming.sessions import fsm_runs_stream
+from orca_ztbus_python_processor_spark.streaming.simulator import (
+    DEFAULT_EPOCH,
+    ticks_to_windows,
+)
+
+from tests.conftest import SMOKE_SF_DIR
+
+T0 = dt.datetime(2021, 3, 9, 14, 15, 0)
+
+
+def test_batch_stream_equivalence_minute_agg(spark):
+    aggs = [F.count("*").alias("n_events"), f32(F.sum("value")).alias("sum_value")]
+
+    stream = windowed_agg_stream(read_events_stream(spark, SMOKE_SF_DIR), aggs)
+    run_to_memory(stream, "stream_minute_agg", output_mode="complete")
+    got = (
+        spark.table("stream_minute_agg")
+        .toPandas()
+        .sort_values(["time_from", "user_id"])
+        .reset_index(drop=True)
+    )
+
+    batch = (
+        read_table(spark, SMOKE_SF_DIR, "events")
+        .groupBy(F.window("ts", "60 seconds").alias("w"), "user_id")
+        .agg(*aggs)
+        .select(
+            F.col("w.start").alias("time_from"),
+            F.col("w.end").alias("time_to"),
+            "user_id",
+            "n_events",
+            "sum_value",
+        )
+        .toPandas()
+        .sort_values(["time_from", "user_id"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, batch)
+
+
+def test_simulator_tick_projection(spark):
+    ticks = spark.createDataFrame(pd.DataFrame({"value": range(5)}))
+    out = ticks_to_windows(ticks).toPandas().sort_values("time_from").reset_index(drop=True)
+    assert out["time_from"].iloc[0].to_pydatetime() == DEFAULT_EPOCH
+    assert out["time_to"].iloc[0].to_pydatetime() == DEFAULT_EPOCH + dt.timedelta(seconds=60)
+    assert out["time_from"].iloc[4].to_pydatetime() == DEFAULT_EPOCH + dt.timedelta(seconds=240)
+    assert (out["name"] == "EveryMinute").all()
+    # 60x replay: 5 ticks (5 wall-clock s at 1 tick/s) cover 300 s of event time
+    assert (
+        out["time_to"].iloc[4] - out["time_from"].iloc[0]
+    ).total_seconds() == 300
+
+
+@pytest.fixture(scope="module")
+def flag_stream_dir(spark, tmp_path_factory):
+    """1 Hz flag fixture written as parquet for streaming reads; a
+    far-future sentinel row advances the watermark past every real
+    session so append mode finalizes them."""
+    path = str(tmp_path_factory.mktemp("flagstream") / "data")
+    rows = []
+    true_ranges = [(5, 10), (50, 70), (130, 140), (142, 150)]
+    flag = [False] * 300
+    for lo, hi in true_ranges:
+        for s in range(lo, hi + 1):
+            flag[s] = True
+    for i in range(300):
+        rows.append((1, T0 + dt.timedelta(seconds=i), flag[i]))
+    rows.append((99, T0 + dt.timedelta(days=1), True))  # watermark sentinel
+    pdf = pd.DataFrame(rows, columns=["user_id", "ts", "flag"])
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(path)
+    return path
+
+
+def test_session_window_stream_matches_flag_runs(spark, flag_stream_dir):
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp, flag boolean")
+        .parquet(flag_stream_dir)
+    )
+    sessions = session_runs_stream(stream, "flag", keys=("user_id",))
+    run_to_memory(sessions, "session_runs", output_mode="append")
+    got = (
+        spark.table("session_runs")
+        .where("user_id = 1")
+        .toPandas()
+        .sort_values("time_from")
+        .reset_index(drop=True)
+    )
+
+    batch_df = spark.read.parquet(flag_stream_dir).where("user_id = 1")
+    expected = (
+        flag_runs(batch_df, "flag", time_col="ts", keys=("user_id",), closed_only=False)
+        .toPandas()
+        .sort_values("time_from")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(expected) == 4
+    for i in range(len(got)):
+        assert got["time_from"].iloc[i] == expected["time_from"].iloc[i]
+        # session_window end = last sample + gap
+        assert got["time_to"].iloc[i] - dt.timedelta(milliseconds=1500) == expected["time_to"].iloc[i]
+        assert got["n_samples"].iloc[i] == expected["n_samples"].iloc[i]
+
+
+def test_fsm_stream_exact_runs(spark, flag_stream_dir):
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp, flag boolean")
+        .parquet(flag_stream_dir)
+    )
+    runs = fsm_runs_stream(stream, "flag", key_col="user_id")
+    run_to_memory(runs, "fsm_runs", output_mode="append")
+    got = (
+        spark.table("fsm_runs")
+        .where("key = 1")
+        .toPandas()
+        .sort_values("time_from")
+        .reset_index(drop=True)
+    )
+    expected = (
+        flag_runs(
+            spark.read.parquet(flag_stream_dir).where("user_id = 1"),
+            "flag",
+            time_col="ts",
+            keys=("user_id",),
+            closed_only=True,
+        )
+        .toPandas()
+        .sort_values("time_from")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(expected) == 4
+    for col in ("time_from", "time_to"):
+        assert (got[col] == expected[col]).all()
+    assert (got["n_samples"] == expected["n_samples"]).all()
+    # the far-future sentinel run (key=99) is open -> never emitted
+    assert spark.table("fsm_runs").where("key = 99").count() == 0
