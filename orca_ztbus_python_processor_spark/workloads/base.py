@@ -29,6 +29,7 @@ class Catalog:
 def merged_catalog() -> Catalog:
     """Merge every workload module's catalog into one."""
     from orca_ztbus_python_processor_spark.workloads import (  # noqa: PLC0415
+        pipelineops,
         registrations,
         relational,
         streamqueries,
@@ -38,7 +39,15 @@ def merged_catalog() -> Catalog:
     )
 
     merged = Catalog()
-    for mod in (relational, timeseries, textops, vectors, registrations, streamqueries):
+    for mod in (
+        relational,
+        timeseries,
+        textops,
+        vectors,
+        registrations,
+        streamqueries,
+        pipelineops,
+    ):
         cat = mod.CATALOG
         for name, fn in cat.queries.items():
             if name in merged.queries:

@@ -1,0 +1,92 @@
+"""LLM-data-pipeline operator workload (SURVEY.md §2.11 X2/X3/X4):
+MinHash-LSH / SimHash near-dup, n-gram Jaccard, LSH ANN, winnowing
+fingerprints, multimodal feature extraction.
+
+These are the genuinely non-SQL-expressible entries (driver records a
+rows-only check); their correctness is covered by brute-force /
+property tests in ``tests/test_pipeline_ops.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from orca_ztbus_python_processor_spark.operators.dedup import (
+    jaccard_pairs,
+    minhash_candidate_pairs,
+    minhash_near_dups,
+    simhash_near_dups,
+    winnow_fingerprints,
+)
+from orca_ztbus_python_processor_spark.operators.multimodal import (
+    extract_features,
+    frame_sample_plan,
+    media_table_from_documents,
+)
+from orca_ztbus_python_processor_spark.operators.similarity import ann_cosine_topk
+from orca_ztbus_python_processor_spark.sources.parquet import read_table
+from orca_ztbus_python_processor_spark.workloads.base import Catalog
+
+CATALOG = Catalog()
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return read_table(spark, sf_dir, "documents")
+
+
+@CATALOG.query("minhash_near_dup_pairs")
+def minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2: MinHash(64) -> 16-band LSH -> exact-Jaccard >= 0.5."""
+    return minhash_near_dups(_docs(spark, sf_dir), threshold=0.5).orderBy(
+        "id_a", "id_b"
+    )
+
+
+@CATALOG.query("ngram_jaccard_pairs")
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 5-gram Jaccard scores over LSH candidate pairs (the
+    verification stage exposed as its own operator)."""
+    docs = _docs(spark, sf_dir)
+    cands = minhash_candidate_pairs(docs)
+    return jaccard_pairs(docs, cands).orderBy("id_a", "id_b")
+
+
+@CATALOG.query("simhash_near_dup_pairs")
+def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2: 64-bit SimHash, 4x16-bit banding, hamming <= 6."""
+    return simhash_near_dups(_docs(spark, sf_dir)).orderBy("id_a", "id_b")
+
+
+@CATALOG.query("ann_cosine_topk")
+def ann_cosine_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 scale path: IVF coarse quantization (sampled spherical
+    k-means) + nprobe candidate lists, exact-cosine re-rank; same
+    output shape as cosine_topk_bruteforce."""
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    queries = emb.where(F.col("vec_id") % 50 == 0)
+    dim = len(emb.select("emb").first()["emb"])
+    return ann_cosine_topk(emb, queries, dim=dim, k=5)
+
+
+@CATALOG.query("doc_fingerprints")
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (k=8, window=4) per document."""
+    return winnow_fingerprints(_docs(spark, sf_dir))
+
+
+@CATALOG.query("multimodal_features")
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4: binary payload + typed metadata -> Arrow-batched feature
+    extraction (decode stubbed deterministically)."""
+    media = media_table_from_documents(_docs(spark, sf_dir))
+    return extract_features(media)
+
+
+@CATALOG.query("multimodal_frame_sample")
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4: video frame-sampling plan (every 24th frame)."""
+    media = media_table_from_documents(_docs(spark, sf_dir))
+    return frame_sample_plan(media)

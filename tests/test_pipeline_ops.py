@@ -1,0 +1,175 @@
+"""Correctness tests for the non-SQL-expressible pipeline operators
+(SURVEY.md §5 strategy #5): brute-force cross-checks and
+self-consistency properties at sf0.001."""
+
+from __future__ import annotations
+
+import zlib
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from orca_ztbus_python_processor_spark.operators.dedup import (
+    jaccard_pairs,
+    minhash_candidate_pairs,
+    minhash_near_dups,
+    simhash_near_dups,
+    winnow_fingerprints,
+)
+from orca_ztbus_python_processor_spark.operators.multimodal import (
+    extract_features,
+    frame_sample_plan,
+    media_table_from_documents,
+)
+from orca_ztbus_python_processor_spark.operators.similarity import ann_cosine_topk
+from orca_ztbus_python_processor_spark.sources.parquet import read_table
+
+from tests.conftest import SMOKE_SF_DIR
+
+
+def _py_shingles(text: str, k: int = 5) -> set[str]:
+    if len(text) < k:
+        return {text[:k]}
+    return {text[i : i + k] for i in range(len(text) - k + 1)}
+
+
+def _py_jaccard(a: str, b: str, k: int = 5) -> float:
+    sa, sb = _py_shingles(a, k), _py_shingles(b, k)
+    inter = len(sa & sb)
+    union = len(sa | sb)
+    return inter / union if union else 0.0
+
+
+@pytest.fixture(scope="module")
+def docs_pdf(spark):
+    return read_table(spark, SMOKE_SF_DIR, "documents").select("doc_id", "text").toPandas()
+
+
+def test_minhash_recall_against_bruteforce(spark, docs_pdf):
+    """Every truly-similar pair (jaccard >= 0.6) must be caught by the
+    LSH pipeline run at threshold 0.5 (16 bands x 4 rows -> ~97%
+    collision probability at j=0.6)."""
+    docs = read_table(spark, SMOKE_SF_DIR, "documents")
+    found = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_near_dups(docs, threshold=0.5).collect()
+    }
+    texts = dict(zip(docs_pdf["doc_id"], docs_pdf["text"]))
+    ids = sorted(texts)
+    truth = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            if _py_jaccard(texts[a], texts[b]) >= 0.6:
+                truth.add((a, b))
+    missed = truth - found
+    assert not missed, f"LSH missed {len(missed)} of {len(truth)} true pairs: {sorted(missed)[:5]}"
+
+
+def test_jaccard_values_exact(spark, docs_pdf):
+    docs = read_table(spark, SMOKE_SF_DIR, "documents")
+    cands = minhash_candidate_pairs(docs).limit(20)
+    got = jaccard_pairs(docs, cands).collect()
+    assert got, "expected at least some candidate pairs on this corpus"
+    texts = dict(zip(docs_pdf["doc_id"], docs_pdf["text"]))
+    for r in got:
+        expected = _py_jaccard(texts[r["id_a"]], texts[r["id_b"]])
+        assert abs(r["jaccard"] - expected) < 1e-6, (r["id_a"], r["id_b"])
+
+
+def test_simhash_identical_docs_zero_hamming(spark):
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "the quick brown fox jumps over the lazy dog",
+                "the quick brown fox jumps over the lazy dog",
+                "completely different words entirely unrelated content here",
+            ],
+        }
+    )
+    out = simhash_near_dups(spark.createDataFrame(pdf), max_hamming=0).collect()
+    assert len(out) == 1
+    assert (out[0]["id_a"], out[0]["id_b"], out[0]["hamming"]) == (1, 2, 0)
+
+
+def test_ann_recall_against_bruteforce(spark):
+    emb = read_table(spark, SMOKE_SF_DIR, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    queries = emb.where(F.col("vec_id") % 50 == 0)
+    dim = len(emb.select("emb").first()["emb"])
+
+    approx = ann_cosine_topk(emb, queries, dim=dim, k=5).collect()
+    approx_pairs = {(r["query_id"], r["neighbor_id"]) for r in approx}
+
+    # brute force
+    import numpy as np
+
+    pdf = emb.toPandas()
+    mat = np.array(pdf["emb"].tolist())
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    ids = pdf["vec_id"].to_numpy()
+    truth_pairs = set()
+    for q in ids[ids % 50 == 0]:
+        qi = int(np.where(ids == q)[0][0])
+        scores = mat @ mat[qi]
+        scores[qi] = -2
+        top = ids[np.argsort(-scores)[:5]]
+        truth_pairs |= {(int(q), int(n)) for n in top}
+
+    recall = len(approx_pairs & truth_pairs) / len(truth_pairs)
+    assert recall >= 0.5, f"ANN recall@5 too low: {recall:.2f}"
+
+
+def test_winnow_fingerprint_properties(spark):
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "spark window query batch filter merge sort table",
+                "spark window query batch filter merge sort table",  # dup
+                "zzzz entirely unrelated qqqq text wwww here eeee",
+            ],
+        }
+    )
+    fp = winnow_fingerprints(spark.createDataFrame(pdf)).toPandas()
+    s1 = set(fp[fp.doc_id == 1]["fingerprint"])
+    s2 = set(fp[fp.doc_id == 2]["fingerprint"])
+    s3 = set(fp[fp.doc_id == 3]["fingerprint"])
+    assert s1 == s2  # identical docs -> identical fingerprint sets
+    assert len(s1 & s3) == 0  # disjoint content -> disjoint fingerprints
+    assert len(s1) > 0
+
+
+def test_multimodal_features_deterministic(spark):
+    docs = read_table(spark, SMOKE_SF_DIR, "documents").limit(20)
+    media = media_table_from_documents(docs)
+    feats = extract_features(media).toPandas().sort_values("media_id")
+    texts = docs.select("doc_id", "text").toPandas().set_index("doc_id")["text"]
+    for _, row in feats.iterrows():
+        payload = texts[row["media_id"]].encode()
+        assert row["payload_bytes"] == len(payload)
+        assert row["checksum"] == zlib.crc32(payload)
+        assert abs(row["brightness"] - sum(payload) / len(payload)) < 1e-9
+
+
+def test_multimodal_real_decoder_is_stubbed(spark):
+    docs = read_table(spark, SMOKE_SF_DIR, "documents").limit(1)
+    media = media_table_from_documents(docs)
+    with pytest.raises(NotImplementedError):
+        extract_features(media, decoder="real")
+
+
+def test_frame_sample_counts(spark):
+    docs = read_table(spark, SMOKE_SF_DIR, "documents").limit(50)
+    media = media_table_from_documents(docs)
+    got = (
+        frame_sample_plan(media, every_n=24)
+        .groupBy("media_id")
+        .agg(F.count("*").alias("n"))
+        .join(media.select("media_id", "n_frames"), "media_id")
+        .collect()
+    )
+    for r in got:
+        assert r["n"] == (r["n_frames"] + 23) // 24
