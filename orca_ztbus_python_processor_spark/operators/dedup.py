@@ -25,44 +25,105 @@ import random
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-MERSENNE_P = (1 << 61) - 1
+MERSENNE_P = (1 << 61) - 1  # wide fold for exact-Jaccard shingle hashing
+MERSENNE31 = (1 << 31) - 1  # universal-hash modulus for the minhash family
 _HASH_BITS = 2147483647  # 2^31 - 1 fold of the base xxhash64
 
 
 def _hash_params(num_hashes: int, seed: int) -> list[tuple[int, int]]:
+    """Carter-Wegman (a, b) pairs over Z_{2^31-1}.
+
+    The modulus MUST be small enough that a*h + b wraps: h < 2^31 and
+    a < 2^31 keep a*h + b < 2^62 (int64-safe under ANSI) while pmod
+    2^31-1 actually permutes. (A 2^61-1 modulus with 31-bit inputs
+    never wraps, which silently degrades every hash to a monotone map —
+    all minhashes then equal a*min(h)+b and LSH saturates.)
+    """
     rng = random.Random(seed)
     return [
-        (rng.randrange(1, 1 << 30), rng.randrange(0, 1 << 30))
+        (rng.randrange(1, MERSENNE31), rng.randrange(0, MERSENNE31))
         for _ in range(num_hashes)
     ]
 
 
-def shingles(text_col: str, k: int = 5) -> Column:
-    """Distinct k-character shingles of a text column (codegen'd)."""
-    return F.expr(
+def _bind(value_expr: str, var: str, body: str) -> str:
+    """Let-binding for SQL expressions: evaluate ``value_expr`` ONCE and
+    expose it as lambda variable ``var`` inside ``body``.
+
+    Why: Catalyst's CollapseProject inlines an alias that is referenced
+    once — and if that one reference sits inside a higher-order-function
+    lambda, the inlined expression re-evaluates per element (e.g. a
+    shingling pass recomputed 64x inside a minhash transform). A
+    single-element transform() binds the value to a lambda variable,
+    which is evaluated exactly once regardless of how the body loops.
+    """
+    return f"element_at(transform(array({value_expr}), {var} -> {body}), 1)"
+
+
+def _shingles_sql(text_col: str, k: int) -> str:
+    return (
         f"array_distinct(transform(sequence(1, greatest(length({text_col}) - {k - 1}, 1)),"
         f" i -> substring({text_col}, i, {k})))"
     )
 
 
+def _shingle_hashes_sql(text_col: str, k: int) -> str:
+    return f"transform({_shingles_sql(text_col, k)}, s -> pmod(xxhash64(s), {_HASH_BITS}))"
+
+
+def shingles(text_col: str, k: int = 5) -> Column:
+    """Distinct k-character shingles of a text column (codegen'd)."""
+    return F.expr(_shingles_sql(text_col, k))
+
+
 def shingle_hashes(text_col: str, k: int = 5) -> Column:
     """31-bit hashes of the distinct shingles."""
-    return F.expr(
-        f"transform(array_distinct(transform(sequence(1, greatest(length({text_col}) - {k - 1}, 1)),"
-        f" i -> substring({text_col}, i, {k}))), s -> pmod(xxhash64(s), {_HASH_BITS}))"
+    return F.expr(_shingle_hashes_sql(text_col, k))
+
+
+def _minhash_sig_body(var: str, num_hashes: int, seed: int) -> str:
+    """Signature array body over a lambda-bound shingle-hash array."""
+    a_lit = "array(" + ",".join(str(a) for a, _ in _hash_params(num_hashes, seed)) + ")"
+    b_lit = "array(" + ",".join(str(b) for _, b in _hash_params(num_hashes, seed)) + ")"
+    return (
+        f"transform(sequence(0, {num_hashes - 1}), j -> array_min("
+        f"transform({var}, h -> pmod(element_at({a_lit}, j + 1) * h"
+        f" + element_at({b_lit}, j + 1), {MERSENNE31}))))"
     )
 
 
 def minhash_signature(
     hashes_col: str, num_hashes: int = 64, seed: int = 42
-) -> list[Column]:
-    """One min-hash per (a*h + b) mod p family member, as columns."""
-    return [
-        F.array_min(
-            F.expr(f"transform({hashes_col}, h -> pmod({a} * h + {b}, {MERSENNE_P}))")
-        ).alias(f"mh_{j}")
-        for j, (a, b) in enumerate(_hash_params(num_hashes, seed))
-    ]
+) -> Column:
+    """The full min-hash signature as ONE array<long> expression, with
+    the input hash array let-bound so it is evaluated exactly once (see
+    ``_bind``) — N separate per-hash columns would each inline and
+    recompute the upstream shingling N times."""
+    return F.expr(
+        _bind(hashes_col, "_mh_in", _minhash_sig_body("_mh_in", num_hashes, seed))
+    )
+
+
+def _pair_expand(bucketed: DataFrame, members_col: str = "ids") -> DataFrame:
+    """Expand each LSH bucket's sorted member array into (m_a, m_b) pairs
+    (a < b) without a self-join.
+
+    The alternative — self-joining the exploded (band, hash, id) table —
+    evaluates the whole signature pipeline twice and shuffles it twice.
+    groupBy + in-bucket expansion computes signatures once and shuffles
+    once; bucket sizes are small by LSH construction, so the in-row
+    quadratic expansion is bounded.
+    """
+    return bucketed.where(F.size(members_col) >= 2).select(
+        F.explode(
+            F.expr(
+                f"flatten(transform(sequence(1, size({members_col}) - 1),"
+                f" i -> transform(sequence(i + 1, size({members_col})),"
+                f" j -> struct(element_at({members_col}, i) as m_a,"
+                f" element_at({members_col}, j) as m_b))))"
+            )
+        ).alias("p")
+    ).select("p.m_a", "p.m_b")
 
 
 def minhash_candidate_pairs(
@@ -79,35 +140,28 @@ def minhash_candidate_pairs(
     Output: ``id_a, id_b`` (id_a < id_b), distinct.
     """
     rows = num_hashes // bands
-    sig = (
-        docs.select(id_col, shingle_hashes(text_col, k).alias("_sh"))
-        .select(id_col, *minhash_signature("_sh", num_hashes, seed))
+    # One fused expression: shingle-hash -> signature -> band hashes,
+    # with every intermediate let-bound (evaluated once per row).
+    band_expr = _bind(
+        _shingle_hashes_sql(text_col, k),
+        "sh",
+        _bind(
+            _minhash_sig_body("sh", num_hashes, seed),
+            "sig",
+            f"transform(sequence(0, {bands - 1}),"
+            f" b -> xxhash64(slice(sig, b * {rows} + 1, {rows})))",
+        ),
     )
-    band_cols = [
-        F.xxhash64(*[F.col(f"mh_{b * rows + r}") for r in range(rows)]).alias(f"band_{b}")
-        for b in range(bands)
-    ]
-    banded = sig.select(id_col, *band_cols)
-    stacked = banded.select(
-        F.col(id_col),
-        F.explode(
-            F.array(*[
-                F.struct(F.lit(b).alias("band_idx"), F.col(f"band_{b}").alias("band_hash"))
-                for b in range(bands)
-            ])
-        ).alias("bb"),
-    ).select(id_col, "bb.band_idx", "bb.band_hash")
-
-    a = stacked.select(
-        F.col(id_col).alias("id_a"), "band_idx", "band_hash"
+    stacked = docs.select(
+        id_col,
+        F.posexplode(F.expr(band_expr)).alias("band_idx", "band_hash"),
     )
-    b = stacked.select(
-        F.col(id_col).alias("id_b"), "band_idx", "band_hash"
+    buckets = stacked.groupBy("band_idx", "band_hash").agg(
+        F.array_sort(F.collect_list(id_col)).alias("ids")
     )
     return (
-        a.join(b, ["band_idx", "band_hash"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        _pair_expand(buckets)
+        .select(F.col("m_a").alias("id_a"), F.col("m_b").alias("id_b"))
         .distinct()
     )
 
@@ -121,13 +175,31 @@ def jaccard_pairs(
 ) -> DataFrame:
     """Exact shingle-set Jaccard for candidate pairs.
 
+    The sets are 61-bit hashes of the shingles, not the strings:
+    array_intersect on longs is ~10x cheaper than on UTF8 strings and a
+    collision inside one pair's union needs ~2^61/|union|^2 odds —
+    negligible even at 100 TB corpus scale.
+
     Output: ``id_a, id_b, jaccard`` (float32).
     """
-    sets = docs.select(F.col(id_col).alias("_id"), shingles(text_col, k).alias("_set"))
+    wide = f"transform({_shingles_sql(text_col, k)}, s -> pmod(xxhash64(s), {MERSENNE_P}))"
+    sets = docs.select(F.col(id_col).alias("_id"), F.expr(wide).alias("_set"))
+    # The per-doc set table is |docs| rows of packed longs — tiny next to
+    # the candidate-pair table it enriches. Broadcast both lookups so the
+    # pairs never shuffle. (At 100 TB the doc count in one dedup shard is
+    # bounded by the LSH partitioning, so this stays broadcast-able; for
+    # an unsharded corpus Catalyst falls back to SMJ automatically when
+    # the estimate exceeds the threshold.)
     out = (
-        pairs.join(sets.withColumnRenamed("_set", "set_a"), pairs.id_a == F.col("_id"))
+        pairs.join(
+            F.broadcast(sets.withColumnRenamed("_set", "set_a")),
+            pairs.id_a == F.col("_id"),
+        )
         .drop("_id")
-        .join(sets.withColumnRenamed("_set", "set_b"), pairs.id_b == F.col("_id"))
+        .join(
+            F.broadcast(sets.withColumnRenamed("_set", "set_b")),
+            pairs.id_b == F.col("_id"),
+        )
         .drop("_id")
     )
     inter = F.size(F.array_intersect("set_a", "set_b")).cast("double")
@@ -163,19 +235,32 @@ def minhash_near_dups(
 
 def simhash_signature(text_col: str, bits: int = 64) -> Column:
     """64-bit SimHash over whitespace tokens: bit i of the signature is
-    the sign of sum(+-1) of token-hash bit i across tokens."""
+    the sign of sum(+-1) of token-hash bit i across tokens.
+
+    Single-pass form: hash each token once, fold per-bit +-1 counts into
+    one array accumulator, then pack sign bits into a long. (The naive
+    form — one aggregate() per bit — re-tokenizes and re-hashes the text
+    64 times after projection collapse.)
+    """
     tokens = f"array_distinct(split(trim({text_col}), '\\\\s+'))"
-    # sum the per-bit contributions into one 64-bit signature; the top
-    # bit uses a negative long literal to stay in range
-    terms = []
-    for i in range(bits):
-        weight = (1 << i) if i < 63 else -(1 << 63)
-        terms.append(
-            f"CASE WHEN aggregate({tokens}, 0L, (acc, t) ->"
-            f" acc + CASE WHEN (xxhash64(t) >> {i}) & 1 = 1 THEN 1 ELSE -1 END) > 0"
-            f" THEN {weight}L ELSE 0L END"
-        )
-    return F.expr(" + ".join(terms))
+    counts = (
+        f"aggregate(transform({tokens}, t -> xxhash64(t)),"
+        f" array_repeat(0L, {bits}),"
+        f" (acc, h) -> zip_with(acc, transform(sequence(0, {bits - 1}),"
+        f" i -> CASE WHEN shiftright(h, i) & 1 = 1 THEN 1L ELSE -1L END),"
+        f" (x, y) -> x + y))"
+    )
+    # Bind the counts array to a lambda variable (single-element
+    # transform) so it is evaluated once, not once per bit inside the
+    # packing aggregate. shiftleft(1L, 63) is Long.MIN_VALUE, so the
+    # packed sum is always a valid long (it reconstructs the exact bit
+    # pattern; no ANSI overflow).
+    return F.expr(
+        f"element_at(transform(array({counts}), cnt ->"
+        f" aggregate(sequence(0, {bits - 1}), 0L,"
+        f" (acc, i) -> acc + CASE WHEN element_at(cnt, i + 1) > 0"
+        f" THEN shiftleft(1L, i) ELSE 0L END)), 1)"
+    )
 
 
 def simhash_near_dups(
@@ -195,23 +280,22 @@ def simhash_near_dups(
     chunks = sig.select(
         id_col,
         "sig",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(c).alias("chunk_idx"),
-                    F.expr(f"(sig >> {c * 16}) & 65535").alias("chunk"),
-                )
-                for c in range(4)
-            ])
-        ).alias("cc"),
-    ).select(id_col, "sig", "cc.chunk_idx", "cc.chunk")
-
-    a = chunks.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"), "chunk_idx", "chunk")
-    b = chunks.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"), "chunk_idx", "chunk")
+        F.posexplode(
+            F.expr("transform(sequence(0, 3), c -> shiftright(sig, c * 16) & 65535)")
+        ).alias("chunk_idx", "chunk"),
+    )
+    buckets = chunks.groupBy("chunk_idx", "chunk").agg(
+        F.array_sort(F.collect_list(F.struct(F.col(id_col).alias("id"), "sig"))).alias(
+            "ids"
+        )
+    )
     return (
-        a.join(b, ["chunk_idx", "chunk"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", F.bit_count(F.expr("sig_a ^ sig_b")).alias("hamming"))
+        _pair_expand(buckets)
+        .select(
+            F.col("m_a.id").alias("id_a"),
+            F.col("m_b.id").alias("id_b"),
+            F.bit_count(F.expr("m_a.sig ^ m_b.sig")).alias("hamming"),
+        )
         .distinct()
         .where(F.col("hamming") <= max_hamming)
     )
@@ -238,20 +322,13 @@ def winnow_fingerprints(
     Map-only until the final explode; fingerprints are ~1/window of the
     k-gram count, so the shuffled volume is a fraction of the text.
     """
-    return (
-        docs.select(
-            F.col(id_col),
-            shingle_hashes(text_col, k).alias("_h"),
-        )
-        .select(
-            id_col,
-            F.explode(
-                F.array_distinct(
-                    F.expr(
-                        f"transform(sequence(1, greatest(size(_h) - {window - 1}, 1)),"
-                        f" i -> array_min(slice(_h, i, {window})))"
-                    )
-                )
-            ).alias("fingerprint"),
-        )
+    fp_expr = _bind(
+        _shingle_hashes_sql(text_col, k),
+        "h",
+        f"array_distinct(transform(sequence(1, greatest(size(h) - {window - 1}, 1)),"
+        f" i -> array_min(slice(h, i, {window}))))",
+    )
+    return docs.select(
+        F.col(id_col),
+        F.explode(F.expr(fp_expr)).alias("fingerprint"),
     )
