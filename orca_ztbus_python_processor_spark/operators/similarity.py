@@ -155,3 +155,125 @@ def ann_cosine_topk(
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= k)
     )
+
+
+_PAIR_SCHEMA = "id_a long, id_b long, score float"
+
+
+def cosine_pairs_bruteforce(
+    emb_df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    emb_col: str = "emb",
+) -> DataFrame:
+    """Exact all-pairs cosine >= threshold via blocked numpy matmul.
+
+    Per-pair higher-order-function lambdas are interpreted (not
+    codegen'd) in Spark, so an n^2 cross join through zip_with/aggregate
+    pays ~100x over vectorized math. Instead: broadcast the normalized
+    matrix (one copy per executor), then each task computes
+    chunk @ matrix.T with numpy — Arrow moves only the input chunk in
+    and the surviving pairs out.
+
+    Scale bound: the broadcast matrix must fit an executor (~1 GB per
+    2 M x 64-dim float64 shard). Beyond that, shard the corpus and use
+    ``embedding_near_dup_pairs`` (cell-blocked — no global broadcast).
+
+    Output: ``id_a, id_b, score`` (float32), id_a < id_b.
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = emb_df.sparkSession
+    pdf = emb_df.select(id_col, emb_col).toPandas()
+    ids = pdf[id_col].to_numpy()
+    mat = np.array(pdf[emb_col].tolist(), dtype=np.float64)
+    mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-300)
+    bc = spark.sparkContext.broadcast((ids, mat))
+
+    def chunk_pairs(batches):
+        ids_all, m = bc.value
+        pos_of = {int(v): p for p, v in enumerate(ids_all)}
+        for chunk in batches:
+            pos = np.array([pos_of[int(v)] for v in chunk["id_a"]], dtype=np.int64)
+            if len(pos) == 0:
+                continue
+            s = m[pos] @ m.T
+            ai, bj = np.nonzero(s >= threshold)
+            id_a = ids_all[pos[ai]]
+            id_b = ids_all[bj]
+            keep = id_a < id_b
+            yield pd.DataFrame(
+                {
+                    "id_a": id_a[keep],
+                    "id_b": id_b[keep],
+                    "score": s[ai, bj][keep].astype(np.float32),
+                }
+            )
+
+    src = emb_df.select(F.col(id_col).alias("id_a"))
+    return src.mapInPandas(chunk_pairs, schema=_PAIR_SCHEMA)
+
+
+def embedding_near_dup_pairs(
+    emb_df: DataFrame,
+    dim: int,
+    threshold: float = 0.3,
+    nlist: int = 16,
+    nprobe: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    emb_col: str = "emb",
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """Cell-blocked embedding near-dup (SURVEY.md §2.11 X1 'embedding-
+    cosine near-dup'): SemDeDup-style candidate pruning.
+
+    Every vector is indexed under its ``nprobe`` nearest IVF cells
+    (JVM-side probe assignment); each cell's members are gathered by one
+    shuffle and verified with an exact within-cell numpy matmul
+    (``applyInPandas`` — no global broadcast, so this is the piece that
+    scales past the brute-force variant's executor-memory bound).
+    Recall misses only pairs whose probe lists are disjoint; parity vs
+    brute force is pinned in tests.
+
+    Scale: per-cell cost is quadratic in cell size, so nlist must grow
+    with the corpus (cells of ~1-10k vectors keep candidate volume
+    linear-ish); a pair found in several shared cells is deduped after
+    the threshold filter, when it is already rare.
+
+    Output: ``id_a, id_b, score`` (float32), id_a < id_b.
+    """
+    import numpy as np
+    import pandas as pd
+
+    if centroids is None:
+        centroids = train_centroids(emb_df, emb_col, nlist=nlist, seed=seed)
+
+    indexed = emb_df.select(
+        F.col(id_col).alias("id_a"),
+        F.col(emb_col).alias("_e"),
+        F.explode(probe_cells(F.col(emb_col), centroids, nprobe)).alias("cell"),
+    )
+
+    def cell_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["id_a"].to_numpy()
+        m = np.array(pdf["_e"].tolist(), dtype=np.float64)
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-300)
+        s = m @ m.T
+        ai, bj = np.nonzero(s >= threshold)
+        id_a, id_b = ids[ai], ids[bj]
+        keep = id_a < id_b
+        return pd.DataFrame(
+            {
+                "id_a": id_a[keep],
+                "id_b": id_b[keep],
+                "score": s[ai, bj][keep].astype(np.float32),
+            }
+        )
+
+    return (
+        indexed.groupBy("cell")
+        .applyInPandas(lambda _, pdf: cell_pairs(pdf), schema=_PAIR_SCHEMA)
+        .dropDuplicates(["id_a", "id_b"])
+    )

@@ -24,7 +24,10 @@ from orca_ztbus_python_processor_spark.operators.multimodal import (
     frame_sample_plan,
     media_table_from_documents,
 )
-from orca_ztbus_python_processor_spark.operators.similarity import ann_cosine_topk
+from orca_ztbus_python_processor_spark.operators.similarity import (
+    ann_cosine_topk,
+    embedding_near_dup_pairs,
+)
 from orca_ztbus_python_processor_spark.sources.parquet import read_table
 from orca_ztbus_python_processor_spark.workloads.base import Catalog
 
@@ -69,6 +72,18 @@ def ann_cosine_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.where(F.col("vec_id") % 50 == 0)
     dim = len(emb.select("emb").first()["emb"])
     return ann_cosine_topk(emb, queries, dim=dim, k=5)
+
+
+@CATALOG.query("embedding_near_dup_blocked")
+def embedding_near_dup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1 scale path: IVF-cell-blocked embedding near-dup (candidates
+    via shared probe cells, exact-cosine verify). The exact baseline is
+    ``embedding_near_dup_exact`` in workloads/vectors.py."""
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    dim = len(emb.select("emb").first()["emb"])
+    return embedding_near_dup_pairs(emb, dim=dim, threshold=0.3).orderBy("id_a", "id_b")
 
 
 @CATALOG.query("doc_fingerprints")

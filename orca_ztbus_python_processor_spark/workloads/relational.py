@@ -426,3 +426,106 @@ def priority_value_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             f32(guarded_div(filled_value, filled_count)).alias("avg_filled_value"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# parts_intersect_rf — INTERSECT (set semantics): parts that appear both
+# in returned lineitems and in finished-status lineitems. Spark plans
+# intersect as a left-semi aggregate join; both branches push their
+# filter to the scan. (SURVEY.md §2.7 — the reference has no set ops
+# beyond UNION ALL; intersect/except are built-in coverage.)
+# --------------------------------------------------------------------------
+@CATALOG.query(
+    "parts_intersect_rf",
+    oracle="""
+    SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'
+    INTERSECT
+    SELECT l_partkey FROM lineitem WHERE l_linestatus = 'F'
+    """,
+)
+def parts_intersect_rf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    returned = li.where(F.col("l_returnflag") == "R").select("l_partkey")
+    finished = li.where(F.col("l_linestatus") == "F").select("l_partkey")
+    return returned.intersect(finished)
+
+
+# --------------------------------------------------------------------------
+# custs_without_urgent — EXCEPT (set semantics): customers who ordered
+# but never at urgent priority. subtract() = EXCEPT DISTINCT; Catalyst
+# plans it as a left-anti aggregate join with both filters pushed.
+# --------------------------------------------------------------------------
+@CATALOG.query(
+    "custs_without_urgent",
+    oracle="""
+    SELECT o_custkey FROM orders
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    """,
+)
+def custs_without_urgent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.select("o_custkey").subtract(
+        o.where(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# cube_revenue — GROUP BY CUBE over (returnflag, linestatus) with
+# GROUPING markers distinguishing data NULLs from subtotal rows.
+# Scale: cube expands each input row into 2^k grouping sets BEFORE the
+# shuffle but partial aggregation still applies; with low-cardinality
+# dimensions the shuffled volume stays tiny.
+# --------------------------------------------------------------------------
+@CATALOG.query(
+    "cube_revenue",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag) AS BIGINT) AS g_returnflag,
+           CAST(GROUPING(l_linestatus) AS BIGINT) AS g_linestatus,
+           CAST(sum(l_extendedprice * (1 - l_discount)) AS REAL) AS revenue,
+           count(*) AS n_rows
+    FROM lineitem
+    GROUP BY CUBE(l_returnflag, l_linestatus)
+    """,
+)
+def cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.grouping("l_returnflag").cast("long").alias("g_returnflag"),
+        F.grouping("l_linestatus").cast("long").alias("g_linestatus"),
+        f32(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+# --------------------------------------------------------------------------
+# running_order_total — analytic window frame: per-customer running sum
+# of order totals in (orderdate, orderkey) order. One shuffle on the
+# partition key; the frame is computed in a single sorted pass.
+# --------------------------------------------------------------------------
+@CATALOG.query(
+    "running_order_total",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           CAST(sum(o_totalprice) OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS REAL) AS running_total,
+           CAST(row_number() OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS order_seq
+    FROM orders
+    """,
+)
+def running_order_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        f32(F.sum("o_totalprice").over(w.rowsBetween(W.unboundedPreceding, W.currentRow))).alias(
+            "running_total"
+        ),
+        F.row_number().over(w).cast("long").alias("order_seq"),
+    )

@@ -415,3 +415,56 @@ def error_event_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
         closed_only=True,
         order_by=("ts", "event_id"),
     )
+
+
+# --------------------------------------------------------------------------
+# events_asof_orders — backward as-of join: each event enriched with the
+# user's most recent order at or before the event timestamp. The
+# Spark-native replacement for the reference's boundary-lookback re-read
+# loop (processor/main.py:249-289, SURVEY.md §2.3 J2): one
+# union + window pass, shuffling |events| + |orders| rows exactly once,
+# instead of iterative range re-scans. Orders are pre-aggregated to one
+# row per (custkey, orderdate) so the carried payload is deterministic.
+# --------------------------------------------------------------------------
+@CATALOG.query(
+    "events_asof_orders",
+    oracle="""
+    WITH o AS (
+        SELECT o_custkey, o_orderdate,
+               max(o_orderkey) AS last_order_key,
+               CAST(count(*) AS BIGINT) AS orders_that_day
+        FROM orders GROUP BY o_custkey, o_orderdate
+    )
+    SELECT e.event_id, e.ts, e.user_id,
+           CAST(e.value AS REAL) AS value,
+           o.last_order_key, o.o_orderdate AS last_order_date,
+           o.orders_that_day
+    FROM events e ASOF LEFT JOIN o
+      ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+    """,
+)
+def events_asof_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from orca_ztbus_python_processor_spark.operators.asofjoin import asof_join
+
+    ev = _events(spark, sf_dir).select(
+        "event_id", "ts", "user_id", f32(F.col("value")).alias("value")
+    )
+    orders = (
+        read_table(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_custkey").alias("user_id"),
+            F.col("o_orderdate").alias("last_order_date"),
+        )
+        .agg(
+            F.max("o_orderkey").alias("last_order_key"),
+            F.count("*").alias("orders_that_day"),
+        )
+    )
+    return asof_join(
+        ev,
+        orders,
+        on="user_id",
+        left_time="ts",
+        right_time="last_order_date",
+        payload_cols=["last_order_key", "last_order_date", "orders_that_day"],
+    )

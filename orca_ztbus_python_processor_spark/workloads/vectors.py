@@ -142,3 +142,33 @@ def cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= TOP_K)
     )
+
+
+# --------------------------------------------------------------------------
+# embedding_near_dup_exact — exact all-pairs cosine >= threshold
+# (SURVEY.md §2.11 X1, embedding-cosine near-dup; the verification
+# baseline for the cell-blocked scale path in operators/similarity.py).
+# The filter runs on the DOUBLE score before the float32 output cast so
+# both engines cut at full precision.
+# --------------------------------------------------------------------------
+NEAR_DUP_THRESHOLD = 0.3
+
+
+@CATALOG.query(
+    "embedding_near_dup_exact",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           CAST(list_cosine_similarity(a.emb, b.emb) AS REAL) AS score
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.emb, b.emb) >= {NEAR_DUP_THRESHOLD}
+    """,
+)
+def embedding_near_dup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from orca_ztbus_python_processor_spark.operators.similarity import (
+        cosine_pairs_bruteforce,
+    )
+
+    return cosine_pairs_bruteforce(_emb(spark, sf_dir), threshold=NEAR_DUP_THRESHOLD)

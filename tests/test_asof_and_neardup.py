@@ -1,0 +1,108 @@
+"""Golden-semantics tests for the as-of join (tie/boundary/no-match
+cases the reference's lookback loop encodes — processor/main.py:249-289)
+and recall tests for the cell-blocked embedding near-dup."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from orca_ztbus_python_processor_spark.operators.asofjoin import asof_join
+from orca_ztbus_python_processor_spark.operators.similarity import (
+    embedding_near_dup_pairs,
+)
+from orca_ztbus_python_processor_spark.sources.parquet import read_table
+
+from tests.conftest import SMOKE_SF_DIR
+
+
+def _ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+def test_asof_join_golden(spark):
+    left = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "k": [1, 1, 1, 1, 2, 3],
+                "t": [
+                    _ts("2024-01-01 00:00:00"),  # before any right row -> NULL
+                    _ts("2024-01-02 00:00:00"),  # exactly at right t -> inclusive
+                    _ts("2024-01-02 00:00:01"),  # just after
+                    _ts("2024-01-05 00:00:00"),  # after second right row
+                    _ts("2024-01-03 00:00:00"),  # key with one right row
+                    _ts("2024-01-03 00:00:00"),  # key with NO right rows -> NULL
+                ],
+                "row": [1, 2, 3, 4, 5, 6],
+            }
+        )
+    )
+    right = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "k": [1, 1, 2],
+                "rt": [
+                    _ts("2024-01-02 00:00:00"),
+                    _ts("2024-01-04 00:00:00"),
+                    _ts("2024-01-01 00:00:00"),
+                ],
+                "payload": [10, 20, 30],
+            }
+        )
+    )
+    got = {
+        r["row"]: r["payload"]
+        for r in asof_join(
+            left, right, on="k", left_time="t", right_time="rt"
+        ).collect()
+    }
+    assert got == {1: None, 2: 10, 3: 10, 4: 20, 5: 30, 6: None}
+
+
+def test_asof_join_matches_oracle_shape(spark):
+    """Every left row survives exactly once (left-join cardinality)."""
+    ev = read_table(spark, SMOKE_SF_DIR, "events").select("event_id", "ts", "user_id")
+    orders = (
+        read_table(spark, SMOKE_SF_DIR, "orders")
+        .groupBy(F.col("o_custkey").alias("user_id"), F.col("o_orderdate").alias("od"))
+        .agg(F.max("o_orderkey").alias("ok"))
+    )
+    out = asof_join(
+        ev, orders, on="user_id", left_time="ts", right_time="od",
+        payload_cols=["ok", "od"],
+    )
+    assert out.count() == ev.count()
+    # carried payload is never from the future
+    bad = out.where(F.col("od") > F.col("ts")).count()
+    assert bad == 0
+
+
+def test_embedding_near_dup_blocked_recall(spark):
+    emb = read_table(spark, SMOKE_SF_DIR, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    dim = len(emb.select("emb").first()["emb"])
+
+    import numpy as np
+
+    pdf = emb.toPandas()
+    mat = np.array(pdf["emb"].tolist())
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    ids = pdf["vec_id"].to_numpy()
+    sims = mat @ mat.T
+    iu = np.triu_indices(len(ids), k=1)
+    truth = {
+        (int(min(ids[i], ids[j])), int(max(ids[i], ids[j])))
+        for i, j, s in zip(iu[0], iu[1], sims[iu])
+        if s >= 0.3
+    }
+
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dup_pairs(emb, dim=dim, threshold=0.3).collect()
+    }
+    assert got <= truth or not truth, "blocked variant must not invent pairs"
+    recall = len(got & truth) / len(truth) if truth else 1.0
+    assert recall >= 0.6, f"cell-blocked recall too low: {recall:.2f}"
