@@ -1,0 +1,104 @@
+"""Physical-plan assertions: the scale posture, pinned.
+
+Correctness says the query returns the right rows; these tests say the
+PLAN is the one that survives a 100x scale-up (SURVEY.md §4): filters
+reach the parquet scan, dimension joins broadcast instead of shuffling
+the fact table, aggregates run partially before the exchange, window
+queries shuffle exactly once, and top-1 plans use TakeOrderedAndProject
+rather than a global sort.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from orca_ztbus_python_processor_spark.workloads.base import merged_catalog
+
+from tests.conftest import SMOKE_SF_DIR
+
+
+@pytest.fixture(scope="module")
+def catalog():
+    return merged_catalog()
+
+
+def _plan(spark, df) -> str:
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return df._jdf.queryExecution().explainString(mode)
+
+
+def test_q1_filter_pushed_to_scan(spark, catalog):
+    plan = _plan(spark, catalog.queries["q1_pricing_summary"](spark, SMOKE_SF_DIR))
+    assert "PushedFilters" in plan
+    assert re.search(r"PushedFilters:.*l_shipdate", plan), plan
+
+
+def test_q1_partial_aggregation_before_exchange(spark, catalog):
+    plan = _plan(spark, catalog.queries["q1_pricing_summary"](spark, SMOKE_SF_DIR))
+    assert "partial_sum" in plan or "partial_avg" in plan, plan
+
+
+def test_q5_dimension_joins_broadcast(spark, catalog):
+    plan = _plan(spark, catalog.queries["q5_region_revenue"](spark, SMOKE_SF_DIR))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_point_lookup_pushes_key_predicate(spark, catalog):
+    plan = _plan(spark, catalog.queries["point_lookup_customer"](spark, SMOKE_SF_DIR))
+    assert re.search(r"PushedFilters:.*c_custkey", plan), plan
+
+
+def test_top1_uses_take_ordered_not_global_sort(spark, catalog):
+    plan = _plan(spark, catalog.queries["top1_latest_order"](spark, SMOKE_SF_DIR))
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_scan_prunes_columns(spark, catalog):
+    """q1 reads 7 of 11 lineitem columns; ReadSchema must not contain
+    the unused ones."""
+    plan = _plan(spark, catalog.queries["q1_pricing_summary"](spark, SMOKE_SF_DIR))
+    m = re.search(r"ReadSchema: (.*)", plan)
+    assert m, plan
+    assert "l_partkey" not in m.group(1)
+    assert "l_suppkey" not in m.group(1)
+
+
+def _n_exchanges(plan: str) -> int:
+    return len(re.findall(r"\(\d+\) Exchange", plan))
+
+
+def test_asof_join_single_shuffle(spark, catalog):
+    """The as-of pass itself must shuffle once (the union feeds ONE
+    key-partitioned window); the second exchange belongs to the orders
+    pre-aggregation, not the join. No range-join explosion."""
+    plan = _plan(spark, catalog.queries["events_asof_orders"](spark, SMOKE_SF_DIR))
+    assert _n_exchanges(plan) == 2, f"expected 2 shuffles total:\n{plan}"
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the asof itself: Union directly under one Exchange+Sort+Window
+    assert re.search(r"Window .*\n.*Sort .*\n.*Exchange .*\n.*Union", plan), plan
+
+
+def test_running_window_single_shuffle(spark, catalog):
+    plan = _plan(spark, catalog.queries["running_order_total"](spark, SMOKE_SF_DIR))
+    assert _n_exchanges(plan) == 1, plan
+
+
+def test_sessionization_no_python_udf(spark, catalog):
+    """Gap-and-islands runs entirely in JVM window functions — no
+    Python in the hot path (SURVEY.md §2.5 W3)."""
+    plan = _plan(spark, catalog.queries["event_type_runs"](spark, SMOKE_SF_DIR))
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_dim_join_distinct_is_partial(spark, catalog):
+    """distinct_active_triples: the DISTINCT must partial-aggregate
+    before its exchange (map-side combine)."""
+    plan = _plan(spark, catalog.queries["distinct_active_triples"](spark, SMOKE_SF_DIR))
+    assert "BroadcastHashJoin" in plan, plan
+    # HashAggregate appears both sides of the exchange for distinct
+    assert plan.count("HashAggregate") >= 2, plan
