@@ -219,3 +219,38 @@ def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("zh")
     )
     return df.withColumn("pred_lang", pred)
+
+
+# --------------------------------------------------------------------------
+# bpe_pretokenize_stats — BPE-ish token counting (X5): a GPT-2-style
+# pre-tokenizer regex (contraction suffixes | space-prefixed word runs |
+# digit runs | punctuation runs), restricted to the lookahead-free
+# subset both Java regex and RE2 support. The pre-token count is the
+# standard cheap proxy for BPE token count in corpus budgeting.
+# --------------------------------------------------------------------------
+BPE_RE = "'(s|t|ll|ve|re|d|m)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"
+
+
+@CATALOG.query(
+    "bpe_pretokenize_stats",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{BPE_RE.replace("'", "''")}')) AS BIGINT)
+               AS n_bpe_pretokens,
+           CAST(len(regexp_extract_all(text, '{TOKEN_RE}')) AS BIGINT) AS n_word_tokens,
+           CAST(CASE WHEN length(text) > 0
+                THEN CAST(len(regexp_extract_all(text, '{BPE_RE.replace("'", "''")}')) AS DOUBLE)
+                     / length(text) END AS REAL) AS tokens_per_char
+    FROM documents
+    """,
+)
+def bpe_pretokenize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n_bpe = F.regexp_count(F.col("text"), F.lit(BPE_RE)).cast("long")
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        n_bpe.alias("n_bpe_pretokens"),
+        F.regexp_count(F.col("text"), F.lit(TOKEN_RE)).cast("long").alias("n_word_tokens"),
+        f32(
+            F.when(F.length("text") > 0, n_bpe.cast("double") / F.length("text"))
+        ).alias("tokens_per_char"),
+    )

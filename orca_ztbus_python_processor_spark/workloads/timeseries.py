@@ -468,3 +468,23 @@ def events_asof_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_time="last_order_date",
         payload_cols=["last_order_key", "last_order_date", "orders_that_day"],
     )
+
+
+# --------------------------------------------------------------------------
+# approx_distinct_users_daily — the documented 100 TB scale path for
+# cardinality: HyperLogLog++ sketches merge associatively, so the
+# per-day distinct-user count costs one map-side sketch per partition
+# instead of a full shuffle of user ids (exact countDistinct re-shuffles
+# every distinct value). rows-only check: HLL estimates are
+# engine-specific; the 2% rsd bound vs exact is pinned in pytest.
+# --------------------------------------------------------------------------
+@CATALOG.query("approx_distinct_users_daily")
+def approx_distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _events(spark, sf_dir)
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            F.count("*").alias("n_events"),
+        )
+    )
