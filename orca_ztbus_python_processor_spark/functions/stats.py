@@ -51,6 +51,7 @@ def column_stats(col: str | Column, prefix: str = "") -> list[Column]:
         F.count(c).alias(f"{p}count"),
         f32(F.avg(c)).alias(f"{p}mean"),
         f32(F.stddev_samp(c)).alias(f"{p}std"),
+        f32(F.var_samp(c)).alias(f"{p}var"),
         f32(F.min(c)).alias(f"{p}min"),
         f32(F.percentile(c, F.lit(0.25))).alias(f"{p}p25"),
         f32(F.median(c)).alias(f"{p}p50"),
@@ -66,6 +67,7 @@ def oracle_column_stats(col: str, prefix: str = "") -> str:
         count({col}) AS {p}count,
         CAST(avg({col}) AS REAL) AS {p}mean,
         CAST(stddev_samp({col}) AS REAL) AS {p}std,
+        CAST(var_samp({col}) AS REAL) AS {p}var,
         CAST(min({col}) AS REAL) AS {p}min,
         CAST(quantile_cont(CAST({col} AS DOUBLE), 0.25) AS REAL) AS {p}p25,
         CAST(quantile_cont(CAST({col} AS DOUBLE), 0.50) AS REAL) AS {p}p50,

@@ -102,3 +102,11 @@ def test_dim_join_distinct_is_partial(spark, catalog):
     assert "BroadcastHashJoin" in plan, plan
     # HashAggregate appears both sides of the exchange for distinct
     assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_registry_fused_plan_single_shuffle(spark, catalog):
+    """The registry compiler's prepare-window shares its shuffle with
+    the final aggregation (same _time_from+keys partitioning) — one
+    Exchange for N algorithms including a lag-based prepare."""
+    plan = _plan(spark, catalog.queries["registry_fused_minute"](spark, SMOKE_SF_DIR))
+    assert _n_exchanges(plan) == 1, plan

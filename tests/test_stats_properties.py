@@ -44,6 +44,7 @@ def test_column_stats_matches_pandas(spark, values):
         "count": desc["count"],
         "mean": desc["mean"],
         "std": desc["std"],
+        "var": pdf["v"].var(),  # ddof=1, reference pandas semantics
         "min": desc["min"],
         "p25": desc["25%"],
         "p50": desc["50%"],
@@ -51,7 +52,7 @@ def test_column_stats_matches_pandas(spark, values):
         "max": desc["max"],
     }
     assert got["count"] == expect["count"]
-    for k in ("mean", "std", "min", "p25", "p50", "p75", "max"):
+    for k in ("mean", "std", "var", "min", "p25", "p50", "p75", "max"):
         g, e = got[k], np.float32(expect[k])
         if e is None or (isinstance(e, float) and math.isnan(e)):
             assert g is None or math.isnan(g), k
