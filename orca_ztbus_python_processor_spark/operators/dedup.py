@@ -126,6 +126,64 @@ def _pair_expand(bucketed: DataFrame, members_col: str = "ids") -> DataFrame:
     ).select("p.m_a", "p.m_b")
 
 
+def _band_rows_pandas(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int,
+    num_hashes: int,
+    bands: int,
+    seed: int,
+) -> DataFrame:
+    """(id, band_idx, band_hash) rows via vectorized numpy minhash.
+
+    The expression-level form (`_minhash_sig_body`) is pure Spark SQL
+    but higher-order-function lambdas are interpreted, so the 64-hash
+    permutation pass costs ~5 s per million shingles. Here the whole
+    text -> byte-shingle -> Carter-Wegman minhash -> band-hash chain is
+    one Arrow-batched map stage of numpy matrix ops (~10x). Shingles
+    are hashed from UTF-8 bytes with a polynomial rolling hash —
+    equivalent recall structure to the SQL form (candidates are a
+    recall filter; exactness lives in the Jaccard verify stage).
+    """
+    import numpy as np
+    import pandas as pd
+
+    params = _hash_params(num_hashes, seed)
+    rows = num_hashes // bands
+
+    def gen(batches):
+        A = np.array([a for a, _ in params], dtype=np.int64)[:, None]
+        B = np.array([b for _, b in params], dtype=np.int64)[:, None]
+        pows = np.array([pow(257, k - 1 - j, MERSENNE31) for j in range(k)], dtype=np.int64)
+        band_pows = np.array([pow(1_000_003, rows - 1 - j, MERSENNE31) for j in range(rows)], dtype=np.int64)
+        band_idx = np.arange(bands, dtype=np.int64)
+        for pdf in batches:
+            out_id, out_band, out_hash = [], [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                b = np.frombuffer((text or "").encode("utf-8"), dtype=np.uint8)
+                if len(b) == 0:
+                    continue
+                if len(b) < k:
+                    h = np.array([(b.astype(np.int64) @ pows[-len(b):]) % MERSENNE31])
+                else:
+                    win = np.lib.stride_tricks.sliding_window_view(b, k).astype(np.int64)
+                    h = (win @ pows) % MERSENNE31
+                hu = np.unique(h)
+                sig = ((A * hu[None, :] + B) % MERSENNE31).min(axis=1)  # (num_hashes,)
+                bh = (sig.reshape(bands, rows) @ band_pows) % MERSENNE31
+                out_id.extend([doc_id] * bands)
+                out_band.extend(band_idx)
+                out_hash.extend(bh)
+            yield pd.DataFrame(
+                {"_id": out_id, "band_idx": out_band, "band_hash": out_hash}
+            )
+
+    return docs.select(F.col(id_col).alias(id_col), text_col).mapInPandas(
+        gen, schema=f"_id long, band_idx int, band_hash long"
+    ).withColumnRenamed("_id", id_col)
+
+
 def minhash_candidate_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -139,23 +197,7 @@ def minhash_candidate_pairs(
 
     Output: ``id_a, id_b`` (id_a < id_b), distinct.
     """
-    rows = num_hashes // bands
-    # One fused expression: shingle-hash -> signature -> band hashes,
-    # with every intermediate let-bound (evaluated once per row).
-    band_expr = _bind(
-        _shingle_hashes_sql(text_col, k),
-        "sh",
-        _bind(
-            _minhash_sig_body("sh", num_hashes, seed),
-            "sig",
-            f"transform(sequence(0, {bands - 1}),"
-            f" b -> xxhash64(slice(sig, b * {rows} + 1, {rows})))",
-        ),
-    )
-    stacked = docs.select(
-        id_col,
-        F.posexplode(F.expr(band_expr)).alias("band_idx", "band_hash"),
-    )
+    stacked = _band_rows_pandas(docs, id_col, text_col, k, num_hashes, bands, seed)
     buckets = stacked.groupBy("band_idx", "band_hash").agg(
         F.array_sort(F.collect_list(id_col)).alias("ids")
     )
