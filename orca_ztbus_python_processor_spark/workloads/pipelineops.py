@@ -5,6 +5,10 @@ fingerprints, multimodal feature extraction.
 These are the genuinely non-SQL-expressible entries (driver records a
 rows-only check); their correctness is covered by brute-force /
 property tests in ``tests/test_pipeline_ops.py``.
+
+Outputs are deliberately unordered: a global orderBy adds a range-
+sampling pass that re-executes the whole upstream pipeline, doubling
+the cost of every pair query for presentation-only ordering.
 """
 
 from __future__ import annotations
@@ -41,9 +45,7 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @CATALOG.query("minhash_near_dup_pairs")
 def minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2: MinHash(64) -> 16-band LSH -> exact-Jaccard >= 0.5."""
-    return minhash_near_dups(_docs(spark, sf_dir), threshold=0.5).orderBy(
-        "id_a", "id_b"
-    )
+    return minhash_near_dups(_docs(spark, sf_dir), threshold=0.5)
 
 
 @CATALOG.query("ngram_jaccard_pairs")
@@ -52,13 +54,13 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     verification stage exposed as its own operator)."""
     docs = _docs(spark, sf_dir)
     cands = minhash_candidate_pairs(docs)
-    return jaccard_pairs(docs, cands).orderBy("id_a", "id_b")
+    return jaccard_pairs(docs, cands)
 
 
 @CATALOG.query("simhash_near_dup_pairs")
 def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2: 64-bit SimHash, 4x16-bit banding, hamming <= 6."""
-    return simhash_near_dups(_docs(spark, sf_dir)).orderBy("id_a", "id_b")
+    return simhash_near_dups(_docs(spark, sf_dir))
 
 
 @CATALOG.query("ann_cosine_topk")
@@ -83,7 +85,7 @@ def embedding_near_dup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
     dim = len(emb.select("emb").first()["emb"])
-    return embedding_near_dup_pairs(emb, dim=dim, threshold=0.3).orderBy("id_a", "id_b")
+    return embedding_near_dup_pairs(emb, dim=dim, threshold=0.3)
 
 
 @CATALOG.query("doc_fingerprints")
