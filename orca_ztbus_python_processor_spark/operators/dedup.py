@@ -419,13 +419,31 @@ def winnow_fingerprints(
     Map-only until the final explode; fingerprints are ~1/window of the
     k-gram count, so the shuffled volume is a fraction of the text.
     """
-    fp_expr = _bind(
-        _shingle_hashes_sql(text_col, k),
-        "h",
-        f"array_distinct(transform(sequence(1, greatest(size(h) - {window - 1}, 1)),"
-        f" i -> array_min(slice(h, i, {window}))))",
-    )
-    return docs.select(
-        F.col(id_col),
-        F.explode(F.expr(fp_expr)).alias("fingerprint"),
+    import numpy as np
+    import pandas as pd
+
+    def gen(batches):
+        pows = np.array([pow(257, k - 1 - j, MERSENNE31) for j in range(k)], dtype=np.int64)
+        for pdf in batches:
+            out_id, out_fp = [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                b = np.frombuffer((text or "").encode("utf-8"), dtype=np.uint8)
+                if len(b) == 0:
+                    continue
+                if len(b) < k:
+                    h = np.array([(b.astype(np.int64) @ pows[-len(b):]) % MERSENNE31])
+                else:
+                    win = np.lib.stride_tricks.sliding_window_view(b, k).astype(np.int64)
+                    h = (win @ pows) % MERSENNE31
+                if len(h) >= window:
+                    mins = np.lib.stride_tricks.sliding_window_view(h, window).min(axis=1)
+                else:
+                    mins = h.min(keepdims=True)
+                fps = np.unique(mins)
+                out_id.extend([doc_id] * len(fps))
+                out_fp.extend(fps)
+            yield pd.DataFrame({id_col: out_id, "fingerprint": out_fp})
+
+    return docs.select(id_col, text_col).mapInPandas(
+        gen, schema=f"{id_col} long, fingerprint long"
     )

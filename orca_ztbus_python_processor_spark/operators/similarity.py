@@ -107,6 +107,43 @@ def probe_cells(emb: Column, centroids: list[list[float]], nprobe: int) -> Colum
     return F.transform(F.slice(sorted_desc, 1, nprobe), lambda s: s["cell"])
 
 
+def _cells_pandas(
+    df: DataFrame,
+    centroids: list[list[float]],
+    nprobe: int,
+    id_out: str,
+    id_col: str,
+    emb_col: str,
+) -> DataFrame:
+    """(id, emb, cell) rows: each vector under its nprobe nearest cells,
+    assigned by one numpy matmul per Arrow batch (the HOF-expression
+    form pays interpreted-lambda cost per centroid per row)."""
+    import numpy as np
+    import pandas as pd
+
+    c = np.asarray(centroids, dtype=np.float64)
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.array(pdf[emb_col].tolist(), dtype=np.float64)
+            mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-300)
+            # nprobe nearest cells per vector, nearest first
+            order = np.argsort(-(mn @ c.T), axis=1, kind="stable")[:, :nprobe]
+            yield pd.DataFrame(
+                {
+                    id_out: np.repeat(pdf[id_col].to_numpy(), nprobe),
+                    emb_col: [e for e in pdf[emb_col] for _ in range(nprobe)],
+                    "cell": order.reshape(-1),
+                }
+            )
+
+    return df.select(id_col, emb_col).mapInPandas(
+        gen, schema=f"{id_out} long, {emb_col} array<double>, cell int"
+    )
+
+
 def ann_cosine_topk(
     emb_df: DataFrame,
     queries_df: DataFrame,
@@ -121,39 +158,50 @@ def ann_cosine_topk(
 ) -> DataFrame:
     """IVF approximate top-k cosine neighbors.
 
-    Output: ``query_id, neighbor_id, score (float32), rank`` — same
-    shape as the brute-force baseline so recall is directly testable.
+    corpus: assigned to its single nearest cell; queries: probe their
+    ``nprobe`` nearest cells; candidates = equi-join on cell; re-rank =
+    per-query numpy matmul in ``applyInPandas`` (exact cosine over the
+    candidate list, top-k with (score desc, id) tie-break — identical
+    ordering to the brute-force baseline).
+
+    Output: ``query_id, neighbor_id, score (float32), rank``.
     """
+    import numpy as np
+    import pandas as pd
+
     if centroids is None:
         centroids = train_centroids(emb_df, emb_col, nlist=nlist, seed=seed)
 
-    norm = F.sqrt(F.aggregate(F.col(emb_col), F.lit(0.0), lambda a, x: a + x * x))
-    corpus = emb_df.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(emb_col).alias("ce"),
-        norm.alias("cnorm"),
-        assign_cell(F.col(emb_col), centroids).alias("cell"),
-    )
-    q = queries_df.select(
-        F.col(id_col).alias("query_id"),
-        F.col(emb_col).alias("qe"),
-        norm.alias("qnorm"),
-        F.explode(probe_cells(F.col(emb_col), centroids, nprobe)).alias("cell"),
-    )
+    corpus = _cells_pandas(emb_df, centroids, 1, "neighbor_id", id_col, emb_col)
+    q = _cells_pandas(queries_df, centroids, nprobe, "query_id", id_col, emb_col)
+    q = q.withColumnRenamed(emb_col, "qe")
 
-    dot = F.aggregate(
-        F.zip_with(F.col("qe"), F.col("ce"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda a, x: a + x,
-    )
-    score = (dot / (F.col("qnorm") * F.col("cnorm"))).cast("float")
-    w = W.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id"))
+    def topk(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.drop_duplicates(subset=["neighbor_id"])
+        qe = np.asarray(pdf["qe"].iloc[0], dtype=np.float64)
+        qe = qe / max(np.linalg.norm(qe), 1e-300)
+        m = np.array(pdf[emb_col].tolist(), dtype=np.float64)
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-300)
+        score = (m @ qe).astype(np.float32)
+        ids = pdf["neighbor_id"].to_numpy()
+        order = np.lexsort((ids, -score))[:k]
+        return pd.DataFrame(
+            {
+                "query_id": pdf["query_id"].iloc[0],
+                "neighbor_id": ids[order],
+                "score": score[order],
+                "rank": np.arange(1, len(order) + 1, dtype=np.int64),
+            }
+        )
+
     return (
         corpus.join(F.broadcast(q), "cell")
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", score.alias("score"))
-        .withColumn("rank", F.row_number().over(w).cast("long"))
-        .where(F.col("rank") <= k)
+        .groupBy("query_id")
+        .applyInPandas(
+            lambda _, pdf: topk(pdf),
+            schema="query_id long, neighbor_id long, score float, rank long",
+        )
     )
 
 
@@ -250,11 +298,9 @@ def embedding_near_dup_pairs(
     if centroids is None:
         centroids = train_centroids(emb_df, emb_col, nlist=nlist, seed=seed)
 
-    indexed = emb_df.select(
-        F.col(id_col).alias("id_a"),
-        F.col(emb_col).alias("_e"),
-        F.explode(probe_cells(F.col(emb_col), centroids, nprobe)).alias("cell"),
-    )
+    indexed = _cells_pandas(
+        emb_df, centroids, nprobe, "id_a", id_col, emb_col
+    ).withColumnRenamed(emb_col, "_e")
 
     def cell_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
         ids = pdf["id_a"].to_numpy()
