@@ -35,10 +35,16 @@ def main() -> None:
     spark = get_spark("bench")
     catalog = merged_catalog()
 
-    # Warm the JVM/codegen path once outside the timed region.
+    # Warm the JVM/codegen path AND the Python worker pool once outside
+    # the timed region (the first Arrow-batched stage otherwise pays
+    # worker spin-up, distorting whichever pandas-backed query runs
+    # first).
     catalog.queries["q1_pricing_summary"](spark, sf_dir).write.format("noop").mode(
         "overwrite"
     ).save()
+    spark.range(64).repartition(8).mapInPandas(
+        lambda it: it, schema="id long"
+    ).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     t_total0 = time.perf_counter()

@@ -362,24 +362,66 @@ def simhash_signature(text_col: str, bits: int = 64) -> Column:
 
 def simhash_near_dups(
     docs: DataFrame,
-    max_hamming: int = 6,
+    max_hamming: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
     """SimHash near-dup pairs: band the 64-bit signature into 4 x 16-bit
-    chunks (a pair within hamming distance 3 must agree on >=1 chunk;
-    with ``max_hamming`` 6 this is a recall-oriented candidate filter),
-    then verify with exact popcount(xor).
+    chunks, then verify with exact popcount(xor).
+
+    ``max_hamming`` defaults to 3 — the largest distance the 4-chunk
+    banding FULLY recalls (pigeonhole: <=3 differing bits leave >=1
+    chunk intact). Larger thresholds are recall-incomplete with 4
+    chunks; raise the chunk count alongside the threshold if needed.
 
     Output: ``id_a, id_b, hamming``.
     """
-    sig = docs.select(F.col(id_col), simhash_signature(text_col).alias("sig"))
-    chunks = sig.select(
-        id_col,
-        "sig",
-        F.posexplode(
-            F.expr("transform(sequence(0, 3), c -> shiftright(sig, c * 16) & 65535)")
-        ).alias("chunk_idx", "chunk"),
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    def gen(batches):
+        shifts = np.arange(64, dtype=np.uint64)
+        for pdf in batches:
+            out_id, out_sig, out_cidx, out_chunk = [], [], [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                toks = set((text or "").split())
+                if not toks:
+                    continue
+                h = np.array(
+                    [
+                        int.from_bytes(
+                            hashlib.blake2b(t.encode(), digest_size=8).digest(), "little"
+                        )
+                        for t in toks
+                    ],
+                    dtype=np.uint64,
+                )
+                # +-1 per bit per token, summed; sign -> signature bit
+                bits = ((h[:, None] >> shifts) & np.uint64(1)).astype(np.int64)
+                counts = (bits * 2 - 1).sum(axis=0)
+                sig = np.int64(
+                    np.bitwise_or.reduce(
+                        np.where(counts > 0, np.uint64(1) << shifts, np.uint64(0))
+                    ).astype(np.int64)
+                )
+                for c in range(4):
+                    out_id.append(doc_id)
+                    out_sig.append(sig)
+                    out_cidx.append(c)
+                    out_chunk.append((int(sig) >> (c * 16)) & 65535)
+            yield pd.DataFrame(
+                {
+                    id_col: out_id,
+                    "sig": np.array(out_sig, dtype=np.int64),
+                    "chunk_idx": np.array(out_cidx, dtype=np.int32),
+                    "chunk": np.array(out_chunk, dtype=np.int64),
+                }
+            )
+
+    chunks = docs.select(id_col, text_col).mapInPandas(
+        gen, schema=f"{id_col} long, sig long, chunk_idx int, chunk long"
     )
     buckets = chunks.groupBy("chunk_idx", "chunk").agg(
         F.array_sort(F.collect_list(F.struct(F.col(id_col).alias("id"), "sig"))).alias(

@@ -59,7 +59,8 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @CATALOG.query("simhash_near_dup_pairs")
 def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X2: 64-bit SimHash, 4x16-bit banding, hamming <= 6."""
+    """X2: 64-bit SimHash, 4x16-bit banding, hamming <= 3 (the
+    banding-complete threshold)."""
     return simhash_near_dups(_docs(spark, sf_dir))
 
 
