@@ -156,3 +156,37 @@ def test_fsm_stream_exact_runs(spark, flag_stream_dir):
     assert (got["n_samples"] == expected["n_samples"]).all()
     # the far-future sentinel run (key=99) is open -> never emitted
     assert spark.table("fsm_runs").where("key = 99").count() == 0
+
+
+def test_checkpoint_resume_exactly_once(spark, tmp_path):
+    """ST6: a checkpointed file-stream sink resumes after restart
+    without reprocessing — every input row lands in the sink exactly
+    once across two separate query incarnations."""
+    from orca_ztbus_python_processor_spark.streaming.pipeline import windows_table_sink
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def write_batch_file(name: str, lo: int, hi: int) -> None:
+        pdf = pd.DataFrame(
+            {
+                "event_id": range(lo, hi),
+                "ts": [T0 + dt.timedelta(seconds=i) for i in range(lo, hi)],
+            }
+        )
+        spark.createDataFrame(pdf).coalesce(1).write.mode("append").parquet(in_dir)
+
+    write_batch_file("a", 0, 50)
+    stream = spark.readStream.schema("event_id long, ts timestamp").parquet(in_dir)
+    q = windows_table_sink(stream, ckpt, out_dir)
+    q.awaitTermination()
+
+    write_batch_file("b", 50, 100)
+    stream2 = spark.readStream.schema("event_id long, ts timestamp").parquet(in_dir)
+    q2 = windows_table_sink(stream2, ckpt, out_dir)
+    q2.awaitTermination()
+
+    got = spark.read.parquet(out_dir).select("event_id").toPandas()["event_id"]
+    assert len(got) == 100, f"expected exactly-once delivery of 100 rows, got {len(got)}"
+    assert sorted(got) == list(range(100))
