@@ -488,3 +488,71 @@ def approx_distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_events"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# events_in_error_runs — interval (range-containment) join: every event
+# that falls inside one of its user's closed error runs. The Spark plan
+# is equi-join-only (operators/intervaljoin.py: intervals explode into
+# time bins, points map to one bin, exact range filter after the hash
+# join) — never a nested-loop range join. The oracle does the naive
+# BETWEEN join, proving the bin rewrite is exact.
+# --------------------------------------------------------------------------
+@CATALOG.query(
+    "events_in_error_runs",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id,
+               (event_type = 'error') AS flag,
+               CASE WHEN lead(event_type = 'error')
+                             OVER (PARTITION BY user_id ORDER BY ts, event_id) = false
+                    THEN lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                    END AS run_close,
+               CASE WHEN (event_type = 'error') IS DISTINCT FROM
+                         lag(event_type = 'error')
+                             OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                    THEN 1 ELSE 0 END AS changed
+        FROM events
+    ), numbered AS (
+        SELECT *, CAST(sum(changed) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_id
+        FROM flagged
+    ), runs AS (
+        SELECT user_id,
+               min(ts) AS time_from,
+               max(ts) AS time_to,
+               max(run_close) AS closing_time
+        FROM numbered WHERE flag
+        GROUP BY user_id, run_id
+    )
+    SELECT e.event_id, e.ts, e.user_id, e.event_type,
+           r.time_from, r.time_to
+    FROM events e
+    JOIN runs r
+      ON e.user_id = r.user_id
+     AND e.ts BETWEEN r.time_from AND r.time_to
+    WHERE r.closing_time IS NOT NULL
+    """,
+)
+def events_in_error_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from orca_ztbus_python_processor_spark.operators.intervaljoin import interval_join
+    from orca_ztbus_python_processor_spark.operators.sessionize import flag_runs
+
+    ev = _events(spark, sf_dir)
+    runs = flag_runs(
+        ev.withColumn("is_error", F.col("event_type") == "error"),
+        "is_error",
+        time_col="ts",
+        keys=("user_id",),
+        closed_only=True,
+        order_by=("ts", "event_id"),
+    ).select("user_id", "time_from", "time_to")
+    return interval_join(
+        ev.select("event_id", "ts", "user_id", "event_type"),
+        runs,
+        on="user_id",
+        point_time="ts",
+        start_col="time_from",
+        end_col="time_to",
+        bin_seconds=60,
+    )
