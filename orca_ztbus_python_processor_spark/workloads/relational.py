@@ -529,3 +529,37 @@ def running_order_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.row_number().over(w).cast("long").alias("order_seq"),
     )
+
+
+# --------------------------------------------------------------------------
+# unpivot_returnflag_measures — wide -> long reshape (the inverse of
+# pivot_linestatus; the shape melt_results uses for the registry's
+# result rows). unpivot is a zero-shuffle map-side explode.
+# --------------------------------------------------------------------------
+@CATALOG.query(
+    "unpivot_returnflag_measures",
+    oracle="""
+    WITH wide AS (
+        SELECT l_returnflag,
+               CAST(sum(l_quantity) AS REAL) AS sum_qty,
+               CAST(sum(l_extendedprice) AS REAL) AS sum_price,
+               CAST(sum(l_discount) AS REAL) AS sum_disc
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, measure, value FROM wide
+    UNPIVOT (value FOR measure IN (sum_qty, sum_price, sum_disc))
+    """,
+)
+def unpivot_returnflag_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wide = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            f32(F.sum("l_quantity")).alias("sum_qty"),
+            f32(F.sum("l_extendedprice")).alias("sum_price"),
+            f32(F.sum("l_discount")).alias("sum_disc"),
+        )
+    )
+    return wide.unpivot(
+        ["l_returnflag"], ["sum_qty", "sum_price", "sum_disc"], "measure", "value"
+    )

@@ -1,0 +1,66 @@
+"""Degenerate-input behavior: empty join sides, sub-shingle texts,
+empty strings — the inputs a 100 TB corpus WILL contain somewhere."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pandas as pd
+
+from orca_ztbus_python_processor_spark.operators.asofjoin import asof_join
+from orca_ztbus_python_processor_spark.operators.dedup import (
+    minhash_candidate_pairs,
+    minhash_near_dups,
+    winnow_fingerprints,
+)
+from orca_ztbus_python_processor_spark.operators.intervaljoin import interval_join
+
+
+def test_asof_join_empty_right(spark):
+    left = spark.createDataFrame(
+        pd.DataFrame({"k": [1], "t": [dt.datetime(2024, 1, 1)], "x": [7]})
+    )
+    right = spark.createDataFrame([], schema="k long, rt timestamp, p long")
+    out = asof_join(left, right, on="k", left_time="t", right_time="rt").collect()
+    assert len(out) == 1
+    assert out[0]["x"] == 7 and out[0]["p"] is None
+
+
+def test_interval_join_empty_intervals(spark):
+    pts = spark.createDataFrame(
+        pd.DataFrame({"k": [1], "t": [dt.datetime(2024, 1, 1)], "pid": [1]})
+    )
+    ivs = spark.createDataFrame([], schema="k long, s timestamp, e timestamp")
+    assert interval_join(pts, ivs, "k", "t", "s", "e").count() == 0
+    left = interval_join(pts, ivs, "k", "t", "s", "e", how="left").collect()
+    assert len(left) == 1 and left[0]["s"] is None
+
+
+def test_dedup_short_and_empty_texts(spark):
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 4, 5],
+                "text": ["ab", "ab", "", "abcdefghij klm nop", "abcdefghij klm nop"],
+            }
+        )
+    )
+    pairs = {(r["id_a"], r["id_b"]) for r in minhash_candidate_pairs(docs).collect()}
+    assert (1, 2) in pairs  # identical sub-shingle texts still collide
+    assert (4, 5) in pairs
+    assert not any(3 in p for p in pairs)  # empty text joins nothing
+    dups = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in minhash_near_dups(docs, threshold=0.5).collect()
+    }
+    assert dups[(1, 2)] == 1.0
+    assert dups[(4, 5)] == 1.0
+
+
+def test_winnow_short_text(spark):
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2], "text": ["abc", ""]})
+    )
+    out = winnow_fingerprints(docs).collect()
+    assert {r["doc_id"] for r in out} == {1}  # short text -> 1 fp; empty -> none
+    assert len(out) == 1
