@@ -106,3 +106,54 @@ def test_embedding_near_dup_blocked_recall(spark):
     assert got <= truth or not truth, "blocked variant must not invent pairs"
     recall = len(got & truth) / len(truth) if truth else 1.0
     assert recall >= 0.6, f"cell-blocked recall too low: {recall:.2f}"
+
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    """Property: asof_join == pd.merge_asof (backward, inclusive) on a
+    randomized fixture with ties, gaps, and keyless rows."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    n_l, n_r = 300, 60
+    left = pd.DataFrame(
+        {
+            "k": rng.integers(0, 8, n_l),
+            "t": pd.to_datetime(rng.integers(0, 10_000, n_l), unit="s"),
+            "row_id": np.arange(n_l),
+        }
+    )
+    right = (
+        pd.DataFrame(
+            {
+                "k": rng.integers(0, 10, n_r),  # some keys absent from left
+                "rt": pd.to_datetime(rng.integers(0, 10_000, n_r), unit="s"),
+                "payload": np.arange(n_r),
+            }
+        )
+        .drop_duplicates(subset=["k", "rt"])
+        .reset_index(drop=True)
+    )
+
+    got = (
+        asof_join(
+            spark.createDataFrame(left),
+            spark.createDataFrame(right),
+            on="k",
+            left_time="t",
+            right_time="rt",
+            payload_cols=["payload"],
+        )
+        .toPandas()
+        .sort_values("row_id")
+        .reset_index(drop=True)
+    )
+    expected = pd.merge_asof(
+        left.sort_values("t"),
+        right.sort_values("rt"),
+        left_on="t",
+        right_on="rt",
+        by="k",
+        direction="backward",
+        allow_exact_matches=True,
+    ).sort_values("row_id").reset_index(drop=True)
+    assert (got["payload"].fillna(-1) == expected["payload"].fillna(-1)).all()

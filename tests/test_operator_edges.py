@@ -64,3 +64,14 @@ def test_winnow_short_text(spark):
     out = winnow_fingerprints(docs).collect()
     assert {r["doc_id"] for r in out} == {1}  # short text -> 1 fp; empty -> none
     assert len(out) == 1
+
+
+def test_register_views_sql_api(spark):
+    from orca_ztbus_python_processor_spark.sources.parquet import register_views
+    from tests.conftest import SMOKE_SF_DIR
+
+    register_views(spark, SMOKE_SF_DIR)
+    n = spark.sql(
+        "SELECT count(*) AS n FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
+    ).collect()[0]["n"]
+    assert n > 0
