@@ -48,3 +48,48 @@ def stream_minute_user_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     run_to_memory(stream, "q_stream_minute_user_agg", output_mode="complete")
     return spark.table("q_stream_minute_user_agg")
+
+
+@CATALOG.query(
+    "stream_error_runs",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id,
+               (event_type = 'error') AS flag,
+               CASE WHEN lead(event_type = 'error')
+                             OVER (PARTITION BY user_id ORDER BY ts, event_id) = false
+                    THEN lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                    END AS run_close,
+               CASE WHEN (event_type = 'error') IS DISTINCT FROM
+                         lag(event_type = 'error')
+                             OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                    THEN 1 ELSE 0 END AS changed
+        FROM events
+    ), numbered AS (
+        SELECT *, CAST(sum(changed) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_id
+        FROM flagged
+    )
+    SELECT user_id AS key,
+           min(ts) AS time_from,
+           max(ts) AS time_to,
+           count(*) AS n_samples
+    FROM numbered WHERE flag
+    GROUP BY user_id, run_id
+    HAVING max(run_close) IS NOT NULL
+    """,
+)
+def stream_error_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST3/ST5 as a REAL stateful streaming query, oracle-gated: the
+    exact-FSM run detector (applyInPandasWithState) over the event
+    stream, emitting one row per CLOSED error run; the trailing open
+    run per key is held in state and never emitted — which is exactly
+    the batch gap-and-islands oracle's closed-only filter."""
+    from orca_ztbus_python_processor_spark.streaming.sessions import fsm_runs_stream
+
+    stream = read_events_stream(spark, sf_dir).withColumn(
+        "is_error", F.col("event_type") == "error"
+    )
+    runs = fsm_runs_stream(stream, "is_error", key_col="user_id", time_col="ts")
+    run_to_memory(runs, "q_stream_error_runs", output_mode="append")
+    return spark.table("q_stream_error_runs")
