@@ -30,6 +30,27 @@ MERSENNE31 = (1 << 31) - 1  # universal-hash modulus for the minhash family
 _HASH_BITS = 2147483647  # 2^31 - 1 fold of the base xxhash64
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition a narrow input up to session parallelism before a
+    CPU-bound Arrow map stage.
+
+    A small parquet table arrives as a single scan partition, which
+    would serialize the whole signature pass on one core; at cluster
+    scale the input already carries >= cores partitions and this is a
+    no-op. Only the projected columns shuffle.
+
+    Target width is HALF the core count: each Arrow stage runs a Python
+    worker per task beside the JVM task thread, so width == cores
+    oversubscribes 2x (measured ~2-3x slower than width == cores/2 on
+    local[32]).
+    """
+    sc = df.sparkSession.sparkContext
+    target = max(2, sc.defaultParallelism // 2)
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def _hash_params(num_hashes: int, seed: int) -> list[tuple[int, int]]:
     """Carter-Wegman (a, b) pairs over Z_{2^31-1}.
 
@@ -179,7 +200,7 @@ def _band_rows_pandas(
                 {"_id": out_id, "band_idx": out_band, "band_hash": out_hash}
             )
 
-    return docs.select(F.col(id_col).alias(id_col), text_col).mapInPandas(
+    return _spread(docs.select(F.col(id_col).alias(id_col), text_col)).mapInPandas(
         gen, schema=f"_id long, band_idx int, band_hash long"
     ).withColumnRenamed("_id", id_col)
 
@@ -258,6 +279,11 @@ def jaccard_pairs(
                 }
             )
 
+    # NOTE: deliberately NOT _spread() here — every verify worker must
+    # deserialize the broadcast shingle-set dict, so fanning the (small)
+    # pair table across all cores multiplies the fixed broadcast-load
+    # cost without reducing the (cheap) per-pair work. AQE's coalesced
+    # partitioning of the candidate pairs is the right width.
     return pairs.select("id_a", "id_b").mapInPandas(
         gen, schema="id_a long, id_b long, jaccard float"
     )
@@ -420,7 +446,7 @@ def simhash_near_dups(
                 }
             )
 
-    chunks = docs.select(id_col, text_col).mapInPandas(
+    chunks = _spread(docs.select(id_col, text_col)).mapInPandas(
         gen, schema=f"{id_col} long, sig long, chunk_idx int, chunk long"
     )
     buckets = chunks.groupBy("chunk_idx", "chunk").agg(
@@ -486,6 +512,6 @@ def winnow_fingerprints(
                 out_fp.extend(fps)
             yield pd.DataFrame({id_col: out_id, "fingerprint": out_fp})
 
-    return docs.select(id_col, text_col).mapInPandas(
+    return _spread(docs.select(id_col, text_col)).mapInPandas(
         gen, schema=f"{id_col} long, fingerprint long"
     )

@@ -32,6 +32,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
+from orca_ztbus_python_processor_spark.operators.dedup import _spread
+
 
 def _dot_literal(emb: Column, plane: list[float]) -> Column:
     lit = F.array(*[F.lit(float(x)) for x in plane])
@@ -139,7 +141,7 @@ def _cells_pandas(
                 }
             )
 
-    return df.select(id_col, emb_col).mapInPandas(
+    return _spread(df.select(id_col, emb_col)).mapInPandas(
         gen, schema=f"{id_out} long, {emb_col} array<double>, cell int"
     )
 
@@ -259,7 +261,7 @@ def cosine_pairs_bruteforce(
                 }
             )
 
-    src = emb_df.select(F.col(id_col).alias("id_a"))
+    src = _spread(emb_df.select(F.col(id_col).alias("id_a")))
     return src.mapInPandas(chunk_pairs, schema=_PAIR_SCHEMA)
 
 
