@@ -33,6 +33,7 @@ def merged_catalog() -> Catalog:
         registrations,
         relational,
         streamqueries,
+        subqueries,
         textops,
         timeseries,
         vectors,
@@ -41,6 +42,7 @@ def merged_catalog() -> Catalog:
     merged = Catalog()
     for mod in (
         relational,
+        subqueries,
         timeseries,
         textops,
         vectors,
