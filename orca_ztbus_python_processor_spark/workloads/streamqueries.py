@@ -93,3 +93,68 @@ def stream_error_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs = fsm_runs_stream(stream, "is_error", key_col="user_id", time_col="ts")
     run_to_memory(runs, "q_stream_error_runs", output_mode="append")
     return spark.table("q_stream_error_runs")
+
+
+@CATALOG.query(
+    "stream_click_error_join",
+    oracle="""
+    SELECT c.event_id AS click_id,
+           e.event_id AS error_id,
+           c.user_id  AS user_id,
+           CAST(date_diff('microsecond', c.ts, e.ts) AS BIGINT) AS lag_us
+    FROM events c
+    JOIN events e
+      ON c.user_id = e.user_id
+     AND e.ts > c.ts
+     AND e.ts <= c.ts + INTERVAL 5 MINUTE
+    WHERE c.event_type = 'click' AND e.event_type = 'error'
+    """,
+)
+def stream_click_error_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join with event-time range condition: every
+    error within 5 minutes after a click by the same user.
+
+    Both sides carry watermarks and the join predicate bounds event
+    time in both directions, so Spark derives a finite state-retention
+    window per side (clicks held 5 min past the error watermark, errors
+    held to the click watermark) — state is bounded at any scale, the
+    exact discipline the reference hand-rolls with its 400 s lookback
+    cap (processor/main.py:246-293). Append mode: a pair is emitted
+    once, when both sides have arrived.
+
+    Scale: the join keys on user_id, so state and compute shard by
+    user across executors; skewed users would engage AQE skew handling
+    in batch, or salting at the ingest edge for streams.
+    """
+    ev = read_events_stream(spark, sf_dir)
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "10 minutes")
+    )
+    errors = (
+        ev.where(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("error_id"),
+            F.col("user_id").alias("e_user"),
+            F.col("ts").alias("e_ts"),
+        )
+        .withWatermark("e_ts", "10 minutes")
+    )
+    joined = clicks.join(
+        errors,
+        (F.col("c_user") == F.col("e_user"))
+        & (F.col("e_ts") > F.col("c_ts"))
+        & (F.col("e_ts") <= F.col("c_ts") + F.expr("INTERVAL 5 MINUTES")),
+    ).select(
+        "click_id",
+        "error_id",
+        F.col("c_user").alias("user_id"),
+        (F.unix_micros("e_ts") - F.unix_micros("c_ts")).alias("lag_us"),
+    )
+    run_to_memory(joined, "q_stream_click_error_join", output_mode="append")
+    return spark.table("q_stream_click_error_join")

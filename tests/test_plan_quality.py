@@ -110,3 +110,49 @@ def test_registry_fused_plan_single_shuffle(spark, catalog):
     Exchange for N algorithms including a lag-based prepare."""
     plan = _plan(spark, catalog.queries["registry_fused_minute"](spark, SMOKE_SF_DIR))
     assert _n_exchanges(plan) == 1, plan
+
+
+def test_exists_plans_as_semi_join(spark, catalog):
+    """EXISTS (Q4 shape) must plan as a semi join — rows never widen —
+    with the date filter pushed to the orders scan."""
+    plan = _plan(spark, catalog.queries["exists_urgent_returns"](spark, SMOKE_SF_DIR))
+    assert "LeftSemi" in plan, plan
+    assert re.search(r"PushedFilters:.*o_orderdate", plan), plan
+
+
+def test_q17_decorrelated_all_broadcast(spark, catalog):
+    """The correlated Q17 rewrite: brand parts and per-part limits are
+    both broadcast — no sort-merge join, no window shuffle of the fact."""
+    plan = _plan(spark, catalog.queries["q17_small_quantity_revenue"](spark, SMOKE_SF_DIR))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_q10_topk_avoids_global_sort(spark, catalog):
+    """Top-20 by revenue plans TakeOrderedAndProject (per-partition
+    top-k + single merge), not a full sort; dims broadcast."""
+    plan = _plan(spark, catalog.queries["q10_returned_items"](spark, SMOKE_SF_DIR))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_rolling_frames_one_window_exec(spark, catalog):
+    """All four frame specs share (user_id, ts) partitioning+ordering,
+    so they fuse into Window operators over ONE shuffle+sort."""
+    plan = _plan(spark, catalog.queries["rolling_frames_events"](spark, SMOKE_SF_DIR))
+    assert _n_exchanges(plan) == 1, plan
+    assert len(re.findall(r"\(\d+\) Sort", plan)) == 1, plan
+
+
+def test_regression_stats_partial_agg(spark, catalog):
+    """Moment-based bivariate stats partial-aggregate map-side."""
+    plan = _plan(spark, catalog.queries["regression_stats_by_flag"](spark, SMOKE_SF_DIR))
+    assert "partial_corr" in plan or "partial" in plan, plan
+    assert _n_exchanges(plan) == 1, plan
+
+
+def test_scalar_subquery_stays_distributed(spark, catalog):
+    """above_avg_orders: the global mean enters as a broadcast
+    (BroadcastNestedLoopJoin over a 1-row side), never a collect."""
+    plan = _plan(spark, catalog.queries["above_avg_orders"](spark, SMOKE_SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
