@@ -515,3 +515,82 @@ def winnow_fingerprints(
     return _spread(docs.select(id_col, text_col)).mapInPandas(
         gen, schema=f"{id_col} long, fingerprint long"
     )
+
+
+# ---------------------------------------------------------------------------
+# Connected components (dup-cluster resolution)
+# ---------------------------------------------------------------------------
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Connected components over a near-dup pair graph: the cluster-
+    resolution step between pair generation (minhash/simhash/embedding)
+    and canonical-document selection in a dedup pipeline.
+
+    Iterative min-label propagation with pointer jumping: each round a
+    node takes the minimum of its own label, its neighbors' labels, and
+    its label's label (path compression — cuts rounds from O(diameter)
+    to O(log diameter)). Rounds are driver-coordinated Spark joins over
+    the EDGE table only (never the corpus); per-round frames are
+    localCheckpoint()ed to truncate lineage. Convergence is detected by
+    the monotonically decreasing sum of labels.
+
+    Near-dup graphs are sparse with tiny diameters, so this converges in
+    a handful of rounds; at 100 TB the edge table shuffles on node id
+    each round — the standard large-scale CC layout (cf. the
+    large-star/small-star family).
+
+    Output: ``node, component`` — one row per node appearing in pairs;
+    component = smallest node id in the cluster.
+    """
+    spark = pairs.sparkSession
+    edges = pairs.select(
+        F.col(id_a).cast("long").alias("u"), F.col(id_b).cast("long").alias("v")
+    )
+    sym = edges.union(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint()
+    # Size the per-round shuffle width to the edge volume (~500k edges
+    # per partition): CC rounds are many small shuffles, and running a
+    # 1k-edge graph through 32-way exchanges costs more scheduling than
+    # compute. Restored after the loop.
+    n_edges = sym.count()
+    width = max(2, min(spark.sparkContext.defaultParallelism, n_edges // 500_000 + 1))
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(width))
+    labels = (
+        sym.select("u").distinct().withColumn("label", F.col("u")).localCheckpoint()
+    )
+    prev_sum = None
+    for _ in range(max_iterations):
+        nb_min = (
+            sym.join(labels.withColumnRenamed("u", "_v"), sym.v == F.col("_v"))
+            .groupBy("u")
+            .agg(F.min("label").alias("_nb"))
+        )
+        stepped = labels.join(nb_min, "u", "left").select(
+            "u",
+            F.least(F.col("label"), F.coalesce(F.col("_nb"), F.col("label"))).alias(
+                "label"
+            ),
+        )
+        jump = stepped.select(
+            F.col("u").alias("_ju"), F.col("label").alias("_jlabel")
+        )
+        labels = (
+            stepped.join(jump, stepped.label == F.col("_ju"), "left")
+            .select(
+                "u", F.coalesce(F.col("_jlabel"), F.col("label")).alias("label")
+            )
+            .localCheckpoint()
+        )
+        label_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if label_sum == prev_sum:
+            break
+        prev_sum = label_sum
+    spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return labels.select(F.col("u").alias("node"), F.col("label").alias("component"))

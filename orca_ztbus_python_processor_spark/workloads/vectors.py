@@ -172,3 +172,65 @@ def embedding_near_dup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return cosine_pairs_bruteforce(_emb(spark, sf_dir), threshold=NEAR_DUP_THRESHOLD)
+
+
+# --------------------------------------------------------------------------
+# embedding_dup_components — dup-CLUSTER resolution (the step after pair
+# generation in any dedup pipeline): connected components over the
+# near-dup pair graph, plus canonical selection (keep the smallest id
+# per cluster). Spark side: iterative min-label propagation with
+# pointer jumping over the edge table (operators/dedup.py
+# connected_components); oracle side: DuckDB recursive CTE. Components
+# of singletons map to themselves.
+# --------------------------------------------------------------------------
+CC_THRESHOLD = 0.4
+
+
+@CATALOG.query(
+    "embedding_dup_components",
+    oracle=f"""
+    WITH RECURSIVE e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+    ),
+    pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.emb, b.emb) >= {CC_THRESHOLD}
+    ),
+    sym AS (
+        SELECT id_a AS u, id_b AS v FROM pairs
+        UNION
+        SELECT id_b AS u, id_a AS v FROM pairs
+    ),
+    reach AS (
+        SELECT u, u AS r FROM (SELECT DISTINCT u FROM sym) t
+        UNION
+        SELECT s.u, reach.r FROM sym s JOIN reach ON reach.u = s.v
+    ),
+    comp AS (SELECT u, min(r) AS component FROM reach GROUP BY u)
+    SELECT e.vec_id,
+           COALESCE(comp.component, e.vec_id) AS component,
+           (COALESCE(comp.component, e.vec_id) = e.vec_id) AS is_canonical
+    FROM e LEFT JOIN comp ON e.vec_id = comp.u
+    """,
+)
+def embedding_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from orca_ztbus_python_processor_spark.operators.dedup import (
+        connected_components,
+    )
+    from orca_ztbus_python_processor_spark.operators.similarity import (
+        cosine_pairs_bruteforce,
+    )
+
+    emb = _emb(spark, sf_dir)
+    pairs = cosine_pairs_bruteforce(emb, threshold=CC_THRESHOLD)
+    comp = connected_components(pairs)
+    return emb.select("vec_id").join(
+        F.broadcast(comp), emb.vec_id == comp.node, "left"
+    ).select(
+        "vec_id",
+        F.coalesce(F.col("component"), F.col("vec_id")).alias("component"),
+        (F.coalesce(F.col("component"), F.col("vec_id")) == F.col("vec_id")).alias(
+            "is_canonical"
+        ),
+    )

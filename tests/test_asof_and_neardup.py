@@ -157,3 +157,28 @@ def test_asof_join_matches_pandas_merge_asof(spark):
         allow_exact_matches=True,
     ).sort_values("row_id").reset_index(drop=True)
     assert (got["payload"].fillna(-1) == expected["payload"].fillna(-1)).all()
+
+
+def test_connected_components_golden(spark):
+    """Path, clique, singleton-edge and isolated-pair topologies resolve
+    to min-id components; pointer jumping must handle a long path (the
+    worst diameter case)."""
+    from orca_ztbus_python_processor_spark.operators.dedup import (
+        connected_components,
+    )
+
+    # component A: path 1-2-3-4-5-6-7 (diameter 6)
+    # component B: clique {10,11,12}
+    # component C: single edge {20, 21}
+    edges = [(i, i + 1) for i in range(1, 7)] + [
+        (10, 11), (10, 12), (11, 12), (20, 21),
+    ]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {
+        (r.node, r.component)
+        for r in connected_components(pairs).collect()
+    }
+    want = {(i, 1) for i in range(1, 8)} | {(i, 10) for i in (10, 11, 12)} | {
+        (20, 20), (21, 20),
+    }
+    assert got == want
