@@ -506,3 +506,81 @@ def date_string_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_extract(pri, "([0-9])", 1).alias("pri_digit"),
         F.lpad(F.col("o_orderkey").cast("string"), 10, "0").alias("padded_key"),
     )
+
+
+# --------------------------------------------------------------------------
+# q7_nation_trade_flows — 6-way join (TPC-H Q7 shape): revenue between
+# (supplier nation, customer nation) pairs by ship year. The fact
+# shuffles once per non-broadcast join side; customer/supplier/nation
+# all broadcast, so the whole plan is broadcast-chained off the
+# lineitem scan plus one final aggregation shuffle.
+# --------------------------------------------------------------------------
+@CATALOG.query(
+    "q7_nation_trade_flows",
+    oracle="""
+    SELECT sn.n_name AS supp_nation,
+           cn.n_name AS cust_nation,
+           CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+           CAST(sum(l_extendedprice * (1 - l_discount)) AS REAL) AS revenue
+    FROM lineitem
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey  = o_custkey
+    JOIN supplier ON s_suppkey  = l_suppkey
+    JOIN nation sn ON s_nationkey = sn.n_nationkey
+    JOIN nation cn ON c_nationkey = cn.n_nationkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+      AND sn.n_nationkey <> cn.n_nationkey
+    GROUP BY sn.n_name, cn.n_name, year(l_shipdate)
+    """,
+)
+def q7_nation_trade_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    sn = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    cn = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .where(F.col("sn_key") != F.col("cn_key"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("ship_year"),
+        )
+        .agg(
+            f32(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# approx_value_quantiles — the corpus-grain quantile SCALE PATH
+# (SURVEY.md §7 risks): exact percentile needs every group value on one
+# reducer, approx_percentile is a mergeable t-digest-style sketch that
+# partial-aggregates map-side. Rows-only for the driver (sketch values
+# are engine-specific); the accuracy bound vs the exact form is pinned
+# in tests/test_operator_edges.py.
+# --------------------------------------------------------------------------
+@CATALOG.query("approx_value_quantiles")
+def approx_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        f32(F.approx_percentile("value", 0.5, 10000)).alias("p50_approx"),
+        f32(F.approx_percentile("value", 0.95, 10000)).alias("p95_approx"),
+        F.count("*").alias("n"),
+    )

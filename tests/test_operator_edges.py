@@ -75,3 +75,39 @@ def test_register_views_sql_api(spark):
         "SELECT count(*) AS n FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
     ).collect()[0]["n"]
     assert n > 0
+
+
+def test_approx_quantiles_within_rank_bound(spark):
+    """approx_percentile's guarantee is on RANK, not value (it returns a
+    real sample, no interpolation): at accuracy 10k the result must lie
+    within the exact [q-0.01, q+0.01] quantile envelope per group."""
+    from orca_ztbus_python_processor_spark.workloads.base import merged_catalog
+
+    from tests.conftest import ORACLE_SF_DIR
+
+    cat = merged_catalog()
+    approx = {
+        r["event_type"]: r
+        for r in cat.queries["approx_value_quantiles"](spark, ORACLE_SF_DIR).collect()
+    }
+    from orca_ztbus_python_processor_spark.sources.parquet import read_table
+    import pyspark.sql.functions as F
+
+    exact = {
+        r["event_type"]: r
+        for r in read_table(spark, ORACLE_SF_DIR, "events")
+        .groupBy("event_type")
+        .agg(
+            F.percentile("value", 0.49).alias("p50_lo"),
+            F.percentile("value", 0.51).alias("p50_hi"),
+            F.percentile("value", 0.94).alias("p95_lo"),
+            F.percentile("value", 0.96).alias("p95_hi"),
+        )
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    eps = 1e-4  # float32 cast slack on the query output
+    for et, row in approx.items():
+        e = exact[et]
+        assert e["p50_lo"] - eps <= row["p50_approx"] <= e["p50_hi"] + eps, (et, row)
+        assert e["p95_lo"] - eps <= row["p95_approx"] <= e["p95_hi"] + eps, (et, row)
