@@ -42,7 +42,7 @@ def main() -> None:
     catalog.queries["q1_pricing_summary"](spark, sf_dir).write.format("noop").mode(
         "overwrite"
     ).save()
-    spark.range(64).repartition(8).mapInPandas(
+    spark.range(256).repartition(16).mapInPandas(
         lambda it: it, schema="id long"
     ).write.format("noop").mode("overwrite").save()
 

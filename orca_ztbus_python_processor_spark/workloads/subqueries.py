@@ -584,3 +584,96 @@ def approx_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         f32(F.approx_percentile("value", 0.95, 10000)).alias("p95_approx"),
         F.count("*").alias("n"),
     )
+
+
+# --------------------------------------------------------------------------
+# q19_disjunctive_revenue — OR-of-ANDs predicate join (TPC-H Q19
+# shape): three brand/size/quantity bands OR'd together. Catalyst
+# extracts the common p_partkey = l_partkey conjunct so the join stays
+# a hash join (never nested-loop) with the disjunction evaluated as a
+# post-join filter; part broadcasts.
+# --------------------------------------------------------------------------
+@CATALOG.query(
+    "q19_disjunctive_revenue",
+    oracle="""
+    SELECT CAST(sum(l_extendedprice * (1 - l_discount)) AS REAL) AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+           AND l_quantity >= 1 AND l_quantity <= 20)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 5 AND 20
+           AND l_quantity >= 10 AND l_quantity <= 30)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 10 AND 30
+           AND l_quantity >= 20 AND l_quantity <= 40)
+    """,
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    q = F.col("l_quantity")
+
+    def band(brand: str, size_lo: int, size_hi: int, q_lo: int, q_hi: int):
+        return (
+            (F.col("p_brand") == brand)
+            & F.col("p_size").between(size_lo, size_hi)
+            & (q >= q_lo)
+            & (q <= q_hi)
+        )
+
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .where(
+            band("Brand#1", 1, 10, 1, 20)
+            | band("Brand#2", 5, 20, 10, 30)
+            | band("Brand#3", 10, 30, 20, 40)
+        )
+        .agg(
+            f32(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q15_top_supplier — aggregate-then-match-the-max (TPC-H Q15): supplier
+# revenue over a quarter, return the supplier(s) hitting the maximum.
+# The max is a 1-row aggregate of the (already tiny) revenue table,
+# broadcast back as an equality filter — the classic "HAVING x = MAX"
+# rewrite without a second fact scan.
+# --------------------------------------------------------------------------
+@CATALOG.query(
+    "q15_top_supplier",
+    oracle="""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             sum(l_extendedprice * (1 - l_discount)) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name,
+           CAST(total_revenue AS REAL) AS total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "total_revenue"
+        )
+    )
+    top = revenue.agg(F.max("total_revenue").alias("_top"))
+    return (
+        revenue.crossJoin(F.broadcast(top))
+        .where(F.col("total_revenue") == F.col("_top"))
+        .join(F.broadcast(supp), F.col("supplier_no") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey", "s_name", f32(F.col("total_revenue")).alias("total_revenue")
+        )
+    )
