@@ -36,6 +36,7 @@ def merged_catalog() -> Catalog:
         subqueries,
         textops,
         timeseries,
+        tpchplus,
         vectors,
     )
 
@@ -43,6 +44,7 @@ def merged_catalog() -> Catalog:
     for mod in (
         relational,
         subqueries,
+        tpchplus,
         timeseries,
         textops,
         vectors,
