@@ -156,3 +156,56 @@ def test_scalar_subquery_stays_distributed(spark, catalog):
     (BroadcastNestedLoopJoin over a 1-row side), never a collect."""
     plan = _plan(spark, catalog.queries["above_avg_orders"](spark, SMOKE_SF_DIR))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_q2_correlated_min_shuffles_rollups_only(spark, catalog):
+    """The decorrelated min: map-side combine BEFORE the first exchange,
+    then the window exchange moves the (part,supplier) rollup, never raw
+    lineitem. Exactly the agg + window exchanges; dims broadcast."""
+    plan = _plan(spark, catalog.queries["q2_min_cost_supplier"](spark, SMOKE_SF_DIR))
+    assert "partial_min" in plan, plan
+    assert _n_exchanges(plan) == 2, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_q8_single_fact_shuffle(spark, catalog):
+    """Seven-table market share: every dimension broadcasts; the only
+    exchange is the final per-year aggregation."""
+    plan = _plan(spark, catalog.queries["q8_market_share"](spark, SMOKE_SF_DIR))
+    assert _n_exchanges(plan) == 1, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_q13_left_join_then_double_agg(spark, catalog):
+    """Customer distribution: exactly two exchanges (per-customer count,
+    then the tiny histogram regroup); the priority filter must NOT reach
+    the scan as a row filter — it lives in the join condition so
+    zero-order customers survive."""
+    plan = _plan(spark, catalog.queries["q13_custdist"](spark, SMOKE_SF_DIR))
+    assert _n_exchanges(plan) == 2, plan
+
+
+def test_q16_not_in_plans_as_anti_join(spark, catalog):
+    """NOT IN over a null-free key becomes a broadcast left-anti, and the
+    distinct-count partial-aggregates before its exchange."""
+    plan = _plan(spark, catalog.queries["q16_supplier_cnt"](spark, SMOKE_SF_DIR))
+    assert "LeftAnti" in plan, plan
+    assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_q21_double_exists_is_one_aggregate(spark, catalog):
+    """EXISTS + NOT EXISTS collapse into ONE per-order aggregate: the
+    lineitem fact is scanned for the rollup and the returned-lines probe,
+    but there is no per-predicate semi/anti cascade — at most the agg,
+    the orderkey join, and the final name regroup shuffle."""
+    plan = _plan(spark, catalog.queries["q21_sole_returner"](spark, SMOKE_SF_DIR))
+    assert _n_exchanges(plan) <= 3, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_q22_anti_join_scalar_threshold(spark, catalog):
+    """Idle balances: the global-avg threshold broadcasts (no collect),
+    the NOT EXISTS plans as a left-anti join."""
+    plan = _plan(spark, catalog.queries["q22_idle_balances"](spark, SMOKE_SF_DIR))
+    assert "LeftAnti" in plan, plan
+    assert "BroadcastExchange" in plan, plan
