@@ -254,3 +254,48 @@ def bpe_pretokenize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.length("text") > 0, n_bpe.cast("double") / F.length("text"))
         ).alias("tokens_per_char"),
     )
+
+
+# --------------------------------------------------------------------------
+# vocab_top_tokens — vocabulary building (X5): explode documents into
+# lowercased tokens, count total occurrences and document frequency,
+# keep the top 100 by occurrence count (ties broken by token so the
+# result is deterministic). The tokenizer is the same TOKEN_RE used by
+# token_stats, JVM-side end to end (regexp_extract_all + explode).
+# Scale: the explode widens ~n_tokens×, but the per-doc distinct for DF
+# is computed via (token, doc_id) partial aggregation before the global
+# token rollup — two map-combinable aggs; the top-100 is
+# TakeOrderedAndProject, no global sort.
+# --------------------------------------------------------------------------
+@CATALOG.query(
+    "vocab_top_tokens",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, lower(unnest(regexp_extract_all(text, '{TOKEN_RE}'))) AS token
+        FROM documents
+    )
+    SELECT token,
+           count(*) AS n_occurrences,
+           count(DISTINCT doc_id) AS doc_freq
+    FROM tok
+    GROUP BY token
+    ORDER BY n_occurrences DESC, token
+    LIMIT 100
+    """,
+)
+def vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tok = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.explode(F.expr(f"regexp_extract_all(text, '{TOKEN_RE}', 0)")).alias(
+            "raw_token"
+        ),
+    ).select("doc_id", F.lower(F.col("raw_token")).alias("token"))
+    return (
+        tok.groupBy("token")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("doc_freq"),
+        )
+        .orderBy(F.col("n_occurrences").desc(), "token")
+        .limit(100)
+    )

@@ -556,3 +556,73 @@ def events_in_error_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
         end_col="time_to",
         bin_seconds=60,
     )
+
+
+# --------------------------------------------------------------------------
+# resample_forward_fill — gap-fill a 1-minute resample per user: build the
+# dense minute grid between each user's first and last event, left-join
+# the per-minute sums, and forward-fill gaps from the last observed
+# minute. The reference's telemetry is a 1 Hz series where a missing
+# sample means "carry the last state" (the brake-FSM lookback,
+# processor/main.py:246-293, exists precisely because state persists
+# across silent gaps) — this is that semantic as a batch operator.
+# Scale: the grid is generated per-key with sequence+explode (distributed,
+# proportional to each user's span — no driver-side range); grid build,
+# join, and forward-fill all hash on user_id so one shuffle chain; the
+# ignore-nulls last() is a single window pass.
+# --------------------------------------------------------------------------
+@CATALOG.query(
+    "resample_forward_fill",
+    oracle="""
+    WITH bounds AS (
+        SELECT user_id,
+               date_trunc('minute', min(ts)) AS lo,
+               date_trunc('minute', max(ts)) AS hi
+        FROM events GROUP BY user_id
+    ),
+    grid AS (
+        SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 MINUTE)) AS minute
+        FROM bounds
+    ),
+    agg AS (
+        SELECT user_id, date_trunc('minute', ts) AS minute,
+               sum(value) AS v, count(*) AS n
+        FROM events GROUP BY 1, 2
+    )
+    SELECT g.user_id, g.minute,
+           CAST(last_value(a.v IGNORE NULLS) OVER (
+               PARTITION BY g.user_id ORDER BY g.minute
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS REAL) AS value_sum,
+           coalesce(a.n, 0) AS n_events,
+           a.minute IS NULL AS is_filled
+    FROM grid g LEFT JOIN agg a USING (user_id, minute)
+    """,
+)
+def resample_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    minute = F.date_trunc("minute", F.col("ts"))
+    grid = (
+        ev.groupBy("user_id")
+        .agg(
+            F.date_trunc("minute", F.min("ts")).alias("lo"),
+            F.date_trunc("minute", F.max("ts")).alias("hi"),
+        )
+        .select(
+            "user_id",
+            F.explode(F.sequence("lo", "hi", F.expr("interval 1 minute"))).alias("minute"),
+        )
+    )
+    agg = ev.groupBy("user_id", minute.alias("minute")).agg(
+        F.sum("value").alias("v"), F.count("*").alias("n")
+    )
+    w = W.partitionBy("user_id").orderBy("minute").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return (
+        grid.join(agg, ["user_id", "minute"], "left")
+        .select(
+            "user_id",
+            "minute",
+            f32(F.last("v", ignorenulls=True).over(w)).alias("value_sum"),
+            F.coalesce(F.col("n"), F.lit(0)).alias("n_events"),
+            F.col("v").isNull().alias("is_filled"),
+        )
+    )
