@@ -299,3 +299,43 @@ def vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_occurrences").desc(), "token")
         .limit(100)
     )
+
+
+# --------------------------------------------------------------------------
+# train_test_split_profile — deterministic hash-based dataset split, the
+# standard trick for reproducible train/val/test assignment in a
+# training-data pipeline: bucket on the first hex digit of
+# md5(doc_id) — 13/16 train, 2/16 val, 1/16 test. No randomness, no
+# seed state, stable under re-runs and re-partitioning; md5 is
+# bit-identical across engines so the oracle matches exactly.
+# Scale: pure per-row projection (JVM md5) + a 3x|lang| groupBy —
+# map-combinable, one tiny shuffle; the assignment itself never
+# shuffles and can be fused into any downstream write.
+# --------------------------------------------------------------------------
+@CATALOG.query(
+    "train_test_split_profile",
+    oracle="""
+    WITH assigned AS (
+        SELECT lang, n_chars,
+               CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'd' THEN 'train'
+                    WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'f' THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    )
+    SELECT split, lang, count(*) AS n_docs,
+           CAST(avg(n_chars) AS REAL) AS avg_chars
+    FROM assigned
+    GROUP BY split, lang
+    """,
+)
+def train_test_split_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    digit = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    split = (
+        F.when(digit < "d", "train").when(digit < "f", "val").otherwise("test")
+    )
+    return (
+        _docs(spark, sf_dir)
+        .select(split.alias("split"), "lang", "n_chars")
+        .groupBy("split", "lang")
+        .agg(F.count("*").alias("n_docs"), f32(F.avg("n_chars")).alias("avg_chars"))
+    )
