@@ -578,7 +578,9 @@ def events_in_error_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT user_id,
                date_trunc('minute', min(ts)) AS lo,
                date_trunc('minute', max(ts)) AS hi
-        FROM events GROUP BY user_id
+        FROM events
+        WHERE ts >= TIMESTAMP '2024-01-15' AND ts < TIMESTAMP '2024-01-16'
+        GROUP BY user_id
     ),
     grid AS (
         SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 MINUTE)) AS minute
@@ -587,7 +589,9 @@ def events_in_error_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg AS (
         SELECT user_id, date_trunc('minute', ts) AS minute,
                sum(value) AS v, count(*) AS n
-        FROM events GROUP BY 1, 2
+        FROM events
+        WHERE ts >= TIMESTAMP '2024-01-15' AND ts < TIMESTAMP '2024-01-16'
+        GROUP BY 1, 2
     )
     SELECT g.user_id, g.minute,
            CAST(last_value(a.v IGNORE NULLS) OVER (
@@ -599,7 +603,9 @@ def events_in_error_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def resample_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _events(spark, sf_dir)
+    ev = _events(spark, sf_dir).where(
+        (F.col("ts") >= "2024-01-15") & (F.col("ts") < "2024-01-16")
+    )
     minute = F.date_trunc("minute", F.col("ts"))
     grid = (
         ev.groupBy("user_id")
