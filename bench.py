@@ -54,6 +54,11 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 4)
     total = round(time.perf_counter() - t_total0, 4)
 
+    # Two lines, full detail first: the driver keeps only the TAIL of
+    # the output, so the LAST line must be a complete, compact JSON
+    # object on its own (r1's single giant line lost its head and
+    # recorded parsed: null). The per-query breakdown stays available in
+    # the preceding line for human/judge reading.
     print(
         json.dumps(
             {
@@ -61,6 +66,17 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_wall_sec",
+                "value": total,
+                "unit": "sec",
+                "n_queries": len(timings),
                 "sf": sf,
             }
         )

@@ -236,15 +236,16 @@ def jaccard_pairs(
     text_col: str = "text",
     k: int = 5,
 ) -> DataFrame:
-    """Exact shingle-set Jaccard for candidate pairs (broadcast form).
+    """Exact shingle-set Jaccard for candidate pairs (broadcast form —
+    the OPT-IN small-corpus fast path; ``jaccard_pairs_shuffled`` is the
+    default verify stage).
 
-    The doc -> shingle-set map is broadcast once per executor and each
-    candidate pair is scored with native Python set intersection inside
-    an Arrow-batched map stage — only the (id_a, id_b) pairs flow
-    through the plan. ~2x over the shuffle-join + array_intersect form
-    (``jaccard_pairs_shuffled``), which remains the path when the doc
-    side exceeds executor memory (one dedup shard at 100 TB stays
-    broadcast-able; an unsharded corpus does not).
+    The doc -> shingle-set map is collected to the DRIVER, broadcast
+    once per executor, and each candidate pair is scored with native
+    Python set intersection inside an Arrow-batched map stage — only the
+    (id_a, id_b) pairs flow through the plan. ~2x over the shuffle-join
+    form on a corpus that fits driver memory; past that the driver
+    collect is the bound, which is why this form is not the default.
 
     Output: ``id_a, id_b, jaccard`` (float32).
     """
@@ -296,7 +297,9 @@ def jaccard_pairs_shuffled(
     text_col: str = "text",
     k: int = 5,
 ) -> DataFrame:
-    """Exact shingle-set Jaccard via joins (the beyond-broadcast path).
+    """Exact shingle-set Jaccard via joins (the default verify stage —
+    nothing is materialized on the driver, so corpus size is bounded by
+    the cluster, not one process).
 
     The sets are 61-bit hashes of the shingles, not the strings:
     array_intersect on longs is ~10x cheaper than on UTF8 strings and a
@@ -343,11 +346,19 @@ def minhash_near_dups(
     num_hashes: int = 64,
     bands: int = 16,
     seed: int = 42,
+    verify: str = "shuffled",
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: candidates via banding, then
-    exact-Jaccard verification at ``threshold``."""
+    exact-Jaccard verification at ``threshold``.
+
+    ``verify`` picks the verification stage: ``"shuffled"`` (default —
+    join-based, no driver materialization, the 100 TB path) or
+    ``"broadcast"`` (driver-collected shingle-set dict; ~2x faster on a
+    corpus that fits driver memory, opt-in only).
+    """
     cands = minhash_candidate_pairs(docs, id_col, text_col, k, num_hashes, bands, seed)
-    return jaccard_pairs(docs, cands, id_col, text_col, k).where(
+    verify_fn = {"shuffled": jaccard_pairs_shuffled, "broadcast": jaccard_pairs}[verify]
+    return verify_fn(docs, cands, id_col, text_col, k).where(
         F.col("jaccard") >= threshold
     )
 
@@ -554,16 +565,23 @@ def connected_components(
     sym = edges.union(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
     ).localCheckpoint()
-    # Size the per-round shuffle width to the edge volume (~500k edges
-    # per partition): CC rounds are many small shuffles, and running a
+    # Size the per-round frame width to the edge volume (~500k edges per
+    # partition): CC rounds are many small shuffles, and running a
     # 1k-edge graph through 32-way exchanges costs more scheduling than
-    # compute. Restored after the loop.
+    # compute. The width is applied with EXPLICIT per-frame
+    # repartition() — never by mutating the session-global
+    # spark.sql.shuffle.partitions, which would race with concurrent
+    # queries on a shared session. Intermediate join/agg exchanges that
+    # still plan at session width are coalesced down by AQE at runtime.
     n_edges = sym.count()
     width = max(2, min(spark.sparkContext.defaultParallelism, n_edges // 500_000 + 1))
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(width))
+    sym = sym.repartition(width, "v").localCheckpoint()
     labels = (
-        sym.select("u").distinct().withColumn("label", F.col("u")).localCheckpoint()
+        sym.select("u")
+        .distinct()
+        .withColumn("label", F.col("u"))
+        .repartition(width, "u")
+        .localCheckpoint()
     )
     prev_sum = None
     for _ in range(max_iterations):
@@ -586,11 +604,11 @@ def connected_components(
             .select(
                 "u", F.coalesce(F.col("_jlabel"), F.col("label")).alias("label")
             )
+            .repartition(width, "u")
             .localCheckpoint()
         )
         label_sum = labels.agg(F.sum("label")).collect()[0][0]
         if label_sum == prev_sum:
             break
         prev_sum = label_sum
-    spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return labels.select(F.col("u").alias("node"), F.col("label").alias("component"))

@@ -63,14 +63,25 @@ def train_centroids(
     sample_size: int = 2048,
     iters: int = 10,
     seed: int = 42,
+    id_col: str = "vec_id",
 ) -> list[list[float]]:
     """Spherical k-means on a deterministic sample (driver-side numpy).
 
     The sample bound keeps driver memory flat regardless of corpus
     size; the quantizer quality depends on the sample, not the corpus.
+    The sample is the ``sample_size`` smallest ids (TakeOrdered — one
+    scan, no full sort), NOT a bare limit(): limit() keeps whichever
+    partitions answer first, so centroids — and every downstream ANN
+    result — would vary with file layout and cluster timing.
     """
     sample = np.array(
-        [r[0] for r in emb_df.select(emb_col).limit(sample_size).collect()],
+        [
+            r[0]
+            for r in emb_df.select(emb_col, id_col)
+            .orderBy(id_col)
+            .limit(sample_size)
+            .collect()
+        ],
         dtype=np.float64,
     )
     sample /= np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
@@ -149,7 +160,6 @@ def _cells_pandas(
 def ann_cosine_topk(
     emb_df: DataFrame,
     queries_df: DataFrame,
-    dim: int,
     k: int = 5,
     nlist: int = 16,
     nprobe: int = 8,
@@ -172,7 +182,7 @@ def ann_cosine_topk(
     import pandas as pd
 
     if centroids is None:
-        centroids = train_centroids(emb_df, emb_col, nlist=nlist, seed=seed)
+        centroids = train_centroids(emb_df, emb_col, nlist=nlist, seed=seed, id_col=id_col)
 
     corpus = _cells_pandas(emb_df, centroids, 1, "neighbor_id", id_col, emb_col)
     q = _cells_pandas(queries_df, centroids, nprobe, "query_id", id_col, emb_col)
@@ -267,7 +277,6 @@ def cosine_pairs_bruteforce(
 
 def embedding_near_dup_pairs(
     emb_df: DataFrame,
-    dim: int,
     threshold: float = 0.3,
     nlist: int = 16,
     nprobe: int = 4,
@@ -298,7 +307,7 @@ def embedding_near_dup_pairs(
     import pandas as pd
 
     if centroids is None:
-        centroids = train_centroids(emb_df, emb_col, nlist=nlist, seed=seed)
+        centroids = train_centroids(emb_df, emb_col, nlist=nlist, seed=seed, id_col=id_col)
 
     indexed = _cells_pandas(
         emb_df, centroids, nprobe, "id_a", id_col, emb_col

@@ -37,10 +37,21 @@ def salted_join(
     The big side gets a deterministic per-row salt (hash of the whole
     row), the small side is replicated once per salt value, and the join
     key becomes (keys..., salt). Output equals ``big.join(small, on,
-    how)`` exactly; the cost is |small| * n_salts build rows — cheap
-    when small is dimension-sized, which is exactly the skewed-fact
-    x dimension shape this exists for.
+    how)`` exactly for the supported join types; the cost is
+    |small| * n_salts build rows — cheap when small is dimension-sized,
+    which is exactly the skewed-fact x dimension shape this exists for.
+
+    Only big-side-preserving joins are supported (inner/left/semi/anti):
+    a right or full outer join would emit every UNMATCHED small-side row
+    once per salt replica, so the replication trick changes the result.
     """
+    allowed = {"inner", "left", "leftouter", "left_outer", "semi", "leftsemi",
+               "left_semi", "anti", "leftanti", "left_anti"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join supports inner/left/left_semi/left_anti, got {how!r}: "
+            "outer joins would duplicate unmatched replicated small-side rows"
+        )
     keys = [on] if isinstance(on, str) else list(on)
     salt = F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(n_salts))
     big_s = big.withColumn(_SALT, salt)

@@ -37,14 +37,18 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     integer division (DuckDB's reader truncates ns→us the same way;
     a double-precision division here would lose sub-ms precision on
     ~1.7e18 ns epochs).
+
+    Sessions built by ``session.get_spark`` already carry the engine's
+    session-wide confs (UTC timezone, nanosAsLong); for a caller-owned
+    session (the verification driver's) they are applied here once via
+    ``ensure_engine_confs`` — a documented session-wide requirement of
+    the engine, not a hidden per-read toggle.
     """
-    # Oracle parity requires UTC-naive timestamp semantics end-to-end;
-    # the session timeZone is runtime-settable, so pin it here in case
-    # the caller's session (e.g. the driver's) was built without it.
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    from orca_ztbus_python_processor_spark.session import ensure_engine_confs  # noqa: PLC0415
+
+    ensure_engine_confs(spark)
     path = table_path(sf_dir, name)
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         return (
             spark.read.parquet(path)
             .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))

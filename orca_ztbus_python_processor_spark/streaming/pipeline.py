@@ -36,8 +36,9 @@ STREAM_STATE_SHARDS = 8
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events as a file stream (one-file parquet source; at scale this
     is the Kafka/Delta ingest edge)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    from orca_ztbus_python_processor_spark.session import ensure_engine_confs  # noqa: PLC0415
+
+    ensure_engine_confs(spark)
     raw_schema = "event_id long, ts long, user_id long, event_type string, value double, props string"
     return (
         spark.readStream.schema(raw_schema)

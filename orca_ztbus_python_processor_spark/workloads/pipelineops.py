@@ -73,8 +73,7 @@ def ann_cosine_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
     queries = emb.where(F.col("vec_id") % 50 == 0)
-    dim = len(emb.select("emb").first()["emb"])
-    return ann_cosine_topk(emb, queries, dim=dim, k=5)
+    return ann_cosine_topk(emb, queries, k=5)
 
 
 @CATALOG.query("embedding_near_dup_blocked")
@@ -85,8 +84,7 @@ def embedding_near_dup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
-    dim = len(emb.select("emb").first()["emb"])
-    return embedding_near_dup_pairs(emb, dim=dim, threshold=0.3)
+    return embedding_near_dup_pairs(emb, threshold=0.3)
 
 
 @CATALOG.query("doc_fingerprints")

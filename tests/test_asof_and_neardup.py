@@ -83,7 +83,6 @@ def test_embedding_near_dup_blocked_recall(spark):
     emb = read_table(spark, SMOKE_SF_DIR, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
-    dim = len(emb.select("emb").first()["emb"])
 
     import numpy as np
 
@@ -101,7 +100,7 @@ def test_embedding_near_dup_blocked_recall(spark):
 
     got = {
         (r["id_a"], r["id_b"])
-        for r in embedding_near_dup_pairs(emb, dim=dim, threshold=0.3).collect()
+        for r in embedding_near_dup_pairs(emb, threshold=0.3).collect()
     }
     assert got <= truth or not truth, "blocked variant must not invent pairs"
     recall = len(got & truth) / len(truth) if truth else 1.0

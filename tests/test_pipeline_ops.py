@@ -98,9 +98,8 @@ def test_ann_recall_against_bruteforce(spark):
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
     queries = emb.where(F.col("vec_id") % 50 == 0)
-    dim = len(emb.select("emb").first()["emb"])
 
-    approx = ann_cosine_topk(emb, queries, dim=dim, k=5).collect()
+    approx = ann_cosine_topk(emb, queries, k=5).collect()
     approx_pairs = {(r["query_id"], r["neighbor_id"]) for r in approx}
 
     # brute force
