@@ -103,16 +103,26 @@ def windows_table_sink(
     window_events: DataFrame,
     checkpoint_dir: str,
     out_path: str,
+    output_mode: str = "append",
 ) -> StreamingQuery:
     """S8: append window-event rows to a parquet ``windows`` table via
     foreachBatch (the reference's EmitWindow gRPC sink,
-    ``simulator/main.py:104-112``, as an exactly-once table append)."""
+    ``simulator/main.py:104-112``, as an exactly-once table append).
+
+    ``output_mode`` follows the usual watermark trade-off: ``append``
+    emits a window once, when the watermark finalizes it (the unbounded-
+    stream mode — windows still inside the watermark stay in state);
+    ``complete`` re-emits the full result each epoch, which with an
+    availableNow one-shot drain is exactly one full write — the mode a
+    bounded replay/backfill wants.
+    """
 
     def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
         batch_df.write.mode("append").parquet(out_path)
 
     return (
         window_events.writeStream.foreachBatch(write_batch)
+        .outputMode(output_mode)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()

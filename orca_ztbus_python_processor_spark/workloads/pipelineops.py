@@ -87,6 +87,42 @@ def embedding_near_dup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dup_pairs(emb, threshold=0.3)
 
 
+@CATALOG.query("embedding_dup_components_blocked")
+def embedding_dup_components_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1/X2 scale composition: the 100 TB dup-cluster pipeline with NO
+    all-pairs or driver-side stage — IVF-cell-blocked near-dup pairs
+    (operators/similarity.py embedding_near_dup_pairs) feeding
+    connected components (operators/dedup.py connected_components).
+
+    The exact twin is ``embedding_dup_components`` (workloads/vectors.py:
+    brute-force pairs -> CC, oracle-matched against a DuckDB recursive
+    CTE); parity between the two at equal threshold is pinned in
+    tests/test_pipeline_ops.py. Same output shape:
+    ``vec_id, component, is_canonical``.
+    """
+    from orca_ztbus_python_processor_spark.operators.dedup import (  # noqa: PLC0415
+        connected_components,
+    )
+    from orca_ztbus_python_processor_spark.workloads.vectors import (  # noqa: PLC0415
+        CC_THRESHOLD,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    pairs = embedding_near_dup_pairs(emb, threshold=CC_THRESHOLD)
+    comp = connected_components(pairs)
+    return emb.select("vec_id").join(
+        F.broadcast(comp), emb.vec_id == comp.node, "left"
+    ).select(
+        "vec_id",
+        F.coalesce(F.col("component"), F.col("vec_id")).alias("component"),
+        (F.coalesce(F.col("component"), F.col("vec_id")) == F.col("vec_id")).alias(
+            "is_canonical"
+        ),
+    )
+
+
 @CATALOG.query("doc_fingerprints")
 def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprints (k=8, window=4) per document."""

@@ -14,10 +14,59 @@ from orca_ztbus_python_processor_spark.streaming.pipeline import (
     read_events_stream,
     run_to_memory,
     windowed_agg_stream,
+    windows_table_sink,
 )
 from orca_ztbus_python_processor_spark.workloads.base import Catalog
 
 CATALOG = Catalog()
+
+
+@CATALOG.query(
+    "stream_windows_table_roundtrip",
+    oracle="""
+    SELECT DISTINCT
+           date_trunc('minute', ts) AS time_from,
+           date_trunc('minute', ts) + INTERVAL 1 MINUTE AS time_to,
+           'EveryMinutePerUser' AS name,
+           '1.0.0' AS version,
+           'active_user_emitter' AS origin,
+           user_id
+    FROM events
+    """,
+)
+def stream_windows_table_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8 through a REAL sink: the per-user minute window-event fan-out
+    (the reference simulator's EmitWindow stream, simulator/main.py:
+    104-112) driven availableNow through the foreachBatch parquet
+    windows-table sink (streaming/pipeline.py windows_table_sink), then
+    read BACK from the written table — the oracle compares the durable
+    result, not the in-flight stream. Same oracle as the batch twin
+    ``minute_window_events``."""
+    import tempfile  # noqa: PLC0415
+
+    agged = windowed_agg_stream(
+        read_events_stream(spark, sf_dir), [F.count("*").alias("_n")]
+    )
+    window_events = agged.select(
+        "time_from",
+        "time_to",
+        F.lit("EveryMinutePerUser").alias("name"),
+        F.lit("1.0.0").alias("version"),
+        F.lit("active_user_emitter").alias("origin"),
+        "user_id",
+    )
+    # Fresh temp dir per invocation (exactly-once layout, no cross-run
+    # appends); the written table outlives this call so the returned
+    # frame stays a LAZY distributed scan — no driver materialization.
+    root = tempfile.mkdtemp(prefix="windows_sink_")
+    out_path = f"{root}/windows"
+    # complete mode + availableNow = one full write of every window
+    # (bounded replay); see windows_table_sink docstring.
+    q = windows_table_sink(
+        window_events, f"{root}/ckpt", out_path, output_mode="complete"
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_path)
 
 
 @CATALOG.query(

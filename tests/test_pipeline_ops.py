@@ -172,3 +172,37 @@ def test_frame_sample_counts(spark):
     )
     for r in got:
         assert r["n"] == (r["n_frames"] + 23) // 24
+
+
+def test_dup_components_blocked_refines_exact(spark):
+    """The cell-blocked dup-cluster pipeline (blocked pairs -> CC) must
+    be a REFINEMENT of the exact one at equal threshold: blocked pairs
+    are a subset of exact pairs (no invented edges), so two nodes the
+    blocked variant clusters together must share an exact cluster —
+    components may split on a missed edge, never merge wrongly. Also pin
+    that near-all nodes land on identical labels (recall floor)."""
+    from orca_ztbus_python_processor_spark.workloads.pipelineops import (
+        embedding_dup_components_blocked,
+    )
+    from orca_ztbus_python_processor_spark.workloads.vectors import (
+        embedding_dup_components,
+    )
+
+    exact = {
+        r["vec_id"]: r["component"]
+        for r in embedding_dup_components(spark, SMOKE_SF_DIR).collect()
+    }
+    blocked = {
+        r["vec_id"]: r["component"]
+        for r in embedding_dup_components_blocked(spark, SMOKE_SF_DIR).collect()
+    }
+    assert set(blocked) == set(exact)  # every vector assigned exactly once
+
+    # refinement: same blocked label => same exact label
+    by_blocked: dict[int, set[int]] = {}
+    for node, comp in blocked.items():
+        by_blocked.setdefault(comp, set()).add(exact[node])
+    assert all(len(s) == 1 for s in by_blocked.values()), "blocked CC merged nodes the exact clustering separates"
+
+    same = sum(1 for n in exact if exact[n] == blocked[n])
+    assert same / len(exact) >= 0.95, f"blocked clustering diverges on {len(exact) - same}/{len(exact)} nodes"
