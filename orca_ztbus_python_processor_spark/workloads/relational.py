@@ -563,3 +563,38 @@ def unpivot_returnflag_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wide.unpivot(
         ["l_returnflag"], ["sum_qty", "sum_price", "sum_disc"], "measure", "value"
     )
+
+
+# --------------------------------------------------------------------------
+# salted_mktsegment_rollup — the skew-mitigation join under the oracle
+# gate: orders (fact) joined to the customer segment dimension through
+# operators/skew.salted_join, which pre-splits every key n_salts ways
+# so one hot customer cannot pin a reducer (the case AQE's runtime
+# skew split can't fix when the skewed side is the build side). The
+# salted result must equal the plain join exactly — that equivalence
+# IS what this entry verifies against the unsalted oracle SQL.
+# --------------------------------------------------------------------------
+@CATALOG.query(
+    "salted_mktsegment_rollup",
+    oracle="""
+    SELECT c.c_mktsegment, o.o_orderpriority,
+           count(*) AS n_orders,
+           CAST(sum(o.o_totalprice) AS REAL) AS total_price
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY 1, 2
+    """,
+)
+def salted_mktsegment_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from orca_ztbus_python_processor_spark.operators.skew import salted_join  # noqa: PLC0415
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice"
+    )
+    segments = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    joined = salted_join(orders, segments, on="o_custkey", n_salts=8, how="inner")
+    return joined.groupBy("c_mktsegment", "o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        f32(F.sum("o_totalprice")).alias("total_price"),
+    )

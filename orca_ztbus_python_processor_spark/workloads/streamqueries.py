@@ -207,3 +207,40 @@ def stream_click_error_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     run_to_memory(joined, "q_stream_click_error_join", output_mode="append")
     return spark.table("q_stream_click_error_join")
+
+
+@CATALOG.query(
+    "stream_dedup_replay",
+    oracle="""
+    SELECT date_trunc('minute', ts) AS time_from,
+           event_type,
+           count(DISTINCT event_id) AS n_events
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def stream_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming dedup (ST8) as hard evidence, not by
+    construction: the events stream is unioned with a second read of
+    itself (every event arrives exactly twice), then
+    ``dropDuplicatesWithinWatermark`` on event_id collapses the copies
+    before a tumbling per-minute count. The oracle is the SINGLE-copy
+    distinct count — it only matches if the dedup state actually
+    dropped the duplicate arrivals. Watermark bounds the dedup state to
+    the late-data horizon (at 100 TB the state store holds one
+    watermark-width of keys per shard, not the corpus)."""
+    doubled = read_events_stream(spark, sf_dir).unionByName(
+        read_events_stream(spark, sf_dir)
+    )
+    deduped = doubled.withWatermark("ts", "10 minutes").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    agged = (
+        deduped.groupBy(
+            F.window(F.col("ts"), "60 seconds").alias("w"), "event_type"
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").alias("time_from"), "event_type", "n_events")
+    )
+    run_to_memory(agged, "q_stream_dedup_replay", output_mode="complete")
+    return spark.table("q_stream_dedup_replay")

@@ -302,6 +302,191 @@ def vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# repetition_signals — Gopher-style repetition / boilerplate scoring:
+# duplicate-token fraction and top-token dominance per document, the
+# two cheapest repetition gates a pretraining pipeline filters on.
+# Scale: explode widens ~n_tokens×, then two map-combinable aggs —
+# (doc_id, token) partial counts shuffle once; the per-doc rollup
+# reuses the doc_id hash partitioning (AQE keeps it one exchange
+# chain, no re-shuffle on the prefix key).
+# --------------------------------------------------------------------------
+@CATALOG.query(
+    "repetition_signals",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, lower(unnest(regexp_extract_all(text, '{TOKEN_RE}'))) AS token
+        FROM documents
+    ), per AS (
+        SELECT doc_id, token, count(*) AS cnt FROM tok GROUP BY doc_id, token
+    )
+    SELECT doc_id,
+           CAST(sum(cnt) AS BIGINT) AS n_tokens,
+           count(*) AS n_distinct_tokens,
+           CAST(1.0 - CAST(count(*) AS DOUBLE) / sum(cnt) AS REAL) AS dup_token_ratio,
+           CAST(CAST(max(cnt) AS DOUBLE) / sum(cnt) AS REAL) AS top_token_share
+    FROM per GROUP BY doc_id
+    """,
+)
+def repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tok = (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            F.explode(F.expr(f"regexp_extract_all(text, '{TOKEN_RE}', 0)")).alias("raw"),
+        )
+        .select("doc_id", F.lower(F.col("raw")).alias("token"))
+    )
+    per = tok.groupBy("doc_id", "token").agg(F.count("*").alias("cnt"))
+    n_tok = F.sum("cnt")
+    n_distinct = F.count("*")
+    return per.groupBy("doc_id").agg(
+        n_tok.alias("n_tokens"),
+        n_distinct.alias("n_distinct_tokens"),
+        f32(F.lit(1.0) - n_distinct.cast("double") / n_tok).alias("dup_token_ratio"),
+        f32(F.max("cnt").cast("double") / n_tok).alias("top_token_share"),
+    )
+
+
+# --------------------------------------------------------------------------
+# ngram_topk_bigrams — n-gram vocabulary over adjacent token pairs:
+# zip_with over two shifted slices forms the bigram array JVM-side
+# (no Python, no self-join on position), then the same two
+# map-combinable aggs + TakeOrderedAndProject as vocab_top_tokens.
+# The size>=2 guard mirrors the oracle's empty range — and avoids
+# Spark's sequence(1, size-1) descending when size<2.
+# --------------------------------------------------------------------------
+BIGRAM_TOKEN_RE = "[a-z0-9]+"
+
+
+@CATALOG.query(
+    "ngram_topk_bigrams",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '{BIGRAM_TOKEN_RE}') AS t
+        FROM documents
+    ), big AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bigram
+        FROM toks
+    )
+    SELECT bigram, count(*) AS n_occurrences, count(DISTINCT doc_id) AS doc_freq
+    FROM big GROUP BY bigram
+    ORDER BY n_occurrences DESC, bigram
+    LIMIT 100
+    """,
+)
+def ngram_topk_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.expr(f"regexp_extract_all(lower(text), '{BIGRAM_TOKEN_RE}', 0)").alias("t"),
+    ).where(F.size("t") >= 2)
+    big = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1),"
+                " (a, b) -> concat(a, ' ', b))"
+            )
+        ).alias("bigram"),
+    )
+    return (
+        big.groupBy("bigram")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("doc_freq"),
+        )
+        .orderBy(F.col("n_occurrences").desc(), "bigram")
+        .limit(100)
+    )
+
+
+# --------------------------------------------------------------------------
+# stratified_sample_profile — deterministic weighted sampling per
+# source domain (the "data mixing" primitive: upsample curated
+# domains, downsample crawl). Keep decision = first two hex chars of
+# md5(doc_id) under a per-domain threshold — no RNG state, stable
+# under re-partitioning, bit-identical across engines, and fusible
+# into any downstream write as a pure per-row predicate.
+# Scale: map-only assignment + one tiny groupBy(source) rollup.
+# --------------------------------------------------------------------------
+_SAMPLE_THRESHOLDS = {"src0": "80", "src1": "40"}  # 50%, 25%; default ~10%
+_DEFAULT_THRESHOLD = "1a"
+
+
+@CATALOG.query(
+    "stratified_sample_profile",
+    oracle=f"""
+    WITH k AS (
+        SELECT source, n_chars,
+               CASE WHEN source = 'src0' THEN '{_SAMPLE_THRESHOLDS["src0"]}'
+                    WHEN source = 'src1' THEN '{_SAMPLE_THRESHOLDS["src1"]}'
+                    ELSE '{_DEFAULT_THRESHOLD}' END AS thr,
+               substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS hx
+        FROM documents
+    )
+    SELECT source,
+           count(*) AS n_total,
+           CAST(count(CASE WHEN hx < thr THEN 1 END) AS BIGINT) AS n_sampled,
+           CAST(CAST(count(CASE WHEN hx < thr THEN 1 END) AS DOUBLE) / count(*) AS REAL)
+               AS observed_rate,
+           CAST(sum(CASE WHEN hx < thr THEN n_chars ELSE 0 END) AS BIGINT) AS sampled_chars
+    FROM k GROUP BY source
+    """,
+)
+def stratified_sample_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    thr = F.when(F.col("source") == "src0", _SAMPLE_THRESHOLDS["src0"]).when(
+        F.col("source") == "src1", _SAMPLE_THRESHOLDS["src1"]
+    ).otherwise(_DEFAULT_THRESHOLD)
+    hx = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    keep = hx < thr
+    return (
+        _docs(spark, sf_dir)
+        .select("source", "n_chars", keep.alias("keep"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.count(F.when(F.col("keep"), 1)).alias("n_sampled"),
+            f32(
+                F.count(F.when(F.col("keep"), 1)).cast("double") / F.count("*")
+            ).alias("observed_rate"),
+            F.sum(F.when(F.col("keep"), F.col("n_chars")).otherwise(0)).alias(
+                "sampled_chars"
+            ),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# pii_scrub_events — PII/identifier redaction plumbing: count and mask
+# numeric runs in the events props payload (stand-in for the
+# email/phone/SSN regex bank a production scrubber ships — same
+# regexp_replace pipeline, different pattern set). Per-row codegen
+# string ops, embarrassingly parallel; at 100 TB this fuses into the
+# ingest scan with zero extra passes.
+# --------------------------------------------------------------------------
+NUM_RUN_RE = "[0-9]+"
+
+
+@CATALOG.query(
+    "pii_scrub_events",
+    oracle=f"""
+    SELECT event_id,
+           CAST(len(regexp_extract_all(props, '{NUM_RUN_RE}')) AS BIGINT) AS n_number_runs,
+           regexp_replace(props, '{NUM_RUN_RE}', '<NUM>', 'g') AS scrubbed
+    FROM events
+    """,
+)
+def pii_scrub_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return read_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.regexp_count(F.col("props"), F.lit(NUM_RUN_RE)).cast("long").alias(
+            "n_number_runs"
+        ),
+        F.regexp_replace(F.col("props"), NUM_RUN_RE, "<NUM>").alias("scrubbed"),
+    )
+
+
+# --------------------------------------------------------------------------
 # train_test_split_profile — deterministic hash-based dataset split, the
 # standard trick for reproducible train/val/test assignment in a
 # training-data pipeline: bucket on the first hex digit of

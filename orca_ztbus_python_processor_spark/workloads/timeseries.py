@@ -632,3 +632,107 @@ def resample_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("v").isNull().alias("is_filled"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# hour_rollup_from_minute — hierarchical continuous aggregate: the
+# hour grain is DERIVED from the minute grain (sum of partial counts /
+# sums), not recomputed from raw rows — the TimescaleDB-style rollup
+# tree a 100 TB telemetry store maintains incrementally. In Spark the
+# same shape is an aggregation tree: the minute agg shuffles raw rows
+# once on (minute, type); the hour rollup re-aggregates ~1440× fewer
+# rows, and at scale the minute layer is a materialized table shared
+# by every coarser grain (day/week reuse it the same way).
+# --------------------------------------------------------------------------
+@CATALOG.query(
+    "hour_rollup_from_minute",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS hour_ts,
+           event_type,
+           count(*) AS n_events,
+           CAST(sum(value) AS REAL) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def hour_rollup_from_minute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    minute = (
+        _events(spark, sf_dir)
+        .groupBy(
+            F.date_trunc("minute", F.col("ts")).alias("minute_ts"), "event_type"
+        )
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
+    )
+    return minute.groupBy(
+        F.date_trunc("hour", F.col("minute_ts")).alias("hour_ts"), "event_type"
+    ).agg(
+        F.sum("n_events").alias("n_events"),
+        f32(F.sum("sum_value")).alias("total_value"),
+    )
+
+
+# --------------------------------------------------------------------------
+# event_funnel_stages — ordered-funnel analysis (view -> click after
+# that view -> purchase after that click), per user. One shuffle total:
+# three chained unordered windows over the SAME partitionBy(user_id)
+# spec compute each stage's earliest qualifying timestamp (stage N's
+# predicate references stage N-1's column — Catalyst stacks the Window
+# nodes on one Exchange, no sort needed for min), and the final
+# per-user collapse reuses the user_id hash partitioning.
+# --------------------------------------------------------------------------
+@CATALOG.query(
+    "event_funnel_stages",
+    oracle="""
+    WITH v AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'view' THEN ts END) AS t_view
+        FROM events GROUP BY user_id
+    ), c AS (
+        SELECT e.user_id, any_value(v.t_view) AS t_view,
+               min(CASE WHEN e.event_type = 'click' AND e.ts > v.t_view
+                        THEN e.ts END) AS t_click
+        FROM events e JOIN v USING (user_id) GROUP BY e.user_id
+    ), p AS (
+        SELECT e.user_id, any_value(c.t_view) AS t_view,
+               any_value(c.t_click) AS t_click,
+               min(CASE WHEN e.event_type = 'purchase' AND e.ts > c.t_click
+                        THEN e.ts END) AS t_purchase
+        FROM events e JOIN c USING (user_id) GROUP BY e.user_id
+    )
+    SELECT user_id, t_view, t_click, t_purchase FROM p
+    """,
+)
+def event_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = W.partitionBy("user_id")
+    staged = (
+        _events(spark, sf_dir)
+        .select("user_id", "ts", "event_type")
+        .withColumn(
+            "t_view",
+            F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w),
+        )
+        .withColumn(
+            "t_click",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click") & (F.col("ts") > F.col("t_view")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "t_purchase",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") > F.col("t_click")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+    )
+    return staged.groupBy("user_id").agg(
+        F.min("t_view").alias("t_view"),
+        F.min("t_click").alias("t_click"),
+        F.min("t_purchase").alias("t_purchase"),
+    )

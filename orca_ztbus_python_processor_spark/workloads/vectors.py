@@ -234,3 +234,66 @@ def embedding_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_canonical"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# embedding_quantize_profile — int8 scalar quantization audit: per
+# vector, the symmetric scale (127 / max|x|) and the reconstruction
+# MSE after round-tripping through the quantized grid. This is the
+# compression step a 100 TB ANN index applies before storage (4×
+# smaller than float32, distance error bounded by the MSE reported
+# here) — map-only higher-order array math, JVM-side, no shuffle.
+# Both engines fold the squared-error sum left-to-right over the same
+# float64 elements, so the double result is bit-identical before the
+# float32 output cast.
+# --------------------------------------------------------------------------
+@CATALOG.query(
+    "embedding_quantize_profile",
+    oracle="""
+    WITH s AS (
+        SELECT vec_id, CAST(label AS BIGINT) AS label,
+               len(embedding) AS n_dims,
+               list_aggregate(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))),
+                              'max') AS max_abs,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    )
+    SELECT vec_id, label, n_dims,
+           CAST(127.0 / max_abs AS REAL) AS scale,
+           CAST(list_aggregate(
+                    list_transform(v, x -> pow(x - round(x * (127.0 / max_abs))
+                                                    / (127.0 / max_abs), 2)),
+                    'sum') / n_dims AS REAL) AS quant_mse
+    FROM s
+    WHERE max_abs > 0
+    """,
+)
+def embedding_quantize_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _emb(spark, sf_dir)
+    max_abs = F.aggregate(
+        F.transform(F.col("emb"), lambda x: F.abs(x)),
+        F.lit(0.0),
+        lambda acc, x: F.greatest(acc, x),
+    )
+    staged = df.select(
+        "vec_id",
+        "label",
+        F.size("emb").cast("long").alias("n_dims"),
+        F.col("emb").alias("v"),
+        max_abs.alias("max_abs"),
+    ).where(F.col("max_abs") > 0)
+    scale = F.lit(127.0) / F.col("max_abs")
+    sq_err = F.aggregate(
+        F.transform(
+            F.col("v"), lambda x: F.pow(x - F.round(x * scale) / scale, F.lit(2.0))
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return staged.select(
+        "vec_id",
+        "label",
+        "n_dims",
+        f32(scale).alias("scale"),
+        f32(sq_err / F.col("n_dims")).alias("quant_mse"),
+    )
