@@ -57,6 +57,35 @@ _R1_DRIVER_VERIFIED = frozenset({
 })
 
 
+# The 50 queries that existed at the start of round 2 without a
+# CORRECTNESS_r01 row. These exactly fill the driver's 50-entry round-2
+# sample, so they are pinned to the front of the catalog; queries added
+# later in round 2 must not displace them (they get sampled in round 3).
+_R2_SAMPLE = frozenset({
+    "minute_window_events", "value_lag_diff", "user_sessions_gap",
+    "event_type_runs", "error_event_runs", "events_asof_orders",
+    "events_in_error_runs", "resample_forward_fill", "json_props_by_type",
+    "dedup_exact", "dedup_sha256", "token_stats", "doc_quality",
+    "lang_id_heuristic", "vocab_top_tokens", "bpe_pretokenize_stats",
+    "cosine_topk_bruteforce",
+    "embedding_dup_components", "registry_fused_minute",
+    "stream_error_runs", "stream_click_error_join",
+    "approx_distinct_users_daily", "minhash_near_dup_pairs",
+    "ngram_jaccard_pairs", "simhash_near_dup_pairs", "ann_cosine_topk",
+    "embedding_near_dup_blocked", "embedding_dup_components_blocked",
+    "doc_fingerprints", "multimodal_features", "multimodal_frame_sample",
+    "ztbus_fused_minute", "ztbus_active_busses_minute",
+    "ztbus_brake_run_windows", "stream_windows_table_roundtrip",
+    "repetition_signals", "ngram_topk_bigrams",
+    "embedding_near_dup_exact", "embedding_norms",
+    "embedding_quantize_profile", "event_funnel_stages",
+    "hour_rollup_from_minute", "label_centroids", "lang_source_profile",
+    "pii_scrub_events", "salted_mktsegment_rollup",
+    "stratified_sample_profile", "stream_dedup_replay",
+    "stream_minute_user_agg", "train_test_split_profile",
+})
+
+
 def merged_catalog() -> Catalog:
     """Merge every workload module's catalog into one, ordered for
     driver-sample coverage (see ``_R1_DRIVER_VERIFIED``)."""
@@ -94,7 +123,17 @@ def merged_catalog() -> Catalog:
         merged.oracles.update(cat.oracles)
 
     def _rank(name: str) -> tuple[int, int]:
-        return (name in _R1_DRIVER_VERIFIED, name not in merged.oracles)
+        # r2 sample slots are exactly filled by the 50 queries round 1
+        # never verified (_R2_SAMPLE); brand-new queries added during
+        # round 2 rank after them (driver evidence arrives in round 3)
+        # but before the already-verified r1 set.
+        if name in _R2_SAMPLE:
+            group = 0
+        elif name not in _R1_DRIVER_VERIFIED:
+            group = 1
+        else:
+            group = 2
+        return (group, name not in merged.oracles)
 
     ordered = Catalog()
     for name in sorted(merged.queries, key=_rank):  # stable: insertion order within rank

@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from orca_ztbus_python_processor_spark.operators.dedup import (
-    jaccard_pairs,
+    jaccard_pairs_shuffled,
     minhash_candidate_pairs,
     minhash_near_dups,
     simhash_near_dups,
@@ -51,10 +51,11 @@ def minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @CATALOG.query("ngram_jaccard_pairs")
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 5-gram Jaccard scores over LSH candidate pairs (the
-    verification stage exposed as its own operator)."""
+    verification stage exposed as its own operator — the shuffle-join
+    form; the driver-collect fast path stays opt-in in operators/dedup)."""
     docs = _docs(spark, sf_dir)
     cands = minhash_candidate_pairs(docs)
-    return jaccard_pairs(docs, cands)
+    return jaccard_pairs_shuffled(docs, cands)
 
 
 @CATALOG.query("simhash_near_dup_pairs")
