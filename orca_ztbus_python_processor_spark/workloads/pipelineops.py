@@ -50,11 +50,15 @@ def minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @CATALOG.query("ngram_jaccard_pairs")
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 5-gram Jaccard scores over LSH candidate pairs (the
-    verification stage exposed as its own operator — the shuffle-join
-    form; the driver-collect fast path stays opt-in in operators/dedup)."""
+    """Exact 5-gram Jaccard scores over sketch-gated LSH candidate pairs
+    (the verification stage exposed as its own operator — the
+    shuffle-join form; the driver-collect fast path stays opt-in in
+    operators/dedup). Candidates are gated at signature-estimate >= 0.2:
+    banding alone admits ~100x false candidates around j ~ 0.2-0.3, and
+    exact-scoring those is pure waste in a dedup pipeline whose
+    downstream thresholds start at 0.4."""
     docs = _docs(spark, sf_dir)
-    cands = minhash_candidate_pairs(docs)
+    cands = minhash_candidate_pairs(docs, min_est=0.2)
     return jaccard_pairs_shuffled(docs, cands)
 
 

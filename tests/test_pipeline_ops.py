@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 
 from orca_ztbus_python_processor_spark.operators.dedup import (
     jaccard_pairs,
+    jaccard_pairs_shuffled,
     minhash_candidate_pairs,
     minhash_near_dups,
     simhash_near_dups,
@@ -75,6 +76,40 @@ def test_jaccard_values_exact(spark, docs_pdf):
     for r in got:
         expected = _py_jaccard(texts[r["id_a"]], texts[r["id_b"]])
         assert abs(r["jaccard"] - expected) < 1e-6, (r["id_a"], r["id_b"])
+
+
+def test_jaccard_shuffled_matches_broadcast(spark, docs_pdf):
+    """The scale-path verify stage (shuffle-hash joins over hashed
+    shingle sets) must produce EXACTLY the broadcast form's scores —
+    same pairs, same float32 jaccard — so switching paths by corpus
+    size never changes results."""
+    docs = read_table(spark, SMOKE_SF_DIR, "documents")
+    cands = minhash_candidate_pairs(docs)
+    a = {(r["id_a"], r["id_b"]): r["jaccard"] for r in jaccard_pairs(docs, cands).collect()}
+    b = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in jaccard_pairs_shuffled(docs, cands).collect()
+    }
+    assert set(a) == set(b)
+    assert max(abs(a[p] - b[p]) for p in a) < 1e-6
+
+
+def test_sketch_gate_keeps_all_above_threshold_pairs(spark):
+    """The nibble-sketch candidate gate is a recall filter: every pair
+    the ungated pipeline verifies at jaccard >= threshold must survive
+    gating at threshold - 0.2 (> 3 sigma of the 64-hash estimate)."""
+    docs = read_table(spark, SMOKE_SF_DIR, "documents")
+    ungated = jaccard_pairs_shuffled(docs, minhash_candidate_pairs(docs))
+    truth = {
+        (r["id_a"], r["id_b"])
+        for r in ungated.where(F.col("jaccard") >= 0.5).collect()
+    }
+    gated = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_candidate_pairs(docs, min_est=0.3).collect()
+    }
+    missed = truth - gated
+    assert not missed, f"sketch gate dropped {len(missed)} true pairs"
 
 
 def test_simhash_identical_docs_zero_hamming(spark):
