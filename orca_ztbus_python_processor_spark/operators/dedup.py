@@ -213,6 +213,10 @@ def _doc_signatures(
                 out_sig.append(sig)
                 out_bands.append(bh)
                 out_sk.append(sk)
+            if not out_id:
+                # an empty pandas frame types the array columns float64,
+                # which Arrow cannot convert to list<int64> — skip
+                continue
             yield pd.DataFrame(
                 {
                     "_id": out_id,
@@ -399,6 +403,10 @@ def _shingle_hash_sets(
                 h2 = (win @ pows2) % M2
                 out_id.append(doc_id)
                 out_set.append(np.unique((h1 << np.int64(31)) | h2))
+            if not out_id:
+                # an empty pandas frame types the array column float64,
+                # which Arrow cannot convert to list<int64> — skip
+                continue
             yield pd.DataFrame({"_id": out_id, "_set": out_set})
 
     return _spread(docs.select(id_col, text_col)).mapInPandas(

@@ -13,10 +13,54 @@ Scale posture:
 from __future__ import annotations
 
 import os
+import tempfile
+import zipfile
 
 from pyspark.sql import SparkSession
 
 DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+# Spark application ids whose Python workers can already import this
+# package (ship_package ran for them).
+_SHIPPED_APP_IDS: set[str] = set()
+
+
+def ship_package(spark: SparkSession) -> None:
+    """Make this package importable on executor Python workers.
+
+    Worker-side stages (applyInPandasWithState FSMs, mapInPandas
+    decoders) reference module-level functions; cloudpickle serializes
+    those BY REFERENCE, so the worker must ``import
+    orca_ztbus_python_processor_spark`` itself. When the caller's
+    driver process found the package via a ``sys.path`` insert (the
+    verification harness does exactly that), workers inherit no such
+    path and every Python stage dies with ModuleNotFoundError.
+
+    Zip the package once per process and ``addPyFile`` it once per
+    Spark application — executors unpack the zip onto their
+    ``sys.path``. On a real cluster this is the same mechanism as
+    ``spark-submit --py-files``; doing it lazily here means the engine
+    works under ANY caller-owned session with no deploy step.
+    """
+    app_id = spark.sparkContext.applicationId
+    if app_id in _SHIPPED_APP_IDS:
+        return
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zip_path = os.path.join(
+        tempfile.gettempdir(), f"oztps_pkg_{os.getpid()}.zip"
+    )
+    if not os.path.exists(zip_path):
+        tmp = zip_path + ".tmp"
+        with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as zf:
+            for dirpath, _dirnames, filenames in os.walk(pkg_dir):
+                for fn in filenames:
+                    if fn.endswith(".py"):
+                        full = os.path.join(dirpath, fn)
+                        rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                        zf.write(full, rel)
+        os.replace(tmp, zip_path)
+    spark.sparkContext.addPyFile(zip_path)
+    _SHIPPED_APP_IDS.add(app_id)
 
 
 def get_spark(app_name: str = "orca-ztbus-spark", cpus: int | None = None) -> SparkSession:
@@ -64,3 +108,4 @@ def ensure_engine_confs(spark: SparkSession) -> None:
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ship_package(spark)

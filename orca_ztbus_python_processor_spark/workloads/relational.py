@@ -598,3 +598,87 @@ def salted_mktsegment_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_orders"),
         f32(F.sum("o_totalprice")).alias("total_price"),
     )
+
+
+# --------------------------------------------------------------------------
+# nation_supplier_roster — ordered string aggregation (LISTAGG): the
+# denormalized roster column a reporting sink materializes. Spark has
+# no ordered listagg aggregate, but array_sort(collect_list(...)) +
+# concat_ws is the standard rewrite and stays deterministic regardless
+# of shuffle arrival order — collect_list alone is NOT (order varies
+# per run), which is the trap this query pins down. One shuffle on
+# nationkey; the dimension join broadcasts.
+# --------------------------------------------------------------------------
+@CATALOG.query(
+    "nation_supplier_roster",
+    oracle="""
+    SELECT n.n_name AS nation,
+           count(*) AS n_suppliers,
+           CAST(sum(s.s_acctbal) AS REAL) AS total_acctbal,
+           string_agg(s.s_name, ',' ORDER BY s.s_name) AS roster
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def nation_supplier_roster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count("*").alias("n_suppliers"),
+            f32(F.sum("s_acctbal")).alias("total_acctbal"),
+            F.concat_ws(",", F.array_sort(F.collect_list("s_name"))).alias("roster"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# priority_day_grid_fill — DENSE grid materialization: every
+# (order-day, priority) cell of the cross product, zero-filled where no
+# orders exist. The gap-filling shape dashboards and training-data
+# balance reports need (a plain groupBy silently drops empty cells).
+# Both axes derive from the data itself (distinct days x distinct
+# priorities), cross-joined — each side is tiny after distinct, so the
+# cross join is broadcast — then left-joined with the real counts.
+# --------------------------------------------------------------------------
+@CATALOG.query(
+    "priority_day_grid_fill",
+    oracle="""
+    WITH days AS (SELECT DISTINCT date_trunc('day', o_orderdate) AS d FROM orders),
+         prios AS (SELECT DISTINCT o_orderpriority AS p FROM orders),
+         actual AS (
+             SELECT date_trunc('day', o_orderdate) AS d,
+                    o_orderpriority AS p,
+                    count(*) AS n,
+                    sum(o_totalprice) AS total
+             FROM orders GROUP BY 1, 2
+         )
+    SELECT days.d AS order_day,
+           prios.p AS priority,
+           CAST(COALESCE(actual.n, 0) AS BIGINT) AS n_orders,
+           CAST(COALESCE(actual.total, 0.0) AS REAL) AS total_price
+    FROM days CROSS JOIN prios
+    LEFT JOIN actual ON actual.d = days.d AND actual.p = prios.p
+    """,
+)
+def priority_day_grid_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    days = o.select(F.date_trunc("day", F.col("o_orderdate")).alias("order_day")).distinct()
+    prios = o.select(F.col("o_orderpriority").alias("priority")).distinct()
+    actual = o.groupBy(
+        F.date_trunc("day", F.col("o_orderdate")).alias("order_day"),
+        F.col("o_orderpriority").alias("priority"),
+    ).agg(F.count("*").alias("n"), F.sum("o_totalprice").alias("total"))
+    return (
+        days.crossJoin(F.broadcast(prios))
+        .join(actual, ["order_day", "priority"], "left")
+        .select(
+            "order_day",
+            "priority",
+            F.coalesce(F.col("n"), F.lit(0)).alias("n_orders"),
+            f32(F.coalesce(F.col("total"), F.lit(0.0))).alias("total_price"),
+        )
+    )

@@ -244,3 +244,41 @@ def stream_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     run_to_memory(agged, "q_stream_dedup_replay", output_mode="complete")
     return spark.table("q_stream_dedup_replay")
+
+
+@CATALOG.query(
+    "stream_sliding_rates",
+    oracle="""
+    SELECT date_trunc('minute', ts) - (t.i * INTERVAL 1 MINUTE) AS win_start,
+           date_trunc('minute', ts) - (t.i * INTERVAL 1 MINUTE)
+               + INTERVAL 5 MINUTE AS win_end,
+           event_type,
+           count(*) AS n_events,
+           CAST(avg(value) AS REAL) AS avg_value
+    FROM events, range(5) t(i)
+    GROUP BY 1, 2, 3
+    """,
+)
+def stream_sliding_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLIDING (hopping) windows as a real streaming query — each event
+    feeds size/slide = 5 overlapping windows' state; watermark expires a
+    window only when event time passes its END + delay, so the overlap
+    multiplies live state by a constant factor, not the corpus. Same
+    oracle as the batch twin ``sliding_window_rates``."""
+    agged = (
+        read_events_stream(spark, sf_dir)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(
+            F.window(F.col("ts"), "5 minutes", "1 minute").alias("w"), "event_type"
+        )
+        .agg(F.count("*").alias("n_events"), f32(F.avg("value")).alias("avg_value"))
+        .select(
+            F.col("w.start").alias("win_start"),
+            F.col("w.end").alias("win_end"),
+            "event_type",
+            "n_events",
+            "avg_value",
+        )
+    )
+    run_to_memory(agged, "q_stream_sliding_rates", output_mode="complete")
+    return spark.table("q_stream_sliding_rates")

@@ -524,3 +524,193 @@ def train_test_split_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("split", "lang")
         .agg(F.count("*").alias("n_docs"), f32(F.avg("n_chars")).alias("avg_chars"))
     )
+
+
+# --------------------------------------------------------------------------
+# sequence_packing_profile — token-budget bin packing (the sequence-
+# packing step of an LLM pretraining pipeline: documents are
+# concatenated in a deterministic order into fixed-size token bins).
+# Docs are laid out per language in doc_id order; a doc's bin is the
+# one its FIRST token lands in (cumulative-offset packing — exactly
+# reproducible in any engine, unlike first-fit-decreasing). Pure
+# window cumsum + integer division: one shuffle on lang, partial aggs.
+# --------------------------------------------------------------------------
+_PACK_BUDGET = 512
+
+
+@CATALOG.query(
+    "sequence_packing_profile",
+    oracle=f"""
+    WITH toks AS (
+        SELECT lang, doc_id,
+               CAST(len(regexp_extract_all(text, '{TOKEN_RE}')) AS BIGINT) AS n_tokens
+        FROM documents
+    ), cum AS (
+        SELECT lang, doc_id, n_tokens,
+               sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                   ROWS UNBOUNDED PRECEDING) - n_tokens AS tok_off
+        FROM toks
+    )
+    SELECT lang,
+           CAST(tok_off // {_PACK_BUDGET} AS BIGINT) AS pack_id,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
+           CAST(sum(n_tokens) / {_PACK_BUDGET}.0 AS REAL) AS fill_ratio
+    FROM cum
+    GROUP BY 1, 2
+    """,
+)
+def sequence_packing_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W  # noqa: PLC0415
+
+    w = W.partitionBy("lang").orderBy("doc_id").rowsBetween(W.unboundedPreceding, 0)
+    toks = _docs(spark, sf_dir).select(
+        "lang",
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit(TOKEN_RE)).cast("long").alias("n_tokens"),
+    )
+    cum = toks.withColumn("offset", F.sum("n_tokens").over(w) - F.col("n_tokens"))
+    return (
+        cum.groupBy(
+            "lang", (F.col("offset") / _PACK_BUDGET).cast("long").alias("pack_id")
+        )
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("pack_tokens"),
+            f32(F.sum("n_tokens") / float(_PACK_BUDGET)).alias("fill_ratio"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# contamination_share — benchmark-contamination audit: how much of each
+# training document's content appears verbatim in a held-out set
+# (source 'src0' stands in for the benchmark corpus). Content is
+# compared by 20-char shingles sampled at stride 10 (deterministic
+# positions — both engines enumerate the same offsets; stride trades
+# resolution for a 10x smaller join, the standard fingerprint-sampling
+# move). Scale: shingle rows are generated map-side and shuffle once
+# on the shingle for the join; the benchmark side is the small
+# relation and broadcasts.
+# --------------------------------------------------------------------------
+_CONTAM_K = 20
+_CONTAM_STRIDE = 10
+_BENCH_SOURCE = "src0"
+
+
+@CATALOG.query(
+    "contamination_share",
+    oracle=f"""
+    WITH bench AS (
+        SELECT DISTINCT substr(text, CAST(i AS BIGINT), {_CONTAM_K}) AS s
+        FROM (
+            SELECT text,
+                   unnest(generate_series(1, greatest(length(text) - {_CONTAM_K - 1}, 1),
+                                          {_CONTAM_STRIDE})) AS i
+            FROM documents WHERE source = '{_BENCH_SOURCE}'
+        )
+    ), train AS (
+        SELECT DISTINCT doc_id,
+               substr(text, CAST(i AS BIGINT), {_CONTAM_K}) AS s
+        FROM (
+            SELECT doc_id, text,
+                   unnest(generate_series(1, greatest(length(text) - {_CONTAM_K - 1}, 1),
+                                          {_CONTAM_STRIDE})) AS i
+            FROM documents WHERE source <> '{_BENCH_SOURCE}'
+        )
+    )
+    SELECT train.doc_id,
+           count(*) AS n_shingles,
+           CAST(sum(CASE WHEN bench.s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_contaminated,
+           CAST(sum(CASE WHEN bench.s IS NOT NULL THEN 1 ELSE 0 END)
+                / CAST(count(*) AS DOUBLE) AS REAL) AS contamination_rate
+    FROM train LEFT JOIN bench ON train.s = bench.s
+    GROUP BY train.doc_id
+    """,
+)
+def contamination_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    shingle_arr = (
+        f"array_distinct(transform(sequence(1, greatest(length(text) - {_CONTAM_K - 1}, 1),"
+        f" {_CONTAM_STRIDE}), i -> substring(text, i, {_CONTAM_K})))"
+    )
+    docs = _docs(spark, sf_dir)
+    bench = (
+        docs.where(F.col("source") == _BENCH_SOURCE)
+        .select(F.explode(F.expr(shingle_arr)).alias("s"))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    train = docs.where(F.col("source") != _BENCH_SOURCE).select(
+        "doc_id", F.explode(F.expr(shingle_arr)).alias("s")
+    )
+    joined = train.join(F.broadcast(bench), "s", "left")
+    return joined.groupBy("doc_id").agg(
+        F.count("*").alias("n_shingles"),
+        F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_contaminated"),
+        f32(
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
+            / F.count("*").cast("double")
+        ).alias("contamination_rate"),
+    )
+
+
+# --------------------------------------------------------------------------
+# tfidf_top_terms — corpus-level TF-IDF with languages as the document
+# axis (term frequency per lang, inverted lang-frequency): the top-10
+# most characteristic terms per language. Two aggregation trees off one
+# token explode (tf by (lang, term); df by term), re-joined on term,
+# then a per-lang top-k window — the vocabulary-analysis shape of
+# vocab_top_tokens extended with a cross-group weighting.
+# --------------------------------------------------------------------------
+@CATALOG.query(
+    "tfidf_top_terms",
+    oracle=f"""
+    WITH toks AS (
+        SELECT lang, unnest(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS term
+        FROM documents
+    ), tf AS (
+        SELECT lang, term, count(*) AS tf FROM toks GROUP BY 1, 2
+    ), df AS (
+        SELECT term, count(DISTINCT lang) AS df FROM toks GROUP BY 1
+    ), n AS (
+        SELECT count(DISTINCT lang) AS n_langs FROM toks
+    ), scored AS (
+        SELECT tf.lang, tf.term, tf.tf, df.df,
+               CAST(tf.tf * ln(n.n_langs / CAST(df.df AS DOUBLE)) AS REAL) AS tfidf,
+               row_number() OVER (
+                   PARTITION BY tf.lang
+                   ORDER BY tf.tf * ln(n.n_langs / CAST(df.df AS DOUBLE)) DESC,
+                            tf.term) AS rn
+        FROM tf JOIN df USING (term) CROSS JOIN n
+    )
+    SELECT lang, term, tf, df, tfidf, CAST(rn AS BIGINT) AS rank
+    FROM scored WHERE rn <= 10
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W  # noqa: PLC0415
+
+    toks = _docs(spark, sf_dir).select(
+        "lang",
+        F.explode(
+            F.expr(f"regexp_extract_all(lower(text), '{TOKEN_RE}', 0)")
+        ).alias("term"),
+    )
+    tf = toks.groupBy("lang", "term").agg(F.count("*").alias("tf"))
+    df = toks.groupBy("term").agg(F.count_distinct("lang").alias("df"))
+    n = toks.agg(F.count_distinct("lang").alias("n_langs"))
+    scored = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "tfidf_d",
+            F.col("tf") * F.log(F.col("n_langs") / F.col("df").cast("double")),
+        )
+    )
+    w = W.partitionBy("lang").orderBy(F.col("tfidf_d").desc(), "term")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 10)
+        .select("lang", "term", "tf", "df", f32(F.col("tfidf_d")).alias("tfidf"), "rank")
+    )

@@ -736,3 +736,138 @@ def event_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("t_click").alias("t_click"),
         F.min("t_purchase").alias("t_purchase"),
     )
+
+
+# --------------------------------------------------------------------------
+# sliding_window_rates — SLIDING event-time windows (size 5 min, slide
+# 1 min): the hopping-window shape the tumbling queries above cannot
+# express (each event contributes to size/slide = 5 windows). Spark:
+# native F.window(ts, size, slide) — the WindowExec-free streaming-
+# compatible form; the oracle enumerates the 5 member windows per event
+# with a range join on the slide grid. Scale: the explode factor is
+# size/slide (constant), applied map-side before one (window, key)
+# shuffle with partial aggregation — same discipline as a tumbling agg.
+# --------------------------------------------------------------------------
+@CATALOG.query(
+    "sliding_window_rates",
+    oracle="""
+    SELECT date_trunc('minute', ts) - (t.i * INTERVAL 1 MINUTE) AS win_start,
+           date_trunc('minute', ts) - (t.i * INTERVAL 1 MINUTE)
+               + INTERVAL 5 MINUTE AS win_end,
+           event_type,
+           count(*) AS n_events,
+           CAST(avg(value) AS REAL) AS avg_value
+    FROM events, range(5) t(i)
+    GROUP BY 1, 2, 3
+    """,
+)
+def sliding_window_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _events(spark, sf_dir)
+        .groupBy(
+            F.window(F.col("ts"), "5 minutes", "1 minute").alias("w"), "event_type"
+        )
+        .agg(F.count("*").alias("n_events"), f32(F.avg("value")).alias("avg_value"))
+        .select(
+            F.col("w.start").alias("win_start"),
+            F.col("w.end").alias("win_end"),
+            "event_type",
+            "n_events",
+            "avg_value",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# session_window_native — batch F.session_window (ST3's native Spark
+# form, distinct from the window-function gap-and-islands rewrite in
+# user_sessions_gap): sessions close after a 10-minute silence, end =
+# last event + gap (Spark's session semantics — the oracle reproduces
+# them from the gap-and-islands form). One shuffle on user_id; in
+# streaming the same expression holds cross-batch state (ST4).
+# --------------------------------------------------------------------------
+_SESSION_GAP_MIN = 10
+
+
+@CATALOG.query(
+    "session_window_native",
+    oracle=f"""
+    WITH flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts))
+                       >= {_SESSION_GAP_MIN} * 60 * 1000000
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+    ), numbered AS (
+        SELECT user_id, ts,
+               CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        FROM flagged
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL {_SESSION_GAP_MIN} MINUTE AS session_end,
+           count(*) AS n_events
+    FROM numbered
+    GROUP BY user_id, session_id
+    """,
+)
+def session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _events(spark, sf_dir)
+        .groupBy(
+            F.session_window(F.col("ts"), f"{_SESSION_GAP_MIN} minutes").alias("sw"),
+            "user_id",
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# mode_event_type_per_user — statistical MODE with a deterministic
+# tie-break (highest count, then lexicographic type): the categorical
+# summary a per-entity profile table carries. Two-level aggregation —
+# count per (user, type), then an ordered-struct max per user; both
+# partial-agg friendly, shuffles carry (user, type) counts only.
+# --------------------------------------------------------------------------
+@CATALOG.query(
+    "mode_event_type_per_user",
+    oracle="""
+    WITH counts AS (
+        SELECT user_id, event_type, count(*) AS n
+        FROM events GROUP BY 1, 2
+    ), ranked AS (
+        SELECT user_id, event_type, n,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY n DESC, event_type) AS rn
+        FROM counts
+    )
+    SELECT user_id, event_type AS mode_type, n AS mode_count
+    FROM ranked WHERE rn = 1
+    """,
+)
+def mode_event_type_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    counts = (
+        _events(spark, sf_dir)
+        .groupBy("user_id", "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    # (count desc, type asc) argmax as ONE struct-min aggregate —
+    # struct ordering is lexicographic by field, so min(struct(-n, t))
+    # picks the highest count with the lexicographically-first type on
+    # ties; no window sort, no second shuffle.
+    winner = counts.groupBy("user_id").agg(
+        F.min(F.struct((-F.col("n")).alias("neg_n"), F.col("event_type").alias("t"))).alias("w")
+    )
+    return winner.select(
+        "user_id",
+        F.col("w.t").alias("mode_type"),
+        (-F.col("w.neg_n")).alias("mode_count"),
+    )

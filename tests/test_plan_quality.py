@@ -209,3 +209,35 @@ def test_q22_anti_join_scalar_threshold(spark, catalog):
     plan = _plan(spark, catalog.queries["q22_idle_balances"](spark, SMOKE_SF_DIR))
     assert "LeftAnti" in plan, plan
     assert "BroadcastExchange" in plan, plan
+
+
+def test_sliding_window_single_shuffle(spark, catalog):
+    """Sliding windows explode map-side (size/slide replication inside
+    the projection) and shuffle ONCE on (window, type) with partial
+    aggregation — not one shuffle per hop."""
+    plan = _plan(spark, catalog.queries["sliding_window_rates"](spark, SMOKE_SF_DIR))
+    assert _n_exchanges(plan) == 1, plan
+    assert "partial_count" in plan or "partial_avg" in plan, plan
+
+
+def test_contamination_benchmark_side_broadcasts(spark, catalog):
+    """The held-out shingle set is the small relation and must broadcast;
+    the train-side explode must never sort-merge."""
+    plan = _plan(spark, catalog.queries["contamination_share"](spark, SMOKE_SF_DIR))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_roster_dimension_broadcasts(spark, catalog):
+    plan = _plan(spark, catalog.queries["nation_supplier_roster"](spark, SMOKE_SF_DIR))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_minhash_verify_has_no_driver_stage(spark, catalog):
+    """The near-dup pipeline's exact-verify joins are SHUFFLE_HASH on the
+    hashed shingle sets: no broadcast of the fat set table (driver-built)
+    and no sort of it (SMJ)."""
+    plan = _plan(spark, catalog.queries["minhash_near_dup_pairs"](spark, SMOKE_SF_DIR))
+    assert "ShuffledHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
