@@ -282,3 +282,50 @@ def stream_sliding_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     run_to_memory(agged, "q_stream_sliding_rates", output_mode="complete")
     return spark.table("q_stream_sliding_rates")
+
+
+@CATALOG.query(
+    "stream_session_native",
+    oracle=f"""
+    WITH flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts))
+                       >= 10 * 60 * 1000000
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+    ), numbered AS (
+        SELECT user_id, ts,
+               CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        FROM flagged
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL 10 MINUTE AS session_end,
+           count(*) AS n_events
+    FROM numbered
+    GROUP BY user_id, session_id
+    """,
+)
+def stream_session_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native streaming session windows (ST3's built-in form, alongside
+    the exact-FSM ``stream_error_runs``): ``session_window`` state merges
+    overlapping per-key sessions across micro-batches; the watermark
+    closes a session once event time passes its end + delay, bounding
+    state to one gap+delay horizon per live key — the 100 TB posture.
+    Same oracle as the batch twin ``session_window_native``."""
+    agged = (
+        read_events_stream(spark, sf_dir)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window(F.col("ts"), "10 minutes").alias("sw"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    run_to_memory(agged, "q_stream_session_native", output_mode="complete")
+    return spark.table("q_stream_session_native")

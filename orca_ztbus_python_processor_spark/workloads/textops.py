@@ -714,3 +714,227 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= 10)
         .select("lang", "term", "tf", "df", f32(F.col("tfidf_d")).alias("tfidf"), "rank")
     )
+
+
+# --------------------------------------------------------------------------
+# zipf_token_profile — Zipf/heavy-tail audit of the corpus vocabulary:
+# token frequencies histogrammed into log2 buckets (bucket k holds
+# terms occurring [2^k, 2^(k+1)) times). The shape check a tokenizer /
+# vocab-size decision reads off one scan. Scale: one explode, one
+# (term) shuffle with partial counts, then a tiny bucket rollup — the
+# histogram never exceeds ~40 rows regardless of corpus size.
+# --------------------------------------------------------------------------
+@CATALOG.query(
+    "zipf_token_profile",
+    oracle=f"""
+    WITH toks AS (
+        SELECT unnest(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS term
+        FROM documents
+    ), tf AS (
+        SELECT term, count(*) AS freq FROM toks GROUP BY 1
+    )
+    SELECT CAST(floor(log2(freq)) AS BIGINT) AS freq_bucket,
+           count(*) AS n_terms,
+           CAST(sum(freq) AS BIGINT) AS total_occurrences,
+           CAST(min(freq) AS BIGINT) AS min_freq,
+           CAST(max(freq) AS BIGINT) AS max_freq
+    FROM tf
+    GROUP BY 1
+    """,
+)
+def zipf_token_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = _docs(spark, sf_dir).select(
+        F.explode(
+            F.expr(f"regexp_extract_all(lower(text), '{TOKEN_RE}', 0)")
+        ).alias("term")
+    )
+    tf = toks.groupBy("term").agg(F.count("*").alias("freq"))
+    return (
+        tf.groupBy(F.floor(F.log2("freq")).cast("long").alias("freq_bucket"))
+        .agg(
+            F.count("*").alias("n_terms"),
+            F.sum("freq").alias("total_occurrences"),
+            F.min("freq").alias("min_freq"),
+            F.max("freq").alias("max_freq"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# cross_source_dup_matrix — which source pairs share identical
+# documents (the cross-dump overlap a CommonCrawl-style pipeline
+# measures before deciding dedup order). Content equality via md5 —
+# computed MAP-SIDE so the shuffle carries (source, 16-byte hash), not
+# text; the self-join shuffles on the hash (both sides cluster the
+# same way) and source_a < source_b halves the output without a
+# distinct. Output is at most |sources|^2 rows.
+# --------------------------------------------------------------------------
+@CATALOG.query(
+    "cross_source_dup_matrix",
+    oracle="""
+    WITH hashed AS (
+        SELECT DISTINCT source, md5(text) AS h FROM documents
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           count(*) AS n_shared_texts
+    FROM hashed a JOIN hashed b ON a.h = b.h AND a.source < b.source
+    GROUP BY 1, 2
+    """,
+)
+def cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hashed = (
+        _docs(spark, sf_dir)
+        .select("source", F.md5(F.col("text")).alias("h"))
+        .distinct()
+    )
+    a = hashed.select(F.col("source").alias("source_a"), "h")
+    b = hashed.select(F.col("source").alias("source_b"), "h")
+    return (
+        a.join(b, "h")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("n_shared_texts"))
+    )
+
+
+# --------------------------------------------------------------------------
+# rare_token_density — mean self-information of a document's token
+# stream (avg ln(N/df) over token OCCURRENCES), rolled up per
+# (lang, source): the "surprisal" quality signal that separates
+# boilerplate-heavy sources from information-dense ones. Two agg trees
+# off one explode (occurrences; distinct-doc df per term) re-joined on
+# term — the df side is vocabulary-sized and the join shuffles on term
+# where both sides are already clustered.
+# --------------------------------------------------------------------------
+@CATALOG.query(
+    "rare_token_density",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, lang, source,
+               unnest(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS term
+        FROM documents
+    ), docfreq AS (
+        SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1
+    ), n AS (
+        SELECT count(*) AS n_docs FROM documents
+    ), per_doc AS (
+        SELECT t.doc_id, t.lang, t.source,
+               avg(ln(n.n_docs / CAST(d.df AS DOUBLE))) AS doc_rarity
+        FROM toks t JOIN docfreq d USING (term) CROSS JOIN n
+        GROUP BY 1, 2, 3
+    )
+    SELECT lang, source,
+           count(*) AS n_docs,
+           CAST(avg(doc_rarity) AS REAL) AS avg_rarity,
+           CAST(max(doc_rarity) AS REAL) AS max_rarity
+    FROM per_doc
+    GROUP BY 1, 2
+    """,
+)
+def rare_token_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.explode(
+            F.expr(f"regexp_extract_all(lower(text), '{TOKEN_RE}', 0)")
+        ).alias("term"),
+    )
+    docfreq = toks.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    per_doc = (
+        toks.join(docfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .groupBy("doc_id", "lang", "source")
+        .agg(
+            F.avg(F.log(F.col("n_docs") / F.col("df").cast("double"))).alias(
+                "doc_rarity"
+            )
+        )
+    )
+    return per_doc.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        f32(F.avg("doc_rarity")).alias("avg_rarity"),
+        f32(F.max("doc_rarity")).alias("max_rarity"),
+    )
+
+
+# --------------------------------------------------------------------------
+# pipeline_retention_funnel — the end-to-end pretraining-ingest funnel
+# in one query: raw -> length filter -> token-count filter -> exact
+# dedup (canonical = lowest doc_id among the QUALITY-PASSING copies of
+# a text), counted per source with the final retention rate. This is
+# the per-dump report a data-curation run publishes. Scale: stage
+# predicates are map-side; dedup canonicalization is one md5-hash
+# window (shuffle on the 16-byte hash); the per-source rollup is tiny.
+# --------------------------------------------------------------------------
+@CATALOG.query(
+    "pipeline_retention_funnel",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id, source, md5(text) AS h,
+               n_chars >= 100 AS pass_len,
+               len(regexp_extract_all(text, '{TOKEN_RE}')) >= 20 AS pass_tok
+        FROM documents
+    ), surv AS (
+        SELECT source,
+               row_number() OVER (PARTITION BY h ORDER BY doc_id) = 1 AS canon
+        FROM base WHERE pass_len AND pass_tok
+    ), stage AS (
+        SELECT source, count(*) AS n_raw,
+               CAST(sum(CASE WHEN pass_len THEN 1 ELSE 0 END) AS BIGINT) AS n_len_ok,
+               CAST(sum(CASE WHEN pass_len AND pass_tok THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_quality_ok
+        FROM base GROUP BY 1
+    ), dedup AS (
+        SELECT source,
+               CAST(sum(CASE WHEN canon THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        FROM surv GROUP BY 1
+    )
+    SELECT stage.source, n_raw, n_len_ok, n_quality_ok,
+           COALESCE(n_kept, 0) AS n_kept,
+           CAST(COALESCE(n_kept, 0) / CAST(n_raw AS DOUBLE) AS REAL) AS retention
+    FROM stage LEFT JOIN dedup ON stage.source = dedup.source
+    """,
+)
+def pipeline_retention_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W  # noqa: PLC0415
+
+    base = _docs(spark, sf_dir).select(
+        "doc_id",
+        "source",
+        F.md5(F.col("text")).alias("h"),
+        (F.col("n_chars") >= 100).alias("pass_len"),
+        (F.regexp_count(F.col("text"), F.lit(TOKEN_RE)) >= 20).alias("pass_tok"),
+    )
+    surv = (
+        base.where(F.col("pass_len") & F.col("pass_tok"))
+        .withColumn(
+            "canon",
+            F.row_number().over(W.partitionBy("h").orderBy("doc_id")) == 1,
+        )
+    )
+    stage = base.groupBy("source").agg(
+        F.count("*").alias("n_raw"),
+        F.sum(F.col("pass_len").cast("long")).alias("n_len_ok"),
+        F.sum((F.col("pass_len") & F.col("pass_tok")).cast("long")).alias(
+            "n_quality_ok"
+        ),
+    )
+    dedup = surv.groupBy("source").agg(
+        F.sum(F.col("canon").cast("long")).alias("n_kept")
+    )
+    return (
+        stage.join(dedup, "source", "left")
+        .select(
+            "source",
+            "n_raw",
+            "n_len_ok",
+            "n_quality_ok",
+            F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
+            f32(
+                F.coalesce(F.col("n_kept"), F.lit(0)) / F.col("n_raw").cast("double")
+            ).alias("retention"),
+        )
+    )

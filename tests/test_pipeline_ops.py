@@ -241,3 +241,39 @@ def test_dup_components_blocked_refines_exact(spark):
 
     same = sum(1 for n in exact if exact[n] == blocked[n])
     assert same / len(exact) >= 0.95, f"blocked clustering diverges on {len(exact) - same}/{len(exact)} nodes"
+
+
+def test_cross_source_dup_matrix_nontrivial(spark):
+    """sf0.01 has zero exact cross-source duplicates (the driver row is
+    a 0-row pass), so pin the operator against real duplicate structure
+    at sf0.1 where the corpus carries 8 cross-source pairs."""
+    import duckdb
+
+    from orca_ztbus_python_processor_spark.workloads.textops import (
+        cross_source_dup_matrix,
+    )
+
+    got = (
+        cross_source_dup_matrix(spark, "/root/testdata/sf0.1")
+        .toPandas()
+        .sort_values(["source_a", "source_b"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    exp = (
+        con.execute(
+            """
+            WITH h AS (SELECT DISTINCT source, md5(text) AS h
+                       FROM '/root/testdata/sf0.1/documents.parquet')
+            SELECT a.source AS source_a, b.source AS source_b,
+                   count(*) AS n_shared_texts
+            FROM h a JOIN h b ON a.h = b.h AND a.source < b.source
+            GROUP BY 1, 2 ORDER BY 1, 2
+            """
+        )
+        .df()
+        .reset_index(drop=True)
+    )
+    assert len(got) > 0, "expected non-trivial duplicate structure at sf0.1"
+    assert got["n_shared_texts"].sum() == exp["n_shared_texts"].sum()
+    assert got[["source_a", "source_b"]].values.tolist() == exp[["source_a", "source_b"]].values.tolist()

@@ -241,3 +241,18 @@ def test_minhash_verify_has_no_driver_stage(spark, catalog):
     plan = _plan(spark, catalog.queries["minhash_near_dup_pairs"](spark, SMOKE_SF_DIR))
     assert "ShuffledHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_zipf_partial_counts_before_exchange(spark, catalog):
+    """The vocabulary histogram must map-side combine the exploded
+    tokens (partial_count before the term shuffle), not ship raw
+    occurrences."""
+    plan = _plan(spark, catalog.queries["zipf_token_profile"](spark, SMOKE_SF_DIR))
+    assert "partial_count" in plan, plan
+
+
+def test_retention_funnel_reads_pruned_schema(spark, catalog):
+    """The funnel touches doc_id/source/text/n_chars only — lang must be
+    pruned from the parquet scan."""
+    plan = _plan(spark, catalog.queries["pipeline_retention_funnel"](spark, SMOKE_SF_DIR))
+    assert "lang" not in plan.split("ReadSchema")[1].split("\n")[0], plan
