@@ -155,9 +155,13 @@ def _doc_signatures(
     bands: int,
     seed: int,
 ) -> DataFrame:
-    """Per-doc minhash signatures + band hashes as ONE row per doc:
-    ``_id, sig array<long>[num_hashes], band_hashes array<long>[bands]``
-    via vectorized numpy.
+    """Per-doc minhash band hashes + nibble sketches as ONE row per doc:
+    ``_id, band_hashes array<long>[bands], sk0..skN long`` via vectorized
+    numpy. The raw 64-long signature array is computed internally but
+    NOT emitted: no consumer reads it, and mapInPandas output cannot be
+    column-pruned, so emitting it would Arrow-serialize ~64 longs per
+    doc just to drop them (the nibble sketches carry the bits the
+    candidate gate needs at 1/16 the width).
 
     The expression-level form (`_minhash_sig_body`) is pure Spark SQL
     but higher-order-function lambdas are interpreted, so the 64-hash
@@ -180,7 +184,7 @@ def _doc_signatures(
         pows = np.array([pow(257, k - 1 - j, MERSENNE31) for j in range(k)], dtype=np.int64)
         band_pows = np.array([pow(1_000_003, rows - 1 - j, MERSENNE31) for j in range(rows)], dtype=np.int64)
         for pdf in batches:
-            out_id, out_sig, out_bands, out_sk = [], [], [], []
+            out_id, out_bands, out_sk = [], [], []
             for doc_id, text in zip(pdf[id_col], pdf[text_col]):
                 b = np.frombuffer((text or "").encode("utf-8"), dtype=np.uint8)
                 if len(b) == 0:
@@ -210,7 +214,6 @@ def _doc_signatures(
                     for i in range((num_hashes + 15) // 16)
                 ]
                 out_id.append(doc_id)
-                out_sig.append(sig)
                 out_bands.append(bh)
                 out_sk.append(sk)
             if not out_id:
@@ -220,7 +223,6 @@ def _doc_signatures(
             yield pd.DataFrame(
                 {
                     "_id": out_id,
-                    "sig": out_sig,
                     "band_hashes": out_bands,
                     **{
                         f"sk{i}": np.array([s[i] for s in out_sk], dtype=np.int64)
@@ -232,7 +234,7 @@ def _doc_signatures(
     n_sk = (num_hashes + 15) // 16
     sk_schema = ", ".join(f"sk{i} long" for i in range(n_sk))
     return _spread(docs.select(id_col, text_col)).mapInPandas(
-        gen, schema=f"_id long, sig array<long>, band_hashes array<long>, {sk_schema}"
+        gen, schema=f"_id long, band_hashes array<long>, {sk_schema}"
     )
 
 
@@ -472,6 +474,7 @@ def minhash_near_dups(
     bands: int = 16,
     seed: int = 42,
     verify: str = "shuffled",
+    gate_margin: float | None = 0.2,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: candidates via banding, then
     exact-Jaccard verification at ``threshold``.
@@ -481,9 +484,13 @@ def minhash_near_dups(
     ``"broadcast"`` (driver-collected shingle-set dict; ~2x faster on a
     corpus that fits driver memory, opt-in only).
 
-    Candidates are sketch-gated at ``threshold - 0.2`` (> 3 sigma of
-    the 64-hash signature estimate — see ``minhash_candidate_pairs``)
-    so the exact verify only scores pairs that could plausibly pass.
+    Candidates are sketch-gated at ``threshold - gate_margin`` (the
+    default 0.2 is > 3 sigma of the 64-hash signature estimate — see
+    ``minhash_candidate_pairs``) so the exact verify only scores pairs
+    that could plausibly pass; the gate adds ~1e-3 false-negative rate
+    per true pair at the threshold boundary. Exact-recall-sensitive
+    callers pass ``gate_margin=None`` to disable the gate and fall back
+    to pure banding recall.
     """
     cands = minhash_candidate_pairs(
         docs,
@@ -493,7 +500,7 @@ def minhash_near_dups(
         num_hashes,
         bands,
         seed,
-        min_est=max(0.0, threshold - 0.2),
+        min_est=None if gate_margin is None else max(0.0, threshold - gate_margin),
     )
     verify_fn = {"shuffled": jaccard_pairs_shuffled, "broadcast": jaccard_pairs}[verify]
     return verify_fn(docs, cands, id_col, text_col, k).where(

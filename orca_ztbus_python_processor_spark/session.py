@@ -12,6 +12,7 @@ Scale posture:
 
 from __future__ import annotations
 
+import hashlib
 import os
 import tempfile
 import zipfile
@@ -46,18 +47,32 @@ def ship_package(spark: SparkSession) -> None:
     if app_id in _SHIPPED_APP_IDS:
         return
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
-    zip_path = os.path.join(
-        tempfile.gettempdir(), f"oztps_pkg_{os.getpid()}.zip"
+    # Collect sources first and key the zip by their content hash: a
+    # pid-keyed path could collide with a recycled pid (or another
+    # user's file) and silently ship a stale or foreign zip.
+    sources: list[tuple[str, str]] = []
+    digest = hashlib.sha256()
+    for dirpath, dirnames, filenames in os.walk(pkg_dir):
+        dirnames.sort()
+        for fn in sorted(filenames):
+            if fn.endswith(".py"):
+                full = os.path.join(dirpath, fn)
+                rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                sources.append((full, rel))
+                digest.update(rel.encode())
+                with open(full, "rb") as f:
+                    digest.update(f.read())
+    cache_dir = os.path.join(
+        tempfile.gettempdir(), f"oztps_pkg_{os.getuid()}"
     )
+    os.makedirs(cache_dir, mode=0o700, exist_ok=True)
+    zip_path = os.path.join(cache_dir, f"pkg_{digest.hexdigest()[:16]}.zip")
     if not os.path.exists(zip_path):
-        tmp = zip_path + ".tmp"
+        fd, tmp = tempfile.mkstemp(dir=cache_dir, suffix=".zip.tmp")
+        os.close(fd)
         with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as zf:
-            for dirpath, _dirnames, filenames in os.walk(pkg_dir):
-                for fn in filenames:
-                    if fn.endswith(".py"):
-                        full = os.path.join(dirpath, fn)
-                        rel = os.path.relpath(full, os.path.dirname(pkg_dir))
-                        zf.write(full, rel)
+            for full, rel in sources:
+                zf.write(full, rel)
         os.replace(tmp, zip_path)
     spark.sparkContext.addPyFile(zip_path)
     _SHIPPED_APP_IDS.add(app_id)

@@ -28,12 +28,11 @@ class Catalog:
 
 # Queries with a green row in CORRECTNESS_r01.json. The verification
 # driver samples the FIRST 50 catalog entries in insertion order, so
-# merged_catalog() sorts not-yet-driver-verified queries ahead of these:
-# round 2's sample then covers the 36 queries round 1 never reached
-# (plus this round's additions), giving every catalog entry hard driver
-# evidence across r1+r2. Oracle-paired entries sort before rows-only
-# ones within each group (a hash-match row is stronger evidence than a
-# rows-only row).
+# merged_catalog() sorts not-yet-driver-verified queries ahead of the
+# already-verified union of ``_R1_DRIVER_VERIFIED`` and ``_R2_SAMPLE``:
+# each round's sample then covers exactly the queries no prior round
+# reached. Oracle-paired entries sort before rows-only ones within each
+# group (a hash-match row is stronger evidence than a rows-only row).
 _R1_DRIVER_VERIFIED = frozenset({
     "q1_pricing_summary", "top1_latest_order", "point_lookup_customer",
     "q3_top_orders", "q5_region_revenue", "customers_with_orders_by_nation",
@@ -57,10 +56,11 @@ _R1_DRIVER_VERIFIED = frozenset({
 })
 
 
-# The 50 queries that existed at the start of round 2 without a
-# CORRECTNESS_r01 row. These exactly fill the driver's 50-entry round-2
-# sample, so they are pinned to the front of the catalog; queries added
-# later in round 2 must not displace them (they get sampled in round 3).
+# The 50 queries the driver verified in round 2 (CORRECTNESS_r02.json:
+# 40 hash-match + 10 contractual rows-only, zero failures). Together
+# with _R1_DRIVER_VERIFIED these form the "already verified" back group;
+# round 3's sample window goes to the 14 queries added late in round 2
+# plus this round's new entries.
 _R2_SAMPLE = frozenset({
     "minute_window_events", "value_lag_diff", "user_sessions_gap",
     "event_type_runs", "error_event_runs", "events_asof_orders",
@@ -84,6 +84,8 @@ _R2_SAMPLE = frozenset({
     "stratified_sample_profile", "stream_dedup_replay",
     "stream_minute_user_agg", "train_test_split_profile",
 })
+
+_DRIVER_VERIFIED = _R1_DRIVER_VERIFIED | _R2_SAMPLE
 
 
 def merged_catalog() -> Catalog:
@@ -123,16 +125,11 @@ def merged_catalog() -> Catalog:
         merged.oracles.update(cat.oracles)
 
     def _rank(name: str) -> tuple[int, int]:
-        # r2 sample slots are exactly filled by the 50 queries round 1
-        # never verified (_R2_SAMPLE); brand-new queries added during
-        # round 2 rank after them (driver evidence arrives in round 3)
-        # but before the already-verified r1 set.
-        if name in _R2_SAMPLE:
-            group = 0
-        elif name not in _R1_DRIVER_VERIFIED:
-            group = 1
-        else:
-            group = 2
+        # Never-driver-sampled queries (the 14 added after round 2's
+        # sample was pinned, plus anything new this round) fill the
+        # front of the catalog; everything the driver already verified
+        # in rounds 1-2 sorts behind them.
+        group = 0 if name not in _DRIVER_VERIFIED else 1
         return (group, name not in merged.oracles)
 
     ordered = Catalog()

@@ -117,8 +117,12 @@ def embedding_dup_components_blocked(spark: SparkSession, sf_dir: str) -> DataFr
     )
     pairs = embedding_near_dup_pairs(emb, threshold=CC_THRESHOLD)
     comp = connected_components(pairs)
+    # No broadcast hint: comp has one row per duped node — at 100 TB
+    # with a realistic dup rate that is billions of rows, far past any
+    # broadcast limit. Shuffle-join on the key; AQE still converts to a
+    # broadcast join at runtime when comp actually fits.
     return emb.select("vec_id").join(
-        F.broadcast(comp), emb.vec_id == comp.node, "left"
+        comp, emb.vec_id == comp.node, "left"
     ).select(
         "vec_id",
         F.coalesce(F.col("component"), F.col("vec_id")).alias("component"),

@@ -61,7 +61,11 @@ def stream_windows_table_roundtrip(spark: SparkSession, sf_dir: str) -> DataFram
     root = tempfile.mkdtemp(prefix="windows_sink_")
     out_path = f"{root}/windows"
     # complete mode + availableNow = one full write of every window
-    # (bounded replay); see windows_table_sink docstring.
+    # (bounded replay); see windows_table_sink docstring. TEST-BRIDGE
+    # ONLY: complete mode retains all window state (the watermark is
+    # ignored), fine for a bounded oracle replay but unbounded on a
+    # continuous stream — the production forms are the append-mode +
+    # watermark queries stream_error_runs / stream_session_native.
     q = windows_table_sink(
         window_events, f"{root}/ckpt", out_path, output_mode="complete"
     )
@@ -86,7 +90,12 @@ def stream_minute_user_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental tumbling-window aggregation executed as a real
     streaming query (file source -> watermark -> window agg -> memory
     sink, availableNow), then returned as a DataFrame. Complete output
-    mode keeps every window, so the result equals the batch form."""
+    mode keeps every window, so the result equals the batch form —
+    TEST-BRIDGE ONLY: in complete mode Spark ignores the watermark and
+    state grows with window count, acceptable for this bounded replay
+    but not on a continuous stream. The production shapes are the
+    append-mode + watermark forms (stream_error_runs,
+    stream_session_native)."""
     stream = windowed_agg_stream(
         read_events_stream(spark, sf_dir),
         [
@@ -261,10 +270,13 @@ def stream_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def stream_sliding_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SLIDING (hopping) windows as a real streaming query — each event
-    feeds size/slide = 5 overlapping windows' state; watermark expires a
-    window only when event time passes its END + delay, so the overlap
-    multiplies live state by a constant factor, not the corpus. Same
-    oracle as the batch twin ``sliding_window_rates``."""
+    feeds size/slide = 5 overlapping windows' state. In append/update
+    output mode the watermark expires a window once event time passes
+    its END + delay, so the overlap multiplies live state by a constant
+    factor, not the corpus. The ``complete``-mode materialization below
+    is the bounded-replay harness path ONLY — there Spark ignores the
+    watermark and retains all window state. Same oracle as the batch
+    twin ``sliding_window_rates``."""
     agged = (
         read_events_stream(spark, sf_dir)
         .withWatermark("ts", "10 minutes")
@@ -311,10 +323,12 @@ def stream_sliding_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_session_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native streaming session windows (ST3's built-in form, alongside
     the exact-FSM ``stream_error_runs``): ``session_window`` state merges
-    overlapping per-key sessions across micro-batches; the watermark
-    closes a session once event time passes its end + delay, bounding
-    state to one gap+delay horizon per live key — the 100 TB posture.
-    Same oracle as the batch twin ``session_window_native``."""
+    overlapping per-key sessions across micro-batches. In append mode
+    the watermark closes a session once event time passes its end +
+    delay, bounding state to one gap+delay horizon per live key — the
+    100 TB posture; the ``complete``-mode materialization below is the
+    bounded-replay harness path ONLY (watermark ignored, all state
+    retained). Same oracle as the batch twin ``session_window_native``."""
     agged = (
         read_events_stream(spark, sf_dir)
         .withWatermark("ts", "10 minutes")

@@ -225,8 +225,10 @@ def embedding_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     pairs = cosine_pairs_bruteforce(emb, threshold=CC_THRESHOLD)
     comp = connected_components(pairs)
+    # comp is the CC output (one row per duped node) — unbounded at
+    # scale, so no broadcast hint; AQE broadcasts at runtime if small.
     return emb.select("vec_id").join(
-        F.broadcast(comp), emb.vec_id == comp.node, "left"
+        comp, emb.vec_id == comp.node, "left"
     ).select(
         "vec_id",
         F.coalesce(F.col("component"), F.col("vec_id")).alias("component"),
