@@ -132,6 +132,45 @@ def embedding_dup_components_blocked(spark: SparkSession, sf_dir: str) -> DataFr
     )
 
 
+@CATALOG.query("text_dedup_retention")
+def text_dedup_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 end-to-end: the full text near-dup pipeline composed as ONE
+    lazy plan — MinHash banding candidates -> nibble-sketch gate ->
+    shuffled exact-Jaccard verify (>= 0.5) -> connected components ->
+    canonical-keep (smallest doc_id per cluster survives) -> per-source
+    retention counts. The text twin of
+    ``embedding_dup_components_blocked``; the corpus-curation number a
+    100 TB dedup run actually reports.
+
+    Every stage is the cluster-bounded default: candidates map-side +
+    one band shuffle, verify is a shuffle-hash join (no driver stage),
+    CC shuffles the edge table only, and the final corpus join is a
+    shuffle join on doc_id (CC output is unbounded at scale — no
+    broadcast hint; AQE may broadcast when it fits). Rows-only by the
+    driver contract (LSH recall is probabilistic); exactness of the
+    keep/drop logic is pinned by a union-find parity test
+    (tests/test_pipeline_ops.py).
+
+    Output: ``source, n_docs, n_kept, n_dropped``.
+    """
+    from orca_ztbus_python_processor_spark.operators.dedup import (  # noqa: PLC0415
+        connected_components,
+    )
+
+    docs = _docs(spark, sf_dir)
+    pairs = minhash_near_dups(docs, threshold=0.5)
+    comp = connected_components(pairs.select("id_a", "id_b"))
+    labeled = docs.select("doc_id", "source").join(
+        comp, docs.doc_id == comp.node, "left"
+    )
+    kept = F.coalesce(F.col("component"), F.col("doc_id")) == F.col("doc_id")
+    return labeled.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(kept.cast("long")).alias("n_kept"),
+        F.sum((~kept).cast("long")).alias("n_dropped"),
+    )
+
+
 @CATALOG.query("doc_fingerprints")
 def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprints (k=8, window=4) per document."""

@@ -248,3 +248,107 @@ def ztbus_brake_run_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emitted_run_windows(
         telem, "status_halt_brake_is_active", "time", ("trip_id",), "60 seconds"
     )
+
+
+# --------------------------------------------------------------------------
+# ztbus_brake_straddle_windows — the brake FSM's EDGE semantics under the
+# oracle gate. The raw events corpus produces short runs, so the plain
+# ztbus_brake_run_windows entry rarely exercises the reference's
+# window-straddling paths (processor/main.py:246-293). This entry
+# respaces each trip's samples onto a 40 s grid, which makes the three
+# edge behaviors dense and oracle-checked (tests/test_operator_edges.py
+# asserts the fixture actually contains each):
+#   * runs STRADDLING a minute boundary (any run of >= 2 samples can) —
+#     the lookback re-read in the reference, gap-and-islands here;
+#   * runs longer than the 400 s lookback budget (>= 11 samples at 40 s)
+#     -> emitted start truncated to window_start - 400 s
+#     (processor/main.py:246-247 via max_lookback_iterations);
+#   * closing samples exactly ON a minute boundary (every 3rd grid
+#     point) -> emitted by the EARLIER window (inclusive-end scan,
+#     processor/main.py:137-138).
+# The fixture arithmetic (row_number -> 40 s grid, flag = not click,
+# p=0.8 so long runs are common) is duplicated in the SQL twin in
+# lockstep, like _TELEMETRY_CTE.
+# --------------------------------------------------------------------------
+_STRADDLE_CTE = """
+    straddle AS (
+        SELECT user_id AS trip_id,
+               TIMESTAMP '2024-01-01' + (
+                   CAST(row_number() OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id) - 1 AS BIGINT)
+                   * INTERVAL 40 SECONDS
+               ) AS time,
+               (event_type <> 'click') AS flag
+        FROM events
+    )
+"""
+
+
+@CATALOG.query(
+    "ztbus_brake_straddle_windows",
+    oracle=f"""
+    WITH {_STRADDLE_CTE},
+    flagged AS (
+        SELECT trip_id, time, flag,
+               CASE WHEN flag IS DISTINCT FROM
+                         lag(flag) OVER (PARTITION BY trip_id ORDER BY time)
+                    THEN 1 ELSE 0 END AS changed,
+               CASE WHEN lead(flag) OVER (PARTITION BY trip_id ORDER BY time) = false
+                    THEN lead(time) OVER (PARTITION BY trip_id ORDER BY time)
+                    END AS run_close
+        FROM straddle
+    ),
+    numbered AS (
+        SELECT *, sum(changed) OVER (PARTITION BY trip_id ORDER BY time
+                                     ROWS UNBOUNDED PRECEDING) AS run_id
+        FROM flagged
+    ),
+    runs AS (
+        SELECT trip_id, run_id,
+               min(time) AS time_from,
+               max(time) AS time_to,
+               CAST(count(*) AS BIGINT) AS n_samples,
+               max(run_close) AS closing_time
+        FROM numbered
+        WHERE flag
+        GROUP BY trip_id, run_id
+    ),
+    closed AS (
+        SELECT *,
+               make_timestamp(
+                   (epoch_us(closing_time) - 1)
+                   - ((epoch_us(closing_time) - 1) % 60000000)
+               ) AS w_start
+        FROM runs WHERE closing_time IS NOT NULL
+    )
+    SELECT trip_id,
+           greatest(time_from, w_start - INTERVAL 400 SECONDS) AS time_from,
+           time_to,
+           w_start AS emitting_window_start,
+           n_samples
+    FROM closed
+    """,
+)
+def ztbus_brake_straddle_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return emitted_run_windows(
+        straddle_fixture(spark, sf_dir), "flag", "time", ("trip_id",), "60 seconds"
+    )
+
+
+def straddle_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events respaced onto a per-trip 40 s grid with a p=0.8 flag —
+    the window-straddling brake-run fixture (see entry comment)."""
+    from pyspark.sql.window import Window as W  # noqa: PLC0415
+
+    ev = read_table(spark, sf_dir, "events")
+    idx = F.row_number().over(
+        W.partitionBy("user_id").orderBy("ts", "event_id")
+    ) - F.lit(1)
+    base_us = 1_704_067_200_000_000  # TIMESTAMP '2024-01-01' UTC
+    return ev.select(
+        F.col("user_id").alias("trip_id"),
+        F.timestamp_micros(
+            F.lit(base_us) + idx.cast("long") * F.lit(40_000_000)
+        ).alias("time"),
+        (F.col("event_type") != "click").alias("flag"),
+    )

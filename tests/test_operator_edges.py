@@ -111,3 +111,42 @@ def test_approx_quantiles_within_rank_bound(spark):
         e = exact[et]
         assert e["p50_lo"] - eps <= row["p50_approx"] <= e["p50_hi"] + eps, (et, row)
         assert e["p95_lo"] - eps <= row["p95_approx"] <= e["p95_hi"] + eps, (et, row)
+
+
+def test_straddle_fixture_exercises_fsm_edges(spark):
+    """ztbus_brake_straddle_windows only tests the reference FSM's edge
+    semantics (processor/main.py:246-293) if the fixture actually
+    produces them; assert each edge class is present so a corpus change
+    can't silently reduce the entry to the trivial path."""
+    import pyspark.sql.functions as F
+
+    from orca_ztbus_python_processor_spark.operators.sessionize import flag_runs
+    from orca_ztbus_python_processor_spark.workloads.ztbus import (
+        straddle_fixture,
+        ztbus_brake_straddle_windows,
+    )
+    from tests.conftest import SMOKE_SF_DIR
+
+    raw_runs = {
+        (r["trip_id"], r["time_to"]): r["time_from"]
+        for r in flag_runs(
+            straddle_fixture(spark, SMOKE_SF_DIR), "flag", "time", ("trip_id",)
+        ).collect()
+    }
+    emitted = ztbus_brake_straddle_windows(spark, SMOKE_SF_DIR).collect()
+    assert len(emitted) > 0
+
+    straddling = truncated = boundary_close = 0
+    for r in emitted:
+        w_start = r["emitting_window_start"]
+        raw_from = raw_runs[(r["trip_id"], r["time_to"])]
+        if raw_from < w_start:
+            straddling += 1
+        if raw_from < r["time_from"]:
+            truncated += 1  # lookback floor applied
+        closing = r["time_to"] + __import__("datetime").timedelta(seconds=40)
+        if closing.second == 0 and closing.microsecond == 0 and w_start == closing - __import__("datetime").timedelta(seconds=60):
+            boundary_close += 1
+    assert straddling > 0, "no run straddles its emitting window start"
+    assert truncated > 0, "no run hit the 400 s lookback truncation"
+    assert boundary_close > 0, "no run closes exactly on a window boundary"

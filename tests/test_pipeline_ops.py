@@ -277,3 +277,46 @@ def test_cross_source_dup_matrix_nontrivial(spark):
     assert len(got) > 0, "expected non-trivial duplicate structure at sf0.1"
     assert got["n_shared_texts"].sum() == exp["n_shared_texts"].sum()
     assert got[["source_a", "source_b"]].values.tolist() == exp[["source_a", "source_b"]].values.tolist()
+
+
+def test_text_dedup_retention_matches_union_find(spark):
+    """The e2e retention query's keep/drop logic must equal an
+    independent union-find over the SAME candidate pairs: per source,
+    kept = docs that are the min doc_id of their dup cluster (or
+    unpaired), dropped = the rest."""
+    from orca_ztbus_python_processor_spark.operators.dedup import minhash_near_dups
+    from orca_ztbus_python_processor_spark.workloads.pipelineops import (
+        text_dedup_retention,
+    )
+
+    docs = read_table(spark, SMOKE_SF_DIR, "documents")
+    pairs = minhash_near_dups(docs, threshold=0.5).collect()
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in pairs:
+        ra, rb = find(r["id_a"]), find(r["id_b"])
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    expected: dict[str, list[int]] = {}
+    for row in docs.select("doc_id", "source").collect():
+        n_docs, n_kept = expected.setdefault(row["source"], [0, 0])
+        n_docs += 1
+        n_kept += 1 if find(row["doc_id"]) == row["doc_id"] else 0
+        expected[row["source"]] = [n_docs, n_kept]
+
+    got = {
+        r["source"]: (r["n_docs"], r["n_kept"], r["n_dropped"])
+        for r in text_dedup_retention(spark, SMOKE_SF_DIR).collect()
+    }
+    assert set(got) == set(expected)
+    assert any(v[2] > 0 for v in got.values()), "fixture has near-dups; none dropped"
+    for src, (n_docs, n_kept) in expected.items():
+        assert got[src] == (n_docs, n_kept, n_docs - n_kept), src
