@@ -30,13 +30,13 @@ def table_path(sf_dir: str, name: str) -> str:
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one corpus table, normalizing physical-type quirks.
 
-    ``events.ts`` is stored as parquet TIMESTAMP(NANOS), which Spark's
-    reader rejects. We read it as raw int64 nanoseconds
-    (``nanosAsLong`` — a runtime-settable SQL conf, so this also works
-    under the driver's own session) and truncate to microseconds with
-    integer division (DuckDB's reader truncates ns→us the same way;
-    a double-precision division here would lose sub-ms precision on
-    ~1.7e18 ns epochs).
+    ``events.ts`` has shipped in two physical layouts across driver
+    testdata generations: parquet TIMESTAMP(NANOS) (which Spark's
+    reader rejects — read as raw int64 via ``nanosAsLong`` and
+    truncated ns→us with integer division, matching DuckDB's reader)
+    and plain TIMESTAMP micros (read natively). We branch on the loaded
+    dtype so both generations work; either way the column lands as a
+    session-tz (UTC) ``TimestampType``.
 
     Sessions built by ``session.get_spark`` already carry the engine's
     session-wide confs (UTC timezone, nanosAsLong); for a caller-owned
@@ -49,11 +49,13 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ensure_engine_confs(spark)
     path = table_path(sf_dir, name)
     if name == "events":
-        return (
-            spark.read.parquet(path)
-            .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-            .select("event_id", "ts", "user_id", "event_type", "value", "props")
-        )
+        df = spark.read.parquet(path)
+        ts_type = dict(df.dtypes)["ts"]
+        if ts_type == "bigint":  # TIMESTAMP(NANOS) generation, read as int64 ns
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        else:  # native timestamp / timestamp_ntz generation
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df.select("event_id", "ts", "user_id", "event_type", "value", "props")
     return spark.read.parquet(path)
 
 

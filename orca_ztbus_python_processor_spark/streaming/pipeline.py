@@ -39,15 +39,26 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from orca_ztbus_python_processor_spark.session import ensure_engine_confs  # noqa: PLC0415
 
     ensure_engine_confs(spark)
-    raw_schema = "event_id long, ts long, user_id long, event_type string, value double, props string"
-    return (
+    # The driver testdata has shipped events.ts as both TIMESTAMP(NANOS)
+    # (surfaces as bigint under nanosAsLong) and plain TIMESTAMP micros;
+    # sniff the footer with a batch read so the stream schema matches.
+    ts_is_nanos = (
+        dict(spark.read.parquet(f"{sf_dir}/events.parquet").dtypes)["ts"] == "bigint"
+    )
+    ts_decl = "ts long" if ts_is_nanos else "ts timestamp"
+    raw_schema = f"event_id long, {ts_decl}, user_id long, event_type string, value double, props string"
+    stream = (
         spark.readStream.schema(raw_schema)
         # glob form: the table is a single parquet file, and the
         # file-stream source requires a directory-rooted glob to derive
         # its basePath
         .parquet(f"{sf_dir}/{{events.parquet}}")
-        .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
     )
+    if ts_is_nanos:
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    else:
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return stream
 
 
 def windowed_agg_stream(
