@@ -14,7 +14,9 @@ table is a one-line change.
 from __future__ import annotations
 
 import os
+from functools import lru_cache
 
+import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -27,16 +29,72 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+@lru_cache(maxsize=64)
+def _events_ts_arrow_type(path: str) -> str:
+    """Arrow type string of ``events.ts`` straight from the parquet
+    footer (one footer read per path, process-memoized — every batch and
+    stream constructor shares this instead of paying a Spark file
+    listing + schema inference per call)."""
+    f = path
+    if os.path.isdir(path):  # Spark-written table: sniff any part file
+        parts = sorted(
+            p for p in os.listdir(path)
+            if p.endswith(".parquet") and not p.startswith(("_", "."))
+        )
+        if not parts:
+            raise FileNotFoundError(f"no parquet part files under {path}")
+        f = os.path.join(path, parts[0])
+    return str(pq.read_schema(f).field("ts").type)
+
+
+def events_ts_is_nanos(sf_dir: str) -> bool:
+    """True iff ``events.ts`` is parquet TIMESTAMP(NANOS) in this
+    testdata generation.
+
+    The footer logical type is authoritative. Inferring from the loaded
+    Spark dtype (the pre-round-4 behavior) could not distinguish
+    TIMESTAMP(NANOS) from a bare INT64 epoch-micros column — both
+    surface as ``bigint`` under ``nanosAsLong`` — and would silently
+    divide the latter by 1000, corrupting every timestamp 1000x. An
+    un-annotated integer column now raises instead of guessing.
+    """
+    t = _events_ts_arrow_type(table_path(sf_dir, "events"))
+    if t == "timestamp[ns]":
+        return True
+    if t.startswith("timestamp"):  # timestamp[us]/[ms], with or without tz
+        return False
+    raise ValueError(
+        f"events.ts has parquet physical type {t!r}; expected a TIMESTAMP "
+        "logical annotation (ns or us). Refusing to guess an epoch unit "
+        "for a bare integer column."
+    )
+
+
+def normalize_events_ts(df: DataFrame, is_nanos: bool) -> DataFrame:
+    """Land ``ts`` as a session-tz ``TimestampType`` for either physical
+    layout; batch and stream readers share this so they cannot drift.
+
+    NANOS generation: Spark's reader rejects TIMESTAMP(NANOS), so it is
+    read as raw int64 ns via ``nanosAsLong`` and truncated ns→us with
+    integer division, matching DuckDB's reader. Micros generation: the
+    column arrives as ``timestamp`` or ``timestamp_ntz``; the cast from
+    NTZ yields the same instants as the oracle only because
+    ``ensure_engine_confs`` pins the session timezone to UTC — if that
+    invariant is ever relaxed, this cast must become an explicit
+    ``to_utc_timestamp``.
+    """
+    if is_nanos:
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one corpus table, normalizing physical-type quirks.
 
     ``events.ts`` has shipped in two physical layouts across driver
-    testdata generations: parquet TIMESTAMP(NANOS) (which Spark's
-    reader rejects — read as raw int64 via ``nanosAsLong`` and
-    truncated ns→us with integer division, matching DuckDB's reader)
-    and plain TIMESTAMP micros (read natively). We branch on the loaded
-    dtype so both generations work; either way the column lands as a
-    session-tz (UTC) ``TimestampType``.
+    testdata generations (TIMESTAMP nanos vs micros); the footer-level
+    ``events_ts_is_nanos`` sniff + ``normalize_events_ts`` handle both,
+    landing the column as a session-tz (UTC) ``TimestampType``.
 
     Sessions built by ``session.get_spark`` already carry the engine's
     session-wide confs (UTC timezone, nanosAsLong); for a caller-owned
@@ -49,12 +107,7 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ensure_engine_confs(spark)
     path = table_path(sf_dir, name)
     if name == "events":
-        df = spark.read.parquet(path)
-        ts_type = dict(df.dtypes)["ts"]
-        if ts_type == "bigint":  # TIMESTAMP(NANOS) generation, read as int64 ns
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-        else:  # native timestamp / timestamp_ntz generation
-            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        df = normalize_events_ts(spark.read.parquet(path), events_ts_is_nanos(sf_dir))
         return df.select("event_id", "ts", "user_id", "event_type", "value", "props")
     return spark.read.parquet(path)
 

@@ -16,6 +16,7 @@ kept exactly until event time passes its end + 400 s.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -37,28 +38,31 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events as a file stream (one-file parquet source; at scale this
     is the Kafka/Delta ingest edge)."""
     from orca_ztbus_python_processor_spark.session import ensure_engine_confs  # noqa: PLC0415
+    from orca_ztbus_python_processor_spark.sources.parquet import (  # noqa: PLC0415
+        events_ts_is_nanos,
+        normalize_events_ts,
+        table_path,
+    )
 
     ensure_engine_confs(spark)
-    # The driver testdata has shipped events.ts as both TIMESTAMP(NANOS)
-    # (surfaces as bigint under nanosAsLong) and plain TIMESTAMP micros;
-    # sniff the footer with a batch read so the stream schema matches.
-    ts_is_nanos = (
-        dict(spark.read.parquet(f"{sf_dir}/events.parquet").dtypes)["ts"] == "bigint"
-    )
+    # Shared footer-level sniff (memoized per path) — no eager batch
+    # read per stream construction, and the stream cannot drift from the
+    # batch reader's normalization. For the micros generation the
+    # declared "ts timestamp" over an NTZ parquet column matches the
+    # batch path's instants only under the UTC session timezone pinned
+    # by ensure_engine_confs (see normalize_events_ts).
+    ts_is_nanos = events_ts_is_nanos(sf_dir)
     ts_decl = "ts long" if ts_is_nanos else "ts timestamp"
     raw_schema = f"event_id long, {ts_decl}, user_id long, event_type string, value double, props string"
+    events_file = table_path(sf_dir, "events")
     stream = (
         spark.readStream.schema(raw_schema)
         # glob form: the table is a single parquet file, and the
         # file-stream source requires a directory-rooted glob to derive
         # its basePath
-        .parquet(f"{sf_dir}/{{events.parquet}}")
+        .parquet(os.path.join(os.path.dirname(events_file), "{" + os.path.basename(events_file) + "}"))
     )
-    if ts_is_nanos:
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-    else:
-        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
-    return stream
+    return normalize_events_ts(stream, ts_is_nanos)
 
 
 def windowed_agg_stream(
