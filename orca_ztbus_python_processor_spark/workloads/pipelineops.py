@@ -135,21 +135,43 @@ def embedding_dup_components_blocked(spark: SparkSession, sf_dir: str) -> DataFr
 @CATALOG.query("text_dedup_retention")
 def text_dedup_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2 end-to-end: the full text near-dup pipeline composed as ONE
-    lazy plan — MinHash banding candidates -> nibble-sketch gate ->
-    shuffled exact-Jaccard verify (>= 0.5) -> connected components ->
-    canonical-keep (smallest doc_id per cluster survives) -> per-source
-    retention counts. The text twin of
-    ``embedding_dup_components_blocked``; the corpus-curation number a
-    100 TB dedup run actually reports.
+    lazy plan — exact-dup sha256 pre-collapse -> MinHash banding
+    candidates -> nibble-sketch gate -> shuffled exact-Jaccard verify
+    (>= 0.5) -> connected components -> canonical-keep (smallest doc_id
+    per cluster survives) -> per-source retention counts. The text twin
+    of ``embedding_dup_components_blocked``; the corpus-curation number
+    a 100 TB dedup run actually reports.
 
-    Every stage is the cluster-bounded default: candidates map-side +
-    one band shuffle, verify is a shuffle-hash join (no driver stage),
-    CC shuffles the edge table only, and the final corpus join is a
-    shuffle join on doc_id (CC output is unbounded at scale — no
-    broadcast hint; AQE may broadcast when it fits). Rows-only by the
-    driver contract (LSH recall is probabilistic); exactness of the
-    keep/drop logic is pinned by a union-find parity test
-    (tests/test_pipeline_ops.py).
+    Stage 0 (standard corpus-dedup staging): identical non-empty texts
+    are sha256-grouped and only the min-doc_id representative enters
+    MinHash/LSH/CC. Identical texts have identical signatures and
+    Jaccard 1.0, so LSH always clusters them anyway — collapsing first
+    is semantics-preserving while removing the duplicate mass (typically
+    the bulk of all dup mass in a web corpus) from the expensive
+    signature + band-shuffle + CC stages. Empty texts are excluded from
+    the sha-grouping (they never enter LSH either — ``_doc_signatures``
+    skips them), so each stays its own representative and survives,
+    exactly as before. The CC label is the min rep id of
+    the cluster and every rep is the min of its sha-group, so the label
+    is the min doc_id of the EXPANDED cluster — keep/drop is bit-
+    identical to running LSH on the full corpus (union-find parity
+    pinned in tests/test_pipeline_ops.py).
+
+    The collapse never shuffles text: the sha-grouping runs over a
+    narrow ``(h, doc_id)`` projection (the text is hashed map-side
+    during the scan), and the only artifact it produces is ``extra`` —
+    one ``doc_id -> rep_id`` row PER REMOVED DUPLICATE. Representatives
+    are selected by ANTI-joining the corpus against ``extra``: when
+    exact-dup mass is low (this fixture: 8/5000) the table is tiny and
+    AQE broadcasts it, making the collapse a map-side filter; when dup
+    mass is the bulk of the corpus (a raw web crawl) the anti-join
+    shuffles text ONCE and removes that mass from the far more expensive
+    signature/band/verify/CC stages. Every other stage is the
+    cluster-bounded default: candidates map-side + one band shuffle,
+    verify is a shuffle-hash join (no driver stage), CC shuffles the
+    edge table only, and the final rep->cluster join is keyed on rep_id
+    (CC output is unbounded at scale — no broadcast hint). Rows-only by
+    the driver contract (LSH recall is probabilistic).
 
     Output: ``source, n_docs, n_kept, n_dropped``.
     """
@@ -157,13 +179,32 @@ def text_dedup_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         connected_components,
     )
 
-    docs = _docs(spark, sf_dir)
-    pairs = minhash_near_dups(docs, threshold=0.5)
-    comp = connected_components(pairs.select("id_a", "id_b"))
-    labeled = docs.select("doc_id", "source").join(
-        comp, docs.doc_id == comp.node, "left"
+    docs = _docs(spark, sf_dir).select("doc_id", "source", "text")
+    hashed = docs.where(F.length("text") > 0).select(
+        F.sha2(F.col("text"), 256).alias("h"), "doc_id"
     )
-    kept = F.coalesce(F.col("component"), F.col("doc_id")) == F.col("doc_id")
+    groups = hashed.groupBy("h").agg(
+        F.min("doc_id").alias("rep_id"), F.count("*").alias("n")
+    )
+    extra = (
+        hashed.join(groups.where(F.col("n") > 1), "h")
+        .where(F.col("doc_id") != F.col("rep_id"))
+        .select("doc_id", "rep_id")
+    )
+    reps = docs.join(extra.select("doc_id"), "doc_id", "left_anti")
+    pairs = minhash_near_dups(reps, threshold=0.5)
+    comp = connected_components(pairs.select("id_a", "id_b"))
+    with_rep = (
+        docs.select("doc_id", "source")
+        .join(extra.withColumnRenamed("rep_id", "_rep"), "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            F.coalesce(F.col("_rep"), F.col("doc_id")).alias("rep_id"),
+        )
+    )
+    labeled = with_rep.join(comp, F.col("rep_id") == comp.node, "left")
+    kept = F.coalesce(F.col("component"), F.col("rep_id")) == F.col("doc_id")
     return labeled.groupBy("source").agg(
         F.count("*").alias("n_docs"),
         F.sum(kept.cast("long")).alias("n_kept"),
