@@ -85,7 +85,23 @@ _R2_SAMPLE = frozenset({
     "stream_minute_user_agg", "train_test_split_profile",
 })
 
-_DRIVER_VERIFIED = _R1_DRIVER_VERIFIED | _R2_SAMPLE
+# The 50 queries the driver verified in round 3 (CORRECTNESS_r03.json:
+# 49 hash-match + 1 contractual rows-only, zero failures). 34 of these
+# were round-1 re-verifications; the 16 genuinely new names below join
+# the back group so round 4's sample window is filled by round-4
+# additions only.
+_R3_SAMPLE = frozenset({
+    "nation_supplier_roster", "priority_day_grid_fill",
+    "sliding_window_rates", "session_window_native",
+    "mode_event_type_per_user", "sequence_packing_profile",
+    "contamination_share", "tfidf_top_terms", "zipf_token_profile",
+    "cross_source_dup_matrix", "rare_token_density",
+    "pipeline_retention_funnel", "ztbus_brake_straddle_windows",
+    "stream_sliding_rates", "stream_session_native",
+    "text_dedup_retention",
+})
+
+_DRIVER_VERIFIED = _R1_DRIVER_VERIFIED | _R2_SAMPLE | _R3_SAMPLE
 
 
 def merged_catalog() -> Catalog:
@@ -125,10 +141,9 @@ def merged_catalog() -> Catalog:
         merged.oracles.update(cat.oracles)
 
     def _rank(name: str) -> tuple[int, int]:
-        # Never-driver-sampled queries (the 14 added after round 2's
-        # sample was pinned, plus anything new this round) fill the
-        # front of the catalog; everything the driver already verified
-        # in rounds 1-2 sorts behind them.
+        # Never-driver-sampled queries (anything added this round) fill
+        # the front of the catalog; everything the driver already
+        # verified in rounds 1-3 sorts behind them.
         group = 0 if name not in _DRIVER_VERIFIED else 1
         return (group, name not in merged.oracles)
 

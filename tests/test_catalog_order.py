@@ -1,12 +1,12 @@
 """Pin the driver-sample ordering of merged_catalog().
 
 The verification driver samples the FIRST 50 catalog entries each round.
-Rounds 1-2 verified the 100 names in _R1_DRIVER_VERIFIED | _R2_SAMPLE
-(zero failures), so round 3's sample window must be filled by the
-queries that have never had a driver CORRECTNESS row: the 14 added late
-in round 2 plus anything new this round. A regression here (VERDICT.md
-round 2, "What's wrong" #2) would silently re-verify old queries and
-starve new ones of driver evidence.
+Rounds 1-3 verified all 116 catalog names in _R1_DRIVER_VERIFIED |
+_R2_SAMPLE | _R3_SAMPLE (zero failures), so round 4's sample window must
+be filled by the queries that have never had a driver CORRECTNESS row:
+exactly the entries added this round. A regression here (VERDICT.md
+round 2, "What's wrong" #2; round 3 #2) would silently re-verify old
+queries and starve new ones of driver evidence.
 """
 
 from orca_ztbus_python_processor_spark.workloads.base import (
@@ -14,15 +14,11 @@ from orca_ztbus_python_processor_spark.workloads.base import (
     merged_catalog,
 )
 
-# Added late in round 2; driver evidence arrives in round 3.
-NEVER_SAMPLED_R2_TAIL = {
-    "contamination_share", "cross_source_dup_matrix",
-    "mode_event_type_per_user", "nation_supplier_roster",
-    "pipeline_retention_funnel", "priority_day_grid_fill",
-    "rare_token_density", "sequence_packing_profile",
-    "session_window_native", "sliding_window_rates",
-    "stream_session_native", "stream_sliding_rates",
-    "tfidf_top_terms", "zipf_token_profile",
+# Added in round 4; driver evidence arrives in round 4's sample.
+NEVER_SAMPLED_R4_ADDITIONS = {
+    "multimodal_real_decode",
+    "stream_minute_user_append",
+    "events_bucketed_fused_minute",
 }
 
 
@@ -32,8 +28,8 @@ def test_unverified_queries_fill_the_sample_window():
     unverified = [n for n in names if n not in _DRIVER_VERIFIED]
     # Every never-verified query sorts ahead of every verified one.
     assert names[: len(unverified)] == unverified
-    # The 14 late-round-2 queries are all present and all unverified.
-    assert NEVER_SAMPLED_R2_TAIL <= set(unverified)
+    # The round-4 additions are all present and all unverified.
+    assert NEVER_SAMPLED_R4_ADDITIONS <= set(unverified)
     # The driver samples 50: nothing unverified may be pushed past the
     # window. If this trips, a round has to pass before adding more.
     assert len(unverified) <= 50, (
