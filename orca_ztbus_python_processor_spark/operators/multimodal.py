@@ -2,12 +2,17 @@
 as opaque ``binary`` payloads with typed metadata, processed through
 Arrow-batched ``mapInPandas`` pipelines.
 
-The decode step itself is STUBBED — the image/audio libraries are not
-in this container — behind ``decoder=`` hooks: the default
-deterministic fake decoder exercises the real Spark plumbing (schema,
-partitioning, Arrow batch shapes, UDF signatures) end-to-end; passing
-``decoder="real"`` raises NotImplementedError with the intended
-integration point documented.
+Two decode paths:
+
+* ``decoder="fake"`` (default) — deterministic stand-in that exercises
+  the full Spark plumbing (schema, partitioning, Arrow batch shapes,
+  UDF signatures) without any codec dependency.
+* ``decoder="real"`` — REAL byte-level decoders for the formats this
+  container can handle with the stdlib alone: WAV (via ``wave``),
+  BMP (hand-rolled BITMAPINFOHEADER parse, 24bpp uncompressed) and
+  PPM (P6). Formats that genuinely require PIL/libvips/ffmpeg
+  (png/jpeg/webp/mp4/...) raise NotImplementedError *inside the decode
+  stage* — the gate is now per-format, not per-path.
 
 Scale: payloads never leave the executor that scanned them — the
 mapInPandas stages are map-only (no shuffle); feature extraction
@@ -19,9 +24,13 @@ operation. Partition sizing: keep ``maxPartitionBytes`` at/below
 from __future__ import annotations
 
 import hashlib
+import io
+import struct
+import wave
 import zlib
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -80,21 +89,213 @@ def _fake_decode_batch(pdf: pd.DataFrame) -> pd.DataFrame:
 def extract_features(media: DataFrame, decoder: str = "fake") -> DataFrame:
     """Arrow-batched feature extraction over binary payloads.
 
-    ``decoder="real"`` marks where PIL/libvips/ffmpeg decode would go
-    (not available in this container).
+    ``decoder="fake"``: deterministic checksum/brightness stand-in.
+    ``decoder="real"``: byte-level decode (``real_features``) for
+    wav/bmp/ppm; other formats raise NotImplementedError in the decode
+    stage (they need PIL/libvips/ffmpeg, absent in this container).
     """
     if decoder == "real":
-        raise NotImplementedError(
-            "real image/audio decode requires PIL/libvips/ffmpeg; wire the "
-            "decode into _fake_decode_batch's position — the Spark plumbing "
-            "(schema, Arrow batches, map-only stage) is identical"
-        )
+        return real_features(media)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             yield _fake_decode_batch(pdf)
 
     return media.mapInPandas(gen, schema=FEATURE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Real stdlib decoders (wav / bmp / ppm)
+# ---------------------------------------------------------------------------
+
+REAL_FEATURE_SCHEMA = (
+    "media_id long, format string, width int, height int, "
+    "n_channels int, sample_rate int, n_samples long, "
+    "payload_bytes long, mean_level double, peak_level double"
+)
+
+#: formats ``decoder="real"`` can decode with the stdlib alone
+REAL_DECODABLE = ("wav", "bmp", "ppm")
+
+
+def _decode_wav(b: bytes) -> dict:
+    """RIFF/WAVE PCM decode via the stdlib ``wave`` module: levels are
+    mean/peak absolute amplitude normalized to [0, 1]."""
+    with wave.open(io.BytesIO(b)) as w:
+        nch, sw, sr, nf = (
+            w.getnchannels(), w.getsampwidth(), w.getframerate(), w.getnframes(),
+        )
+        raw = w.readframes(nf)
+    dt = {1: np.uint8, 2: np.dtype("<i2"), 4: np.dtype("<i4")}.get(sw)
+    if dt is None:
+        raise ValueError(f"unsupported WAV sample width {sw}")
+    a = np.frombuffer(raw, dtype=dt).astype(np.float64)
+    a = (a - 128.0) / 128.0 if sw == 1 else a / float(2 ** (8 * sw - 1))
+    return {
+        "width": None, "height": None, "n_channels": nch, "sample_rate": sr,
+        "n_samples": nf,
+        "mean_level": float(np.abs(a).mean()) if a.size else 0.0,
+        "peak_level": float(np.abs(a).max()) if a.size else 0.0,
+    }
+
+
+def _decode_bmp(b: bytes) -> dict:
+    """Uncompressed 24bpp BMP decode from a hand-parsed
+    BITMAPFILEHEADER + BITMAPINFOHEADER; levels are mean/peak pixel
+    byte / 255 over the actual pixels (row padding excluded)."""
+    if b[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (pixel_off,) = struct.unpack_from("<I", b, 10)
+    w, h = struct.unpack_from("<ii", b, 18)
+    _, bpp = struct.unpack_from("<HH", b, 26)
+    (compression,) = struct.unpack_from("<I", b, 30)
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"only uncompressed 24bpp BMP supported (bpp={bpp})")
+    height = abs(h)
+    stride = (w * 3 + 3) & ~3
+    rows = np.frombuffer(
+        b, np.uint8, count=stride * height, offset=pixel_off
+    ).reshape(height, stride)[:, : w * 3]
+    px = rows.astype(np.float64) / 255.0
+    return {
+        "width": w, "height": height, "n_channels": 3, "sample_rate": None,
+        "n_samples": w * height,
+        "mean_level": float(px.mean()) if px.size else 0.0,
+        "peak_level": float(px.max()) if px.size else 0.0,
+    }
+
+
+def _decode_ppm(b: bytes) -> dict:
+    """Binary PPM (P6) decode: whitespace/comment-tolerant header parse
+    then raw RGB; levels normalized by the declared maxval."""
+    if b[:2] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(b) and b[pos : pos + 1].isspace():
+            pos += 1
+        if b[pos : pos + 1] == b"#":  # comment to end of line
+            while pos < len(b) and b[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(b) and not b[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(b[start:pos]))
+    pos += 1  # single whitespace after maxval, then raster
+    w, h, maxval = fields
+    px = np.frombuffer(b, np.uint8, count=w * h * 3, offset=pos).astype(np.float64)
+    px /= float(maxval)
+    return {
+        "width": w, "height": h, "n_channels": 3, "sample_rate": None,
+        "n_samples": w * h,
+        "mean_level": float(px.mean()) if px.size else 0.0,
+        "peak_level": float(px.max()) if px.size else 0.0,
+    }
+
+
+_REAL_DECODERS = {"wav": _decode_wav, "bmp": _decode_bmp, "ppm": _decode_ppm}
+
+
+def real_features(media: DataFrame) -> DataFrame:
+    """Map-only Arrow-batched REAL decode of binary payloads.
+
+    Dispatches on the ``format`` column; wav/bmp/ppm decode from actual
+    bytes (stdlib-only), anything else raises NotImplementedError — the
+    honest residual gate for codecs this container lacks.
+    """
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "media_id", "format", "width", "height", "n_channels",
+                "sample_rate", "n_samples", "payload_bytes", "mean_level",
+                "peak_level",
+            )}
+            for media_id, fmt, payload in zip(
+                pdf["media_id"], pdf["format"], pdf["payload"]
+            ):
+                dec = _REAL_DECODERS.get(fmt)
+                if dec is None:
+                    raise NotImplementedError(
+                        f"format {fmt!r} needs PIL/libvips/ffmpeg (not in "
+                        f"this container); stdlib-decodable: {REAL_DECODABLE}"
+                    )
+                feats = dec(bytes(payload))
+                out["media_id"].append(media_id)
+                out["format"].append(fmt)
+                out["payload_bytes"].append(len(payload))
+                for k, v in feats.items():
+                    out[k].append(v)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(gen, schema=REAL_FEATURE_SCHEMA)
+
+
+def synthesize_real_payloads(docs: DataFrame) -> DataFrame:
+    """Deterministic REAL media payloads (valid WAV/BMP/PPM byte
+    streams) derived from each document — the fixture generator for the
+    real-decode path, built executor-side in a map-only Arrow stage so
+    payload bytes never touch the driver.
+
+    Format rotates by ``doc_id % 3``; content (samples / pixels) is a
+    pure function of ``doc_id``, so decoded features are stable across
+    runs and partitionings.
+    """
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fmts, payloads = [], [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                kind = REAL_DECODABLE[d % 3]
+                if kind == "wav":
+                    n = 64 + d % 64
+                    t = np.arange(n, dtype=np.float64)
+                    freq = 110.0 * (1 + d % 13)
+                    a = np.round(
+                        0.5 * 32767.0 * np.sin(2 * np.pi * freq * t / 8000.0)
+                    ).astype("<i2")
+                    buf = io.BytesIO()
+                    with wave.open(buf, "wb") as w:
+                        w.setnchannels(1)
+                        w.setsampwidth(2)
+                        w.setframerate(8000)
+                        w.writeframes(a.tobytes())
+                    payload = buf.getvalue()
+                elif kind == "bmp":
+                    wd, ht = 4 + d % 5, 3 + d % 4
+                    stride = (wd * 3 + 3) & ~3
+                    raster = bytearray(stride * ht)
+                    for row in range(ht):
+                        for col in range(wd * 3):
+                            raster[row * stride + col] = (row * 31 + col * 7 + d) % 256
+                    pixel_off = 14 + 40
+                    payload = (
+                        b"BM"
+                        + struct.pack("<IHHI", pixel_off + len(raster), 0, 0, pixel_off)
+                        + struct.pack(
+                            "<IiiHHIIiiII", 40, wd, ht, 1, 24, 0, len(raster),
+                            2835, 2835, 0, 0,
+                        )
+                        + bytes(raster)
+                    )
+                else:  # ppm
+                    wd, ht = 3 + d % 6, 2 + d % 5
+                    raster = bytes(
+                        (i * 11 + d) % 256 for i in range(wd * ht * 3)
+                    )
+                    payload = f"P6\n{wd} {ht}\n255\n".encode() + raster
+                ids.append(d)
+                fmts.append(kind)
+                payloads.append(payload)
+            yield pd.DataFrame(
+                {"media_id": ids, "format": fmts, "payload": payloads}
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        gen, schema="media_id long, format string, payload binary"
+    )
 
 
 def frame_sample_plan(media: DataFrame, every_n: int = 24) -> DataFrame:

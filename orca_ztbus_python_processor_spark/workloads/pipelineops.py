@@ -231,3 +231,22 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X4: video frame-sampling plan (every 24th frame)."""
     media = media_table_from_documents(_docs(spark, sf_dir))
     return frame_sample_plan(media)
+
+
+@CATALOG.query("multimodal_real_decode")
+def multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 real-decode path: valid WAV/BMP/PPM byte streams synthesized
+    executor-side from the documents table, decoded by the stdlib
+    decoders in ``operators/multimodal.real_features`` (wave-module PCM,
+    hand-parsed BITMAPINFOHEADER, P6 header parse) — actual bytes
+    through the actual decode stage, two map-only Arrow-batched hops, no
+    shuffle. Rows-only by the driver contract (binary decode has no SQL
+    oracle); decoded values are pinned by golden payloads in
+    tests/test_pipeline_ops.py."""
+    from orca_ztbus_python_processor_spark.operators.multimodal import (  # noqa: PLC0415
+        real_features,
+        synthesize_real_payloads,
+    )
+
+    media = synthesize_real_payloads(_docs(spark, sf_dir))
+    return real_features(media)

@@ -188,11 +188,83 @@ def test_multimodal_features_deterministic(spark):
         assert abs(row["brightness"] - sum(payload) / len(payload)) < 1e-9
 
 
-def test_multimodal_real_decoder_is_stubbed(spark):
+def test_multimodal_real_decoder_gate_narrowed_to_missing_codecs(spark):
+    """decoder="real" decodes wav/bmp/ppm for real; formats that need
+    PIL/ffmpeg (the fake corpus declares png/jpeg/webp) still raise
+    NotImplementedError — now from inside the decode stage."""
     docs = read_table(spark, SMOKE_SF_DIR, "documents").limit(1)
     media = media_table_from_documents(docs)
-    with pytest.raises(NotImplementedError):
-        extract_features(media, decoder="real")
+    with pytest.raises(Exception, match="NotImplementedError|PIL"):
+        extract_features(media, decoder="real").count()
+
+
+def test_multimodal_real_decode_golden_payloads(spark):
+    """Known byte streams -> exact decoded features for all three
+    stdlib decoders."""
+    import io
+    import struct
+    import wave as wave_mod
+
+    from orca_ztbus_python_processor_spark.operators.multimodal import (
+        real_features,
+    )
+
+    # WAV: mono 16-bit, 4 samples [0, max, min+1, 0] at 8 kHz
+    buf = io.BytesIO()
+    with wave_mod.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(struct.pack("<4h", 0, 32767, -32767, 0))
+    wav_payload = buf.getvalue()
+
+    # BMP: 2x1 24bpp, pixels (0,0,0) and (255,255,255), 2-byte row pad
+    raster = bytes([0, 0, 0, 255, 255, 255, 0, 0])
+    bmp_payload = (
+        b"BM"
+        + struct.pack("<IHHI", 54 + len(raster), 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, 2, 1, 1, 24, 0, len(raster), 0, 0, 0, 0)
+        + raster
+    )
+
+    # PPM: 1x2 with a header comment, pixels 51 x3 and 102 x3
+    ppm_payload = b"P6\n# c\n1 2\n255\n" + bytes([51] * 3 + [102] * 3)
+
+    media = spark.createDataFrame(
+        [(1, "wav", bytearray(wav_payload)),
+         (2, "bmp", bytearray(bmp_payload)),
+         (3, "ppm", bytearray(ppm_payload))],
+        "media_id long, format string, payload binary",
+    )
+    got = {r["media_id"]: r for r in real_features(media).collect()}
+
+    wav = got[1]
+    assert (wav["n_channels"], wav["sample_rate"], wav["n_samples"]) == (1, 8000, 4)
+    assert wav["peak_level"] == pytest.approx(32767 / 32768)
+    assert wav["mean_level"] == pytest.approx((2 * 32767 / 32768) / 4)
+    assert wav["width"] is None and wav["payload_bytes"] == len(wav_payload)
+
+    bmp = got[2]
+    assert (bmp["width"], bmp["height"], bmp["n_samples"]) == (2, 1, 2)
+    assert bmp["peak_level"] == pytest.approx(1.0)
+    assert bmp["mean_level"] == pytest.approx(0.5)  # padding excluded
+
+    ppm = got[3]
+    assert (ppm["width"], ppm["height"], ppm["n_samples"]) == (1, 2, 2)
+    assert ppm["peak_level"] == pytest.approx(102 / 255)
+    assert ppm["mean_level"] == pytest.approx((51 + 102) / 2 / 255)
+
+
+def test_multimodal_real_decode_catalog_entry_deterministic(spark):
+    from orca_ztbus_python_processor_spark.workloads.pipelineops import (
+        multimodal_real_decode,
+    )
+
+    a = multimodal_real_decode(spark, SMOKE_SF_DIR).toPandas().sort_values("media_id")
+    b = multimodal_real_decode(spark, SMOKE_SF_DIR).toPandas().sort_values("media_id")
+    assert len(a) > 0 and a.reset_index(drop=True).equals(b.reset_index(drop=True))
+    assert set(a["format"]) == {"wav", "bmp", "ppm"}
+    assert (a["peak_level"] <= 1.0).all() and (a["payload_bytes"] > 0).all()
 
 
 def test_frame_sample_counts(spark):
