@@ -93,9 +93,10 @@ def stream_minute_user_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     mode keeps every window, so the result equals the batch form —
     TEST-BRIDGE ONLY: in complete mode Spark ignores the watermark and
     state grows with window count, acceptable for this bounded replay
-    but not on a continuous stream. The production shapes are the
-    append-mode + watermark forms (stream_error_runs,
-    stream_session_native)."""
+    but not on a continuous stream. The production shape of THIS query
+    is ``stream_minute_user_append`` (append + watermark, oracle-gated
+    on the append contract); see also stream_error_runs /
+    stream_session_native."""
     stream = windowed_agg_stream(
         read_events_stream(spark, sf_dir),
         [
@@ -106,6 +107,45 @@ def stream_minute_user_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     run_to_memory(stream, "q_stream_minute_user_agg", output_mode="complete")
     return spark.table("q_stream_minute_user_agg")
+
+
+@CATALOG.query(
+    "stream_minute_user_append",
+    oracle="""
+    SELECT date_trunc('minute', ts) AS time_from,
+           date_trunc('minute', ts) + INTERVAL 1 MINUTE AS time_to,
+           user_id,
+           count(*) AS n_events,
+           CAST(sum(value) AS REAL) AS sum_value,
+           CAST(max(value) AS REAL) AS max_value
+    FROM events
+    GROUP BY 1, 2, 3
+    HAVING date_trunc('minute', ts) + INTERVAL 1 MINUTE
+           <= (SELECT max(ts) - INTERVAL 10 MINUTE FROM events)
+    """,
+)
+def stream_minute_user_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION form of the per-user minute aggregation: append
+    output mode + watermark — each window is emitted exactly once, when
+    the watermark (max event time - 10 min) passes its end, and its
+    state is dropped, so live state is bounded to one watermark horizon
+    per key at any scale. This is the shape a continuous 100 TB stream
+    runs (the complete-mode ``stream_minute_user_agg`` is the bounded-
+    replay test bridge). The oracle encodes the append contract
+    directly: exactly the windows whose end precedes the final
+    watermark are ever emitted — windows still inside the horizon when
+    the bounded replay drains remain in state, unemitted, by design."""
+    stream = windowed_agg_stream(
+        read_events_stream(spark, sf_dir),
+        [
+            F.count("*").alias("n_events"),
+            f32(F.sum("value")).alias("sum_value"),
+            f32(F.max("value")).alias("max_value"),
+        ],
+        watermark="10 minutes",
+    )
+    run_to_memory(stream, "q_stream_minute_user_append", output_mode="append")
+    return spark.table("q_stream_minute_user_append")
 
 
 @CATALOG.query(
