@@ -57,12 +57,23 @@ def write_bucketed_table(
     n_buckets: int = 16,
     sort_cols: tuple[str, ...] = (),
     mode: str = "overwrite",
+    path: str | None = None,
 ) -> None:
-    """Persist ``df`` as a bucketed managed table: joins/aggregations on
-    ``bucket_col`` between co-bucketed tables plan with NO exchange."""
+    """Persist ``df`` as a bucketed table: joins/aggregations on
+    ``bucket_col`` between co-bucketed tables plan with NO exchange —
+    and a groupBy whose keys INCLUDE ``bucket_col`` plans with no
+    exchange either (HashPartitioning on a subset of the grouping keys
+    satisfies the aggregation's clustered distribution).
+
+    ``path`` makes it an EXTERNAL bucketed table at that location
+    (bucketing metadata still lives in the session catalog — Spark's
+    bucketed layout is catalog-described, unlike Hive's file-embedded
+    one)."""
     writer = df.write.bucketBy(n_buckets, bucket_col)
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
+    if path is not None:
+        writer = writer.option("path", path)
     writer.mode(mode).format("parquet").saveAsTable(table_name)
 
 

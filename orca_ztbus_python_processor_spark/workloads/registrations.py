@@ -65,9 +65,7 @@ def value_diff():
     return {"mean_d": f32(F.avg("d")), "std_d": f32(F.stddev_samp("d"))}
 
 
-@CATALOG.query(
-    "registry_fused_minute",
-    oracle="""
+_FUSED_MINUTE_ORACLE = """
     WITH prep AS (
         SELECT date_trunc('minute', ts) AS m, user_id, value, event_type,
                coalesce(value - lag(value) OVER (
@@ -89,8 +87,47 @@ def value_diff():
            CAST(stddev_samp(d) AS REAL) AS "ValueDiff__std_d"
     FROM prep
     GROUP BY m, user_id
-    """,
-)
+    """
+
+
+@CATALOG.query("registry_fused_minute", oracle=_FUSED_MINUTE_ORACLE)
 def registry_fused_minute(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = read_table(spark, sf_dir, "events")
     return events_proc.compile_window_type(events, EVERY_MINUTE_PER_USER, "ts", "60 seconds")
+
+
+@CATALOG.query("events_bucketed_fused_minute", oracle=_FUSED_MINUTE_ORACLE)
+def events_bucketed_fused_minute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The co-bucketed storage layout promised by docs/SCALE.md, run
+    end-to-end: events is MATERIALIZED as a user_id-bucketed table
+    (``sources/sinks.write_bucketed_table``) and the fused minute
+    aggregation (same compiler + oracle as ``registry_fused_minute``)
+    runs against it with ZERO Exchange — the bucketed scan's
+    HashPartitioning(user_id) is a subset of every stage's required
+    clustering ((_time_from, user_id) for both the ValueDiff window
+    prepare and the fused groupBy), so the prepare sort is local and
+    the aggregation never shuffles. At 100 TB this is the difference
+    between re-shuffling the fact table per query and pre-paying one
+    layout write; the zero-Exchange plan is pinned in
+    tests/test_sinks_layout.py."""
+    import re  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+
+    from orca_ztbus_python_processor_spark.sources.sinks import (  # noqa: PLC0415
+        write_bucketed_table,
+    )
+
+    table = "events_bucketed_" + re.sub(r"[^0-9a-zA-Z]+", "_", sf_dir).strip("_")
+    if not spark.catalog.tableExists(table):
+        events = read_table(spark, sf_dir, "events")
+        write_bucketed_table(
+            events,
+            table,
+            "user_id",
+            n_buckets=8,
+            sort_cols=("user_id", "ts"),
+            path=tempfile.mkdtemp(prefix=table + "_") + "/data",
+        )
+    return events_proc.compile_window_type(
+        spark.table(table), EVERY_MINUTE_PER_USER, "ts", "60 seconds"
+    )

@@ -38,6 +38,37 @@ def test_date_partitioned_write_prunes(spark, tmp_path):
     assert narrowed.count() > 0
 
 
+def test_bucketed_fused_minute_zero_exchange(spark):
+    """The real workload on the bucketed layout: the registry-fused
+    minute aggregation over user_id-bucketed events must plan with ZERO
+    Exchange — the bucketed scan's HashPartitioning(user_id) satisfies
+    the clustering of both the window prepare and the fused groupBy."""
+    from orca_ztbus_python_processor_spark.workloads.registrations import (
+        events_bucketed_fused_minute,
+        registry_fused_minute,
+    )
+
+    fused = events_bucketed_fused_minute(spark, SMOKE_SF_DIR)
+    try:
+        plan = _plan(spark, fused)
+        assert not re.search(r"\(\d+\) Exchange", plan), (
+            "bucketed fused minute agg must not shuffle:\n" + plan
+        )
+        # and it computes the same result as the unbucketed twin
+        a = fused.orderBy("time_from", "user_id").toPandas()
+        b = (
+            registry_fused_minute(spark, SMOKE_SF_DIR)
+            .orderBy("time_from", "user_id")
+            .toPandas()
+        )
+        assert a.equals(b)
+    finally:
+        import re as _re
+
+        tbl = "events_bucketed_" + _re.sub(r"[^0-9a-zA-Z]+", "_", SMOKE_SF_DIR).strip("_")
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
 def test_bucketed_join_no_exchange(spark, tmp_path):
     # managed tables land in the session's default warehouse; DROP TABLE
     # below removes the files
