@@ -728,6 +728,14 @@ def connected_components(
         .repartition(width, "u")
         .localCheckpoint()
     )
+    # Per-round cost on sparse near-dup graphs is DRIVER-coordination
+    # overhead, not compute, so each round runs as ONE job: the labels
+    # frame is checkpointed LAZILY and the convergence probe's action
+    # both materializes the checkpoint (truncating lineage — the
+    # pointer-jump self-join would otherwise recompute the whole round
+    # chain once per consumer, exponentially) and computes the monotone
+    # label-sum. (A two-steps-per-probe variant was measured SLOWER for
+    # exactly that self-join recompute reason.)
     prev_sum = None
     for _ in range(max_iterations):
         nb_min = (
@@ -750,7 +758,7 @@ def connected_components(
                 "u", F.coalesce(F.col("_jlabel"), F.col("label")).alias("label")
             )
             .repartition(width, "u")
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         label_sum = labels.agg(F.sum("label")).collect()[0][0]
         if label_sum == prev_sum:
