@@ -938,3 +938,72 @@ def pipeline_retention_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("retention"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# doc_chunk_windows — fixed-size token windows with stride/overlap (X5):
+# the chunking pass that turns variable-length documents into
+# training-sequence windows. Map-side only: tokenize -> sequence of
+# chunk starts -> explode; the single shuffle is the final per-source
+# profile rollup. At 100 TB the explode multiplies rows ~n_tokens/stride
+# per doc BEFORE any shuffle, so the wide stage stays within the scan
+# task and only the tiny aggregate crosses the wire.
+# --------------------------------------------------------------------------
+CHUNK_SIZE = 128
+CHUNK_STRIDE = 96  # 32-token overlap between consecutive windows
+
+
+@CATALOG.query(
+    "doc_chunk_windows",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, source,
+               len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+        FROM documents
+    ), chunks AS (
+        SELECT doc_id, source, n_tokens,
+               unnest(range(0, n_tokens, {CHUNK_STRIDE})) AS start
+        FROM toks
+    )
+    SELECT source,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(avg(least({CHUNK_SIZE}, n_tokens - start)) AS REAL) AS avg_chunk_len,
+           CAST(avg(CASE WHEN n_tokens - start >= {CHUNK_SIZE}
+                         THEN 1.0 ELSE 0.0 END) AS REAL) AS full_chunk_share
+    FROM chunks
+    GROUP BY source
+    """,
+)
+def doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stride-96 windows of 128 whitespace tokens per document,
+    profiled per source: chunk count, mean chunk length, share of full
+    (non-tail) chunks — the numbers that size a training run's sequence
+    budget. Same whitespace tokenization as ``token_stats`` (n_tokens
+    >= 1 by the split convention, so every doc yields >= 1 chunk)."""
+    n_tokens = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")
+    chunks = (
+        _docs(spark, sf_dir)
+        .select("doc_id", "source", n_tokens.alias("n_tokens"))
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            F.explode(
+                F.sequence(
+                    F.lit(0).cast("long"),
+                    F.greatest(F.col("n_tokens") - 1, F.lit(0).cast("long")),
+                    F.lit(CHUNK_STRIDE).cast("long"),
+                )
+            ).alias("start"),
+        )
+    )
+    chunk_len = F.least(F.lit(CHUNK_SIZE).cast("long"), F.col("n_tokens") - F.col("start"))
+    return chunks.groupBy("source").agg(
+        F.count_distinct("doc_id").alias("n_docs"),
+        F.count("*").alias("n_chunks"),
+        f32(F.avg(chunk_len)).alias("avg_chunk_len"),
+        f32(
+            F.avg((F.col("n_tokens") - F.col("start") >= CHUNK_SIZE).cast("double"))
+        ).alias("full_chunk_share"),
+    )

@@ -19,6 +19,7 @@ NEVER_SAMPLED_R4_ADDITIONS = {
     "multimodal_real_decode",
     "stream_minute_user_append",
     "events_bucketed_fused_minute",
+    "doc_chunk_windows",
 }
 
 

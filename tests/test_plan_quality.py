@@ -256,3 +256,21 @@ def test_retention_funnel_reads_pruned_schema(spark, catalog):
     pruned from the parquet scan."""
     plan = _plan(spark, catalog.queries["pipeline_retention_funnel"](spark, SMOKE_SF_DIR))
     assert "lang" not in plan.split("ReadSchema")[1].split("\n")[0], plan
+
+
+def test_multimodal_real_decode_map_only(spark, catalog):
+    """The real-decode pipeline (synthesize -> decode) must be map-only:
+    two Arrow-batched Python stages, zero Exchange - payload bytes never
+    leave the executor that built them."""
+    plan = _plan(spark, catalog.queries["multimodal_real_decode"](spark, SMOKE_SF_DIR))
+    assert not re.search(r"\(\d+\) Exchange", plan), plan
+    assert len(re.findall(r"\(\d+\) MapInPandas", plan)) == 2, plan
+
+
+def test_doc_chunk_windows_single_shuffle(spark, catalog):
+    """Chunk explode happens map-side inside the scan stage; the only
+    Exchange is the final per-source rollup (plus its AQE read)."""
+    plan = _plan(spark, catalog.queries["doc_chunk_windows"](spark, SMOKE_SF_DIR))
+    assert "Explode" in plan or "Generate" in plan, plan
+    n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_exchanges <= 2, plan  # partial->final agg exchange + distinct-count expand
