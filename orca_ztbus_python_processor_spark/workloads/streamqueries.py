@@ -337,6 +337,52 @@ def stream_sliding_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @CATALOG.query(
+    "stream_sliding_append",
+    oracle="""
+    WITH wm AS (SELECT max(ts) - INTERVAL 10 MINUTE AS w FROM events)
+    SELECT date_trunc('minute', ts) - (t.i * INTERVAL 1 MINUTE) AS win_start,
+           date_trunc('minute', ts) - (t.i * INTERVAL 1 MINUTE)
+               + INTERVAL 5 MINUTE AS win_end,
+           event_type,
+           count(*) AS n_events,
+           CAST(avg(value) AS REAL) AS avg_value
+    FROM events, range(5) t(i)
+    GROUP BY 1, 2, 3
+    HAVING date_trunc('minute', ts) - (t.i * INTERVAL 1 MINUTE)
+               + INTERVAL 5 MINUTE <= (SELECT w FROM wm)
+    """,
+)
+def stream_sliding_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION form of the sliding-window rates: append mode +
+    watermark. Each of the 5 overlapping windows an event feeds is
+    emitted exactly once, when the watermark (max event time - 10 min)
+    passes its END, and its state is dropped — so the size/slide
+    overlap multiplies LIVE state by a constant factor (5), never the
+    corpus. The oracle encodes the same append contract as
+    ``stream_minute_user_append``: exactly the windows whose end
+    precedes the final watermark; tail windows still in state when the
+    bounded replay drains are unemitted by design. Complete-mode twin
+    (full result, test bridge): ``stream_sliding_rates``."""
+    agged = (
+        read_events_stream(spark, sf_dir)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(
+            F.window(F.col("ts"), "5 minutes", "1 minute").alias("w"), "event_type"
+        )
+        .agg(F.count("*").alias("n_events"), f32(F.avg("value")).alias("avg_value"))
+        .select(
+            F.col("w.start").alias("win_start"),
+            F.col("w.end").alias("win_end"),
+            "event_type",
+            "n_events",
+            "avg_value",
+        )
+    )
+    run_to_memory(agged, "q_stream_sliding_append", output_mode="append")
+    return spark.table("q_stream_sliding_append")
+
+
+@CATALOG.query(
     "stream_session_native",
     oracle=f"""
     WITH flagged AS (

@@ -20,6 +20,7 @@ NEVER_SAMPLED_R4_ADDITIONS = {
     "stream_minute_user_append",
     "events_bucketed_fused_minute",
     "doc_chunk_windows",
+    "stream_sliding_append",
 }
 
 
