@@ -78,7 +78,7 @@ def main() -> None:
     best_total = round(sum(timings.values()), 4)
 
     detail = {
-        "metric": "total_query_wall_sec",
+        "metric": "total_query_min_wall_sec",
         "value": best_total,
         "wall_all_reps_sec": total,
         "unit": "sec",
@@ -99,13 +99,15 @@ def main() -> None:
 
     # LAST line: compact and self-contained so tail-truncation can never
     # break the driver's parse (r1 regression: one giant line lost its
-    # head and parsed null). "value" is sum-of-min per-query time -- the
-    # comparable plan-cost number; the raw double-run wall clock is in
+    # head and parsed null). "value" is sum-of-min per-query time; the
+    # metric NAME changed with the methodology (rounds 1-3 reported n=1
+    # wall seconds as total_query_wall_sec) so no consumer compares the
+    # two as like-for-like. The raw all-reps wall clock stays in
     # wall_all_reps_sec.
     print(
         json.dumps(
             {
-                "metric": "total_query_wall_sec",
+                "metric": "total_query_min_wall_sec",
                 "value": best_total,
                 "unit": "sec",
                 "wall_all_reps_sec": total,

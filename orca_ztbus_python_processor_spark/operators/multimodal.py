@@ -184,6 +184,10 @@ def _decode_ppm(b: bytes) -> dict:
         fields.append(int(b[start:pos]))
     pos += 1  # single whitespace after maxval, then raster
     w, h, maxval = fields
+    if maxval > 255:
+        # 16-bit P6 stores 2 big-endian bytes per sample; reading it as
+        # uint8 would halve the raster and return plausible garbage
+        raise ValueError(f"only 8-bit P6 PPM supported (maxval={maxval})")
     px = np.frombuffer(b, np.uint8, count=w * h * 3, offset=pos).astype(np.float64)
     px /= float(maxval)
     return {

@@ -59,7 +59,11 @@ def events_ts_is_nanos(sf_dir: str) -> bool:
     un-annotated integer column now raises instead of guessing.
     """
     t = _events_ts_arrow_type(table_path(sf_dir, "events"))
-    if t == "timestamp[ns]":
+    # prefix match: tz-annotated nanos renders as "timestamp[ns, tz=UTC]"
+    # and is STILL loaded as bigint under nanosAsLong — an exact-match
+    # here would misroute it to the micros cast path (int64 interpreted
+    # as epoch-SECONDS, silent garbage).
+    if t.startswith("timestamp[ns"):
         return True
     if t.startswith("timestamp"):  # timestamp[us]/[ms], with or without tz
         return False

@@ -72,17 +72,26 @@ def windowed_agg_stream(
     time_col: str = "ts",
     duration: str = "60 seconds",
     watermark: str = DEFAULT_WATERMARK,
+    slide: str | None = None,
+    out_cols: tuple[str, str] = ("time_from", "time_to"),
 ) -> DataFrame:
-    """Tumbling-window keyed aggregation over a stream (ST1 + ST2 + EP2
-    in one incremental plan)."""
+    """Tumbling (or, with ``slide``, hopping) window keyed aggregation
+    over a stream (ST1 + ST2 + EP2 in one incremental plan). One shared
+    shape for every windowed stream query so watermark handling cannot
+    drift between them; ``out_cols`` names the window-bound columns."""
+    win = (
+        F.window(F.col(time_col), duration, slide)
+        if slide is not None
+        else F.window(F.col(time_col), duration)
+    )
     agged = (
         events.withWatermark(time_col, watermark)
-        .groupBy(F.window(F.col(time_col), duration).alias("w"), *keys)
+        .groupBy(win.alias("w"), *keys)
         .agg(*agg_cols)
     )
     rest = [c for c in agged.columns if c != "w"]
     return agged.select(
-        F.col("w.start").alias("time_from"), F.col("w.end").alias("time_to"), *rest
+        F.col("w.start").alias(out_cols[0]), F.col("w.end").alias(out_cols[1]), *rest
     )
 
 

@@ -11,6 +11,8 @@ correctness-gated end-to-end by the driver.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
@@ -96,6 +98,24 @@ def registry_fused_minute(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events_proc.compile_window_type(events, EVERY_MINUTE_PER_USER, "ts", "60 seconds")
 
 
+def bucketed_events_table(sf_dir: str) -> tuple[str, str]:
+    """(table name, data path) for the bucketed-events demo table —
+    BOTH deterministic per sf_dir: the path is a stable per-user 0700
+    directory so repeated runs (bench reps, driver rounds, pytest
+    sessions) overwrite one copy instead of leaking a fresh tempdir of
+    full events data per process."""
+    import getpass  # noqa: PLC0415
+    import re  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+
+    slug = re.sub(r"[^0-9a-zA-Z]+", "_", sf_dir).strip("_")
+    root = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_bucketed_{getpass.getuser()}"
+    )
+    os.makedirs(root, mode=0o700, exist_ok=True)
+    return f"events_bucketed_{slug}", os.path.join(root, slug)
+
+
 @CATALOG.query("events_bucketed_fused_minute", oracle=_FUSED_MINUTE_ORACLE)
 def events_bucketed_fused_minute(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The co-bucketed storage layout promised by docs/SCALE.md, run
@@ -110,14 +130,11 @@ def events_bucketed_fused_minute(spark: SparkSession, sf_dir: str) -> DataFrame:
     between re-shuffling the fact table per query and pre-paying one
     layout write; the zero-Exchange plan is pinned in
     tests/test_sinks_layout.py."""
-    import re  # noqa: PLC0415
-    import tempfile  # noqa: PLC0415
-
     from orca_ztbus_python_processor_spark.sources.sinks import (  # noqa: PLC0415
         write_bucketed_table,
     )
 
-    table = "events_bucketed_" + re.sub(r"[^0-9a-zA-Z]+", "_", sf_dir).strip("_")
+    table, path = bucketed_events_table(sf_dir)
     if not spark.catalog.tableExists(table):
         events = read_table(spark, sf_dir, "events")
         write_bucketed_table(
@@ -126,7 +143,7 @@ def events_bucketed_fused_minute(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id",
             n_buckets=8,
             sort_cols=("user_id", "ts"),
-            path=tempfile.mkdtemp(prefix=table + "_") + "/data",
+            path=path,
         )
     return events_proc.compile_window_type(
         spark.table(table), EVERY_MINUTE_PER_USER, "ts", "60 seconds"

@@ -363,20 +363,14 @@ def stream_sliding_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     precedes the final watermark; tail windows still in state when the
     bounded replay drains are unemitted by design. Complete-mode twin
     (full result, test bridge): ``stream_sliding_rates``."""
-    agged = (
-        read_events_stream(spark, sf_dir)
-        .withWatermark("ts", "10 minutes")
-        .groupBy(
-            F.window(F.col("ts"), "5 minutes", "1 minute").alias("w"), "event_type"
-        )
-        .agg(F.count("*").alias("n_events"), f32(F.avg("value")).alias("avg_value"))
-        .select(
-            F.col("w.start").alias("win_start"),
-            F.col("w.end").alias("win_end"),
-            "event_type",
-            "n_events",
-            "avg_value",
-        )
+    agged = windowed_agg_stream(
+        read_events_stream(spark, sf_dir),
+        [F.count("*").alias("n_events"), f32(F.avg("value")).alias("avg_value")],
+        keys=("event_type",),
+        duration="5 minutes",
+        slide="1 minute",
+        watermark="10 minutes",
+        out_cols=("win_start", "win_end"),
     )
     run_to_memory(agged, "q_stream_sliding_append", output_mode="append")
     return spark.table("q_stream_sliding_append")

@@ -254,6 +254,12 @@ def test_multimodal_real_decode_golden_payloads(spark):
     assert ppm["peak_level"] == pytest.approx(102 / 255)
     assert ppm["mean_level"] == pytest.approx((51 + 102) / 2 / 255)
 
+    # 16-bit P6 (maxval > 255) must raise, not half-read the raster
+    from orca_ztbus_python_processor_spark.operators.multimodal import _decode_ppm
+
+    with pytest.raises(ValueError, match="8-bit"):
+        _decode_ppm(b"P6\n1 1\n65535\n" + bytes(6))
+
 
 def test_multimodal_real_decode_catalog_entry_deterministic(spark):
     from orca_ztbus_python_processor_spark.workloads.pipelineops import (

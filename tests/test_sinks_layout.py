@@ -63,9 +63,11 @@ def test_bucketed_fused_minute_zero_exchange(spark):
         )
         assert a.equals(b)
     finally:
-        import re as _re
+        from orca_ztbus_python_processor_spark.workloads.registrations import (
+            bucketed_events_table,
+        )
 
-        tbl = "events_bucketed_" + _re.sub(r"[^0-9a-zA-Z]+", "_", SMOKE_SF_DIR).strip("_")
+        tbl, _ = bucketed_events_table(SMOKE_SF_DIR)
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
 
 
