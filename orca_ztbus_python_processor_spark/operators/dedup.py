@@ -124,7 +124,9 @@ def minhash_signature(
     )
 
 
-def _pair_expand(bucketed: DataFrame, members_col: str = "ids") -> DataFrame:
+def _pair_expand(
+    bucketed: DataFrame, members_col: str = "ids", max_members: int | None = 1024
+) -> DataFrame:
     """Expand each LSH bucket's sorted member array into (m_a, m_b) pairs
     (a < b) without a self-join.
 
@@ -133,8 +135,22 @@ def _pair_expand(bucketed: DataFrame, members_col: str = "ids") -> DataFrame:
     groupBy + in-bucket expansion computes signatures once and shuffles
     once; bucket sizes are small by LSH construction, so the in-row
     quadratic expansion is bounded.
+
+    ``max_members`` is the flood guard that makes "bounded" true at
+    corpus scale: a bucket of B members expands to B²/2 structs in ONE
+    row, so a pathological bucket (a million identical-signature docs in
+    a raw crawl, or an adversarial hash flood) would OOM the executor.
+    Buckets past the cap are dropped whole — at 1024 the legitimate
+    near-dup buckets (tens of members) are untouched, and an
+    identical-text flood is exactly what an exact-dup sha256
+    pre-collapse removes BEFORE LSH (see
+    workloads/pipelineops.text_dedup_retention); pass ``None`` to
+    disable when the input is known pre-collapsed and flood-free.
     """
-    return bucketed.where(F.size(members_col) >= 2).select(
+    size_ok = F.size(members_col) >= 2
+    if max_members is not None:
+        size_ok = size_ok & (F.size(members_col) <= max_members)
+    return bucketed.where(size_ok).select(
         F.explode(
             F.expr(
                 f"flatten(transform(sequence(1, size({members_col}) - 1),"

@@ -398,3 +398,24 @@ def test_text_dedup_retention_matches_union_find(spark):
     assert any(v[2] > 0 for v in got.values()), "fixture has near-dups; none dropped"
     for src, (n_docs, n_kept) in expected.items():
         assert got[src] == (n_docs, n_kept, n_docs - n_kept), src
+
+
+def test_pair_expand_flood_bucket_guard(spark):
+    """A bucket past max_members is dropped whole (its quadratic
+    expansion would OOM an executor at corpus scale); buckets at or
+    under the cap expand normally, and None disables the guard."""
+    from orca_ztbus_python_processor_spark.operators.dedup import _pair_expand
+
+    rows = [
+        (1, [{"id": i} for i in range(5)]),  # flood bucket (cap 4)
+        (2, [{"id": i} for i in range(10, 13)]),  # normal bucket
+    ]
+    bucketed = spark.createDataFrame(
+        rows, "bucket long, ids array<struct<id: long>>"
+    )
+    got = _pair_expand(bucketed, max_members=4).collect()
+    assert len(got) == 3  # C(3,2) from the normal bucket only
+    assert {(r["m_a"]["id"], r["m_b"]["id"]) for r in got} == {
+        (10, 11), (10, 12), (11, 12)
+    }
+    assert len(_pair_expand(bucketed, max_members=None).collect()) == 10 + 3
