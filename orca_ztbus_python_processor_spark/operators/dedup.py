@@ -735,6 +735,10 @@ def connected_components(
     # queries on a shared session. Intermediate join/agg exchanges that
     # still plan at session width are coalesced down by AQE at runtime.
     n_edges = sym.count()
+    if n_edges == 0:
+        # no pairs -> no components; skip the propagation loop entirely
+        # (otherwise an empty graph still pays a full round of jobs)
+        return sym.select(F.col("u").alias("node"), F.col("u").alias("component"))
     width = max(2, min(spark.sparkContext.defaultParallelism, n_edges // 500_000 + 1))
     sym = sym.repartition(width, "v").localCheckpoint()
     labels = (

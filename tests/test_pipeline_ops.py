@@ -419,3 +419,14 @@ def test_pair_expand_flood_bucket_guard(spark):
         (10, 11), (10, 12), (11, 12)
     }
     assert len(_pair_expand(bucketed, max_members=None).collect()) == 10 + 3
+
+
+def test_connected_components_empty_graph(spark):
+    from orca_ztbus_python_processor_spark.operators.dedup import (
+        connected_components,
+    )
+
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    out = connected_components(empty)
+    assert out.columns == ["node", "component"]
+    assert out.count() == 0
