@@ -1007,3 +1007,53 @@ def doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.avg((F.col("n_tokens") - F.col("start") >= CHUNK_SIZE).cast("double"))
         ).alias("full_chunk_share"),
     )
+
+
+# --------------------------------------------------------------------------
+# data_mix_rebalance_profile — training-mix rebalancing (X5): given a
+# uniform target mix across sources, the per-source downsampling
+# fraction and expected post-sampling counts. The numbers a data-mixing
+# stage computes before drawing the actual sample (the draw itself is
+# seeded-random and engine-specific; the PLAN is deterministic and
+# oracle-matched). Post-aggregation frame is one row per source, so the
+# whole-frame window is trivially cheap at any corpus scale.
+# --------------------------------------------------------------------------
+@CATALOG.query(
+    "data_mix_rebalance_profile",
+    oracle="""
+    WITH per AS (
+        SELECT source, count(*) AS n_docs FROM documents GROUP BY source
+    )
+    SELECT source,
+           n_docs,
+           CAST(CAST(n_docs AS DOUBLE) / sum(n_docs) OVER () AS REAL) AS share,
+           CAST(1.0 / count(*) OVER () AS REAL) AS target_share,
+           CAST(least(1.0, (1.0 / count(*) OVER ())
+                / (CAST(n_docs AS DOUBLE) / sum(n_docs) OVER ())) AS REAL)
+               AS sample_fraction,
+           CAST(floor(n_docs * least(1.0, (1.0 / count(*) OVER ())
+                / (CAST(n_docs AS DOUBLE) / sum(n_docs) OVER ()))) AS BIGINT)
+               AS expected_n
+    FROM per
+    """,
+)
+def data_mix_rebalance_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Downsample-only rebalancing toward a uniform source mix:
+    over-represented sources get fraction target/current (< 1),
+    under-represented ones keep everything (capped at 1 — upsampling is
+    a repetition policy, not a sampling fraction)."""
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
+    w = Window.partitionBy()
+    per = _docs(spark, sf_dir).groupBy("source").agg(F.count("*").alias("n_docs"))
+    share = F.col("n_docs").cast("double") / F.sum("n_docs").over(w)
+    target = F.lit(1.0) / F.count("*").over(w)
+    frac = F.least(F.lit(1.0), target / share)
+    return per.select(
+        "source",
+        "n_docs",
+        f32(share).alias("share"),
+        f32(target).alias("target_share"),
+        f32(frac).alias("sample_fraction"),
+        F.floor(F.col("n_docs") * frac).cast("long").alias("expected_n"),
+    )

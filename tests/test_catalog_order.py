@@ -21,6 +21,7 @@ NEVER_SAMPLED_R4_ADDITIONS = {
     "events_bucketed_fused_minute",
     "doc_chunk_windows",
     "stream_sliding_append",
+    "data_mix_rebalance_profile",
 }
 
 

@@ -430,3 +430,47 @@ def test_connected_components_empty_graph(spark):
     out = connected_components(empty)
     assert out.columns == ["node", "component"]
     assert out.count() == 0
+
+
+def test_data_mix_rebalance_downsamples_overrepresented(spark, tmp_path):
+    """The driver corpus is perfectly balanced (every fraction 1.0), so
+    exercise the actual rebalancing math on a skewed fixture: the
+    over-represented source is downsampled to the uniform target, the
+    under-represented ones keep everything."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from orca_ztbus_python_processor_spark.workloads.textops import (
+        data_mix_rebalance_profile,
+    )
+
+    rows = [("big", 60), ("small_a", 25), ("small_b", 15)]
+    doc_id, text, lang, source, n_chars = [], [], [], [], []
+    i = 0
+    for src, n in rows:
+        for _ in range(n):
+            doc_id.append(i)
+            text.append(f"doc {i}")
+            lang.append("en")
+            source.append(src)
+            n_chars.append(5)
+            i += 1
+    pq.write_table(
+        pa.table(
+            {"doc_id": pa.array(doc_id, pa.int64()), "text": text,
+             "lang": lang, "source": source,
+             "n_chars": pa.array(n_chars, pa.int64())}
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    got = {
+        r["source"]: r
+        for r in data_mix_rebalance_profile(spark, str(tmp_path)).collect()
+    }
+    # target share = 1/3; "big" holds 60% -> fraction (1/3)/0.6 = 5/9
+    assert got["big"]["sample_fraction"] == pytest.approx(5 / 9, abs=1e-6)
+    assert got["big"]["expected_n"] == 33  # floor(60 * 5/9)
+    assert got["small_a"]["sample_fraction"] == 1.0
+    assert got["small_a"]["expected_n"] == 25
+    assert got["small_b"]["sample_fraction"] == 1.0
+    assert sum(r["n_docs"] for r in got.values()) == 100
