@@ -138,27 +138,41 @@ def _pair_expand(
 
     ``max_members`` is the flood guard that makes "bounded" true at
     corpus scale: a bucket of B members expands to B²/2 structs in ONE
-    row, so a pathological bucket (a million identical-signature docs in
-    a raw crawl, or an adversarial hash flood) would OOM the executor.
-    Buckets past the cap are dropped whole — at 1024 the legitimate
-    near-dup buckets (tens of members) are untouched, and an
-    identical-text flood is exactly what an exact-dup sha256
-    pre-collapse removes BEFORE LSH (see
-    workloads/pipelineops.text_dedup_retention); pass ``None`` to
-    disable when the input is known pre-collapsed and flood-free.
+    row, so a pathological bucket (a million near-identical templated
+    docs in a raw crawl, or an adversarial hash flood) would OOM the
+    executor. Buckets past the cap fall back to STAR expansion — the
+    (sorted) first member paired with each other member, B-1 pairs at
+    linear cost. The star preserves exactly what a dedup pipeline needs
+    from a flood bucket: every member stays connected to the cluster
+    (connected components produce the same component as the full
+    expansion, since similarity inside an identical-signature flood is
+    transitive in practice), while the quadratic pair LIST — meaningless
+    at that size — is not materialized. At 1024 the legitimate near-dup
+    buckets (tens of members) always take the full expansion; pass
+    ``None`` to force full expansion everywhere (known pre-collapsed,
+    flood-free input — see the sha256 stage in
+    workloads/pipelineops.text_dedup_retention).
     """
-    size_ok = F.size(members_col) >= 2
-    if max_members is not None:
-        size_ok = size_ok & (F.size(members_col) <= max_members)
-    return bucketed.where(size_ok).select(
-        F.explode(
-            F.expr(
-                f"flatten(transform(sequence(1, size({members_col}) - 1),"
-                f" i -> transform(sequence(i + 1, size({members_col})),"
-                f" j -> struct(element_at({members_col}, i) as m_a,"
-                f" element_at({members_col}, j) as m_b))))"
-            )
-        ).alias("p")
+    full = (
+        f"flatten(transform(sequence(1, size({members_col}) - 1),"
+        f" i -> transform(sequence(i + 1, size({members_col})),"
+        f" j -> struct(element_at({members_col}, i) as m_a,"
+        f" element_at({members_col}, j) as m_b))))"
+    )
+    if max_members is None:
+        pairs_expr = full
+    else:
+        star = (
+            f"transform(sequence(2, size({members_col})),"
+            f" j -> struct(element_at({members_col}, 1) as m_a,"
+            f" element_at({members_col}, j) as m_b))"
+        )
+        pairs_expr = (
+            f"CASE WHEN size({members_col}) <= {max_members}"
+            f" THEN {full} ELSE {star} END"
+        )
+    return bucketed.where(F.size(members_col) >= 2).select(
+        F.explode(F.expr(pairs_expr)).alias("p")
     ).select("p.m_a", "p.m_b")
 
 
@@ -571,6 +585,14 @@ def simhash_near_dups(
     banding FULLY recalls (pigeonhole: <=3 differing bits leave >=1
     chunk intact). Larger thresholds are recall-incomplete with 4
     chunks; raise the chunk count alongside the threshold if needed.
+
+    Scale note: 16-bit chunk buckets grow ~N/65536 per chunk index, so
+    past ~10^8 docs the AVERAGE bucket crosses the ``_pair_expand``
+    flood cap and takes the linear star expansion (connectivity
+    preserved, full pair list not materialized). At that corpus size
+    the right move is more/wider chunks (e.g. 8 x 8-bit banding has the
+    same pigeonhole bound for hamming <= 7) so buckets shrink — the
+    star fallback is the graceful floor, not the design point.
 
     Output: ``id_a, id_b, hamming``.
     """

@@ -400,10 +400,12 @@ def test_text_dedup_retention_matches_union_find(spark):
         assert got[src] == (n_docs, n_kept, n_docs - n_kept), src
 
 
-def test_pair_expand_flood_bucket_guard(spark):
-    """A bucket past max_members is dropped whole (its quadratic
-    expansion would OOM an executor at corpus scale); buckets at or
-    under the cap expand normally, and None disables the guard."""
+def test_pair_expand_flood_bucket_star_fallback(spark):
+    """A bucket past max_members falls back to STAR expansion (first
+    member paired with each other member — linear, connectivity
+    preserved for CC) instead of the quadratic full expansion that
+    would OOM an executor at corpus scale; buckets at or under the cap
+    expand fully, and None forces full expansion everywhere."""
     from orca_ztbus_python_processor_spark.operators.dedup import _pair_expand
 
     rows = [
@@ -413,11 +415,9 @@ def test_pair_expand_flood_bucket_guard(spark):
     bucketed = spark.createDataFrame(
         rows, "bucket long, ids array<struct<id: long>>"
     )
-    got = _pair_expand(bucketed, max_members=4).collect()
-    assert len(got) == 3  # C(3,2) from the normal bucket only
-    assert {(r["m_a"]["id"], r["m_b"]["id"]) for r in got} == {
-        (10, 11), (10, 12), (11, 12)
-    }
+    got = {( r["m_a"]["id"], r["m_b"]["id"]) for r in _pair_expand(bucketed, max_members=4).collect()}
+    # flood bucket: star pairs only (0-1, 0-2, 0-3, 0-4); normal: all pairs
+    assert got == {(0, 1), (0, 2), (0, 3), (0, 4), (10, 11), (10, 12), (11, 12)}
     assert len(_pair_expand(bucketed, max_members=None).collect()) == 10 + 3
 
 

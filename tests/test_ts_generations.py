@@ -50,6 +50,18 @@ def _write_events(tmp_path, ts_array):
     return str(tmp_path)
 
 
+def _read_epoch_us(spark, sf_dir):
+    # compare INSTANTS (epoch micros), not collect()ed datetimes:
+    # PySpark's TimestampType.fromInternal renders in the HOST-local
+    # timezone, so naive-datetime equality would only hold on a UTC host
+    import pyspark.sql.functions as F
+
+    df = read_table(spark, sf_dir, "events").select(
+        F.unix_micros("ts").alias("us")
+    )
+    return sorted(r["us"] for r in df.collect())
+
+
 @pytest.mark.parametrize("tz", [None, "UTC"])
 def test_nanos_generations_route_to_truncation(spark, tmp_path, tz):
     ns_vals = [_epoch_us(t) * 1000 + 789 for t in TS_US]
@@ -57,16 +69,14 @@ def test_nanos_generations_route_to_truncation(spark, tmp_path, tz):
     assert events_ts_is_nanos(sf_dir), _events_ts_arrow_type(
         str(tmp_path / "events.parquet")
     )
-    got = sorted(r["ts"] for r in read_table(spark, sf_dir, "events").collect())
     # ns -> us integer truncation: the trailing 789 ns drop away
-    assert got == TS_US
+    assert _read_epoch_us(spark, sf_dir) == sorted(_epoch_us(t) for t in TS_US)
 
 
 def test_micros_generation_reads_natively(spark, tmp_path):
     sf_dir = _write_events(tmp_path, pa.array(TS_US, pa.timestamp("us")))
     assert not events_ts_is_nanos(sf_dir)
-    got = sorted(r["ts"] for r in read_table(spark, sf_dir, "events").collect())
-    assert got == TS_US
+    assert _read_epoch_us(spark, sf_dir) == sorted(_epoch_us(t) for t in TS_US)
 
 
 def test_bare_int64_ts_refuses_to_guess(tmp_path):
