@@ -101,7 +101,18 @@ _R3_SAMPLE = frozenset({
     "text_dedup_retention",
 })
 
-_DRIVER_VERIFIED = _R1_DRIVER_VERIFIED | _R2_SAMPLE | _R3_SAMPLE
+# The 50 queries the driver verified in round 4 (CORRECTNESS_r04.json:
+# 49 hash-match + 1 contractual rows-only, zero failures). 44 were
+# re-verifications of earlier rounds; the 6 genuinely new names below
+# join the back group so round 5's sample window is filled by round-5
+# additions only.
+_R4_SAMPLE = frozenset({
+    "doc_chunk_windows", "data_mix_rebalance_profile",
+    "events_bucketed_fused_minute", "stream_minute_user_append",
+    "stream_sliding_append", "multimodal_real_decode",
+})
+
+_DRIVER_VERIFIED = _R1_DRIVER_VERIFIED | _R2_SAMPLE | _R3_SAMPLE | _R4_SAMPLE
 
 
 def merged_catalog() -> Catalog:

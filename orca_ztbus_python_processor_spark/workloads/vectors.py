@@ -8,17 +8,17 @@ the hot path. Embeddings are cast float32 -> float64 before arithmetic
 the cross-engine hash is summation-order-proof.
 
 Scale posture: the brute-force top-k broadcasts the (small) query set
-against the full corpus — a map-only pass, no shuffle of the corpus.
-For corpus x corpus at 100 TB, the LSH-bucketed variant
-(``operators/similarity.py``) replaces the cross join with an
-equi-join on bucket ids.
+against the full corpus — a map-only numpy pass, no shuffle of the
+corpus; ``cosine_topk_sharded`` is the bit-identical no-broadcast form.
+For corpus x corpus at 100 TB, the shard-pair exact layout and the
+IVF-cell-blocked variant (``operators/similarity.py``) replace the
+cross join with equi-joins on shard/cell ids.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window as W
 
 from orca_ztbus_python_processor_spark.functions.stats import f32
 from orca_ztbus_python_processor_spark.sources.parquet import read_table
@@ -40,10 +40,6 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _l2_norm(col: Column) -> Column:
     return F.sqrt(F.aggregate(col, F.lit(0.0), lambda acc, x: acc + x * x))
-
-
-def _dot(a: Column, b: Column) -> Column:
-    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
 
 
 # --------------------------------------------------------------------------
@@ -97,13 +93,15 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # cosine_topk_bruteforce — exact top-k cosine neighbors for the query
-# subset (X3 baseline). Query side is broadcast; ranking is done on the
-# float32-cast score with vec_id tie-break so Spark and the oracle rank
-# identically.
+# subset (X3 baseline). Only the query subset is collected/broadcast;
+# the corpus streams through one map-only Arrow matmul pass with
+# per-chunk top-k, then a tiny global re-rank (operators/similarity.py
+# cosine_topk_broadcast). Round 4's crossJoin + interpreted-HOF form
+# measured an 81x slope at 10x data; this one is linear in the corpus.
+# Ranking is on the float32-cast score with vec_id tie-break so Spark
+# and the oracle rank identically.
 # --------------------------------------------------------------------------
-@CATALOG.query(
-    "cosine_topk_bruteforce",
-    oracle=f"""
+_TOPK_ORACLE = f"""
     WITH q AS (
         SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
         FROM embeddings WHERE vec_id % {QUERY_MOD} = 0
@@ -123,25 +121,37 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT query_id, neighbor_id, score, CAST(rn AS BIGINT) AS rank
     FROM ranked WHERE rn <= {TOP_K}
-    """,
-)
+    """
+
+
+@CATALOG.query("cosine_topk_bruteforce", oracle=_TOPK_ORACLE)
 def cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _emb(spark, sf_dir).withColumn("norm", _l2_norm(F.col("emb")))
-    q = emb.where(F.col("vec_id") % QUERY_MOD == 0).select(
-        F.col("vec_id").alias("query_id"), F.col("emb").alias("qe"), F.col("norm").alias("qnorm")
+    from orca_ztbus_python_processor_spark.operators.similarity import (
+        cosine_topk_broadcast,
     )
-    c = emb.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("emb").alias("ce"), F.col("norm").alias("cnorm")
+
+    emb = _emb(spark, sf_dir)
+    q = emb.where(F.col("vec_id") % QUERY_MOD == 0)
+    return cosine_topk_broadcast(emb, q, k=TOP_K)
+
+
+# --------------------------------------------------------------------------
+# cosine_topk_sharded — the SAME exact top-k with no broadcast and no
+# driver materialization at all: corpus hash-sharded, query set
+# replicated per shard, cogroup matmul per shard, global re-rank
+# (operators/similarity.py cosine_topk_sharded). This is the form that
+# survives a query set too large to broadcast; the oracle is identical
+# to cosine_topk_bruteforce's because the results are bit-identical.
+# --------------------------------------------------------------------------
+@CATALOG.query("cosine_topk_sharded", oracle=_TOPK_ORACLE)
+def cosine_topk_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from orca_ztbus_python_processor_spark.operators.similarity import (
+        cosine_topk_sharded as _topk_sharded,
     )
-    score = f32(_dot(F.col("qe"), F.col("ce")) / (F.col("qnorm") * F.col("cnorm")))
-    w = W.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id"))
-    return (
-        c.crossJoin(F.broadcast(q))
-        .where(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", score.alias("score"))
-        .withColumn("rank", F.row_number().over(w).cast("long"))
-        .where(F.col("rank") <= TOP_K)
-    )
+
+    emb = _emb(spark, sf_dir)
+    q = emb.where(F.col("vec_id") % QUERY_MOD == 0)
+    return _topk_sharded(emb, q, k=TOP_K, n_shards=8)
 
 
 # --------------------------------------------------------------------------

@@ -1,12 +1,12 @@
 """Pin the driver-sample ordering of merged_catalog().
 
 The verification driver samples the FIRST 50 catalog entries each round.
-Rounds 1-3 verified all 116 catalog names in _R1_DRIVER_VERIFIED |
-_R2_SAMPLE | _R3_SAMPLE (zero failures), so round 4's sample window must
-be filled by the queries that have never had a driver CORRECTNESS row:
-exactly the entries added this round. A regression here (VERDICT.md
-round 2, "What's wrong" #2; round 3 #2) would silently re-verify old
-queries and starve new ones of driver evidence.
+Rounds 1-4 verified all 122 catalog names in _R1_DRIVER_VERIFIED |
+_R2_SAMPLE | _R3_SAMPLE | _R4_SAMPLE (zero failures), so round 5's
+sample window must be filled by the queries that have never had a driver
+CORRECTNESS row: exactly the entries added this round. A regression here
+(VERDICT.md round 2, "What's wrong" #2; round 3 #2; round 4 #2) would
+silently re-verify old queries and starve new ones of driver evidence.
 """
 
 from orca_ztbus_python_processor_spark.workloads.base import (
@@ -14,14 +14,9 @@ from orca_ztbus_python_processor_spark.workloads.base import (
     merged_catalog,
 )
 
-# Added in round 4; driver evidence arrives in round 4's sample.
-NEVER_SAMPLED_R4_ADDITIONS = {
-    "multimodal_real_decode",
-    "stream_minute_user_append",
-    "events_bucketed_fused_minute",
-    "doc_chunk_windows",
-    "stream_sliding_append",
-    "data_mix_rebalance_profile",
+# Added in round 5; driver evidence arrives in round 5's sample.
+NEVER_SAMPLED_R5_ADDITIONS = {
+    "cosine_topk_sharded",
 }
 
 
@@ -31,8 +26,8 @@ def test_unverified_queries_fill_the_sample_window():
     unverified = [n for n in names if n not in _DRIVER_VERIFIED]
     # Every never-verified query sorts ahead of every verified one.
     assert names[: len(unverified)] == unverified
-    # The round-4 additions are all present and all unverified.
-    assert NEVER_SAMPLED_R4_ADDITIONS <= set(unverified)
+    # The round-5 additions are all present and all unverified.
+    assert NEVER_SAMPLED_R5_ADDITIONS <= set(unverified)
     # The driver samples 50: nothing unverified may be pushed past the
     # window. If this trips, a round has to pass before adding more.
     assert len(unverified) <= 50, (
