@@ -62,6 +62,17 @@ def main() -> None:
         lambda it: it, schema="id long"
     ).write.format("noop").mode("overwrite").save()
 
+    # Pre-pay the bucketed-events LAYOUT WRITE outside the timed region,
+    # but RECORD its cost: under min-of-reps a rep-1-only side effect
+    # would otherwise vanish from the reported min (every other query's
+    # reps repeat identical work), yet it is a real cost every cold
+    # environment pays once. With the write pre-paid, both timed reps of
+    # events_bucketed_fused_minute measure the QUERY against the layout;
+    # the one-time layout cost stays visible as layout_prewarm_sec.
+    t_layout0 = time.perf_counter()
+    catalog.queries["events_bucketed_fused_minute"](spark, sf_dir)
+    layout_prewarm = round(time.perf_counter() - t_layout0, 4)
+
     timings: dict[str, float] = {}
     runs: dict[str, list[float]] = {}
     t_total0 = time.perf_counter()
@@ -85,6 +96,7 @@ def main() -> None:
         "reps": reps,
         "queries": timings,
         "runs": runs,
+        "layout_prewarm_sec": layout_prewarm,
         "sf": sf,
     }
     detail_path = ""

@@ -124,6 +124,11 @@ def minhash_signature(
     )
 
 
+# Star-fallback centers per flood bucket: a flood member disconnects
+# only if all of its center-pairs fail the downstream verify.
+_STAR_CENTERS = 8
+
+
 def _pair_expand(
     bucketed: DataFrame, members_col: str = "ids", max_members: int | None = 1024
 ) -> DataFrame:
@@ -140,17 +145,23 @@ def _pair_expand(
     corpus scale: a bucket of B members expands to B²/2 structs in ONE
     row, so a pathological bucket (a million near-identical templated
     docs in a raw crawl, or an adversarial hash flood) would OOM the
-    executor. Buckets past the cap fall back to STAR expansion — the
-    (sorted) first member paired with each other member, B-1 pairs at
-    linear cost. The star preserves exactly what a dedup pipeline needs
-    from a flood bucket: every member stays connected to the cluster
-    (connected components produce the same component as the full
-    expansion, since similarity inside an identical-signature flood is
-    transitive in practice), while the quadratic pair LIST — meaningless
-    at that size — is not materialized. At 1024 the legitimate near-dup
-    buckets (tens of members) always take the full expansion; pass
-    ``None`` to force full expansion everywhere (known pre-collapsed,
-    flood-free input — see the sha256 stage in
+    executor. Buckets past the cap fall back to a MULTI-CENTER STAR:
+    the (sorted) first ``_STAR_CENTERS`` members pair with each other
+    AND with every remaining member — K*B pairs at linear cost. Every
+    star pair still runs the downstream verify (sketch-gate/Jaccard or
+    hamming), so with a single center one failed center-pair would
+    disconnect a member even if it is similar to the rest of the flood;
+    with K centers a member disconnects only if ALL K of its
+    center-pairs fail, which for an identical-signature flood
+    (the case that produces such buckets) does not happen. Residual
+    recall note: a >cap bucket of genuinely MIXED content (possible on
+    the coarse simhash chunk bands) is still not exhaustively paired —
+    members similar only to non-center members can drop; that trade is
+    deliberate, because the exhaustive list is quadratic precisely when
+    the bucket is degenerate. At 1024 the legitimate near-dup buckets
+    (tens of members) always take the full expansion; pass ``None`` to
+    force full expansion everywhere (known pre-collapsed, flood-free
+    input — see the sha256 stage in
     workloads/pipelineops.text_dedup_retention).
     """
     full = (
@@ -162,10 +173,20 @@ def _pair_expand(
     if max_members is None:
         pairs_expr = full
     else:
+        # Clamp so the star sequences are always ascending: the star
+        # branch only fires when size > max_members >= k.
+        k = min(_STAR_CENTERS, max_members)
         star = (
-            f"transform(sequence(2, size({members_col})),"
-            f" j -> struct(element_at({members_col}, 1) as m_a,"
-            f" element_at({members_col}, j) as m_b))"
+            # center-center pairs (full expansion over the first k) ...
+            f"concat(flatten(transform(sequence(1, {k - 1}),"
+            f" i -> transform(sequence(i + 1, {k}),"
+            f" j -> struct(element_at({members_col}, i) as m_a,"
+            f" element_at({members_col}, j) as m_b)))),"
+            # ... plus every center paired with every non-center member.
+            f" flatten(transform(sequence(1, {k}),"
+            f" i -> transform(sequence({k} + 1, size({members_col})),"
+            f" j -> struct(element_at({members_col}, i) as m_a,"
+            f" element_at({members_col}, j) as m_b)))))"
         )
         pairs_expr = (
             f"CASE WHEN size({members_col}) <= {max_members}"

@@ -9,10 +9,11 @@ Two decode paths:
   UDF signatures) without any codec dependency.
 * ``decoder="real"`` — REAL byte-level decoders for the formats this
   container can handle with the stdlib alone: WAV (via ``wave``),
-  BMP (hand-rolled BITMAPINFOHEADER parse, 24bpp uncompressed) and
-  PPM (P6). Formats that genuinely require PIL/libvips/ffmpeg
-  (png/jpeg/webp/mp4/...) raise NotImplementedError *inside the decode
-  stage* — the gate is now per-format, not per-path.
+  BMP (hand-rolled BITMAPINFOHEADER parse, 24bpp uncompressed),
+  PPM (P6), and PNG (zlib inflate + per-scanline unfilter, 8-bit
+  non-interlaced grey/RGB(A)). Formats that genuinely require
+  PIL/libvips/ffmpeg (jpeg/webp/mp4/...) raise NotImplementedError
+  *inside the decode stage* — the gate is per-format, not per-path.
 
 Scale: payloads never leave the executor that scanned them — the
 mapInPandas stages are map-only (no shuffle); feature extraction
@@ -91,8 +92,9 @@ def extract_features(media: DataFrame, decoder: str = "fake") -> DataFrame:
 
     ``decoder="fake"``: deterministic checksum/brightness stand-in.
     ``decoder="real"``: byte-level decode (``real_features``) for
-    wav/bmp/ppm; other formats raise NotImplementedError in the decode
-    stage (they need PIL/libvips/ffmpeg, absent in this container).
+    wav/bmp/ppm/png; other formats raise NotImplementedError in the
+    decode stage (they need PIL/libvips/ffmpeg, absent in this
+    container).
     """
     if decoder == "real":
         return real_features(media)
@@ -115,7 +117,7 @@ REAL_FEATURE_SCHEMA = (
 )
 
 #: formats ``decoder="real"`` can decode with the stdlib alone
-REAL_DECODABLE = ("wav", "bmp", "ppm")
+REAL_DECODABLE = ("wav", "bmp", "ppm", "png")
 
 
 def _decode_wav(b: bytes) -> dict:
@@ -198,15 +200,115 @@ def _decode_ppm(b: bytes) -> dict:
     }
 
 
-_REAL_DECODERS = {"wav": _decode_wav, "bmp": _decode_bmp, "ppm": _decode_ppm}
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # grey, RGB, grey+alpha, RGBA
+
+
+def _png_paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def _png_unfilter(raw: bytes, height: int, stride: int, bpp: int) -> np.ndarray:
+    """Reverse the per-scanline PNG filters (spec §9: None/Sub/Up/
+    Average/Paeth). Up/None are vectorized; Sub/Average/Paeth recur on
+    the previous reconstructed byte so they run per-byte — fine for the
+    fixture sizes here, and still bounded by the payload at scale."""
+    out = np.zeros((height, stride), dtype=np.uint8)
+    pos = 0
+    for row in range(height):
+        ft = raw[pos]
+        pos += 1
+        cur = np.frombuffer(raw, np.uint8, count=stride, offset=pos).astype(np.int64)
+        pos += stride
+        prev = out[row - 1].astype(np.int64) if row else np.zeros(stride, np.int64)
+        if ft == 0:
+            rec = cur
+        elif ft == 2:  # Up
+            rec = (cur + prev) & 0xFF
+        elif ft in (1, 3, 4):  # Sub / Average / Paeth
+            rec = np.zeros(stride, dtype=np.int64)
+            for i in range(stride):
+                a = int(rec[i - bpp]) if i >= bpp else 0
+                up = int(prev[i])
+                c = int(prev[i - bpp]) if i >= bpp else 0
+                if ft == 1:
+                    pred = a
+                elif ft == 3:
+                    pred = (a + up) >> 1
+                else:
+                    pred = _png_paeth(a, up, c)
+                rec[i] = (int(cur[i]) + pred) & 0xFF
+        else:
+            raise ValueError(f"invalid PNG filter type {ft}")
+        out[row] = rec.astype(np.uint8)
+    return out
+
+
+def _decode_png(b: bytes) -> dict:
+    """Stdlib PNG decode — zlib inflate of the IDAT stream plus the
+    per-scanline unfilter — for 8-bit greyscale/RGB/grey+alpha/RGBA,
+    non-interlaced. Palette, 16-bit, and Adam7-interlaced PNGs raise
+    ValueError (honest sub-gates inside the format). Levels are
+    mean/peak sample byte / 255 over all channels."""
+    if b[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, idat = 8, bytearray()
+    w = h = depth = ctype = interlace = None
+    while pos + 8 <= len(b):
+        (length,) = struct.unpack_from(">I", b, pos)
+        kind = b[pos + 4 : pos + 8]
+        data = b[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + type + data + crc
+        if kind == b"IHDR":
+            w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+        elif kind == b"IDAT":
+            idat += data
+        elif kind == b"IEND":
+            break
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    nch = _PNG_CHANNELS.get(ctype)
+    if depth != 8 or nch is None or interlace != 0:
+        raise ValueError(
+            "only 8-bit non-interlaced grey/RGB(A) PNG supported "
+            f"(depth={depth}, color_type={ctype}, interlace={interlace})"
+        )
+    raw = zlib.decompress(bytes(idat))
+    stride = w * nch
+    if len(raw) != h * (stride + 1):
+        raise ValueError(
+            f"PNG raster size mismatch ({len(raw)} != {h} * ({stride} + 1))"
+        )
+    px = _png_unfilter(raw, h, stride, nch).astype(np.float64) / 255.0
+    return {
+        "width": w, "height": h, "n_channels": nch, "sample_rate": None,
+        "n_samples": w * h,
+        "mean_level": float(px.mean()) if px.size else 0.0,
+        "peak_level": float(px.max()) if px.size else 0.0,
+    }
+
+
+_REAL_DECODERS = {
+    "wav": _decode_wav,
+    "bmp": _decode_bmp,
+    "ppm": _decode_ppm,
+    "png": _decode_png,
+}
 
 
 def real_features(media: DataFrame) -> DataFrame:
     """Map-only Arrow-batched REAL decode of binary payloads.
 
-    Dispatches on the ``format`` column; wav/bmp/ppm decode from actual
-    bytes (stdlib-only), anything else raises NotImplementedError — the
-    honest residual gate for codecs this container lacks.
+    Dispatches on the ``format`` column; wav/bmp/ppm/png decode from
+    actual bytes (stdlib-only), anything else raises
+    NotImplementedError — the honest residual gate for codecs this
+    container lacks.
     """
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -236,15 +338,63 @@ def real_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(gen, schema=REAL_FEATURE_SCHEMA)
 
 
+def _png_chunk(kind: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + kind
+        + data
+        + struct.pack(">I", zlib.crc32(kind + data))
+    )
+
+
+def _encode_png_rgb(rows: list[bytes], width: int) -> bytes:
+    """Minimal valid 8-bit RGB PNG encoder for the synthetic fixture.
+    The filter type cycles row % 5 (with the forward filter applied
+    correctly for each), so decoding the corpus exercises every
+    unfilter branch of ``_decode_png``."""
+    bpp = 3
+    scanlines = bytearray()
+    prev = bytes(width * bpp)
+    for r, cur in enumerate(rows):
+        ft = r % 5
+        scanlines.append(ft)
+        for i, x in enumerate(cur):
+            a = cur[i - bpp] if i >= bpp else 0
+            up = prev[i]
+            c = prev[i - bpp] if i >= bpp else 0
+            if ft == 0:
+                pred = 0
+            elif ft == 1:
+                pred = a
+            elif ft == 2:
+                pred = up
+            elif ft == 3:
+                pred = (a + up) >> 1
+            else:
+                pred = _png_paeth(a, up, c)
+            scanlines.append((x - pred) & 0xFF)
+        prev = cur
+    ihdr = struct.pack(">IIBBBBB", width, len(rows), 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(scanlines)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
 def synthesize_real_payloads(docs: DataFrame) -> DataFrame:
     """Deterministic REAL media payloads (valid WAV/BMP/PPM byte
     streams) derived from each document — the fixture generator for the
     real-decode path, built executor-side in a map-only Arrow stage so
     payload bytes never touch the driver.
 
-    Format rotates by ``doc_id % 3``; content (samples / pixels) is a
-    pure function of ``doc_id``, so decoded features are stable across
-    runs and partitionings.
+    Format rotates by ``doc_id % len(REAL_DECODABLE)``; content
+    (samples / pixels) is a pure function of ``doc_id``, so decoded
+    features are stable across runs and partitionings. The PNG branch
+    cycles the scanline filter type (row % 5) so every unfilter path
+    (None/Sub/Up/Average/Paeth) is exercised by the corpus, not just
+    the trivial one.
     """
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -252,7 +402,7 @@ def synthesize_real_payloads(docs: DataFrame) -> DataFrame:
             ids, fmts, payloads = [], [], []
             for doc_id in pdf["doc_id"]:
                 d = int(doc_id)
-                kind = REAL_DECODABLE[d % 3]
+                kind = REAL_DECODABLE[d % len(REAL_DECODABLE)]
                 if kind == "wav":
                     n = 64 + d % 64
                     t = np.arange(n, dtype=np.float64)
@@ -284,12 +434,19 @@ def synthesize_real_payloads(docs: DataFrame) -> DataFrame:
                         )
                         + bytes(raster)
                     )
-                else:  # ppm
+                elif kind == "ppm":
                     wd, ht = 3 + d % 6, 2 + d % 5
                     raster = bytes(
                         (i * 11 + d) % 256 for i in range(wd * ht * 3)
                     )
                     payload = f"P6\n{wd} {ht}\n255\n".encode() + raster
+                else:  # png (8-bit RGB, filter type cycling per row)
+                    wd, ht = 3 + d % 5, 3 + d % 4
+                    rows = [
+                        bytes((row * 17 + col * 5 + d) % 256 for col in range(wd * 3))
+                        for row in range(ht)
+                    ]
+                    payload = _encode_png_rgb(rows, wd)
                 ids.append(d)
                 fmts.append(kind)
                 payloads.append(payload)

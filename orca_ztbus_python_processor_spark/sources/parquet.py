@@ -29,13 +29,8 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
-@lru_cache(maxsize=64)
-def _events_ts_arrow_type(path: str) -> str:
-    """Arrow type string of ``events.ts`` straight from the parquet
-    footer (one footer read per path, process-memoized — every batch and
-    stream constructor shares this instead of paying a Spark file
-    listing + schema inference per call)."""
-    f = path
+def _sniff_file(path: str) -> str:
+    """The concrete parquet file whose footer carries the ts type."""
     if os.path.isdir(path):  # Spark-written table: sniff any part file
         parts = sorted(
             p for p in os.listdir(path)
@@ -43,8 +38,26 @@ def _events_ts_arrow_type(path: str) -> str:
         )
         if not parts:
             raise FileNotFoundError(f"no parquet part files under {path}")
-        f = os.path.join(path, parts[0])
+        return os.path.join(path, parts[0])
+    return path
+
+
+@lru_cache(maxsize=64)
+def _events_ts_arrow_type_cached(f: str, size: int, mtime_ns: int) -> str:
     return str(pq.read_schema(f).field("ts").type)
+
+
+def _events_ts_arrow_type(path: str) -> str:
+    """Arrow type string of ``events.ts`` straight from the parquet
+    footer (one footer read per file GENERATION, process-memoized —
+    every batch and stream constructor shares this instead of paying a
+    Spark file listing + schema inference per call). The cache key
+    includes the file's (size, mtime_ns) so a fixture rewritten
+    in-process with a different timestamp generation re-sniffs instead
+    of silently misrouting the ns/us normalization."""
+    f = _sniff_file(path)
+    st = os.stat(f)
+    return _events_ts_arrow_type_cached(f, st.st_size, st.st_mtime_ns)
 
 
 def events_ts_is_nanos(sf_dir: str) -> bool:

@@ -114,10 +114,21 @@ _R4_SAMPLE = frozenset({
 
 _DRIVER_VERIFIED = _R1_DRIVER_VERIFIED | _R2_SAMPLE | _R3_SAMPLE | _R4_SAMPLE
 
+_MERGED: Catalog | None = None
+
 
 def merged_catalog() -> Catalog:
     """Merge every workload module's catalog into one, ordered for
-    driver-sample coverage (see ``_R1_DRIVER_VERIFIED``)."""
+    driver-sample coverage (see ``_R1_DRIVER_VERIFIED``).
+
+    Memoized per process: the module catalogs are populated once at
+    import, so rebuilding 120+ closures on every ``queries()`` /
+    ``oracle_sql()`` call is pure waste. Callers treat the result as
+    read-only (the entrypoint copies the dicts it hands out).
+    """
+    global _MERGED
+    if _MERGED is not None:
+        return _MERGED
     from orca_ztbus_python_processor_spark.workloads import (  # noqa: PLC0415
         pipelineops,
         registrations,
@@ -163,4 +174,5 @@ def merged_catalog() -> Catalog:
         ordered.queries[name] = merged.queries[name]
         if name in merged.oracles:
             ordered.oracles[name] = merged.oracles[name]
+    _MERGED = ordered
     return ordered

@@ -73,12 +73,20 @@ def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ann_cosine_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X3 scale path: IVF coarse quantization (sampled spherical
     k-means) + nprobe candidate lists, exact-cosine re-rank; same
-    output shape as cosine_topk_bruteforce."""
+    output shape as cosine_topk_bruteforce.
+
+    nlist/nprobe tuned against the measured recall gate
+    (scripts/measure_ann_recall.py, threshold 0.9): this corpus is
+    near-uniform (top-5 neighbor cosine ~0.32), so recall demands a
+    high probe fraction — 24/32 cells gives recall@5 = 0.97 at sf1
+    vs 0.80 for the old 8/16. On a clustered real-embedding space the
+    same gate would hold at a much lower fraction; the recall artifact
+    (.benchmarks/ann_recall.json) is the guard either way."""
     emb = read_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
     queries = emb.where(F.col("vec_id") % 50 == 0)
-    return ann_cosine_topk(emb, queries, k=5)
+    return ann_cosine_topk(emb, queries, k=5, nlist=32, nprobe=24)
 
 
 @CATALOG.query("embedding_near_dup_blocked")

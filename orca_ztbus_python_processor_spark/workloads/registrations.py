@@ -100,15 +100,27 @@ def registry_fused_minute(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def bucketed_events_table(sf_dir: str) -> tuple[str, str]:
     """(table name, data path) for the bucketed-events demo table —
-    BOTH deterministic per sf_dir: the path is a stable per-user 0700
-    directory so repeated runs (bench reps, driver rounds, pytest
-    sessions) overwrite one copy instead of leaking a fresh tempdir of
-    full events data per process."""
+    BOTH deterministic per SOURCE CONTENT: the slug folds in the source
+    events.parquet fingerprint (size + mtime_ns), so a regenerated
+    sf_dir maps to a NEW table/path instead of silently reusing a
+    stale layout cached by an earlier write in a long-lived session,
+    and two processes only ever share a path when they would write
+    identical content. The path is a stable per-user 0700 directory so
+    repeated runs (bench reps, driver rounds, pytest sessions)
+    overwrite one copy instead of leaking a fresh tempdir of full
+    events data per process."""
     import getpass  # noqa: PLC0415
+    import hashlib  # noqa: PLC0415
     import re  # noqa: PLC0415
     import tempfile  # noqa: PLC0415
 
     slug = re.sub(r"[^0-9a-zA-Z]+", "_", sf_dir).strip("_")
+    try:
+        st = os.stat(os.path.join(sf_dir, "events.parquet"))
+        fp = hashlib.sha1(f"{st.st_size}:{st.st_mtime_ns}".encode()).hexdigest()[:10]
+    except OSError:
+        fp = "nosrc"
+    slug = f"{slug}_{fp}"
     root = os.path.join(
         tempfile.gettempdir(), f"spark_graft_bucketed_{getpass.getuser()}"
     )

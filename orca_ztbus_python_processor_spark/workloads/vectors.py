@@ -192,6 +192,16 @@ def embedding_near_dup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # pointer jumping over the edge table (operators/dedup.py
 # connected_components); oracle side: DuckDB recursive CTE. Components
 # of singletons map to themselves.
+#
+# Deliberately NOT fused with embedding_dup_components_blocked
+# (workloads/pipelineops.py) even though both end in CC over a pair
+# graph: this one consumes EXACT shard-pair all-pairs and is the
+# oracle-matched ground truth; the blocked twin consumes IVF-cell
+# candidates and exists to prove the no-all-pairs 100 TB path
+# end-to-end. Sharing the candidate stage would make the exact-vs-
+# blocked parity pin (tests/test_pipeline_ops.py) circular — the
+# duplicated pair build is the price of a non-degenerate recall
+# measurement, not an oversight.
 # --------------------------------------------------------------------------
 CC_THRESHOLD = 0.4
 

@@ -24,6 +24,12 @@ every-doc-has-factor-copies blow-up:
 
 Usage: python scripts/make_scale_fixture.py [--factor 10]
        [--src /root/testdata/sf0.1] [--out /tmp/sf1]
+
+``--factor`` is bounded at 26: the text decorrelation is an alphabet
+rotation, so replicas r and r+26 would carry byte-identical text under
+different doc_ids — collapsing the advertised cross-replica
+decorrelation into an exact-dup blow-up that skews dedup-path scaling.
+Past 26, compose rotation with a per-replica token permutation first.
 """
 
 from __future__ import annotations
@@ -48,8 +54,8 @@ ALPHA = "abcdefghijklmnopqrstuvwxyz"
 
 
 def rot(r: int) -> str:
-    k = r % 26
-    return ALPHA[k:] + ALPHA[:k]
+    assert 0 <= r < 26, "factor > 26 repeats rotations (see module docstring)"
+    return ALPHA[r:] + ALPHA[:r]
 
 
 def main() -> None:
@@ -58,6 +64,9 @@ def main() -> None:
     ap.add_argument("--src", default="/root/testdata/sf0.1")
     ap.add_argument("--out", default="/tmp/sf1")
     args = ap.parse_args()
+    if not 1 <= args.factor <= 26:
+        ap.error("--factor must be in [1, 26]: the alphabet-rotation "
+                 "decorrelation repeats past 26 (see module docstring)")
     os.makedirs(args.out, exist_ok=True)
     con = duckdb.connect()
     con.execute(f"CREATE VIEW reps AS SELECT range AS r FROM range({args.factor})")

@@ -176,6 +176,46 @@ def test_winnow_fingerprint_properties(spark):
     assert len(s1) > 0
 
 
+def test_winnow_per_doc_parity_vs_reference(spark, docs_pdf):
+    """doc_fingerprints is a rows-only contract at the driver (no pure-
+    SQL winnowing oracle), so pin the strong local bound instead:
+    per-doc fingerprint SETS — hence per-doc counts — over the real
+    sf0.001 corpus must equal an independent pure-Python winnowing
+    (exact-integer arithmetic, no numpy, no shared code with the
+    operator beyond the published algorithm constants)."""
+    from orca_ztbus_python_processor_spark.operators.dedup import MERSENNE31
+
+    k, window = 8, 4
+    pows = [pow(257, k - 1 - j, MERSENNE31) for j in range(k)]
+
+    def py_winnow(text: str) -> set[int]:
+        b = (text or "").encode("utf-8")
+        if not b:
+            return set()
+        if len(b) < k:
+            h = [sum(x * p for x, p in zip(b, pows[-len(b):])) % MERSENNE31]
+        else:
+            h = [
+                sum(x * p for x, p in zip(b[i : i + k], pows)) % MERSENNE31
+                for i in range(len(b) - k + 1)
+            ]
+        if len(h) >= window:
+            mins = [min(h[i : i + window]) for i in range(len(h) - window + 1)]
+        else:
+            mins = [min(h)]
+        return set(mins)
+
+    got = winnow_fingerprints(
+        spark.createDataFrame(docs_pdf), k=k, window=window
+    ).toPandas()
+    by_doc = {d: set(g["fingerprint"]) for d, g in got.groupby("doc_id")}
+    checked = 0
+    for doc_id, text in zip(docs_pdf["doc_id"], docs_pdf["text"]):
+        assert by_doc.get(doc_id, set()) == py_winnow(text), doc_id
+        checked += 1
+    assert checked == len(docs_pdf) > 0
+
+
 def test_multimodal_features_deterministic(spark):
     docs = read_table(spark, SMOKE_SF_DIR, "documents").limit(20)
     media = media_table_from_documents(docs)
@@ -189,11 +229,14 @@ def test_multimodal_features_deterministic(spark):
 
 
 def test_multimodal_real_decoder_gate_narrowed_to_missing_codecs(spark):
-    """decoder="real" decodes wav/bmp/ppm for real; formats that need
-    PIL/ffmpeg (the fake corpus declares png/jpeg/webp) still raise
-    NotImplementedError — now from inside the decode stage."""
-    docs = read_table(spark, SMOKE_SF_DIR, "documents").limit(1)
-    media = media_table_from_documents(docs)
+    """decoder="real" decodes wav/bmp/ppm/png for real; formats that
+    need PIL/ffmpeg (jpeg/webp/mp4) still raise NotImplementedError —
+    from inside the decode stage."""
+    media = spark.createDataFrame(
+        [(1, b"\xff\xd8\xff", 2, 2, "jpeg", 1)],
+        "media_id long, payload binary, width int, height int, "
+        "format string, n_frames int",
+    )
     with pytest.raises(Exception, match="NotImplementedError|PIL"):
         extract_features(media, decoder="real").count()
 
@@ -261,6 +304,72 @@ def test_multimodal_real_decode_golden_payloads(spark):
         _decode_ppm(b"P6\n1 1\n65535\n" + bytes(6))
 
 
+def test_png_decode_golden_all_filters():
+    """Hand-built 3x5 RGB PNG, one scanline per filter type (0..4):
+    _decode_png must reproduce the exact known raster statistics. The
+    payload is assembled HERE (not via the fixture encoder) so encoder
+    and decoder cannot share a bug."""
+    import struct as _struct
+    import zlib as _zlib
+
+    from orca_ztbus_python_processor_spark.operators.multimodal import (
+        _decode_png,
+    )
+
+    w, h, bpp = 3, 5, 3
+    raster = [
+        bytes((r * 40 + c * 9) % 256 for c in range(w * bpp)) for r in range(h)
+    ]
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+
+    scan = bytearray()
+    prev = bytes(w * bpp)
+    for r, cur in enumerate(raster):
+        ft = r  # row r uses filter type r
+        scan.append(ft)
+        for i, x in enumerate(cur):
+            a = cur[i - bpp] if i >= bpp else 0
+            up = prev[i]
+            c = prev[i - bpp] if i >= bpp else 0
+            pred = [0, a, up, (a + up) >> 1, paeth(a, up, c)][ft]
+            scan.append((x - pred) & 0xFF)
+        prev = cur
+
+    def chunk(kind, data):
+        return (
+            _struct.pack(">I", len(data)) + kind + data
+            + _struct.pack(">I", _zlib.crc32(kind + data))
+        )
+
+    payload = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", _struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", _zlib.compress(bytes(scan)))
+        + chunk(b"IEND", b"")
+    )
+    got = _decode_png(payload)
+    flat = [x for row in raster for x in row]
+    assert (got["width"], got["height"], got["n_channels"]) == (w, h, 3)
+    assert got["n_samples"] == w * h
+    assert got["peak_level"] == pytest.approx(max(flat) / 255)
+    assert got["mean_level"] == pytest.approx(sum(flat) / len(flat) / 255)
+
+    # sub-gates: 16-bit, palette, interlaced all refuse honestly
+    for depth, ctype, inter in ((16, 2, 0), (8, 3, 0), (8, 2, 1)):
+        bad = (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", _struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, inter))
+            + chunk(b"IDAT", _zlib.compress(bytes(scan)))
+            + chunk(b"IEND", b"")
+        )
+        with pytest.raises(ValueError, match="8-bit non-interlaced"):
+            _decode_png(bad)
+
+
 def test_multimodal_real_decode_catalog_entry_deterministic(spark):
     from orca_ztbus_python_processor_spark.workloads.pipelineops import (
         multimodal_real_decode,
@@ -269,7 +378,7 @@ def test_multimodal_real_decode_catalog_entry_deterministic(spark):
     a = multimodal_real_decode(spark, SMOKE_SF_DIR).toPandas().sort_values("media_id")
     b = multimodal_real_decode(spark, SMOKE_SF_DIR).toPandas().sort_values("media_id")
     assert len(a) > 0 and a.reset_index(drop=True).equals(b.reset_index(drop=True))
-    assert set(a["format"]) == {"wav", "bmp", "ppm"}
+    assert set(a["format"]) == {"wav", "bmp", "ppm", "png"}
     assert (a["peak_level"] <= 1.0).all() and (a["payload_bytes"] > 0).all()
 
 
@@ -401,24 +510,34 @@ def test_text_dedup_retention_matches_union_find(spark):
 
 
 def test_pair_expand_flood_bucket_star_fallback(spark):
-    """A bucket past max_members falls back to STAR expansion (first
-    member paired with each other member — linear, connectivity
-    preserved for CC) instead of the quadratic full expansion that
-    would OOM an executor at corpus scale; buckets at or under the cap
-    expand fully, and None forces full expansion everywhere."""
+    """A bucket past max_members falls back to MULTI-CENTER star
+    expansion (the first min(_STAR_CENTERS, max_members) members pair
+    with each other and with every remaining member — linear in the
+    bucket, and a member stays CC-connected unless ALL of its
+    center-pairs fail the downstream verify) instead of the quadratic
+    full expansion that would OOM an executor at corpus scale; buckets
+    at or under the cap expand fully, and None forces full expansion
+    everywhere."""
     from orca_ztbus_python_processor_spark.operators.dedup import _pair_expand
 
     rows = [
-        (1, [{"id": i} for i in range(5)]),  # flood bucket (cap 4)
+        (1, [{"id": i} for i in range(8)]),  # flood bucket (cap 4 -> 4 centers)
         (2, [{"id": i} for i in range(10, 13)]),  # normal bucket
     ]
     bucketed = spark.createDataFrame(
         rows, "bucket long, ids array<struct<id: long>>"
     )
-    got = {( r["m_a"]["id"], r["m_b"]["id"]) for r in _pair_expand(bucketed, max_members=4).collect()}
-    # flood bucket: star pairs only (0-1, 0-2, 0-3, 0-4); normal: all pairs
-    assert got == {(0, 1), (0, 2), (0, 3), (0, 4), (10, 11), (10, 12), (11, 12)}
-    assert len(_pair_expand(bucketed, max_members=None).collect()) == 10 + 3
+    got = {(r["m_a"]["id"], r["m_b"]["id"]) for r in _pair_expand(bucketed, max_members=4).collect()}
+    centers, rest = range(4), range(4, 8)
+    star = {(a, b) for a in centers for b in centers if a < b} | {
+        (a, b) for a in centers for b in rest
+    }
+    normal = {(10, 11), (10, 12), (11, 12)}
+    assert got == star | normal
+    # every flood member touches all 4 centers (multi-center robustness)
+    for m in rest:
+        assert {(a, m) for a in centers} <= got
+    assert len(_pair_expand(bucketed, max_members=None).collect()) == 28 + 3
 
 
 def test_connected_components_empty_graph(spark):

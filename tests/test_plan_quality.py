@@ -274,3 +274,32 @@ def test_doc_chunk_windows_single_shuffle(spark, catalog):
     assert "Explode" in plan or "Generate" in plan, plan
     n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
     assert n_exchanges <= 2, plan  # partial->final agg exchange + distinct-count expand
+
+
+def test_cosine_topk_exact_no_cartesian_no_corpus_collect(spark, catalog):
+    """Both exact top-k forms must plan WITHOUT a cartesian/broadcast-
+    nested-loop join (the round-4 form was crossJoin + interpreted HOF)
+    and without materializing the corpus on the driver: bruteforce =
+    MapInPandas over the corpus + one tiny candidate re-rank window;
+    sharded = cogroup (FlatMapCoGroupsInPandas) of hash-sharded corpus
+    with the replicated query set."""
+    plan = _plan(spark, catalog.queries["cosine_topk_bruteforce"](spark, SMOKE_SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "MapInPandas" in plan, plan
+
+    plan = _plan(spark, catalog.queries["cosine_topk_sharded"](spark, SMOKE_SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "FlatMapCoGroupsInPandas" in plan, plan
+
+
+def test_cosine_pairs_shard_pair_layout(spark, catalog):
+    """The exact all-pairs form plans as explode (shard-pair keys) +
+    grouped Arrow stage — one shuffle on the group key, no broadcast of
+    the corpus, no cartesian join."""
+    plan = _plan(spark, catalog.queries["embedding_near_dup_exact"](spark, SMOKE_SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "FlatMapGroupsInPandas" in plan, plan
+    assert "Generate" in plan or "Explode" in plan, plan

@@ -84,3 +84,15 @@ def test_bare_int64_ts_refuses_to_guess(tmp_path):
     sf_dir = _write_events(tmp_path, pa.array(vals, pa.int64()))
     with pytest.raises(ValueError, match="Refusing to guess"):
         events_ts_is_nanos(sf_dir)
+
+
+def test_rewritten_fixture_is_resniffed(tmp_path):
+    """The sniff memo keys on (path, size, mtime_ns): rewriting the same
+    path with a different timestamp generation in-process (driver
+    regenerating testdata, tests reusing tmp dirs) must re-read the
+    footer, not serve the stale generation's routing."""
+    sf_dir = _write_events(tmp_path, pa.array(TS_US, pa.timestamp("us")))
+    assert not events_ts_is_nanos(sf_dir)
+    ns_vals = [_epoch_us(t) * 1000 for t in TS_US]
+    _write_events(tmp_path, pa.array(ns_vals, pa.timestamp("ns")))
+    assert events_ts_is_nanos(sf_dir)
