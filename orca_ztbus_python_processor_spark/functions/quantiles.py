@@ -1,0 +1,112 @@
+"""Distributed EXACT quantiles without a per-group single-reducer
+buffer (SURVEY.md §2 A7/A8 at corpus grain).
+
+``F.percentile`` / ``F.median`` are exact but their aggregation buffer
+gathers every value of a group onto one task — the right trade at
+per-key grain (groups of ~60 rows), a scale wall at corpus grain
+(3 groups x 10^11 rows at 100 TB; measured 15x wall at 10x data on the
+sf1 fixture). ``approx_percentile`` is the sketch path when error is
+acceptable; this module is the EXACT corpus-grain path, the classic
+two-pass distributed order statistic:
+
+  1. range-repartition (group, value) and pin the layout
+     (lazy ``localCheckpoint``, the same device ``connected_components``
+     uses) so partition ids are stable across passes;
+  2. count rows per (partition, group) — a scalar-sized driver
+     exchange (n_partitions x n_groups), from which the driver computes
+     each target rank's (partition, local_rank) address;
+  3. one hash-partitioned window by (partition, group) assigns local
+     ranks — each window cell is bounded by PARTITION size, never group
+     size — and a broadcast join picks the addressed rows;
+  4. linear interpolation between the two bracketing ranks, exactly
+     pandas/DuckDB ``quantile_cont`` semantics: v_lo + frac*(v_hi-v_lo)
+     at rank q*(n-1).
+
+Every stage is bounded by partition size or by the scalar counts
+matrix; nothing anywhere holds a whole group.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import defaultdict
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from orca_ztbus_python_processor_spark.functions.stats import f32
+
+
+def exact_group_quantiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    qs: tuple[float, ...] = (0.25, 0.5, 0.75),
+) -> DataFrame:
+    """Exact per-group quantiles (plus ``n``), distributed.
+
+    Output: one row per group — ``<group_col>, n, p<q*100>...`` with
+    float32-cast quantile values (hash-stable across engines). NULL
+    values are excluded, matching SQL ``quantile_cont`` /
+    ``F.percentile``. Group column type must be Spark-SQL-literal
+    (string/numeric).
+    """
+    spark = df.sparkSession
+    src = (
+        df.select(F.col(group_col).alias("g"), F.col(value_col).cast("double").alias("v"))
+        .where(F.col("v").isNotNull())
+    )
+    nparts = max(spark.sparkContext.defaultParallelism, 2)
+    s = src.repartitionByRange(nparts, "g", "v").localCheckpoint(eager=False)
+    s = s.withColumn("pid", F.spark_partition_id())
+
+    # Pass 1: per-(partition, group) counts — n_partitions x n_groups
+    # scalars, the only driver traffic in the operator.
+    cells = s.groupBy("pid", "g").count().collect()
+    per_g: dict = defaultdict(list)
+    for r in cells:
+        per_g[r["g"]].append((r["pid"], r["count"]))
+
+    targets, totals = [], []
+    for g, gcells in per_g.items():
+        gcells.sort()  # pid order == ascending (g, v) range order
+        n = sum(c for _, c in gcells)
+        totals.append((g, n))
+        offs, off = [], 0
+        for pid, c in gcells:
+            offs.append((pid, off, c))
+            off += c
+        for q in qs:
+            r = q * (n - 1)
+            lo, hi = math.floor(r), math.ceil(r)
+            frac = r - lo
+            picks = [(lo, 1.0 - frac)] + ([(hi, frac)] if hi != lo else [])
+            for rank, wgt in picks:
+                for pid, start, c in offs:
+                    if start <= rank < start + c:
+                        targets.append((pid, g, rank - start, float(q), wgt))
+                        break
+
+    tdf = F.broadcast(
+        spark.createDataFrame(targets, "pid int, g string, lr long, q double, w double")
+    )
+    ndf = F.broadcast(spark.createDataFrame(totals, "g string, n long"))
+
+    # Pass 2: local rank within each (partition, group) cell — the
+    # window cell is bounded by partition size, not group size — then
+    # pick the addressed rows and interpolate.
+    lr = F.row_number().over(W.partitionBy("pid", "g").orderBy("v")) - 1
+    picked = s.withColumn("lr", lr.cast("long")).join(tdf, ["pid", "g", "lr"])
+    agg = [
+        f32(F.sum(F.when(F.col("q") == qv, F.col("w") * F.col("v")))).alias(
+            f"p{int(round(qv * 100))}"
+        )
+        for qv in qs
+    ]
+    return (
+        picked.groupBy("g")
+        .agg(*agg)
+        .join(ndf, "g")
+        .select(F.col("g").alias(group_col), "n", *[f"p{int(round(q * 100))}" for q in qs])
+    )

@@ -167,6 +167,39 @@ def value_describe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# value_quantiles_distributed — the corpus-grain EXACT quantile scale
+# path (A7/A8): value_describe's F.percentile gathers each group's
+# values into ONE aggregation buffer (right at per-key grain, a wall at
+# corpus grain — measured 15x wall at 10x data), and approx_percentile
+# trades error for scale. This entry computes the SAME exact
+# interpolated quantiles with the two-pass distributed order-statistic
+# in functions/quantiles.py: range partition + scalar counts matrix +
+# window rank-pick; every stage bounded by partition size, never group
+# size. Oracle: DuckDB quantile_cont — identical semantics.
+# --------------------------------------------------------------------------
+@CATALOG.query(
+    "value_quantiles_distributed",
+    oracle="""
+    SELECT event_type,
+           count(value) AS n,
+           CAST(quantile_cont(CAST(value AS DOUBLE), 0.25) AS REAL) AS p25,
+           CAST(quantile_cont(CAST(value AS DOUBLE), 0.50) AS REAL) AS p50,
+           CAST(quantile_cont(CAST(value AS DOUBLE), 0.75) AS REAL) AS p75
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def value_quantiles_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from orca_ztbus_python_processor_spark.functions.quantiles import (  # noqa: PLC0415
+        exact_group_quantiles,
+    )
+
+    return exact_group_quantiles(
+        _events(spark, sf_dir), "event_type", "value", qs=(0.25, 0.5, 0.75)
+    )
+
+
+# --------------------------------------------------------------------------
 # value_lag_diff — discrete derivative via lag-1 (W1, reference
 # accel = speed.diff() / jerk = accel.diff(), processor/main.py:563-565),
 # with the reference's fillna(0) coalesce (processor/main.py:493-503).

@@ -17,6 +17,7 @@ from orca_ztbus_python_processor_spark.workloads.base import (
 # Added in round 5; driver evidence arrives in round 5's sample.
 NEVER_SAMPLED_R5_ADDITIONS = {
     "cosine_topk_sharded",
+    "value_quantiles_distributed",
 }
 
 

@@ -303,3 +303,22 @@ def test_cosine_pairs_shard_pair_layout(spark, catalog):
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "FlatMapGroupsInPandas" in plan, plan
     assert "Generate" in plan or "Explode" in plan, plan
+
+
+def test_distributed_quantiles_no_group_buffer(spark, catalog):
+    """The corpus-grain exact-quantile path must NOT use the
+    single-reducer Percentile/Median aggregate anywhere: ranks come
+    from a range Exchange + per-cell window, picks from a broadcast
+    join. (value_describe keeps the buffered form deliberately — its
+    grain is the reference's describe() contract.)"""
+    plan = _plan(
+        spark, catalog.queries["value_quantiles_distributed"](spark, SMOKE_SF_DIR)
+    )
+    assert "percentile" not in plan.lower(), plan
+    assert "median" not in plan.lower(), plan
+    # the range exchange runs eagerly inside the pinned localCheckpoint;
+    # downstream must be: per-(pid, group) window (cells bounded by
+    # PARTITION size) + broadcast pick join — nothing group-buffered.
+    assert "Window" in plan, plan
+    assert re.search(r"hashpartitioning\(pid", plan), plan
+    assert "BroadcastHashJoin" in plan, plan

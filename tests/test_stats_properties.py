@@ -78,3 +78,47 @@ def test_approx_distinct_within_rsd(spark):
     assert both
     for r in both:
         assert abs(r["approx"] - r["exact"]) <= max(3, 0.06 * r["exact"]), r
+
+
+def test_exact_group_quantiles_edges(spark):
+    """Distributed rank-pick quantiles: parity with F.percentile on a
+    ragged fixture (ties, singleton group, NULLs, negative values)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from orca_ztbus_python_processor_spark.functions.quantiles import (
+        exact_group_quantiles,
+    )
+
+    pdf = pd.DataFrame(
+        {
+            "g": ["a"] * 7 + ["b"] + ["c"] * 4,
+            "v": [5.0, -1.0, 3.0, 3.0, None, 2.0, 8.0, 42.0, 0.25, 0.5, 0.75, 1.0],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    got = {
+        r["g"]: r
+        for r in exact_group_quantiles(df, "g", "v", qs=(0.25, 0.5, 0.75)).collect()
+    }
+    ref = {
+        r["g"]: r
+        for r in df.where(F.col("v").isNotNull())
+        .groupBy("g")
+        .agg(
+            F.count("v").alias("n"),
+            F.percentile("v", F.lit(0.25)).cast("float").alias("p25"),
+            F.percentile("v", F.lit(0.5)).cast("float").alias("p50"),
+            F.percentile("v", F.lit(0.75)).cast("float").alias("p75"),
+        )
+        .collect()
+    }
+    assert set(got) == set(ref) == {"a", "b", "c"}
+    for g in ref:
+        assert got[g]["n"] == ref[g]["n"], g
+        for c in ("p25", "p50", "p75"):
+            assert got[g][c] == pytest.approx(ref[g][c], abs=1e-6), (g, c)
+
+    # empty input -> empty result, not an error
+    empty = spark.createDataFrame([], "g string, v double")
+    assert exact_group_quantiles(empty, "g", "v").count() == 0
