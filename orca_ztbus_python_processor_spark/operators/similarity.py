@@ -171,10 +171,14 @@ def ann_cosine_topk(
     """IVF approximate top-k cosine neighbors.
 
     corpus: assigned to its single nearest cell; queries: probe their
-    ``nprobe`` nearest cells; candidates = equi-join on cell; re-rank =
-    per-query numpy matmul in ``applyInPandas`` (exact cosine over the
-    candidate list, top-k with (score desc, id) tie-break — identical
-    ordering to the brute-force baseline).
+    ``nprobe`` nearest cells; candidates = COGROUP on cell (one numpy
+    matmul per inverted list against the queries probing it — the
+    row-level corpus x query join this replaces shuffled ~nprobe/nlist
+    of all (vector, query) pairs as wide rows); per-cell top-k under
+    the final (score desc, id) order, then a tiny global re-rank over
+    <= nprobe*k candidates per query. A corpus vector lives in exactly
+    one cell, so no dedup pass is needed and the result is identical
+    to the per-query-gather form.
 
     Output: ``query_id, neighbor_id, score (float32), rank``.
     """
@@ -188,33 +192,24 @@ def ann_cosine_topk(
     q = _cells_pandas(queries_df, centroids, nprobe, "query_id", id_col, emb_col)
     q = q.withColumnRenamed(emb_col, "qe")
 
-    def topk(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.drop_duplicates(subset=["neighbor_id"])
-        qe = np.asarray(pdf["qe"].iloc[0], dtype=np.float64)
-        qe = qe / max(np.linalg.norm(qe), 1e-300)
-        m = np.array(pdf[emb_col].tolist(), dtype=np.float64)
+    def cell_topk(cpdf: pd.DataFrame, qpdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(cpdf) or not len(qpdf):
+            return pd.DataFrame({"query_id": [], "neighbor_id": [], "score": []})
+        ids = cpdf["neighbor_id"].to_numpy()
+        m = np.array(cpdf[emb_col].tolist(), dtype=np.float64)
         m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-300)
-        score = (m @ qe).astype(np.float32)
-        ids = pdf["neighbor_id"].to_numpy()
-        order = np.lexsort((ids, -score))[:k]
-        return pd.DataFrame(
-            {
-                "query_id": pdf["query_id"].iloc[0],
-                "neighbor_id": ids[order],
-                "score": score[order],
-                "rank": np.arange(1, len(order) + 1, dtype=np.int64),
-            }
-        )
+        qids = qpdf["query_id"].to_numpy()
+        qm = np.array(qpdf["qe"].tolist(), dtype=np.float64)
+        qm = qm / np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-300)
+        s32 = (m @ qm.T).astype(np.float32)
+        return _batch_topk_frame(ids, s32, qids, k)
 
-    return (
-        corpus.join(F.broadcast(q), "cell")
-        .where(F.col("query_id") != F.col("neighbor_id"))
-        .groupBy("query_id")
-        .applyInPandas(
-            lambda _, pdf: topk(pdf),
-            schema="query_id long, neighbor_id long, score float, rank long",
-        )
+    cand = (
+        corpus.groupBy("cell")
+        .cogroup(q.groupBy("cell"))
+        .applyInPandas(cell_topk, schema=_TOPK_CAND_SCHEMA)
     )
+    return _rank_topk(cand, k)
 
 
 _PAIR_SCHEMA = "id_a long, id_b long, score float"

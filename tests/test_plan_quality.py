@@ -322,3 +322,14 @@ def test_distributed_quantiles_no_group_buffer(spark, catalog):
     assert "Window" in plan, plan
     assert re.search(r"hashpartitioning\(pid", plan), plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_ann_rerank_is_cogrouped_not_row_joined(spark, catalog):
+    """The IVF re-rank must pair each inverted list with its probing
+    queries via cogroup — ONE matmul per cell — never a row-level
+    corpus x query join (which shuffles ~nprobe/nlist of all pairs as
+    wide rows before the per-query gather)."""
+    plan = _plan(spark, catalog.queries["ann_cosine_topk"](spark, SMOKE_SF_DIR))
+    assert "FlatMapCoGroupsInPandas" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
