@@ -49,10 +49,11 @@ def exact_group_quantiles(
     Output: one row per group — ``<group_col>, n, p<q*100>...`` with
     float32-cast quantile values (hash-stable across engines). NULL
     values are excluded, matching SQL ``quantile_cont`` /
-    ``F.percentile``. Group column type must be Spark-SQL-literal
-    (string/numeric).
+    ``F.percentile``. Group column may be any atomic type (its DDL
+    type is propagated into the driver-built target/total frames).
     """
     spark = df.sparkSession
+    g_type = df.schema[group_col].dataType.simpleString()
     src = (
         df.select(F.col(group_col).alias("g"), F.col(value_col).cast("double").alias("v"))
         .where(F.col("v").isNotNull())
@@ -89,9 +90,11 @@ def exact_group_quantiles(
                         break
 
     tdf = F.broadcast(
-        spark.createDataFrame(targets, "pid int, g string, lr long, q double, w double")
+        spark.createDataFrame(
+            targets, f"pid int, g {g_type}, lr long, q double, w double"
+        )
     )
-    ndf = F.broadcast(spark.createDataFrame(totals, "g string, n long"))
+    ndf = F.broadcast(spark.createDataFrame(totals, f"g {g_type}, n long"))
 
     # Pass 2: local rank within each (partition, group) cell — the
     # window cell is bounded by partition size, not group size — then

@@ -122,3 +122,30 @@ def test_exact_group_quantiles_edges(spark):
     # empty input -> empty result, not an error
     empty = spark.createDataFrame([], "g string, v double")
     assert exact_group_quantiles(empty, "g", "v").count() == 0
+
+
+def test_exact_group_quantiles_numeric_group_col(spark):
+    """Group column type is propagated (not hardcoded string): bigint
+    groups work and match F.percentile."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from orca_ztbus_python_processor_spark.functions.quantiles import (
+        exact_group_quantiles,
+    )
+
+    pdf = pd.DataFrame({"g": [1] * 5 + [2] * 3, "v": [float(x) for x in range(8)]})
+    df = spark.createDataFrame(pdf)
+    got = {r["g"]: r for r in exact_group_quantiles(df, "g", "v").collect()}
+    ref = {
+        r["g"]: r
+        for r in df.groupBy("g")
+        .agg(
+            F.count("v").alias("n"),
+            F.percentile("v", F.lit(0.5)).cast("float").alias("p50"),
+        )
+        .collect()
+    }
+    for g in (1, 2):
+        assert got[g]["n"] == ref[g]["n"]
+        assert got[g]["p50"] == ref[g]["p50"]
