@@ -401,6 +401,81 @@ def ngram_topk_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# bigram_lm_quality_score — self-trained bigram-LM document scoring,
+# the KenLM-style quality-filter proxy a corpus pipeline runs when no
+# external LM is available: train MLE bigram probabilities on the
+# corpus itself (logp(w2|w1) = ln(c(w1 w2) / c(w1 ·))), then score
+# each document by its mean bigram log-probability. Low scores flag
+# gibberish / boilerplate-shuffled text; high scores flag repetitive
+# templates — both ends are what quality filtering cuts.
+#
+# Scale shape: one token explode feeding (a) the LM counts (two
+# map-side-combinable aggs, the second over the already-tiny bigram
+# dictionary) and (b) the per-position scoring join, keyed on the
+# bigram string. The LM table is vocabulary-bounded, not corpus-
+# bounded, but can still exceed broadcast size at 100 TB — no
+# broadcast hint; AQE promotes it at runtime when it fits. No Python
+# anywhere.
+# --------------------------------------------------------------------------
+@CATALOG.query(
+    "bigram_lm_quality_score",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '{BIGRAM_TOKEN_RE}') AS t
+        FROM documents
+    ), big AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bigram
+        FROM toks
+    ), bg AS (
+        SELECT bigram, count(*) AS c_bg FROM big GROUP BY bigram
+    ), w1c AS (
+        SELECT split_part(bigram, ' ', 1) AS w1, sum(c_bg) AS c_w1
+        FROM bg GROUP BY 1
+    ), lm AS (
+        SELECT bigram, ln(CAST(c_bg AS DOUBLE) / c_w1) AS logp
+        FROM bg JOIN w1c ON split_part(bg.bigram, ' ', 1) = w1c.w1
+    )
+    SELECT big.doc_id, count(*) AS n_bigrams,
+           CAST(avg(logp) AS REAL) AS avg_logp
+    FROM big JOIN lm ON big.bigram = lm.bigram
+    GROUP BY big.doc_id
+    """,
+)
+def bigram_lm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            F.expr(f"regexp_extract_all(lower(text), '{BIGRAM_TOKEN_RE}', 0)").alias("t"),
+        )
+        .where(F.size("t") >= 2)
+    )
+    big = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1),"
+                " (a, b) -> concat(a, ' ', b))"
+            )
+        ).alias("bigram"),
+    )
+    bg = big.groupBy("bigram").agg(F.count("*").alias("c_bg"))
+    w1_of = F.split_part(F.col("bigram"), F.lit(" "), F.lit(1))
+    w1c = bg.groupBy(w1_of.alias("w1")).agg(F.sum("c_bg").alias("c_w1"))
+    lm = (
+        bg.withColumn("w1", w1_of)
+        .join(w1c, "w1")
+        .select("bigram", F.log(F.col("c_bg").cast("double") / F.col("c_w1")).alias("logp"))
+    )
+    return (
+        big.join(lm, "bigram")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_bigrams"), f32(F.avg("logp")).alias("avg_logp"))
+    )
+
+
+# --------------------------------------------------------------------------
 # stratified_sample_profile — deterministic weighted sampling per
 # source domain (the "data mixing" primitive: upsample curated
 # domains, downsample crawl). Keep decision = first two hex chars of

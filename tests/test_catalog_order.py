@@ -18,6 +18,7 @@ from orca_ztbus_python_processor_spark.workloads.base import (
 NEVER_SAMPLED_R5_ADDITIONS = {
     "cosine_topk_sharded",
     "value_quantiles_distributed",
+    "bigram_lm_quality_score",
 }
 
 
