@@ -333,3 +333,12 @@ def test_ann_rerank_is_cogrouped_not_row_joined(spark, catalog):
     assert "FlatMapCoGroupsInPandas" in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_bigram_lm_partial_aggs_no_python(spark, catalog):
+    """LM training + scoring is pure JVM: the bigram dictionary aggs
+    partial-combine map-side and nothing drops to Python."""
+    plan = _plan(spark, catalog.queries["bigram_lm_quality_score"](spark, SMOKE_SF_DIR))
+    assert "partial_count" in plan or "partial_sum" in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
