@@ -423,3 +423,51 @@ def stream_session_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     run_to_memory(agged, "q_stream_session_native", output_mode="complete")
     return spark.table("q_stream_session_native")
+
+
+@CATALOG.query(
+    "stream_static_enrich",
+    oracle="""
+    SELECT date_trunc('minute', e.ts) AS time_from,
+           date_trunc('minute', e.ts) + INTERVAL 1 MINUTE AS time_to,
+           n.n_name AS nation,
+           count(*) AS n_events,
+           CAST(sum(e.value) AS REAL) AS sum_value
+    FROM events e
+    JOIN customer c ON e.user_id = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY 1, 2, 3
+    """,
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STATIC broadcast enrichment — the one Structured
+    Streaming join type the catalog did not yet exercise (stream-stream
+    is ``stream_click_error_join``): the live event stream inner-joins a
+    static dimension (customer -> nation, the reference's trip -> bus/
+    route lookup, processor/main.py:169-182) and aggregates per
+    (minute, nation). The static side is planned as a broadcast hash
+    join inside every micro-batch — STATELESS (no join state store, no
+    watermark needed on the dim); only the downstream window agg keeps
+    state. At 100 TB the dim ships once per executor and the stream
+    never shuffles before the keyed window agg. ``complete``-mode
+    materialization is the bounded-replay harness path ONLY; the
+    append+watermark contract is identical to
+    ``stream_minute_user_append``."""
+    from orca_ztbus_python_processor_spark.sources.parquet import read_table  # noqa: PLC0415
+
+    dim = (
+        read_table(spark, sf_dir, "customer")
+        .join(
+            read_table(spark, sf_dir, "nation"),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select(F.col("c_custkey").alias("user_id"), F.col("n_name").alias("nation"))
+    )
+    enriched = read_events_stream(spark, sf_dir).join(F.broadcast(dim), "user_id")
+    agged = windowed_agg_stream(
+        enriched,
+        [F.count("*").alias("n_events"), f32(F.sum("value")).alias("sum_value")],
+        keys=("nation",),
+    )
+    run_to_memory(agged, "q_stream_static_enrich", output_mode="complete")
+    return spark.table("q_stream_static_enrich")

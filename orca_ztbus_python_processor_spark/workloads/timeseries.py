@@ -904,3 +904,189 @@ def mode_event_type_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("w.t").alias("mode_type"),
         (-F.col("w.neg_n")).alias("mode_count"),
     )
+
+
+# --------------------------------------------------------------------------
+# latest_event_snapshot — CDC/upsert compaction: collapse an event log
+# to the LATEST row per key (the MERGE-INTO read side every snapshot
+# table is built from; the per-key generalization of the reference's
+# top-1 sim-log read, simulator/main.py:62-84). ONE struct-max
+# aggregate — struct ordering is lexicographic, so max(struct(ts,
+# event_id, ...)) picks the newest row with event_id as the
+# deterministic tie-break. Partial-agg friendly (map-side max), one
+# shuffle of (user, 1-struct) cells — no window sort over the log, no
+# per-key row_number pass; at 100 TB the shuffle carries one struct
+# per key per map task, not the event log.
+# --------------------------------------------------------------------------
+@CATALOG.query(
+    "latest_event_snapshot",
+    oracle="""
+    WITH ranked AS (
+        SELECT user_id, ts, event_id, event_type, value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    )
+    SELECT user_id,
+           ts AS last_ts,
+           event_id AS last_event_id,
+           event_type AS last_event_type,
+           CAST(value AS REAL) AS last_value
+    FROM ranked WHERE rn = 1
+    """,
+)
+def latest_event_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    latest = (
+        _events(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("ts"),
+                    F.col("event_id"),
+                    F.col("event_type"),
+                    F.col("value"),
+                )
+            ).alias("w")
+        )
+    )
+    return latest.select(
+        "user_id",
+        F.col("w.ts").alias("last_ts"),
+        F.col("w.event_id").alias("last_event_id"),
+        F.col("w.event_type").alias("last_event_type"),
+        f32(F.col("w.value")).alias("last_value"),
+    )
+
+
+# --------------------------------------------------------------------------
+# ewma_value_smoothing — exponentially-weighted moving average over a
+# bounded trailing frame (32 rows, alpha=0.25, pandas ewm adjust=True
+# semantics restricted to the frame): the denoised-signal view of the
+# reference's per-trip speed/power series (processor/main.py:563-565
+# computes raw diffs; EWMA is its smoothing dual). The bounded frame is
+# the scale decision TWICE over: (a) state per row is <= 32 values, and
+# (b) the weights are computed positionally inside the frame, so no
+# cumulative pow(1-a, -rank) term that overflows double on long keys.
+# Execution: ONE window pass (shuffle on user_id, sort within
+# partition) collects the frame into a <=32-element array in frame
+# order, then JVM higher-order functions (transform + aggregate) fold
+# the weighted sum — zero Python, zero extra shuffle. Oracle: banded
+# self-join on row_number with the same closed-form weights.
+# --------------------------------------------------------------------------
+EWMA_ALPHA = 0.25
+EWMA_FRAME = 32
+
+
+@CATALOG.query(
+    "ewma_value_smoothing",
+    oracle=f"""
+    WITH r AS (
+        SELECT event_id, user_id, value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events
+    )
+    SELECT a.event_id, a.user_id,
+           CAST(a.value AS REAL) AS value,
+           CAST(sum(b.value * pow({1 - EWMA_ALPHA}, a.rn - b.rn))
+                / sum(pow({1 - EWMA_ALPHA}, a.rn - b.rn)) AS REAL) AS ewma
+    FROM r a JOIN r b
+      ON a.user_id = b.user_id AND b.rn BETWEEN a.rn - {EWMA_FRAME - 1} AND a.rn
+    GROUP BY a.event_id, a.user_id, a.value
+    """,
+)
+def ewma_value_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    decay = F.lit(1.0 - EWMA_ALPHA)
+    frame = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(EWMA_FRAME - 1), W.currentRow)
+    )
+    df = _events(spark, sf_dir).withColumn(
+        "frame_vals", F.collect_list("value").over(frame)
+    )
+    n = F.size("frame_vals")
+    # weight of element i (frame order, oldest first) = (1-a)^(n-1-i)
+    weighted = F.transform(
+        "frame_vals", lambda x, i: x * F.pow(decay, (n - 1 - i).cast("double"))
+    )
+    num = F.aggregate(weighted, F.lit(0.0), lambda acc, x: acc + x)
+    den = F.aggregate(
+        F.transform("frame_vals", lambda _, i: F.pow(decay, (n - 1 - i).cast("double"))),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return df.select(
+        "event_id",
+        "user_id",
+        f32(F.col("value")).alias("value"),
+        f32(num / den).alias("ewma"),
+    )
+
+
+# --------------------------------------------------------------------------
+# iqr_outlier_profile — robust (Tukey-fence) anomaly profile per
+# event_type: values outside [p25 - 1.5*IQR, p75 + 1.5*IQR] counted
+# against the group total. Composes the distributed EXACT quantile
+# operator (functions/quantiles.py — every stage bounded by partition
+# size) with a broadcast fence join: the fences frame is one row per
+# event_type, so the second pass over the corpus is a map-side
+# broadcast-join + partial count, no re-shuffle of the fact. Fences
+# are f32-quantized in BOTH engines before the double-precision fence
+# arithmetic so the comparison boundary is bit-identical cross-engine.
+# --------------------------------------------------------------------------
+@CATALOG.query(
+    "iqr_outlier_profile",
+    oracle="""
+    WITH q AS (
+        SELECT event_type,
+               CAST(quantile_cont(CAST(value AS DOUBLE), 0.25) AS REAL) AS p25,
+               CAST(quantile_cont(CAST(value AS DOUBLE), 0.75) AS REAL) AS p75
+        FROM events GROUP BY event_type
+    ), fences AS (
+        SELECT event_type, p25, p75,
+               CAST(p25 AS DOUBLE) - 1.5 * (CAST(p75 AS DOUBLE) - CAST(p25 AS DOUBLE)) AS lo,
+               CAST(p75 AS DOUBLE) + 1.5 * (CAST(p75 AS DOUBLE) - CAST(p25 AS DOUBLE)) AS hi
+        FROM q
+    )
+    SELECT e.event_type,
+           count(*) AS n,
+           count(*) FILTER (WHERE e.value < f.lo OR e.value > f.hi) AS n_outliers,
+           CAST(count(*) FILTER (WHERE e.value < f.lo OR e.value > f.hi)
+                / CAST(count(*) AS DOUBLE) AS REAL) AS outlier_share,
+           CAST(f.lo AS REAL) AS fence_lo,
+           CAST(f.hi AS REAL) AS fence_hi
+    FROM events e JOIN fences f ON e.event_type = f.event_type
+    GROUP BY e.event_type, f.lo, f.hi
+    """,
+)
+def iqr_outlier_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from orca_ztbus_python_processor_spark.functions.quantiles import (  # noqa: PLC0415
+        exact_group_quantiles,
+    )
+
+    ev = _events(spark, sf_dir)
+    q = exact_group_quantiles(ev, "event_type", "value", qs=(0.25, 0.75))
+    fences = q.select(
+        "event_type",
+        (F.col("p25").cast("double") - 1.5 * (F.col("p75").cast("double") - F.col("p25").cast("double"))).alias("lo"),
+        (F.col("p75").cast("double") + 1.5 * (F.col("p75").cast("double") - F.col("p25").cast("double"))).alias("hi"),
+    )
+    is_out = (F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi"))
+    return (
+        ev.join(F.broadcast(fences), "event_type")
+        .groupBy("event_type", "lo", "hi")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.when(is_out, 1).otherwise(0)).alias("n_outliers"),
+        )
+        .select(
+            "event_type",
+            "n",
+            "n_outliers",
+            f32(F.col("n_outliers") / F.col("n").cast("double")).alias("outlier_share"),
+            f32(F.col("lo")).alias("fence_lo"),
+            f32(F.col("hi")).alias("fence_hi"),
+        )
+    )

@@ -319,3 +319,48 @@ def embedding_quantize_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         f32(scale).alias("scale"),
         f32(sq_err / F.col("n_dims")).alias("quant_mse"),
     )
+
+
+# --------------------------------------------------------------------------
+# kmeans_embedding_profile — distributed Lloyd's k-means (operators/
+# clustering.py: deterministic lowest-id init, map-side JVM assignment,
+# partial-agg center update, k*d driver traffic per iteration) over the
+# embedding corpus, profiled per cluster. The curation use: cluster
+# sizes drive diversity quotas; centers seed the IVF coarse quantizer.
+# Rows-only contract (iterative — not SQL-expressible; SURVEY §2 notes
+# the weaker gate for iterative algorithms): exact numpy parity on the
+# fixture is pinned in tests/test_clustering.py instead.
+# --------------------------------------------------------------------------
+KMEANS_K = 8
+KMEANS_ITERS = 5
+
+
+@CATALOG.query("kmeans_embedding_profile")
+def kmeans_embedding_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from orca_ztbus_python_processor_spark.operators.clustering import (  # noqa: PLC0415
+        kmeans_fit,
+    )
+
+    assigned, centers = kmeans_fit(
+        _emb(spark, sf_dir), k=KMEANS_K, iters=KMEANS_ITERS
+    )
+    center_norm = {
+        j: float(sum(x * x for x in c)) ** 0.5 for j, c in enumerate(centers)
+    }
+    norm_col = F.element_at(
+        F.array(*[F.lit(center_norm[j]) for j in range(KMEANS_K)]),
+        F.col("cluster") + 1,
+    )
+    return (
+        assigned.groupBy("cluster")
+        .agg(
+            F.count("*").alias("size"),
+            F.avg("sq_dist").alias("mean_sq_dist"),
+        )
+        .select(
+            "cluster",
+            "size",
+            f32(F.col("mean_sq_dist")).alias("mean_sq_dist"),
+            f32(norm_col).alias("center_norm"),
+        )
+    )

@@ -19,6 +19,11 @@ NEVER_SAMPLED_R5_ADDITIONS = {
     "cosine_topk_sharded",
     "value_quantiles_distributed",
     "bigram_lm_quality_score",
+    "latest_event_snapshot",
+    "ewma_value_smoothing",
+    "iqr_outlier_profile",
+    "stream_static_enrich",
+    "kmeans_embedding_profile",
 }
 
 

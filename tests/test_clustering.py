@@ -1,0 +1,88 @@
+"""Exact parity of the distributed Lloyd's k-means (operators/
+clustering.py) against an independent double-precision numpy reference
+on the fixture corpus — the rows-only catalog entry
+``kmeans_embedding_profile``'s correctness gate (iterative, not
+SQL-expressible; SURVEY §5 strategy for non-oracle operators).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from orca_ztbus_python_processor_spark.operators.clustering import (
+    assign_clusters,
+    kmeans_fit,
+)
+from orca_ztbus_python_processor_spark.sources.parquet import read_table
+
+from tests.conftest import SMOKE_SF_DIR
+
+K, ITERS = 8, 5
+
+
+def _numpy_kmeans(ids: np.ndarray, X: np.ndarray, k: int, iters: int):
+    """Independent reference: identical contract (lowest-id init,
+    lowest-cluster tie-break, empty cluster keeps its center)."""
+    order = np.argsort(ids, kind="stable")
+    centers = X[order[:k]].astype(np.float64).copy()
+    for _ in range(iters):
+        d2 = ((X[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)  # argmin takes the FIRST min: lowest id
+        for j in range(k):
+            mask = assign == j
+            if mask.any():
+                centers[j] = X[mask].mean(axis=0)
+    d2 = ((X[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+    return d2.argmin(axis=1), centers
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    from pyspark.sql import functions as F
+
+    df = read_table(spark, SMOKE_SF_DIR, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    pdf = df.toPandas()
+    return df, pdf["vec_id"].to_numpy(), np.vstack(pdf["emb"].to_numpy())
+
+
+def test_kmeans_matches_numpy_reference(spark, emb):
+    df, ids, X = emb
+    assigned, centers = kmeans_fit(df, k=K, iters=ITERS)
+    got = {r["vec_id"]: r["cluster"] for r in assigned.select("vec_id", "cluster").collect()}
+    ref_assign, ref_centers = _numpy_kmeans(ids, X, K, ITERS)
+    mismatches = [i for i, vid in enumerate(ids) if got[vid] != ref_assign[i]]
+    assert not mismatches, f"{len(mismatches)} assignment mismatches, e.g. ids {mismatches[:5]}"
+    np.testing.assert_allclose(np.array(centers), ref_centers, rtol=1e-9, atol=1e-12)
+
+
+def test_assignment_tie_breaks_to_lowest_cluster(spark):
+    df = spark.createDataFrame([(1, [1.0, 0.0])], "vec_id long, emb array<double>")
+    # two identical centers: the tie must resolve to cluster 0
+    out = assign_clusters(df, [[0.0, 0.0], [0.0, 0.0], [9.0, 9.0]]).collect()[0]
+    assert out["cluster"] == 0
+    assert out["sq_dist"] == 1.0
+
+
+def test_empty_cluster_keeps_its_center(spark):
+    # k=3 over 3 points where one init center is immediately orphaned:
+    # points 1 and 2 are coincident, so center 1 (init = point 1) and
+    # center 2 (init = point 2) collapse onto the same location after
+    # one update; the run must still return 3 centers, none NaN.
+    rows = [(0, [0.0, 0.0]), (1, [5.0, 5.0]), (2, [5.0, 5.0])]
+    df = spark.createDataFrame(rows, "vec_id long, emb array<double>")
+    assigned, centers = kmeans_fit(df, k=3, iters=2)
+    assert len(centers) == 3
+    assert not any(np.isnan(c).any() for c in np.array(centers))
+    sizes = {r["cluster"]: r["n"] for r in assigned.groupBy("cluster").count().withColumnRenamed("count", "n").collect()}
+    assert sum(sizes.values()) == 3
+
+
+def test_kmeans_plan_is_jvm_side(spark, emb):
+    df, _, _ = emb
+    assigned, _ = kmeans_fit(df, k=K, iters=1)
+    plan = assigned._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan

@@ -342,3 +342,32 @@ def test_bigram_lm_partial_aggs_no_python(spark, catalog):
     assert "partial_count" in plan or "partial_sum" in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_latest_snapshot_is_struct_max_not_window(spark, catalog):
+    """CDC latest-per-key compacts via ONE partial-agg struct max —
+    never a per-key row_number window (which would sort the whole log
+    inside each key's partition) — and shuffles exactly once."""
+    plan = _plan(spark, catalog.queries["latest_event_snapshot"](spark, SMOKE_SF_DIR))
+    assert "partial_max" in plan, plan
+    assert "Window" not in plan, plan
+    assert _n_exchanges(plan) == 1, plan
+
+
+def test_ewma_single_window_pass_no_python(spark, catalog):
+    """EWMA folds its bounded frame with JVM higher-order functions:
+    one key shuffle feeding one WindowExec, zero Python stages."""
+    plan = _plan(spark, catalog.queries["ewma_value_smoothing"](spark, SMOKE_SF_DIR))
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 1, plan
+    assert _n_exchanges(plan) == 1, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_iqr_fences_broadcast_not_fact_shuffle(spark, catalog):
+    """The per-type fence frame (k rows) must broadcast back onto the
+    events scan; the fact table is never shuffled for the fence join."""
+    plan = _plan(spark, catalog.queries["iqr_outlier_profile"](spark, SMOKE_SF_DIR))
+    assert "BroadcastHashJoin" in plan, plan
+    # no SortMergeJoin anywhere: every join in the operator is either
+    # the broadcast fence join or the bounded rank-pick broadcast join
+    assert "SortMergeJoin" not in plan, plan
