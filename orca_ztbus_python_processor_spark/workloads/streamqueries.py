@@ -471,3 +471,82 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     run_to_memory(agged, "q_stream_static_enrich", output_mode="complete")
     return spark.table("q_stream_static_enrich")
+
+
+def _snapshot_merge_sink(events, snap_root: str):
+    """foreachBatch MERGE-INTO: each micro-batch is compacted to its
+    latest-per-key struct, unioned with the previous snapshot version,
+    and re-compacted into a NEW versioned directory (write-then-advance
+    — never overwrite the version being read, so a crashed batch leaves
+    the previous snapshot intact and the checkpoint replays onto it).
+    State per version is one row per key, independent of stream length.
+    """
+    import os  # noqa: PLC0415
+
+    current: dict[str, str | None] = {"path": None}
+
+    def merge(batch_df, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        batch_latest = batch_df.groupBy("user_id").agg(
+            F.max(
+                F.struct(
+                    F.col("ts"), F.col("event_id"), F.col("event_type"), F.col("value")
+                )
+            ).alias("w")
+        )
+        merged = batch_latest
+        if current["path"] is not None:
+            merged = sess.read.parquet(current["path"]).union(batch_latest)
+        out = merged.groupBy("user_id").agg(F.max("w").alias("w"))
+        nxt = os.path.join(snap_root, f"v{batch_id}")
+        out.write.mode("overwrite").parquet(nxt)
+        current["path"] = nxt
+
+    q = (
+        events.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", os.path.join(snap_root, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return current["path"]
+
+
+@CATALOG.query(
+    "stream_upsert_snapshot",
+    oracle="""
+    WITH ranked AS (
+        SELECT user_id, ts, event_id, event_type, value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    )
+    SELECT user_id,
+           ts AS last_ts,
+           event_id AS last_event_id,
+           event_type AS last_event_type,
+           CAST(value AS REAL) AS last_value
+    FROM ranked WHERE rn = 1
+    """,
+)
+def stream_upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING form of ``latest_event_snapshot`` (same oracle):
+    a foreachBatch upsert sink maintains a latest-per-key snapshot
+    table across micro-batches — the CDC MERGE-INTO pattern over an
+    append-only event stream. Struct-max is associative, so
+    batch-compact -> union-with-snapshot -> re-compact equals the batch
+    aggregate over the whole log regardless of how events split across
+    micro-batches (multi-batch equivalence pinned in
+    tests/test_streaming_upsert.py). Per-batch cost is the batch plus
+    ONE row per live key; nothing replays the log."""
+    import tempfile  # noqa: PLC0415
+
+    snap_root = tempfile.mkdtemp(prefix="upsert_snapshot_")
+    final = _snapshot_merge_sink(read_events_stream(spark, sf_dir), snap_root)
+    return spark.read.parquet(final).select(
+        "user_id",
+        F.col("w.ts").alias("last_ts"),
+        F.col("w.event_id").alias("last_event_id"),
+        F.col("w.event_type").alias("last_event_type"),
+        f32(F.col("w.value")).alias("last_value"),
+    )

@@ -1132,3 +1132,55 @@ def data_mix_rebalance_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         f32(frac).alias("sample_fraction"),
         F.floor(F.col("n_docs") * frac).cast("long").alias("expected_n"),
     )
+
+
+# --------------------------------------------------------------------------
+# token_entropy_profile — lexical-diversity scoring (X5): per-document
+# Shannon entropy of the token distribution plus type-token ratio, the
+# repetition/diversity gate that complements doc_quality's surface
+# heuristics and repetition_signals' n-gram view. Entropy uses the
+# closed form H = ln(n) - sum(c*ln c)/n in BOTH engines (identical
+# float evaluation order at the term level — cross-engine hash-safe).
+# Scale: one token explode -> (doc, token) partial-agg counts -> per-doc
+# rollup; both aggs map-side combine, shuffles carry counts not text.
+# --------------------------------------------------------------------------
+@CATALOG.query(
+    "token_entropy_profile",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, lower(unnest(regexp_extract_all(text, '{TOKEN_RE}'))) AS token
+        FROM documents
+    ), counts AS (
+        SELECT doc_id, token, count(*) AS c FROM tok GROUP BY doc_id, token
+    )
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT) AS n_tokens,
+           count(*) AS n_types,
+           CAST(count(*) / CAST(sum(c) AS DOUBLE) AS REAL) AS type_token_ratio,
+           CAST(ln(CAST(sum(c) AS DOUBLE)) - sum(c * ln(CAST(c AS DOUBLE))) / sum(c) AS REAL)
+               AS token_entropy
+    FROM counts
+    GROUP BY doc_id
+    """,
+)
+def token_entropy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tok = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.explode(F.expr(f"regexp_extract_all(text, '{TOKEN_RE}', 0)")).alias(
+            "raw_token"
+        ),
+    ).select("doc_id", F.lower(F.col("raw_token")).alias("token"))
+    counts = tok.groupBy("doc_id", "token").agg(F.count("*").alias("c"))
+    n = F.sum("c")
+    return (
+        counts.groupBy("doc_id")
+        .agg(
+            n.cast("long").alias("n_tokens"),
+            F.count("*").alias("n_types"),
+            f32(F.count("*") / n.cast("double")).alias("type_token_ratio"),
+            f32(
+                F.log(n.cast("double"))
+                - F.sum(F.col("c") * F.log(F.col("c").cast("double"))) / n
+            ).alias("token_entropy"),
+        )
+    )

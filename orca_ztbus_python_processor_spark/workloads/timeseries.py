@@ -1090,3 +1090,81 @@ def iqr_outlier_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             f32(F.col("hi")).alias("fence_hi"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# time_decayed_user_score — half-life-weighted engagement score per
+# user (the feature-store recency aggregate behind ranking/curation
+# signals): each event contributes value * 0.5^(age / 7 days), age
+# measured against the corpus max timestamp. The anchor is ONE scalar
+# aggregate broadcast-cross-joined back (the q22/above_avg_orders
+# device — no collect), then the score is a plain map-combinable
+# groupBy sum: one scan, one shuffle of (user, 2 doubles). Age is
+# nonnegative by construction so pow(0.5, age) decays toward 0 and can
+# never overflow, whatever the corpus time span.
+# --------------------------------------------------------------------------
+DECAY_HALFLIFE_US = 7 * 86400 * 1_000_000  # 7 days
+
+
+@CATALOG.query(
+    "time_decayed_user_score",
+    oracle=f"""
+    WITH anchor AS (SELECT max(epoch_us(ts)) AS a FROM events)
+    SELECT user_id,
+           count(*) AS n_events,
+           CAST(sum(value * pow(0.5, (a - epoch_us(ts)) / {float(DECAY_HALFLIFE_US)})) AS REAL)
+               AS decayed_score,
+           CAST(sum(pow(0.5, (a - epoch_us(ts)) / {float(DECAY_HALFLIFE_US)})) AS REAL)
+               AS decayed_weight
+    FROM events, anchor
+    GROUP BY user_id
+    """,
+)
+def time_decayed_user_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    anchor = ev.agg(F.max(F.unix_micros("ts")).alias("a"))
+    w = F.pow(
+        F.lit(0.5),
+        (F.col("a") - F.unix_micros("ts")) / F.lit(float(DECAY_HALFLIFE_US)),
+    )
+    return (
+        ev.crossJoin(F.broadcast(anchor))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            f32(F.sum(F.col("value") * w)).alias("decayed_score"),
+            f32(F.sum(w)).alias("decayed_weight"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# hll_weekly_rollup — MERGEABLE-sketch rollup (the scale dual of
+# approx_distinct_users_daily): per-day HLL sketches of distinct users
+# are built once, then the WEEKLY distinct estimate is derived by
+# UNIONING the daily sketches — the corpus is never rescanned at the
+# coarser grain. This is the 100 TB pre-aggregation pattern: sketches
+# are the materialized daily state (a few KB per cell), and any grain
+# above daily (week, month, arbitrary ranges) is a merge over sketch
+# cells, not a pass over events. Rows-only contract (HLL estimates are
+# engine-specific; DuckDB's approx_count_distinct is a different
+# sketch); the algebraic properties — union-of-sketches ≡
+# sketch-of-union exactly, and the estimate-vs-exact error bound — are
+# pinned in tests/test_sketch_rollup.py.
+# --------------------------------------------------------------------------
+@CATALOG.query("hll_weekly_rollup")
+def hll_weekly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        _events(spark, sf_dir)
+        .groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+    )
+    return (
+        daily.groupBy(F.date_trunc("week", F.col("day")).alias("week_start"))
+        .agg(
+            F.count("*").alias("n_days"),
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias(
+                "approx_distinct_users"
+            ),
+        )
+    )

@@ -24,6 +24,10 @@ NEVER_SAMPLED_R5_ADDITIONS = {
     "iqr_outlier_profile",
     "stream_static_enrich",
     "kmeans_embedding_profile",
+    "time_decayed_user_score",
+    "token_entropy_profile",
+    "hll_weekly_rollup",
+    "stream_upsert_snapshot",
 }
 
 
