@@ -682,3 +682,52 @@ def priority_day_grid_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
             f32(F.coalesce(F.col("total"), F.lit(0.0))).alias("total_price"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# nation_balance_full_outer — FULL OUTER join (the one join type the
+# catalog's join matrix did not yet exercise: inner/left/semi/anti/
+# interval/as-of are covered elsewhere): per-nation customer counts vs
+# supplier counts, keeping nations present on EITHER side, zeros
+# coalesced. Scale: both inputs pre-aggregate to ~|nations| rows before
+# the join — full outer cannot broadcast (both sides preserve unmatched
+# rows), but joining two already-reduced aggregates makes the shuffle
+# O(keys), never O(fact).
+# --------------------------------------------------------------------------
+@CATALOG.query(
+    "nation_balance_full_outer",
+    oracle="""
+    WITH c AS (
+        SELECT c_nationkey AS nk, count(*) AS n_customers
+        FROM customer GROUP BY c_nationkey
+    ), s AS (
+        SELECT s_nationkey AS nk, count(*) AS n_suppliers
+        FROM supplier GROUP BY s_nationkey
+    )
+    SELECT coalesce(c.nk, s.nk) AS nationkey,
+           coalesce(c.n_customers, 0) AS n_customers,
+           coalesce(s.n_suppliers, 0) AS n_suppliers,
+           coalesce(c.n_customers, 0) - coalesce(s.n_suppliers, 0) AS balance
+    FROM c FULL OUTER JOIN s ON c.nk = s.nk
+    """,
+)
+def nation_balance_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (
+        _t(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nk_c"))
+        .agg(F.count("*").alias("n_customers"))
+    )
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nk_s"))
+        .agg(F.count("*").alias("n_suppliers"))
+    )
+    joined = c.join(s, c.nk_c == s.nk_s, "full_outer")
+    return joined.select(
+        F.coalesce("nk_c", "nk_s").alias("nationkey"),
+        F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+        F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+        (
+            F.coalesce("n_customers", F.lit(0)) - F.coalesce("n_suppliers", F.lit(0))
+        ).alias("balance"),
+    )

@@ -28,6 +28,7 @@ NEVER_SAMPLED_R5_ADDITIONS = {
     "token_entropy_profile",
     "hll_weekly_rollup",
     "stream_upsert_snapshot",
+    "nation_balance_full_outer",
 }
 
 

@@ -371,3 +371,31 @@ def test_iqr_fences_broadcast_not_fact_shuffle(spark, catalog):
     # no SortMergeJoin anywhere: every join in the operator is either
     # the broadcast fence join or the bounded rank-pick broadcast join
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_decayed_score_single_fact_shuffle(spark, catalog):
+    """The anchor is a broadcast scalar; the fact shuffles once into
+    the per-user aggregate with map-side partial sums."""
+    plan = _plan(spark, catalog.queries["time_decayed_user_score"](spark, SMOKE_SF_DIR))
+    assert "partial_sum" in plan or "partial_count" in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_token_entropy_partial_aggs(spark, catalog):
+    """Both aggregation levels (per-(doc,token) counts, per-doc rollup)
+    combine map-side; no Python, no window sort."""
+    plan = _plan(spark, catalog.queries["token_entropy_profile"](spark, SMOKE_SF_DIR))
+    assert "partial_count" in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    assert "Window" not in plan, plan
+
+
+def test_hll_rollup_merges_sketches_not_rows(spark, catalog):
+    """The weekly grain aggregates daily SKETCH cells (hll_union_agg),
+    never re-scanning events: exactly one scan of the fact table in the
+    whole plan, and both agg levels partial-combine."""
+    plan = _plan(spark, catalog.queries["hll_weekly_rollup"](spark, SMOKE_SF_DIR))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+    assert "partial_hll_sketch_agg" in plan, plan
+    assert "partial_hll_union_agg" in plan, plan
