@@ -736,11 +736,22 @@ def winnow_fingerprints(
 # Connected components (dup-cluster resolution)
 # ---------------------------------------------------------------------------
 
+#: symmetric-edge count at or under which CC solves driver-side:
+#: 1M edges = two long columns ≈ 16 MB over Arrow — the same
+#: bounded-scalar driver-traffic contract as the quantile counts matrix
+#: (functions/quantiles.py) and this module's convergence probe. Above
+#: it, the distributed min-label loop runs; the threshold is a measured
+#: crossover (each distributed round costs several driver-coordinated
+#: jobs whose fixed overhead dwarfs compute on sparse near-dup graphs).
+SMALL_GRAPH_EDGE_LIMIT = 1_000_000
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iterations: int = 50,
+    small_graph_edge_limit: int = SMALL_GRAPH_EDGE_LIMIT,
 ) -> DataFrame:
     """Connected components over a near-dup pair graph: the cluster-
     resolution step between pair generation (minhash/simhash/embedding)
@@ -757,7 +768,11 @@ def connected_components(
     Near-dup graphs are sparse with tiny diameters, so this converges in
     a handful of rounds; at 100 TB the edge table shuffles on node id
     each round — the standard large-scale CC layout (cf. the
-    large-star/small-star family).
+    large-star/small-star family). Graphs at or under
+    ``small_graph_edge_limit`` symmetric edges skip the loop for a
+    bounded driver-side union-find (one Arrow collect — see
+    ``SMALL_GRAPH_EDGE_LIMIT``); pass ``small_graph_edge_limit=0`` to
+    force the distributed loop.
 
     Output: ``node, component`` — one row per node appearing in pairs;
     component = smallest node id in the cluster.
@@ -782,6 +797,32 @@ def connected_components(
         # no pairs -> no components; skip the propagation loop entirely
         # (otherwise an empty graph still pays a full round of jobs)
         return sym.select(F.col("u").alias("node"), F.col("u").alias("component"))
+    if n_edges <= small_graph_edge_limit:
+        # Small-graph fast path: union-find over the collected DIRECTED
+        # edge list (half of ``n_edges``) — bounded driver traffic by
+        # the limit above, exact same min-label semantics (union always
+        # hangs the larger root under the smaller, so every root is the
+        # minimum id of its set). Near-dup graphs after verify are
+        # usually far under the limit even when the corpus is not: this
+        # replaces O(log diameter) rounds of driver-coordinated jobs
+        # with ONE Arrow collect, the dominant cost of the distributed
+        # loop on sparse graphs. The loop above the limit is pinned
+        # against this path in tests/test_asof_and_neardup.py.
+        pdf = edges.toPandas()
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            while parent.setdefault(x, x) != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in zip(pdf[pdf.columns[0]], pdf[pdf.columns[1]]):
+            ra, rb = find(int(a)), find(int(b))
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        comp_rows = [(n, find(n)) for n in parent]
+        return spark.createDataFrame(comp_rows, "node long, component long")
     width = max(2, min(spark.sparkContext.defaultParallelism, n_edges // 500_000 + 1))
     sym = sym.repartition(width, "v").localCheckpoint()
     labels = (

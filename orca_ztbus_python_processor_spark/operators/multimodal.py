@@ -10,8 +10,10 @@ Two decode paths:
 * ``decoder="real"`` — REAL byte-level decoders for the formats this
   container can handle with the stdlib alone: WAV (via ``wave``),
   BMP (hand-rolled BITMAPINFOHEADER parse, 24bpp uncompressed),
-  PPM (P6), and PNG (zlib inflate + per-scanline unfilter, 8-bit
-  non-interlaced grey/RGB(A)). Formats that genuinely require
+  PPM (P6), PNG (zlib inflate + per-scanline unfilter, 8-bit
+  non-interlaced grey/RGB(A)), and GIF (hand-rolled variable-width
+  LZW expansion, global palette, non-interlaced). Formats that
+  genuinely require
   PIL/libvips/ffmpeg (jpeg/webp/mp4/...) raise NotImplementedError
   *inside the decode stage* — the gate is per-format, not per-path.
 
@@ -117,7 +119,7 @@ REAL_FEATURE_SCHEMA = (
 )
 
 #: formats ``decoder="real"`` can decode with the stdlib alone
-REAL_DECODABLE = ("wav", "bmp", "ppm", "png")
+REAL_DECODABLE = ("wav", "bmp", "ppm", "png", "gif")
 
 
 def _decode_wav(b: bytes) -> dict:
@@ -294,11 +296,129 @@ def _decode_png(b: bytes) -> dict:
     }
 
 
+def _gif_lzw_decode(data: bytes, mcs: int, n_expected: int) -> list[int]:
+    """GIF variable-width LZW (spec appendix F): LSB-first bit packing,
+    CLEAR resets the dictionary, width grows when the next free code
+    reaches 2^width (capped at 12 bits)."""
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    out: list[int] = []
+    bitpos = 0
+    total_bits = len(data) * 8
+
+    def read(width: int) -> int | None:
+        nonlocal bitpos
+        if bitpos + width > total_bits:
+            return None
+        v = 0
+        for i in range(width):
+            if (data[bitpos >> 3] >> (bitpos & 7)) & 1:
+                v |= 1 << i
+            bitpos += 1
+        return v
+
+    width = mcs + 1
+    table: dict[int, list[int]] = {i: [i] for i in range(clear)}
+    next_code = eoi + 1
+    prev: list[int] | None = None
+    while len(out) < n_expected:
+        code = read(width)
+        if code is None:
+            break
+        if code == clear:
+            table = {i: [i] for i in range(clear)}
+            next_code, width, prev = eoi + 1, mcs + 1, None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            entry = table[code]
+        else:
+            if code in table:
+                entry = table[code]
+            elif code == next_code:
+                entry = prev + [prev[0]]
+            else:
+                raise ValueError("corrupt GIF LZW stream")
+            table[next_code] = prev + [entry[0]]
+            next_code += 1
+            if next_code == (1 << width) and width < 12:
+                width += 1
+        out.extend(entry)
+        prev = entry
+    if len(out) < n_expected:
+        raise ValueError(
+            f"GIF raster truncated ({len(out)} of {n_expected} pixels)"
+        )
+    return out[:n_expected]
+
+
+def _decode_gif(b: bytes) -> dict:
+    """Stdlib GIF decode — header + global color table + real LZW
+    expansion of the first image block — for non-interlaced GIFs using
+    the global palette. Interlaced images, local color tables, and
+    GIFs without a global table raise ValueError (honest sub-gates
+    inside the format, like the PNG decoder's). Extensions (GCE,
+    comments, application blocks) are skipped per spec."""
+    if b[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    _w, _h, packed, _bg, _ar = struct.unpack_from("<HHBBB", b, 6)
+    pos = 13
+    if not (packed & 0x80):
+        raise ValueError("GIF without a global color table unsupported")
+    gct_n = 2 ** ((packed & 0x07) + 1)
+    palette = (
+        np.frombuffer(b, np.uint8, count=gct_n * 3, offset=pos)
+        .reshape(gct_n, 3)
+        .copy()
+    )
+    pos += gct_n * 3
+    while pos < len(b):
+        blk = b[pos]
+        pos += 1
+        if blk == 0x3B:  # trailer
+            break
+        if blk == 0x21:  # extension: label byte + data sub-blocks
+            pos += 1
+            while b[pos] != 0:
+                pos += 1 + b[pos]
+            pos += 1
+            continue
+        if blk != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{blk:02x}")
+        _left, _top, iw, ih, ipacked = struct.unpack_from("<HHHHB", b, pos)
+        pos += 9
+        if ipacked & 0x80:
+            raise ValueError("GIF local color tables unsupported")
+        if ipacked & 0x40:
+            raise ValueError("interlaced GIF unsupported")
+        mcs = b[pos]
+        pos += 1
+        data = bytearray()
+        while b[pos] != 0:
+            n = b[pos]
+            data += b[pos + 1 : pos + 1 + n]
+            pos += 1 + n
+        idx = np.asarray(
+            _gif_lzw_decode(bytes(data), mcs, iw * ih), dtype=np.int64
+        )
+        if idx.size and idx.max() >= gct_n:
+            raise ValueError("GIF pixel index outside the global palette")
+        px = palette[idx].astype(np.float64) / 255.0
+        return {
+            "width": iw, "height": ih, "n_channels": 3, "sample_rate": None,
+            "n_samples": iw * ih,
+            "mean_level": float(px.mean()) if px.size else 0.0,
+            "peak_level": float(px.max()) if px.size else 0.0,
+        }
+    raise ValueError("GIF missing image data")
+
+
 _REAL_DECODERS = {
     "wav": _decode_wav,
     "bmp": _decode_bmp,
     "ppm": _decode_ppm,
     "png": _decode_png,
+    "gif": _decode_gif,
 }
 
 
@@ -383,6 +503,51 @@ def _encode_png_rgb(rows: list[bytes], width: int) -> bytes:
     )
 
 
+def _encode_gif(indices: list[int], width: int, height: int,
+                palette: list[tuple[int, int, int]]) -> bytes:
+    """Minimal valid GIF89a encoder for the synthetic fixture: 16-entry
+    global palette, min LZW code size 4, every pixel emitted as a
+    literal code with a CLEAR every 12 codes so the code width stays at
+    5 bits — valid LZW that never grows the dictionary past the first
+    width boundary, which a conforming decoder (including
+    ``_decode_gif``) must track identically."""
+    assert len(palette) <= 16
+    pal = list(palette) + [(0, 0, 0)] * (16 - len(palette))
+    mcs = 4
+    clear, chunk = 1 << mcs, (1 << mcs) - 4
+    codes: list[int] = []
+    for i, ix in enumerate(indices):
+        if i % chunk == 0:
+            codes.append(clear)
+        codes.append(ix)
+    codes.append(clear + 1)  # EOI
+    bits = bytearray()
+    acc = nbits = 0
+    for code in codes:
+        acc |= code << nbits
+        nbits += mcs + 1
+        while nbits >= 8:
+            bits.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        bits.append(acc & 0xFF)
+    sub = bytearray()
+    for off in range(0, len(bits), 255):
+        blkdata = bits[off : off + 255]
+        sub.append(len(blkdata))
+        sub += blkdata
+    sub.append(0)
+    return (
+        b"GIF89a"
+        + struct.pack("<HHBBB", width, height, 0x80 | 0x03, 0, 0)
+        + bytes(v for rgb in pal for v in rgb)
+        + b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height, 0)
+        + bytes([mcs]) + bytes(sub)
+        + b"\x3b"
+    )
+
+
 def synthesize_real_payloads(docs: DataFrame) -> DataFrame:
     """Deterministic REAL media payloads (valid WAV/BMP/PPM byte
     streams) derived from each document — the fixture generator for the
@@ -440,13 +605,25 @@ def synthesize_real_payloads(docs: DataFrame) -> DataFrame:
                         (i * 11 + d) % 256 for i in range(wd * ht * 3)
                     )
                     payload = f"P6\n{wd} {ht}\n255\n".encode() + raster
-                else:  # png (8-bit RGB, filter type cycling per row)
+                elif kind == "png":  # 8-bit RGB, filter type cycling per row
                     wd, ht = 3 + d % 5, 3 + d % 4
                     rows = [
                         bytes((row * 17 + col * 5 + d) % 256 for col in range(wd * 3))
                         for row in range(ht)
                     ]
                     payload = _encode_png_rgb(rows, wd)
+                else:  # gif (16-color global palette, real LZW stream)
+                    wd, ht = 4 + d % 6, 3 + d % 5
+                    pal = [
+                        ((i * 37 + d) % 256, (i * 59 + 3 * d) % 256, (i * 83 + 7 * d) % 256)
+                        for i in range(16)
+                    ]
+                    idx = [
+                        (row * 7 + col * 3 + d) % 16
+                        for row in range(ht)
+                        for col in range(wd)
+                    ]
+                    payload = _encode_gif(idx, wd, ht, pal)
                 ids.append(d)
                 fmts.append(kind)
                 payloads.append(payload)

@@ -243,7 +243,7 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @CATALOG.query("multimodal_real_decode")
 def multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X4 real-decode path: valid WAV/BMP/PPM byte streams synthesized
+    """X4 real-decode path: valid WAV/BMP/PPM/PNG/GIF byte streams synthesized
     executor-side from the documents table, decoded by the stdlib
     decoders in ``operators/multimodal.real_features`` (wave-module PCM,
     hand-parsed BITMAPINFOHEADER, P6 header parse) — actual bytes

@@ -173,11 +173,18 @@ def test_connected_components_golden(spark):
         (10, 11), (10, 12), (11, 12), (20, 21),
     ]
     pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    want = {(i, 1) for i in range(1, 8)} | {(i, 10) for i in (10, 11, 12)} | {
+        (20, 20), (21, 20),
+    }
+    # default path (small graph -> bounded driver union-find)
     got = {
         (r.node, r.component)
         for r in connected_components(pairs).collect()
     }
-    want = {(i, 1) for i in range(1, 8)} | {(i, 10) for i in (10, 11, 12)} | {
-        (20, 20), (21, 20),
-    }
     assert got == want
+    # distributed min-label loop, forced: must agree with the fast path
+    got_loop = {
+        (r.node, r.component)
+        for r in connected_components(pairs, small_graph_edge_limit=0).collect()
+    }
+    assert got_loop == want

@@ -378,7 +378,7 @@ def test_multimodal_real_decode_catalog_entry_deterministic(spark):
     a = multimodal_real_decode(spark, SMOKE_SF_DIR).toPandas().sort_values("media_id")
     b = multimodal_real_decode(spark, SMOKE_SF_DIR).toPandas().sort_values("media_id")
     assert len(a) > 0 and a.reset_index(drop=True).equals(b.reset_index(drop=True))
-    assert set(a["format"]) == {"wav", "bmp", "ppm", "png"}
+    assert set(a["format"]) == {"wav", "bmp", "ppm", "png", "gif"}
     assert (a["peak_level"] <= 1.0).all() and (a["payload_bytes"] > 0).all()
 
 
@@ -593,3 +593,106 @@ def test_data_mix_rebalance_downsamples_overrepresented(spark, tmp_path):
     assert got["small_a"]["expected_n"] == 25
     assert got["small_b"]["sample_fraction"] == 1.0
     assert sum(r["n_docs"] for r in got.values()) == 100
+
+
+def test_gif_decode_golden_hand_built():
+    """Hand-built 2x2 GIF (4-entry palette — enough to force a real
+    variable-width LZW stream at min code size 2): _decode_gif must
+    reproduce the exact palette-mapped raster statistics. The payload
+    is assembled HERE byte by byte (not via the fixture encoder) so
+    encoder and decoder cannot share a bug."""
+    import struct as _s
+
+    from orca_ztbus_python_processor_spark.operators.multimodal import (
+        _decode_gif,
+    )
+
+    # palette: black, white, mid-red, mid-blue
+    pal = bytes([0, 0, 0, 255, 255, 255, 128, 0, 0, 0, 0, 128])
+    # raster indices row-major: [0, 1, 2, 3]; mcs=2 -> clear=4, eoi=5,
+    # codes (3 bits each, LSB-first): 4,0,1,2,3,5
+    codes, mcs = [4, 0, 1, 2, 3, 5], 2
+    acc = nbits = 0
+    bits = bytearray()
+    # width grows 3->4 only AFTER the code whose table insertion fills
+    # code 7 is fully consumed (next_code reaches 8 while processing
+    # the third pixel code), so code 2 is still a 3-bit read and codes
+    # 3 / EOI are 4-bit reads — exactly how a conforming decoder tracks
+    # it
+    widths = [3, 3, 3, 3, 4, 4]
+    for code, wdt in zip(codes, widths):
+        acc |= code << nbits
+        nbits += wdt
+        while nbits >= 8:
+            bits.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        bits.append(acc & 0xFF)
+    payload = (
+        b"GIF89a"
+        + _s.pack("<HHBBB", 2, 2, 0x80 | 0x01, 0, 0)  # 4-entry GCT
+        + pal
+        + b"\x21\xfe\x03abc\x00"  # comment extension (must be skipped)
+        + b"\x2c" + _s.pack("<HHHHB", 0, 0, 2, 2, 0)
+        + bytes([mcs, len(bits)]) + bytes(bits) + b"\x00"
+        + b"\x3b"
+    )
+    got = _decode_gif(payload)
+    assert (got["width"], got["height"], got["n_channels"]) == (2, 2, 3)
+    assert got["n_samples"] == 4
+    # mean over palette-mapped RGB bytes / 255
+    vals = [0, 0, 0, 255, 255, 255, 128, 0, 0, 0, 0, 128]
+    assert got["mean_level"] == pytest.approx(sum(vals) / 12 / 255)
+    assert got["peak_level"] == pytest.approx(1.0)
+
+
+def test_gif_encode_decode_roundtrip_exact():
+    """The fixture encoder's LZW stream (literal codes + periodic
+    CLEAR) decodes to exactly the indices that were encoded."""
+    from orca_ztbus_python_processor_spark.operators.multimodal import (
+        _decode_gif,
+        _encode_gif,
+    )
+
+    wd, ht = 7, 5
+    pal = [(i * 16, 255 - i * 16, (i * 7) % 256) for i in range(16)]
+    idx = [(r * 5 + c * 3) % 16 for r in range(ht) for c in range(wd)]
+    got = _decode_gif(_encode_gif(idx, wd, ht, pal))
+    import numpy as _np
+
+    px = _np.array([pal[i] for i in idx], dtype=_np.float64) / 255.0
+    assert (got["width"], got["height"], got["n_samples"]) == (wd, ht, wd * ht)
+    assert got["mean_level"] == pytest.approx(float(px.mean()))
+    assert got["peak_level"] == pytest.approx(float(px.max()))
+
+
+def test_gif_decode_sub_gates():
+    """Interlaced / local-color-table / missing-GCT GIFs raise instead
+    of returning plausible garbage."""
+    import struct as _s
+
+    from orca_ztbus_python_processor_spark.operators.multimodal import (
+        _decode_gif,
+        _encode_gif,
+    )
+
+    base = _encode_gif([0, 1, 2, 3], 2, 2, [(i, i, i) for i in range(16)])
+    # no global color table: clear bit 7 of the LSD packed byte
+    no_gct = bytearray(base)
+    no_gct[10] &= 0x7F
+    with pytest.raises(ValueError, match="global color table"):
+        _decode_gif(bytes(no_gct))
+    # interlace flag on the image descriptor packed byte
+    img_off = 13 + 48  # header+LSD then 16*3 GCT; image block starts here
+    assert base[img_off] == 0x2C
+    interlaced = bytearray(base)
+    interlaced[img_off + 9] |= 0x40
+    with pytest.raises(ValueError, match="interlaced"):
+        _decode_gif(bytes(interlaced))
+    local_ct = bytearray(base)
+    local_ct[img_off + 9] |= 0x80
+    with pytest.raises(ValueError, match="local color table"):
+        _decode_gif(bytes(local_ct))
+    with pytest.raises(ValueError, match="not a GIF"):
+        _decode_gif(b"NOTGIF" + bytes(20))
