@@ -1184,3 +1184,68 @@ def token_entropy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("token_entropy"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# ngram_novelty_score — per-document novelty (the memorization-risk /
+# boilerplate signal): the share of a document's 20-char stride-10
+# shingles whose FIRST corpus occurrence (min doc_id) is this document.
+# Low novelty = the document restates content that earlier documents
+# already carry — the curation signal between exact dedup (X1) and
+# near-dup clustering (X2). Same deterministic shingle enumeration as
+# contamination_share, so both engines see identical fingerprints.
+# Scale: shingles generate map-side; first-occurrence is one
+# map-combinable min-agg on the shingle key, and the ownership join
+# re-uses that same key partitioning; the per-doc rollup shuffles
+# (doc, 2 counts) cells.
+# --------------------------------------------------------------------------
+@CATALOG.query(
+    "ngram_novelty_score",
+    oracle=f"""
+    WITH sh AS (
+        SELECT DISTINCT doc_id,
+               substr(text, CAST(i AS BIGINT), {_CONTAM_K}) AS s
+        FROM (
+            SELECT doc_id, text,
+                   unnest(generate_series(1, greatest(length(text) - {_CONTAM_K - 1}, 1),
+                                          {_CONTAM_STRIDE})) AS i
+            FROM documents
+        )
+    ), firsts AS (
+        SELECT s, min(doc_id) AS first_doc FROM sh GROUP BY s
+    )
+    SELECT sh.doc_id,
+           count(*) AS n_shingles,
+           count(*) FILTER (WHERE firsts.first_doc = sh.doc_id) AS n_novel,
+           CAST(count(*) FILTER (WHERE firsts.first_doc = sh.doc_id)
+                / CAST(count(*) AS DOUBLE) AS REAL) AS novelty_share
+    FROM sh JOIN firsts ON sh.s = firsts.s
+    GROUP BY sh.doc_id
+    """,
+)
+def ngram_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    shingle_arr = (
+        f"array_distinct(transform(sequence(1, greatest(length(text) - {_CONTAM_K - 1}, 1),"
+        f" {_CONTAM_STRIDE}), i -> substring(text, i, {_CONTAM_K})))"
+    )
+    sh = _docs(spark, sf_dir).select(
+        "doc_id", F.explode(F.expr(shingle_arr)).alias("s")
+    )
+    firsts = sh.groupBy("s").agg(F.min("doc_id").alias("first_doc"))
+    is_novel = F.col("first_doc") == F.col("doc_id")
+    return (
+        sh.join(firsts, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(is_novel.cast("long")).alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_novel",
+            f32(F.col("n_novel") / F.col("n_shingles").cast("double")).alias(
+                "novelty_share"
+            ),
+        )
+    )

@@ -29,6 +29,7 @@ NEVER_SAMPLED_R5_ADDITIONS = {
     "hll_weekly_rollup",
     "stream_upsert_snapshot",
     "nation_balance_full_outer",
+    "ngram_novelty_score",
 }
 
 

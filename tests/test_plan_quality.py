@@ -399,3 +399,12 @@ def test_hll_rollup_merges_sketches_not_rows(spark, catalog):
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
     assert "partial_hll_sketch_agg" in plan, plan
     assert "partial_hll_union_agg" in plan, plan
+
+
+def test_novelty_ownership_agg_partial_no_python(spark, catalog):
+    """First-occurrence ownership is a map-combinable min agg on the
+    shingle key; nothing drops to Python and no window sort appears."""
+    plan = _plan(spark, catalog.queries["ngram_novelty_score"](spark, SMOKE_SF_DIR))
+    assert "partial_min" in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    assert "Window" not in plan, plan
