@@ -1249,3 +1249,105 @@ def ngram_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# bm25_keyword_topk — Okapi BM25 ranking of the corpus against a fixed
+# keyword query (the retrieval/curation scorer a training-data pipeline
+# runs to surface topic-matched documents; same X5 family as TF-IDF but
+# with the saturating tf and length normalization real search uses).
+#
+# Scale shape: ONE token explode, filtered to the query terms BEFORE
+# the per-doc groupBy (the shuffle carries only (doc, query-term) hits,
+# not the whole vocabulary); document length comes from a map-side
+# regexp_count (no second explode); corpus scalars (N, avgdl) are a
+# 1-row agg cross-joined back (the q22 device, no collect); per-term
+# document frequencies are a |terms|-row frame joined with an explicit
+# broadcast. Scores are f32-quantized BEFORE the top-k ordering so the
+# rank (and the k-boundary) is identical cross-engine despite
+# sum-association differences at double precision.
+# --------------------------------------------------------------------------
+BM25_TERMS = ("spark", "merge", "vector")
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPK = 25
+
+
+@CATALOG.query(
+    "bm25_keyword_topk",
+    oracle=f"""
+    WITH dlf AS (
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(lower(text), '{BIGRAM_TOKEN_RE}')) AS BIGINT) AS dl
+        FROM documents
+    ), scal AS (
+        SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dlf
+    ), tok AS (
+        SELECT doc_id, unnest(regexp_extract_all(lower(text), '{BIGRAM_TOKEN_RE}')) AS token
+        FROM documents
+    ), tf AS (
+        SELECT doc_id, token, count(*) AS cnt
+        FROM tok WHERE token IN ('spark', 'merge', 'vector')
+        GROUP BY doc_id, token
+    ), dfreq AS (
+        SELECT token, count(*) AS dfq FROM tf GROUP BY token
+    )
+    SELECT t.doc_id,
+           count(*) AS n_terms_matched,
+           CAST(sum(
+               ln(1 + (s.n_docs - d.dfq + 0.5) / (d.dfq + 0.5))
+               * t.cnt * ({BM25_K1} + 1)
+               / (t.cnt + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * l.dl / s.avgdl))
+           ) AS REAL) AS bm25
+    FROM tf t
+    JOIN dlf l USING (doc_id)
+    JOIN dfreq d USING (token)
+    CROSS JOIN scal s
+    GROUP BY t.doc_id
+    ORDER BY bm25 DESC, t.doc_id
+    LIMIT {BM25_TOPK}
+    """,
+)
+def bm25_keyword_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    dlf = docs.select(
+        "doc_id",
+        F.regexp_count(F.lower(F.col("text")), F.lit(BIGRAM_TOKEN_RE))
+        .cast("long")
+        .alias("dl"),
+    )
+    scal = dlf.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.expr(f"regexp_extract_all(lower(text), '{BIGRAM_TOKEN_RE}', 0)")
+            ).alias("token"),
+        )
+        .where(F.col("token").isin(*BM25_TERMS))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("cnt"))
+    )
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("dfq"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("dfq") + 0.5) / (F.col("dfq") + 0.5)
+    )
+    term_score = idf * F.col("cnt") * (BM25_K1 + 1) / (
+        F.col("cnt")
+        + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+    )
+    return (
+        tf.join(dlf, "doc_id")
+        .join(F.broadcast(dfreq), "token")
+        .crossJoin(F.broadcast(scal))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_terms_matched"),
+            f32(F.sum(term_score)).alias("bm25"),
+        )
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(BM25_TOPK)
+    )

@@ -1168,3 +1168,197 @@ def hll_weekly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# weekly_cohort_retention — classic cohort/retention matrix: users are
+# cohorted by the week of their first event; each (cohort_week,
+# week_offset) cell counts how many of that cohort were active that
+# many weeks later, as a share of the cohort. The product-analytics
+# staple the reference's per-trip rollups generalize to.
+#
+# Scale shape: first-seen is ONE map-combinable min-agg on user_id;
+# activity is a distinct over (user, week) — both shuffle on user_id,
+# so AQE/exchange-reuse co-locates the self-join. Cohort sizes are a
+# weeks-bounded frame (broadcast). Offsets are day-arithmetic on
+# week-truncated timestamps (Monday-anchored in BOTH engines), so the
+# division by 7 is exact.
+# --------------------------------------------------------------------------
+@CATALOG.query(
+    "weekly_cohort_retention",
+    oracle="""
+    WITH first_seen AS (
+        SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+        FROM events GROUP BY user_id
+    ), activity AS (
+        SELECT DISTINCT user_id, date_trunc('week', ts) AS active_week
+        FROM events
+    ), cohort_size AS (
+        SELECT cohort_week, count(*) AS cohort_users
+        FROM first_seen GROUP BY cohort_week
+    )
+    SELECT f.cohort_week,
+           CAST(date_diff('day', f.cohort_week, a.active_week) // 7 AS BIGINT)
+               AS week_offset,
+           s.cohort_users,
+           count(*) AS n_active,
+           CAST(count(*) / CAST(s.cohort_users AS DOUBLE) AS REAL) AS retention
+    FROM first_seen f
+    JOIN activity a USING (user_id)
+    JOIN cohort_size s USING (cohort_week)
+    GROUP BY f.cohort_week, week_offset, s.cohort_users
+    """,
+)
+def weekly_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    first_seen = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("active_week")
+    ).distinct()
+    cohort_size = first_seen.groupBy("cohort_week").agg(
+        F.count("*").alias("cohort_users")
+    )
+    week_offset = (
+        F.datediff(F.col("active_week"), F.col("cohort_week")) / 7
+    ).cast("long")
+    return (
+        first_seen.join(activity, "user_id")
+        .join(F.broadcast(cohort_size), "cohort_week")
+        .groupBy("cohort_week", week_offset.alias("week_offset"), "cohort_users")
+        .agg(F.count("*").alias("n_active"))
+        .select(
+            "cohort_week",
+            "week_offset",
+            "cohort_users",
+            "n_active",
+            f32(F.col("n_active") / F.col("cohort_users").cast("double")).alias(
+                "retention"
+            ),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# concurrent_active_intervals — interval-overlap concurrency: each
+# event opens a 5-minute activity interval [ts, ts+300 s); per minute
+# bucket, count the events whose interval covers the minute and the
+# distinct users active in it. This is the discretized sweep-line /
+# range-overlap counter (how many sessions are open right now) — the
+# grid form that stays scale-safe: instead of a global endpoint sort
+# (one partition = driver-shaped bottleneck) or a range join, each
+# event EXPLODES into the <=6 minute buckets its interval overlaps
+# (bounded map-side fan-out), and one hash shuffle on the minute key
+# does the rest, with the distinct as a partial agg.
+# --------------------------------------------------------------------------
+INTERVAL_SECONDS = 300
+
+
+@CATALOG.query(
+    "concurrent_active_intervals",
+    oracle=f"""
+    WITH covered AS (
+        SELECT user_id, event_id,
+               unnest(generate_series(
+                   date_trunc('minute', ts),
+                   date_trunc('minute',
+                       ts + INTERVAL {INTERVAL_SECONDS} SECOND
+                          - INTERVAL 1 MICROSECOND),
+                   INTERVAL 1 MINUTE)) AS minute
+        FROM events
+    )
+    SELECT minute,
+           count(*) AS n_open_intervals,
+           count(DISTINCT user_id) AS n_concurrent_users
+    FROM covered GROUP BY minute
+    """,
+)
+def concurrent_active_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    covered = _events(spark, sf_dir).select(
+        "user_id",
+        "event_id",
+        F.explode(
+            F.expr(
+                "sequence(date_trunc('MINUTE', ts),"
+                f" date_trunc('MINUTE', ts + INTERVAL {INTERVAL_SECONDS} SECOND"
+                " - INTERVAL 1 MICROSECOND), INTERVAL 1 MINUTE)"
+            )
+        ).alias("minute"),
+    )
+    return covered.groupBy("minute").agg(
+        F.count("*").alias("n_open_intervals"),
+        F.countDistinct("user_id").alias("n_concurrent_users"),
+    )
+
+
+# --------------------------------------------------------------------------
+# value_histogram_equiwidth — equi-width histogram of events.value: 32
+# bins over the observed [min, max], each with its bounds, count, and
+# share. The profiling primitive behind range-partition planning and
+# data-drift dashboards. Two passes: a 1-row (min, max, count) scalar
+# agg cross-joined back (no collect), then one map-combinable groupBy
+# on the computed bin id. Bin arithmetic is double-precision identical
+# in both engines; the top edge folds into the last bin (least), and a
+# degenerate min==max corpus collapses to bin 0 instead of dividing by
+# zero.
+# --------------------------------------------------------------------------
+HIST_BINS = 32
+
+
+@CATALOG.query(
+    "value_histogram_equiwidth",
+    oracle=f"""
+    WITH scal AS (
+        SELECT min(value) AS vmin, max(value) AS vmax,
+               count(*) AS n_total
+        FROM events
+    ), binned AS (
+        SELECT CAST(CASE WHEN s.vmax = s.vmin THEN 0
+                    ELSE least(floor((e.value - s.vmin)
+                               / ((s.vmax - s.vmin) / {HIST_BINS})),
+                               {HIST_BINS - 1})
+                    END AS INTEGER) AS bin,
+               s.vmin, s.vmax, s.n_total
+        FROM events e CROSS JOIN scal s
+    )
+    SELECT bin,
+           CAST(vmin + bin * ((vmax - vmin) / {HIST_BINS}) AS REAL) AS bin_lo,
+           CAST(vmin + (bin + 1) * ((vmax - vmin) / {HIST_BINS}) AS REAL) AS bin_hi,
+           count(*) AS n,
+           CAST(count(*) / CAST(n_total AS DOUBLE) AS REAL) AS share
+    FROM binned GROUP BY bin, vmin, vmax, n_total
+    """,
+)
+def value_histogram_equiwidth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    scal = ev.agg(
+        F.min("value").alias("vmin"),
+        F.max("value").alias("vmax"),
+        F.count("*").alias("n_total"),
+    )
+    width = (F.col("vmax") - F.col("vmin")) / HIST_BINS
+    bin_id = (
+        F.when(F.col("vmax") == F.col("vmin"), 0)
+        .otherwise(
+            F.least(
+                F.floor((F.col("value") - F.col("vmin")) / width),
+                F.lit(HIST_BINS - 1),
+            )
+        )
+        .cast("int")
+    )
+    return (
+        ev.crossJoin(F.broadcast(scal))
+        .groupBy(
+            bin_id.alias("bin"), "vmin", "vmax", "n_total"
+        )
+        .agg(F.count("*").alias("n"))
+        .select(
+            "bin",
+            f32(F.col("vmin") + F.col("bin") * width).alias("bin_lo"),
+            f32(F.col("vmin") + (F.col("bin") + 1) * width).alias("bin_hi"),
+            "n",
+            f32(F.col("n") / F.col("n_total").cast("double")).alias("share"),
+        )
+    )

@@ -30,6 +30,10 @@ NEVER_SAMPLED_R5_ADDITIONS = {
     "stream_upsert_snapshot",
     "nation_balance_full_outer",
     "ngram_novelty_score",
+    "bm25_keyword_topk",
+    "weekly_cohort_retention",
+    "concurrent_active_intervals",
+    "value_histogram_equiwidth",
 }
 
 

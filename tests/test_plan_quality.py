@@ -408,3 +408,44 @@ def test_novelty_ownership_agg_partial_no_python(spark, catalog):
     assert "partial_min" in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
     assert "Window" not in plan, plan
+
+
+def test_bm25_filters_terms_before_shuffle_and_broadcasts_stats(spark, catalog):
+    """The token explode is filtered to the query terms before the
+    per-doc aggregate (the shuffle carries only query-term hits); the
+    df/scalar frames broadcast; the top-k is TakeOrdered, not a global
+    sort; nothing drops to Python."""
+    plan = _plan(spark, catalog.queries["bm25_keyword_topk"](spark, SMOKE_SF_DIR))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastExchange" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_cohort_retention_broadcasts_cohort_sizes(spark, catalog):
+    """Cohort sizes (weeks-bounded) broadcast; the user-keyed
+    first-seen aggregate partial-combines map-side."""
+    plan = _plan(spark, catalog.queries["weekly_cohort_retention"](spark, SMOKE_SF_DIR))
+    assert "partial_min" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_concurrent_intervals_bounded_explode_single_shuffle(spark, catalog):
+    """The sweep is ONE generator (bounded <=6-minute fan-out) into ONE
+    hash shuffle on the minute key — no global sort, no range join, no
+    Python."""
+    plan = _plan(spark, catalog.queries["concurrent_active_intervals"](spark, SMOKE_SF_DIR))
+    assert "Generate" in plan, plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 2, plan  # distinct rewrite
+    assert "Window" not in plan and "SortMergeJoin" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_histogram_scalar_broadcast_partial_counts(spark, catalog):
+    """Corpus (min, max, count) is a 1-row broadcast back onto the fact
+    (no collect); the bin aggregate partial-combines."""
+    plan = _plan(spark, catalog.queries["value_histogram_equiwidth"](spark, SMOKE_SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+    assert "partial_count" in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
