@@ -550,3 +550,70 @@ def stream_upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("w.event_type").alias("last_event_type"),
         f32(F.col("w.value")).alias("last_value"),
     )
+
+
+# --------------------------------------------------------------------------
+# stream_concurrent_intervals — the streaming twin of the batch
+# interval-overlap counter ``concurrent_active_intervals``: how many
+# distinct users have an open 5-minute activity interval in each
+# minute, computed on a live stream with bounded state.
+# --------------------------------------------------------------------------
+@CATALOG.query(
+    "stream_concurrent_intervals",
+    oracle="""
+    WITH covered AS (
+        SELECT DISTINCT user_id, minute FROM (
+            SELECT user_id,
+                   unnest(generate_series(
+                       date_trunc('minute', ts),
+                       date_trunc('minute',
+                           ts + INTERVAL 300 SECOND - INTERVAL 1 MICROSECOND),
+                       INTERVAL 1 MINUTE)) AS minute
+            FROM events
+        )
+    ), wm AS (
+        SELECT date_trunc('minute',
+                   max(ts) + INTERVAL 300 SECOND - INTERVAL 1 MICROSECOND)
+               - INTERVAL 15 MINUTE AS w
+        FROM events
+    )
+    SELECT minute, count(*) AS n_concurrent_users
+    FROM covered
+    GROUP BY minute
+    HAVING minute + INTERVAL 1 MINUTE <= (SELECT w FROM wm)
+    """,
+)
+def stream_concurrent_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap concurrency on a LIVE stream: each event's
+    5-minute activity interval is exploded map-side into the <=6 minute
+    buckets it covers (the same bounded fan-out as the batch twin —
+    never a global endpoint sort), the watermark is re-anchored on the
+    DERIVED bucket time (which lags the raw event time by at most the
+    interval length, so the 15-minute delay stays sound), and two
+    chained stateful operators do the rest: streaming dropDuplicates on
+    (user, minute) collapses a user's overlapping intervals, then a
+    tumbling 1-minute count emits each bucket exactly once in append
+    mode. State is one watermark-horizon of (user, minute) pairs plus
+    open windows — bounded at any corpus size. The oracle encodes the
+    append contract: exactly the minutes whose window end precedes the
+    final watermark (max bucket time - 15 min) are emitted."""
+    covered = read_events_stream(spark, sf_dir).select(
+        "user_id",
+        F.explode(
+            F.expr(
+                "sequence(date_trunc('MINUTE', ts),"
+                " date_trunc('MINUTE', ts + INTERVAL 300 SECOND"
+                " - INTERVAL 1 MICROSECOND), INTERVAL 1 MINUTE)"
+            )
+        ).alias("minute_ts"),
+    )
+    deduped = covered.withWatermark("minute_ts", "15 minutes").dropDuplicates(
+        ["user_id", "minute_ts"]
+    )
+    agged = (
+        deduped.groupBy(F.window(F.col("minute_ts"), "60 seconds").alias("w"))
+        .agg(F.count("*").alias("n_concurrent_users"))
+        .select(F.col("w.start").alias("minute"), "n_concurrent_users")
+    )
+    run_to_memory(agged, "q_stream_concurrent_intervals", output_mode="append")
+    return spark.table("q_stream_concurrent_intervals")

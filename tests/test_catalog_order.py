@@ -34,6 +34,7 @@ NEVER_SAMPLED_R5_ADDITIONS = {
     "weekly_cohort_retention",
     "concurrent_active_intervals",
     "value_histogram_equiwidth",
+    "stream_concurrent_intervals",
 }
 
 
