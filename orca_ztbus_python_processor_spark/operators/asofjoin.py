@@ -47,13 +47,22 @@ def asof_join(
     left_time: str,
     right_time: str,
     payload_cols: list[str] | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join (latest right row with time <= left time).
+    """As-of join: ``backward`` (default) pairs each left row with the
+    latest right row at or before its time; ``forward`` with the
+    earliest right row at or after it (both inclusive, matching DuckDB
+    ``ASOF ... ON l.t >= r.t`` / ``l.t <= r.t``).
 
     Returns every ``left`` row plus each requested right payload column
-    (NULL when no right row precedes the left row). ``payload_cols``
-    defaults to every right column except the keys and time column.
+    (NULL when no right row qualifies). ``payload_cols`` defaults to
+    every right column except the keys and time column. The forward
+    form is the same single union-window pass with the time sort
+    reversed — carrying state from the future end of the partition
+    instead of the past; cost and scale behavior are identical.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     keys = [on] if isinstance(on, str) else list(on)
     if payload_cols is None:
         payload_cols = [c for c in right.columns if c not in {*keys, right_time}]
@@ -78,9 +87,12 @@ def asof_join(
 
     # right rows sort BEFORE left rows at equal time (side desc) so a
     # right row at exactly t is visible to the left row at t (inclusive).
+    # backward walks time ascending (carry the latest past right row);
+    # forward walks time descending (carry the earliest future one).
+    time_order = F.col(_TIME).asc() if direction == "backward" else F.col(_TIME).desc()
     w = (
         W.partitionBy(*keys)
-        .orderBy(F.col(_TIME).asc(), F.col(_SIDE).desc())
+        .orderBy(time_order, F.col(_SIDE).desc())
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     carried = l.unionByName(r).select(

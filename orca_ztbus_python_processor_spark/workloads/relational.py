@@ -731,3 +731,100 @@ def nation_balance_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_customers", F.lit(0)) - F.coalesce("n_suppliers", F.lit(0))
         ).alias("balance"),
     )
+
+
+# --------------------------------------------------------------------------
+# grouping_sets_revenue — non-hierarchical GROUPING SETS ((flag),
+# (status)): two independent marginal rollups in ONE pass, the shape
+# rollup/cube cannot express (rollup_revenue covers the hierarchical
+# form). Spark 4's native DataFrame.groupingSets lowers to a single
+# Expand + hash-agg — one scan, one shuffle, both marginals. grouping()
+# flags disambiguate the NULLs from real group values.
+# --------------------------------------------------------------------------
+@CATALOG.query(
+    "grouping_sets_revenue",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(grouping(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+           CAST(sum(l_extendedprice) AS REAL) AS sum_price,
+           count(*) AS n_rows
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+    """,
+)
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupingSets(
+            [["l_returnflag"], ["l_linestatus"]], "l_returnflag", "l_linestatus"
+        )
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            f32(F.sum("l_extendedprice")).alias("sum_price"),
+            F.count("*").alias("n_rows"),
+        )
+        .select("l_returnflag", "l_linestatus", "gid", "sum_price", "n_rows")
+    )
+
+
+# --------------------------------------------------------------------------
+# customer_value_deciles — revenue concentration (Pareto profile): per-
+# customer lifetime revenue, ntile(10) by revenue DESC, then per-decile
+# customer count, revenue mass, share, and cumulative share ("top 10%
+# of customers hold X% of revenue"). The fact-table aggregation is
+# fully distributed (one shuffle on o_custkey); only the per-customer
+# frame (|customers| rows, ~1/10th of orders) crosses the global ntile
+# sort. At billion-customer scale, swap the ntile window for the
+# partition-offset distributed rank used by value_quantiles_distributed
+# — the decile definition is identical; the plan just trades the single
+# sort partition for a two-pass rank.
+# --------------------------------------------------------------------------
+@CATALOG.query(
+    "customer_value_deciles",
+    oracle="""
+    WITH per_cust AS (
+        SELECT o_custkey, sum(o_totalprice) AS revenue
+        FROM orders GROUP BY o_custkey
+    ), ranked AS (
+        SELECT revenue,
+               ntile(10) OVER (ORDER BY revenue DESC, o_custkey) AS decile
+        FROM per_cust
+    ), dec AS (
+        SELECT decile,
+               count(*) AS n_customers,
+               sum(revenue) AS revenue_sum
+        FROM ranked GROUP BY decile
+    )
+    SELECT decile, n_customers,
+           CAST(revenue_sum AS REAL) AS revenue_sum,
+           CAST(revenue_sum / sum(revenue_sum) OVER () AS REAL) AS revenue_share,
+           CAST(sum(revenue_sum) OVER (ORDER BY decile)
+                / sum(revenue_sum) OVER () AS REAL) AS cum_share
+    FROM dec
+    """,
+)
+def customer_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per_cust = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.sum("o_totalprice").alias("revenue"))
+    )
+    rank_w = W.orderBy(F.col("revenue").desc(), F.col("o_custkey"))
+    dec = (
+        per_cust.select("revenue", F.ntile(10).over(rank_w).alias("decile"))
+        .groupBy("decile")
+        .agg(F.count("*").alias("n_customers"), F.sum("revenue").alias("revenue_sum"))
+    )
+    total_w = W.partitionBy()
+    cum_w = W.orderBy("decile").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return dec.select(
+        "decile",
+        "n_customers",
+        f32(F.col("revenue_sum")).alias("revenue_sum"),
+        f32(F.col("revenue_sum") / F.sum("revenue_sum").over(total_w)).alias(
+            "revenue_share"
+        ),
+        f32(
+            F.sum("revenue_sum").over(cum_w) / F.sum("revenue_sum").over(total_w)
+        ).alias("cum_share"),
+    )

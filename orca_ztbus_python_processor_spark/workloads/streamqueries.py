@@ -617,3 +617,104 @@ def stream_concurrent_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     run_to_memory(agged, "q_stream_concurrent_intervals", output_mode="append")
     return spark.table("q_stream_concurrent_intervals")
+
+
+@CATALOG.query(
+    "stream_click_error_left_join",
+    oracle="""
+    WITH wm AS (
+        SELECT least(
+            date_trunc('milliseconds',
+                       (SELECT max(ts) FROM events WHERE event_type = 'click')),
+            date_trunc('milliseconds',
+                       (SELECT max(ts) FROM events WHERE event_type = 'error'))
+        ) - INTERVAL 10 MINUTE AS gw
+    ), matched AS (
+        SELECT c.event_id AS click_id,
+               e.event_id AS error_id,
+               c.user_id  AS user_id,
+               CAST(date_diff('microsecond', c.ts, e.ts) AS BIGINT) AS lag_us
+        FROM events c
+        JOIN events e
+          ON c.user_id = e.user_id
+         AND e.ts > c.ts
+         AND e.ts <= c.ts + INTERVAL 5 MINUTE
+        WHERE c.event_type = 'click' AND e.event_type = 'error'
+    ), unmatched AS (
+        SELECT c.event_id AS click_id,
+               CAST(NULL AS BIGINT) AS error_id,
+               c.user_id AS user_id,
+               CAST(NULL AS BIGINT) AS lag_us
+        FROM events c
+        WHERE c.event_type = 'click'
+          AND NOT EXISTS (
+              SELECT 1 FROM events e
+              WHERE e.event_type = 'error'
+                AND e.user_id = c.user_id
+                AND e.ts > c.ts
+                AND e.ts <= c.ts + INTERVAL 5 MINUTE
+          )
+          AND c.ts < (SELECT gw - INTERVAL 5 MINUTE FROM wm)
+    )
+    SELECT * FROM matched UNION ALL SELECT * FROM unmatched
+    """,
+)
+def stream_click_error_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER join with event-time range condition:
+    every error within 5 minutes after a click, plus a NULL-extended row
+    for each click that provably has no such error.
+
+    The append contract (the oracle encodes it, like
+    ``stream_minute_user_append``): matched pairs emit as both sides
+    arrive; an unmatched click emits its NULL row only when its state
+    is evicted, i.e. once the click can no longer match any future
+    error. Spark derives that point from the join bounds: a click at
+    ``c_ts`` is live while ``e_ts <= c_ts + 5 min`` can still arrive,
+    so eviction fires at ``c_ts < global_wm - 5 min``, where
+    ``global_wm = min(max click ts, max error ts) [ms floor] - 10 min``
+    — the GLOBAL watermark is the minimum over both watermarked inputs
+    (the slower side gates NULL emission; Spark tracks event-time stats
+    at millisecond precision, hence the ms floor). Clicks newer than
+    that stay in state when the bounded availableNow replay ends —
+    exactly what a production stream would do, and why the oracle
+    filters the unmatched tail rather than pretending a batch left
+    join.
+
+    Scale: identical state discipline to ``stream_click_error_join`` —
+    keyed by user_id, watermark-bounded on both sides, sharded across
+    executors; the outer semantics add no state, only the eviction-time
+    NULL emission.
+    """
+    ev = read_events_stream(spark, sf_dir)
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "10 minutes")
+    )
+    errors = (
+        ev.where(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("error_id"),
+            F.col("user_id").alias("e_user"),
+            F.col("ts").alias("e_ts"),
+        )
+        .withWatermark("e_ts", "10 minutes")
+    )
+    joined = clicks.join(
+        errors,
+        (F.col("c_user") == F.col("e_user"))
+        & (F.col("e_ts") > F.col("c_ts"))
+        & (F.col("e_ts") <= F.col("c_ts") + F.expr("INTERVAL 5 MINUTES")),
+        "left_outer",
+    ).select(
+        "click_id",
+        "error_id",
+        F.col("c_user").alias("user_id"),
+        (F.unix_micros("e_ts") - F.unix_micros("c_ts")).alias("lag_us"),
+    )
+    run_to_memory(joined, "q_stream_click_error_left_join", output_mode="append")
+    return spark.table("q_stream_click_error_left_join")

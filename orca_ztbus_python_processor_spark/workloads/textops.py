@@ -1351,3 +1351,116 @@ def bm25_keyword_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("bm25").desc(), "doc_id")
         .limit(BM25_TOPK)
     )
+
+
+# --------------------------------------------------------------------------
+# unicode_class_profile — character-class composition per document
+# (X5): alphabetic / digit / whitespace / other ratios. The cheap
+# charset-sanity gate a curation pipeline runs before language ID —
+# binary-ish payloads, digit floods, and whitespace art all light up
+# here. Pure codegen'd regexp_count over the scan: map-only, no
+# shuffle, column-pruned to (doc_id, text).
+# --------------------------------------------------------------------------
+@CATALOG.query(
+    "unicode_class_profile",
+    oracle="""
+    SELECT doc_id,
+           length(text) AS n_chars_actual,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT) AS n_alpha,
+           CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digit,
+           CAST(len(regexp_extract_all(text, '\\s')) AS BIGINT) AS n_space,
+           CAST(CASE WHEN length(text) > 0
+                THEN len(regexp_extract_all(text, '[A-Za-z]'))
+                     / CAST(length(text) AS DOUBLE) END AS REAL) AS alpha_ratio,
+           CAST(CASE WHEN length(text) > 0
+                THEN (length(text)
+                      - len(regexp_extract_all(text, '[A-Za-z]'))
+                      - len(regexp_extract_all(text, '[0-9]'))
+                      - len(regexp_extract_all(text, '\\s')))
+                     / CAST(length(text) AS DOUBLE) END AS REAL) AS other_ratio
+    FROM documents
+    """,
+)
+def unicode_class_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n_chars = F.length("text")
+    n_alpha = F.regexp_count(F.col("text"), F.lit("[A-Za-z]"))
+    n_digit = F.regexp_count(F.col("text"), F.lit("[0-9]"))
+    n_space = F.regexp_count(F.col("text"), F.lit(r"\s"))
+    safe_len = F.when(n_chars > 0, n_chars.cast("double"))
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        n_chars.cast("long").alias("n_chars_actual"),
+        n_alpha.cast("long").alias("n_alpha"),
+        n_digit.cast("long").alias("n_digit"),
+        n_space.cast("long").alias("n_space"),
+        f32(n_alpha / safe_len).alias("alpha_ratio"),
+        f32((n_chars - n_alpha - n_digit - n_space) / safe_len).alias("other_ratio"),
+    )
+
+
+# --------------------------------------------------------------------------
+# term_postings_index — inverted-index build (X5 / IR): for the top 20
+# terms by document frequency, the full posting list (sorted doc_ids,
+# comma-joined) plus df and total occurrences. The retrieval-side twin
+# of vocab_top_tokens: BM25/keyword search serve from exactly this
+# layout. Postings aggregate from the same (token, doc_id) partial agg
+# the vocabulary uses — one explode, two map-combinable shuffles, top-20
+# via TakeOrdered; the posting string is built AFTER the top-k cut, so
+# only 20 lists ever concatenate.
+# --------------------------------------------------------------------------
+@CATALOG.query(
+    "term_postings_index",
+    oracle=f"""
+    WITH tok_all AS (
+        SELECT doc_id,
+               lower(unnest(regexp_extract_all(text, '{TOKEN_RE}'))) AS token
+        FROM documents
+    ), tok AS (
+        SELECT DISTINCT doc_id, token FROM tok_all
+    ), top_terms AS (
+        SELECT token, count(DISTINCT doc_id) AS doc_freq,
+               count(*) AS n_occurrences
+        FROM tok_all
+        GROUP BY token
+        ORDER BY doc_freq DESC, token
+        LIMIT 20
+    )
+    SELECT tt.token, tt.doc_freq, tt.n_occurrences,
+           string_agg(t.doc_id, ',' ORDER BY t.doc_id) AS postings
+    FROM top_terms tt JOIN tok t ON tt.token = t.token
+    GROUP BY tt.token, tt.doc_freq, tt.n_occurrences
+    """,
+)
+def term_postings_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tok = (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            F.explode(F.expr(f"regexp_extract_all(text, '{TOKEN_RE}', 0)")).alias(
+                "raw_token"
+            ),
+        )
+        .select("doc_id", F.lower(F.col("raw_token")).alias("token"))
+    )
+    per_doc = tok.groupBy("token", "doc_id").agg(
+        F.count("*").alias("n_in_doc")
+    )
+    top_terms = (
+        per_doc.groupBy("token")
+        .agg(
+            F.count("*").alias("doc_freq"),
+            F.sum("n_in_doc").alias("n_occurrences"),
+        )
+        .orderBy(F.col("doc_freq").desc(), "token")
+        .limit(20)
+    )
+    return (
+        per_doc.join(F.broadcast(top_terms), "token")
+        .groupBy("token", "doc_freq", "n_occurrences")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("doc_id")), ",").alias(
+                "postings"
+            )
+        )
+        .select("token", "doc_freq", "n_occurrences", "postings")
+    )

@@ -1362,3 +1362,179 @@ def value_histogram_equiwidth(spark: SparkSession, sf_dir: str) -> DataFrame:
             f32(F.col("n") / F.col("n_total").cast("double")).alias("share"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# event_transition_matrix — first-order Markov transition counts over
+# each user's event stream: lead(event_type) within (user ORDER BY ts),
+# then a global (from, to) rollup with per-from-type row shares. The
+# behavioral-analytics primitive behind "what happens after an error".
+# One shuffle on user_id for the window sort, one map-combinable
+# groupBy on the (from, to) pair; the share is a tiny window over the
+# already-aggregated matrix (|event_types|^2 rows), not the raw stream.
+# --------------------------------------------------------------------------
+@CATALOG.query(
+    "event_transition_matrix",
+    oracle="""
+    WITH seq AS (
+        SELECT event_type,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS next_type
+        FROM events
+    ), mat AS (
+        SELECT event_type AS from_type, next_type AS to_type,
+               count(*) AS n_transitions
+        FROM seq WHERE next_type IS NOT NULL
+        GROUP BY event_type, next_type
+    )
+    SELECT from_type, to_type, n_transitions,
+           CAST(n_transitions / CAST(sum(n_transitions)
+                OVER (PARTITION BY from_type) AS DOUBLE) AS REAL)
+               AS from_share
+    FROM mat
+    """,
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    seq_w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    mat = (
+        _events(spark, sf_dir)
+        .select(
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(seq_w).alias("to_type"),
+        )
+        .where(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count("*").alias("n_transitions"))
+    )
+    share_w = W.partitionBy("from_type")
+    return mat.select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        f32(
+            F.col("n_transitions")
+            / F.sum("n_transitions").over(share_w).cast("double")
+        ).alias("from_share"),
+    )
+
+
+# --------------------------------------------------------------------------
+# mad_outlier_profile — robust outlier detection per event_type via the
+# median absolute deviation: med = median(value), mad = median(|value -
+# med|), outlier = |value - med| > 3 * 1.4826 * mad (the normal-
+# consistency constant). Three aggregation passes by construction (the
+# textbook exact-MAD dataflow) — each shuffles only (event_type, value)
+# pairs, and the tiny per-type med/mad frames broadcast back onto the
+# fact scan, so no pass materializes anything driver-side. The robust
+# twin of iqr_outlier_profile (quartile fences).
+# --------------------------------------------------------------------------
+MAD_K = 1.4826  # consistency constant: MAD * K estimates sigma under normality
+MAD_FENCE = 3.0
+
+
+@CATALOG.query(
+    "mad_outlier_profile",
+    oracle=f"""
+    WITH med AS (
+        SELECT event_type, quantile_cont(value, 0.5) AS med
+        FROM events GROUP BY event_type
+    ), dev AS (
+        SELECT e.event_type, m.med, abs(e.value - m.med) AS absdev
+        FROM events e JOIN med m USING (event_type)
+    ), mad AS (
+        SELECT event_type, quantile_cont(absdev, 0.5) AS mad
+        FROM dev GROUP BY event_type
+    )
+    SELECT d.event_type,
+           CAST(any_value(d.med) AS REAL) AS med,
+           CAST(any_value(a.mad) AS REAL) AS mad,
+           count(*) AS n,
+           CAST(count(*) FILTER (
+               WHERE d.absdev > {MAD_FENCE} * {MAD_K} * a.mad
+           ) AS BIGINT) AS n_outliers,
+           CAST(count(*) FILTER (
+               WHERE d.absdev > {MAD_FENCE} * {MAD_K} * a.mad
+           ) / CAST(count(*) AS DOUBLE) AS REAL) AS outlier_share
+    FROM dev d JOIN mad a USING (event_type)
+    GROUP BY d.event_type
+    """,
+)
+def mad_outlier_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).select("event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", "med", F.abs(F.col("value") - F.col("med")).alias("absdev")
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.percentile("absdev", F.lit(0.5)).alias("mad")
+    )
+    is_outlier = F.col("absdev") > F.lit(MAD_FENCE * MAD_K) * F.col("mad")
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            f32(F.any_value("med")).alias("med"),
+            f32(F.any_value("mad")).alias("mad"),
+            F.count("*").alias("n"),
+            F.sum(is_outlier.cast("long")).alias("n_outliers"),
+            f32(
+                F.sum(is_outlier.cast("long")) / F.count("*").cast("double")
+            ).alias("outlier_share"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# events_asof_next_order — FORWARD as-of join: each event enriched with
+# the user's next order at or after the event timestamp ("time to
+# conversion" attribution — which order did this click lead to?). Twin
+# of events_asof_orders with the time sort reversed
+# (operators/asofjoin.py direction="forward"): still one union + window
+# pass shuffling |events| + |orders| rows exactly once; DuckDB's native
+# ASOF ... ON e.ts <= o.o_orderdate is the oracle.
+# --------------------------------------------------------------------------
+@CATALOG.query(
+    "events_asof_next_order",
+    oracle="""
+    WITH o AS (
+        SELECT o_custkey, o_orderdate,
+               max(o_orderkey) AS next_order_key,
+               CAST(count(*) AS BIGINT) AS orders_that_day
+        FROM orders GROUP BY o_custkey, o_orderdate
+    )
+    SELECT e.event_id, e.ts, e.user_id,
+           CAST(e.value AS REAL) AS value,
+           o.next_order_key, o.o_orderdate AS next_order_date,
+           o.orders_that_day
+    FROM events e ASOF LEFT JOIN o
+      ON e.user_id = o.o_custkey AND e.ts <= o.o_orderdate
+    """,
+)
+def events_asof_next_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from orca_ztbus_python_processor_spark.operators.asofjoin import asof_join
+
+    ev = _events(spark, sf_dir).select(
+        "event_id", "ts", "user_id", f32(F.col("value")).alias("value")
+    )
+    orders = (
+        read_table(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_custkey").alias("user_id"),
+            F.col("o_orderdate").alias("next_order_date"),
+        )
+        .agg(
+            F.max("o_orderkey").alias("next_order_key"),
+            F.count("*").alias("orders_that_day"),
+        )
+    )
+    return asof_join(
+        ev,
+        orders,
+        on="user_id",
+        left_time="ts",
+        right_time="next_order_date",
+        payload_cols=["next_order_key", "next_order_date", "orders_that_day"],
+        direction="forward",
+    )

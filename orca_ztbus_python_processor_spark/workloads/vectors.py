@@ -364,3 +364,47 @@ def kmeans_embedding_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             f32(norm_col).alias("center_norm"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# embedding_dim_variance — per-dimension distribution profile across
+# the whole corpus: mean, sample variance, min, max for each of the 64
+# dims. The feature-health check behind whitening / dead-dimension
+# pruning decisions (a near-zero-variance dim carries no signal; a
+# huge-variance dim dominates unnormalized distance). Same scalable
+# shape as label_centroids: posexplode widens 64×, then ONE
+# map-side-combinable groupBy on dim — the shuffle carries 64 partial
+# (sum, sumsq, min, max) tuples per task, nothing else.
+# --------------------------------------------------------------------------
+@CATALOG.query(
+    "embedding_dim_variance",
+    oracle="""
+    WITH ex AS (
+        SELECT unnest(CAST(embedding AS DOUBLE[])) AS val,
+               generate_subscripts(embedding, 1) AS i
+        FROM embeddings
+    )
+    SELECT CAST(i - 1 AS BIGINT) AS dim,
+           count(*) AS n_vectors,
+           CAST(avg(val) AS REAL) AS dim_mean,
+           CAST(var_samp(val) AS REAL) AS dim_var,
+           CAST(min(val) AS REAL) AS dim_min,
+           CAST(max(val) AS REAL) AS dim_max
+    FROM ex
+    GROUP BY i
+    """,
+)
+def embedding_dim_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _emb(spark, sf_dir)
+        .select(F.posexplode("emb").alias("dim", "val_f"))
+        .select(F.col("dim").cast("long").alias("dim"), F.col("val_f").cast("double").alias("val"))
+        .groupBy("dim")
+        .agg(
+            F.count("*").alias("n_vectors"),
+            f32(F.avg("val")).alias("dim_mean"),
+            f32(F.var_samp("val")).alias("dim_var"),
+            f32(F.min("val")).alias("dim_min"),
+            f32(F.max("val")).alias("dim_max"),
+        )
+    )

@@ -61,6 +61,48 @@ def test_asof_join_golden(spark):
     assert got == {1: None, 2: 10, 3: 10, 4: 20, 5: 30, 6: None}
 
 
+def test_asof_join_forward_golden(spark):
+    """Forward direction: earliest right row at or AFTER each left time
+    (inclusive), mirroring DuckDB ASOF ... ON l.t <= r.t."""
+    left = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "k": [1, 1, 1, 1, 2, 3],
+                "t": [
+                    _ts("2024-01-01 00:00:00"),  # before first right -> 10
+                    _ts("2024-01-02 00:00:00"),  # exactly at right t -> inclusive 10
+                    _ts("2024-01-02 00:00:01"),  # just after first -> 20
+                    _ts("2024-01-05 00:00:00"),  # after last right row -> NULL
+                    _ts("2024-01-01 00:00:00"),  # key with one later right row
+                    _ts("2024-01-03 00:00:00"),  # key with NO right rows -> NULL
+                ],
+                "row": [1, 2, 3, 4, 5, 6],
+            }
+        )
+    )
+    right = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "k": [1, 1, 2],
+                "rt": [
+                    _ts("2024-01-02 00:00:00"),
+                    _ts("2024-01-04 00:00:00"),
+                    _ts("2024-01-01 06:00:00"),
+                ],
+                "payload": [10, 20, 30],
+            }
+        )
+    )
+    got = {
+        r["row"]: r["payload"]
+        for r in asof_join(
+            left, right, on="k", left_time="t", right_time="rt",
+            direction="forward",
+        ).collect()
+    }
+    assert got == {1: 10, 2: 10, 3: 20, 4: None, 5: 30, 6: None}
+
+
 def test_asof_join_matches_oracle_shape(spark):
     """Every left row survives exactly once (left-join cardinality)."""
     ev = read_table(spark, SMOKE_SF_DIR, "events").select("event_id", "ts", "user_id")

@@ -35,6 +35,15 @@ NEVER_SAMPLED_R5_ADDITIONS = {
     "concurrent_active_intervals",
     "value_histogram_equiwidth",
     "stream_concurrent_intervals",
+    "event_transition_matrix",
+    "mad_outlier_profile",
+    "grouping_sets_revenue",
+    "customer_value_deciles",
+    "unicode_class_profile",
+    "term_postings_index",
+    "embedding_dim_variance",
+    "events_asof_next_order",
+    "stream_click_error_left_join",
 }
 
 

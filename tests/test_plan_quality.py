@@ -449,3 +449,59 @@ def test_histogram_scalar_broadcast_partial_counts(spark, catalog):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
     assert "partial_count" in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_grouping_sets_single_expand_single_exchange(spark, catalog):
+    """Two non-hierarchical marginals in ONE pass: a single Expand
+    (each row duplicated per grouping set) feeding a single partial
+    hash aggregate + exchange — never two scans or two shuffles."""
+    plan = _plan(spark, catalog.queries["grouping_sets_revenue"](spark, SMOKE_SF_DIR))
+    assert plan.count("Expand") >= 1, plan
+    assert _n_exchanges(plan) == 1, plan
+    assert re.search(r"partial_", plan), plan
+
+
+def test_unicode_class_profile_map_only(spark, catalog):
+    """Charset profiling is pure per-row string work: zero exchanges,
+    zero joins, column-pruned scan (no lang/source/n_chars read)."""
+    plan = _plan(spark, catalog.queries["unicode_class_profile"](spark, SMOKE_SF_DIR))
+    assert _n_exchanges(plan) == 0, plan
+    m = re.search(r"ReadSchema: (.*)", plan)
+    assert m and "lang" not in m.group(1) and "source" not in m.group(1), plan
+
+
+def test_embedding_dim_variance_partial_agg_one_exchange(spark, catalog):
+    """posexplode widens 64x map-side, but the shuffle carries only 64
+    (dim, partial sum/sumsq/min/max) tuples per task: one exchange,
+    partial aggregation before it."""
+    plan = _plan(spark, catalog.queries["embedding_dim_variance"](spark, SMOKE_SF_DIR))
+    assert _n_exchanges(plan) == 1, plan
+    assert re.search(r"partial_", plan), plan
+
+
+def test_mad_outlier_small_frames_broadcast(spark, catalog):
+    """The per-type med/mad frames are tiny aggregates: they must ship
+    back onto the fact scan as broadcast joins, never a sort-merge
+    shuffle of the events table."""
+    plan = _plan(spark, catalog.queries["mad_outlier_profile"](spark, SMOKE_SF_DIR))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_term_postings_top_terms_broadcast(spark, catalog):
+    """The 20-term top-k broadcasts onto the (token, doc_id) partial
+    agg; the posting-list concat happens after the cut, so no global
+    sort and no shuffle of full posting strings."""
+    plan = _plan(spark, catalog.queries["term_postings_index"](spark, SMOKE_SF_DIR))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_forward_asof_single_join_shuffle(spark, catalog):
+    """Forward direction keeps the union-window shape: one shuffle for
+    the as-of pass + one for the orders pre-agg; no range-join blowup."""
+    plan = _plan(spark, catalog.queries["events_asof_next_order"](spark, SMOKE_SF_DIR))
+    assert _n_exchanges(plan) == 2, plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
