@@ -80,9 +80,13 @@ def test_empty_cluster_keeps_its_center(spark):
     assert sum(sizes.values()) == 3
 
 
-def test_kmeans_plan_is_jvm_side(spark, emb):
+def test_kmeans_plan_is_arrow_vectorized(spark, emb):
+    """Assignment is the sanctioned Arrow escape hatch (UD5): ONE
+    MapInPandas stage (vectorized numpy matmul per batch), never a
+    row-at-a-time Python UDF, never a cross join against the centers."""
     df, _, _ = emb
     assigned, _ = kmeans_fit(df, k=K, iters=1)
     plan = assigned._jdf.queryExecution().executedPlan().toString()
-    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "MapInPandas" in plan
+    assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
