@@ -98,6 +98,21 @@ def get_spark(app_name: str = "orca-ztbus-spark", cpus: int | None = None) -> Sp
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Local-scale splittability: Spark assigns scan tasks at
+        # row-group/byte-range granularity capped by maxPartitionBytes.
+        # The default 128 MB is right for a cluster reading 100 TB of
+        # >=128 MB files, but it packs this harness's single-digit-MB
+        # fixture tables into ONE scan task, serializing every
+        # CPU-heavy downstream stage (regexp/explode over documents) on
+        # one core. 1 MB mirrors the many-splits layout a real corpus
+        # presents (fixtures are written with 8192-row groups, see
+        # scripts/make_scale_fixture.py); deployments can restore the
+        # cluster default via SPARK_GRAFT_MAX_PARTITION_BYTES.
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", str(1024 * 1024)),
+        )
+        .config("spark.sql.files.openCostInBytes", str(256 * 1024))
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

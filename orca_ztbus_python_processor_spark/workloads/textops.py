@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from orca_ztbus_python_processor_spark.functions.stats import f32
 from orca_ztbus_python_processor_spark.sources.parquet import read_table
@@ -1224,21 +1225,37 @@ def token_entropy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def ngram_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The wide exploded stream crosses ONE exchange (the min-agg on the
+    # shingle key). Everything else is narrow: per-doc shingle counts
+    # come from size(array_distinct(...)) map-side BEFORE the explode,
+    # and per-doc novel counts are a rollup of the (already small)
+    # first-occurrence frame — so the final join moves only (doc_id,
+    # count) rows, never shingles. This replaces the earlier
+    # sh-join-firsts form, which re-shuffled the full exploded stream a
+    # second time just to tag each shingle row with its winner.
     shingle_arr = (
         f"array_distinct(transform(sequence(1, greatest(length(text) - {_CONTAM_K - 1}, 1),"
         f" {_CONTAM_STRIDE}), i -> substring(text, i, {_CONTAM_K})))"
     )
-    sh = _docs(spark, sf_dir).select(
-        "doc_id", F.explode(F.expr(shingle_arr)).alias("s")
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.expr(shingle_arr).alias("sh_arr")
     )
-    firsts = sh.groupBy("s").agg(F.min("doc_id").alias("first_doc"))
-    is_novel = F.col("first_doc") == F.col("doc_id")
+    per_doc = docs.select(
+        "doc_id", F.size("sh_arr").cast("long").alias("n_shingles")
+    )
+    novel = (
+        docs.select("doc_id", F.explode("sh_arr").alias("s"))
+        .groupBy("s")
+        .agg(F.min("doc_id").alias("first_doc"))
+        .groupBy("first_doc")
+        .agg(F.count("*").alias("n_novel"))
+    )
     return (
-        sh.join(firsts, "s")
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_shingles"),
-            F.sum(is_novel.cast("long")).alias("n_novel"),
+        per_doc.join(novel, per_doc.doc_id == novel.first_doc, "left")
+        .select(
+            "doc_id",
+            "n_shingles",
+            F.coalesce("n_novel", F.lit(0)).alias("n_novel"),
         )
         .select(
             "doc_id",
@@ -1463,4 +1480,120 @@ def term_postings_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         .select("token", "doc_freq", "n_occurrences", "postings")
+    )
+
+
+# --------------------------------------------------------------------------
+# source_lorenz_profile — corpus balance as a Lorenz curve over
+# sources: sources ordered by document mass ascending, each with its
+# share and cumulative share of docs and of character mass. The
+# inequality view behind mixture decisions (a cum_share curve hugging
+# zero = a corpus dominated by one source). Per-source aggregation is
+# one map-combinable groupBy; the Lorenz windows run over the tiny
+# |sources|-row frame.
+# --------------------------------------------------------------------------
+@CATALOG.query(
+    "source_lorenz_profile",
+    oracle="""
+    WITH per AS (
+        SELECT source, count(*) AS n_docs,
+               CAST(sum(length(text)) AS BIGINT) AS n_chars
+        FROM documents GROUP BY source
+    )
+    SELECT source, n_docs, n_chars,
+           CAST(n_docs / CAST(sum(n_docs) OVER () AS DOUBLE) AS REAL) AS doc_share,
+           CAST(sum(n_docs) OVER (ORDER BY n_docs, source)
+                / CAST(sum(n_docs) OVER () AS DOUBLE) AS REAL) AS cum_doc_share,
+           CAST(sum(n_chars) OVER (ORDER BY n_docs, source)
+                / CAST(sum(n_chars) OVER () AS DOUBLE) AS REAL) AS cum_char_share
+    FROM per
+    """,
+)
+def source_lorenz_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per = (
+        _docs(spark, sf_dir)
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.length("text")).cast("long").alias("n_chars"),
+        )
+    )
+    total_w = W.partitionBy()
+    lorenz_w = (
+        W.orderBy("n_docs", "source").rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return per.select(
+        "source",
+        "n_docs",
+        "n_chars",
+        f32(F.col("n_docs") / F.sum("n_docs").over(total_w).cast("double")).alias(
+            "doc_share"
+        ),
+        f32(
+            F.sum("n_docs").over(lorenz_w)
+            / F.sum("n_docs").over(total_w).cast("double")
+        ).alias("cum_doc_share"),
+        f32(
+            F.sum("n_chars").over(lorenz_w)
+            / F.sum("n_chars").over(total_w).cast("double")
+        ).alias("cum_char_share"),
+    )
+
+
+# --------------------------------------------------------------------------
+# temperature_mix_weights — temperature-based source sampling (the
+# multilingual/multi-source standard: sample share proportional to
+# p^alpha, alpha in (0,1), so rare sources are boosted without letting
+# any source dominate). Reports per source the natural token share p,
+# the temperature share q = p^a / sum(p^a), and the boost factor q/p
+# (an effective-epochs multiplier: >1 means the source repeats). The
+# alpha=0.5 midpoint is the conventional default. Token mass comes from
+# ONE map-side regexp_count; everything after is a |sources|-row frame.
+# --------------------------------------------------------------------------
+MIX_ALPHA = 0.5
+
+
+@CATALOG.query(
+    "temperature_mix_weights",
+    oracle=f"""
+    WITH per AS (
+        SELECT source,
+               CAST(sum(len(regexp_extract_all(text, '{TOKEN_RE}'))) AS BIGINT)
+                   AS n_tokens
+        FROM documents GROUP BY source
+    ), shares AS (
+        SELECT source, n_tokens,
+               n_tokens / CAST(sum(n_tokens) OVER () AS DOUBLE) AS p
+        FROM per
+    )
+    SELECT source, n_tokens,
+           CAST(p AS REAL) AS nat_share,
+           CAST(pow(p, {MIX_ALPHA}) / sum(pow(p, {MIX_ALPHA})) OVER ()
+                AS REAL) AS temp_share,
+           CAST((pow(p, {MIX_ALPHA}) / sum(pow(p, {MIX_ALPHA})) OVER ()) / p
+                AS REAL) AS boost
+    FROM shares
+    """,
+)
+def temperature_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per = (
+        _docs(spark, sf_dir)
+        .groupBy("source")
+        .agg(
+            F.sum(F.regexp_count(F.col("text"), F.lit(TOKEN_RE)))
+            .cast("long")
+            .alias("n_tokens")
+        )
+    )
+    total_w = W.partitionBy()
+    p = F.col("n_tokens") / F.sum("n_tokens").over(total_w).cast("double")
+    shares = per.select("source", "n_tokens", p.alias("p"))
+    pa = F.pow(F.col("p"), F.lit(MIX_ALPHA))
+    q = pa / F.sum(pa).over(total_w)
+    return shares.select(
+        "source",
+        "n_tokens",
+        f32(F.col("p")).alias("nat_share"),
+        f32(q).alias("temp_share"),
+        f32(q / F.col("p")).alias("boost"),
     )

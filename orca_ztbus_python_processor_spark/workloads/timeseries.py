@@ -1538,3 +1538,319 @@ def events_asof_next_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         payload_cols=["next_order_key", "next_order_date", "orders_that_day"],
         direction="forward",
     )
+
+
+# --------------------------------------------------------------------------
+# user_gap_quantiles — inter-arrival profile per event type: the gap
+# (µs) between consecutive SAME-TYPE events of the same user, rolled up
+# to exact median/p95/mean/max per type. The cadence diagnostic behind
+# session-gap and watermark-delay tuning (the 10-min session gap and
+# the streaming watermark both came from eyeballing exactly this
+# distribution). One shuffle for the (user, type) lag window, then a
+# tiny exact-percentile agg per type.
+# --------------------------------------------------------------------------
+@CATALOG.query(
+    "user_gap_quantiles",
+    oracle="""
+    WITH gaps AS (
+        SELECT event_type,
+               epoch_us(ts) - lag(epoch_us(ts))
+                   OVER (PARTITION BY user_id, event_type
+                         ORDER BY ts, event_id) AS gap_us
+        FROM events
+    )
+    SELECT event_type,
+           count(gap_us) AS n_gaps,
+           CAST(quantile_cont(gap_us, 0.5) AS REAL) AS median_gap_us,
+           CAST(quantile_cont(gap_us, 0.95) AS REAL) AS p95_gap_us,
+           CAST(avg(gap_us) AS REAL) AS mean_gap_us,
+           CAST(max(gap_us) AS BIGINT) AS max_gap_us
+    FROM gaps
+    WHERE gap_us IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def user_gap_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
+    return (
+        _events(spark, sf_dir)
+        .select("event_type", gap.alias("gap_us"))
+        .where(F.col("gap_us").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count("gap_us").alias("n_gaps"),
+            f32(F.percentile("gap_us", F.lit(0.5))).alias("median_gap_us"),
+            f32(F.percentile("gap_us", F.lit(0.95))).alias("p95_gap_us"),
+            f32(F.avg("gap_us")).alias("mean_gap_us"),
+            F.max("gap_us").cast("long").alias("max_gap_us"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# scd2_user_state — slowly-changing-dimension type-2 build from an
+# event stream: collapse each user's consecutive same-type events into
+# validity intervals (valid_from inclusive, valid_to exclusive = start
+# of the NEXT state, NULL while open). The warehouse-standard
+# current+history layout, derived with the same gap-and-islands window
+# machinery as user_sessions_gap: lag -> change flag -> running state
+# counter -> per-state rollup -> lead for the closing edge. Two window
+# passes over the SAME (user_id) partitioning — Spark reuses one
+# exchange for both sorts.
+# --------------------------------------------------------------------------
+@CATALOG.query(
+    "scd2_user_state",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN lag(event_type)
+                        OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                        IS DISTINCT FROM event_type
+                    THEN 1 ELSE 0 END AS is_change
+        FROM events
+    ), numbered AS (
+        SELECT user_id, ts, event_type,
+               sum(is_change) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS state_seq
+        FROM flagged
+    ), states AS (
+        SELECT user_id,
+               CAST(state_seq AS BIGINT) AS state_seq,
+               min(event_type) AS event_type,
+               min(ts) AS valid_from,
+               count(*) AS n_events
+        FROM numbered
+        GROUP BY user_id, state_seq
+    )
+    SELECT user_id, state_seq, event_type, valid_from,
+           lead(valid_from) OVER (PARTITION BY user_id
+                                  ORDER BY state_seq) AS valid_to,
+           n_events
+    FROM states
+    """,
+)
+def scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    is_change = (
+        ~F.lag("event_type").over(w).eqNullSafe(F.col("event_type"))
+    ).cast("long")
+    numbered = _events(spark, sf_dir).select(
+        "user_id",
+        "ts",
+        "event_type",
+        F.sum(is_change).over(
+            w.rowsBetween(W.unboundedPreceding, W.currentRow)
+        ).alias("state_seq"),
+    )
+    states = numbered.groupBy("user_id", "state_seq").agg(
+        F.min("event_type").alias("event_type"),
+        F.min("ts").alias("valid_from"),
+        F.count("*").alias("n_events"),
+    )
+    close_w = W.partitionBy("user_id").orderBy("state_seq")
+    return states.select(
+        "user_id",
+        "state_seq",
+        "event_type",
+        "valid_from",
+        F.lead("valid_from").over(close_w).alias("valid_to"),
+        "n_events",
+    )
+
+
+# --------------------------------------------------------------------------
+# key_skew_profile — shuffle-key skew diagnostic: the top-20 heaviest
+# user_ids with their absolute and relative event mass plus the
+# overall heavy-tail ratio (max key / mean key). Exactly the numbers
+# that decide between plain hash partitioning, AQE skew splitting, and
+# upstream salting (operators/skew.py) — reported as a query so the
+# decision is measured, not guessed. One map-combinable groupBy; the
+# top-20 is TakeOrdered; the scalar mean joins back via a 1-row
+# broadcast (the q22 device).
+# --------------------------------------------------------------------------
+@CATALOG.query(
+    "key_skew_profile",
+    oracle="""
+    WITH per_key AS (
+        SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id
+    ), scal AS (
+        SELECT sum(n_events) AS total, avg(n_events) AS mean_per_key
+        FROM per_key
+    )
+    SELECT p.user_id, p.n_events,
+           CAST(p.n_events / CAST(s.total AS DOUBLE) AS REAL) AS share,
+           CAST(p.n_events / s.mean_per_key AS REAL) AS x_mean
+    FROM per_key p CROSS JOIN scal s
+    ORDER BY p.n_events DESC, p.user_id
+    LIMIT 20
+    """,
+)
+def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per_key = (
+        _events(spark, sf_dir).groupBy("user_id").agg(F.count("*").alias("n_events"))
+    )
+    scal = per_key.agg(
+        F.sum("n_events").alias("total"), F.avg("n_events").alias("mean_per_key")
+    )
+    return (
+        per_key.crossJoin(F.broadcast(scal))
+        .select(
+            "user_id",
+            "n_events",
+            f32(F.col("n_events") / F.col("total").cast("double")).alias("share"),
+            f32(F.col("n_events") / F.col("mean_per_key")).alias("x_mean"),
+        )
+        .orderBy(F.col("n_events").desc(), "user_id")
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# time_weighted_value — time-weighted average (TWAP-style): each
+# event's value is held until the user's next event, and the per-user
+# average weights each value by its holding duration. The standard
+# correction when sampling is irregular (a value held for an hour
+# should count 3600x one held a second — the plain mean is cadence-
+# biased). One (user) window pass for the lead, one map-combinable
+# per-user agg; users' last events carry no duration and drop out, as
+# in any step-function integral over a half-open observation window.
+# --------------------------------------------------------------------------
+@CATALOG.query(
+    "time_weighted_value",
+    oracle="""
+    WITH held AS (
+        SELECT user_id, value,
+               lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id)
+                   - epoch_us(ts) AS dur_us
+        FROM events
+    )
+    SELECT user_id,
+           count(*) AS n_intervals,
+           CAST(sum(dur_us) AS BIGINT) AS total_dur_us,
+           CAST(sum(value * dur_us) / sum(dur_us) AS REAL) AS twa_value,
+           CAST(avg(value) AS REAL) AS plain_mean
+    FROM held
+    WHERE dur_us IS NOT NULL
+    GROUP BY user_id
+    """,
+)
+def time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    dur = F.lead(F.unix_micros(F.col("ts"))).over(w) - F.unix_micros(F.col("ts"))
+    return (
+        _events(spark, sf_dir)
+        .select("user_id", "value", dur.alias("dur_us"))
+        .where(F.col("dur_us").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_intervals"),
+            F.sum("dur_us").cast("long").alias("total_dur_us"),
+            f32(
+                F.sum(F.col("value") * F.col("dur_us")) / F.sum("dur_us")
+            ).alias("twa_value"),
+            f32(F.avg("value")).alias("plain_mean"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# wau_rolling_exact — EXACT rolling 7-day active users per day. The
+# naive form is a range join (every day joined against 7 days of
+# activity); the scalable form inverts it: each (user, active-day)
+# fact CONTRIBUTES to the 7 window-end days it covers — a map-side
+# 7x sequence-explode, then one countDistinct per day. No range join,
+# no re-scan per day; the approximate twin (HLL partials merged across
+# the window) is hll_weekly_rollup.
+# --------------------------------------------------------------------------
+@CATALOG.query(
+    "wau_rolling_exact",
+    oracle="""
+    WITH grid AS (
+        SELECT DISTINCT date_trunc('day', ts) AS day FROM events
+    ), act AS (
+        SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+    )
+    SELECT g.day,
+           count(DISTINCT a.user_id) AS wau
+    FROM grid g
+    JOIN act a ON a.day BETWEEN g.day - INTERVAL 6 DAY AND g.day
+    GROUP BY g.day
+    """,
+)
+def wau_rolling_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    act = (
+        _events(spark, sf_dir)
+        .select("user_id", F.date_trunc("day", F.col("ts")).alias("day"))
+        .distinct()
+    )
+    grid = act.select("day").distinct()
+    covered = act.select(
+        "user_id",
+        F.explode(
+            F.expr("sequence(day, day + interval 6 day, interval 1 day)")
+        ).alias("day"),
+    )
+    # semi-join against the observed-day grid so synthetic window-end
+    # days past the data's edge do not appear (mirrors the oracle's
+    # grid join); the grid is tiny -> broadcast.
+    return (
+        covered.join(F.broadcast(grid), "day", "left_semi")
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
+
+
+# --------------------------------------------------------------------------
+# event_debounce_profile — gap-based event thinning: within each
+# (user, event_type) stream, an event arriving within DEBOUNCE of the
+# PREVIOUS RAW event is flagged a bounce (sensor chatter / double
+# fire). Reports retention per type. This is the stateless window form
+# (gap measured to the previous raw event); true debouncing measures
+# to the previous RETAINED event, which is inherently sequential — the
+# FSM machinery of operators/sessionize.py handles that shape when
+# exactness matters. One (user, type) window pass, one tiny rollup.
+# --------------------------------------------------------------------------
+DEBOUNCE_US = 120_000_000  # 2 minutes
+
+
+@CATALOG.query(
+    "event_debounce_profile",
+    oracle=f"""
+    WITH flagged AS (
+        SELECT event_type,
+               CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                        OVER (PARTITION BY user_id, event_type
+                              ORDER BY ts, event_id) <= {DEBOUNCE_US}
+                    THEN 1 ELSE 0 END AS is_bounce
+        FROM events
+    )
+    SELECT event_type,
+           count(*) AS n_events,
+           CAST(sum(is_bounce) AS BIGINT) AS n_debounced,
+           count(*) - CAST(sum(is_bounce) AS BIGINT) AS n_kept,
+           CAST((count(*) - sum(is_bounce)) / CAST(count(*) AS DOUBLE)
+                AS REAL) AS keep_share
+    FROM flagged
+    GROUP BY event_type
+    """,
+)
+def event_debounce_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
+    is_bounce = F.when(gap <= DEBOUNCE_US, 1).otherwise(0)
+    return (
+        _events(spark, sf_dir)
+        .select("event_type", is_bounce.alias("is_bounce"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("is_bounce").cast("long").alias("n_debounced"),
+            (F.count("*") - F.sum("is_bounce")).cast("long").alias("n_kept"),
+            f32(
+                (F.count("*") - F.sum("is_bounce")) / F.count("*").cast("double")
+            ).alias("keep_share"),
+        )
+    )

@@ -75,8 +75,15 @@ def main() -> None:
         return f"'{args.src}/{t}.parquet'"
 
     def write(t: str, sql: str) -> None:
+        # Bound row-group size: Spark parallelizes a parquet scan at
+        # row-group granularity, so one jumbo row group serializes every
+        # downstream stage on a single core — a strawman a real corpus
+        # (thousands of splittable files) never presents. 8192 rows per
+        # group keeps even the small wide-fanout tables (documents,
+        # embeddings) splittable ~proportionally to local core counts.
         con.execute(
-            f"COPY ({sql}) TO '{args.out}/{t}.parquet' (FORMAT PARQUET)"
+            f"COPY ({sql}) TO '{args.out}/{t}.parquet' "
+            f"(FORMAT PARQUET, ROW_GROUP_SIZE 8192)"
         )
         n = con.execute(f"SELECT count(*) FROM '{args.out}/{t}.parquet'").fetchone()[0]
         print(f"{t}: {n} rows")

@@ -44,6 +44,14 @@ NEVER_SAMPLED_R5_ADDITIONS = {
     "embedding_dim_variance",
     "events_asof_next_order",
     "stream_click_error_left_join",
+    "user_gap_quantiles",
+    "scd2_user_state",
+    "key_skew_profile",
+    "source_lorenz_profile",
+    "temperature_mix_weights",
+    "time_weighted_value",
+    "wau_rolling_exact",
+    "event_debounce_profile",
 }
 
 
