@@ -95,3 +95,66 @@ def fsm_runs_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+TWAP_OUTPUT_SCHEMA = "key long, held_value double, dur_us long"
+TWAP_STATE_SCHEMA = "has_prev boolean, prev_ts long, prev_value double"
+
+
+def _twap_fn(
+    key: tuple[Any, ...],
+    pdf_iter: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Interval closer: each arriving event CLOSES the key's previous
+    holding interval (emitting the held value and its duration) and
+    becomes the new open interval. The final interval per key stays in
+    state — the step-function integral over a half-open observation
+    window never sees it, which is exactly the batch TWAP's
+    dur-IS-NOT-NULL contract."""
+    if state.exists:
+        has_prev, prev_ts, prev_value = state.get
+    else:
+        has_prev, prev_ts, prev_value = False, 0, 0.0
+
+    out: list[tuple[Any, float, int]] = []
+    for pdf in pdf_iter:
+        pdf = pdf.sort_values("_ts_us")
+        for ts_us, value in zip(pdf["_ts_us"], pdf["_value"]):
+            if has_prev:
+                out.append((key[0], prev_value, int(ts_us) - prev_ts))
+            has_prev, prev_ts, prev_value = True, int(ts_us), float(value)
+
+    state.update((has_prev, prev_ts, prev_value))
+    if out:
+        yield pd.DataFrame(out, columns=["key", "held_value", "dur_us"])
+
+
+def twap_intervals_stream(
+    events: DataFrame,
+    key_col: str,
+    value_col: str,
+    time_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming holding-interval emission for time-weighted averaging,
+    keyed by ``key_col``: one output row per CLOSED interval
+    (``key, held_value, dur_us``); O(1) state per key (the single open
+    interval). Same ordering contract as ``fsm_runs_stream``."""
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    prepared = (
+        events.withWatermark(time_col, watermark)
+        .select(
+            F.col(key_col).alias("key"),
+            F.unix_micros(F.col(time_col)).alias("_ts_us"),
+            F.col(value_col).alias("_value"),
+        )
+    )
+    return prepared.groupBy("key").applyInPandasWithState(
+        _twap_fn,
+        outputStructType=TWAP_OUTPUT_SCHEMA,
+        stateStructType=TWAP_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -828,3 +828,199 @@ def customer_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("revenue_sum").over(cum_w) / F.sum("revenue_sum").over(total_w)
         ).alias("cum_share"),
     )
+
+
+# --------------------------------------------------------------------------
+# q4_late_shipment_priority — the TPC-H q4 shape (order-priority
+# checking): count orders per priority, in a one-quarter window, that
+# have AT LEAST ONE lineitem shipped more than 60 days after the order
+# date (this corpus carries no commit/receipt dates, so "late" is
+# ship-vs-order lag; the decorrelated-EXISTS plan shape is exactly
+# q4's). Spark plans the EXISTS as a left-semi join on orderkey — the
+# fact table never fans out on multi-lineitem matches.
+# --------------------------------------------------------------------------
+@CATALOG.query(
+    "q4_late_shipment_priority",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '2024-02-01'
+      AND o.o_orderdate < TIMESTAMP '2024-05-01'
+      AND EXISTS (
+          SELECT 1 FROM lineitem l
+          WHERE l.l_orderkey = o.o_orderkey
+            AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "2024-02-01") & (F.col("o_orderdate") < "2024-05-01")
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count("*").alias("order_count"))
+
+
+# --------------------------------------------------------------------------
+# region_nation_revenue_share — percent-of-parent hierarchy rollup:
+# per (region, nation) order revenue with the nation's share WITHIN its
+# region and the region's share of the total. The standard BI
+# drill-down contract (shares must sum to 1 within each parent). One
+# fact aggregation (orders joined through the broadcast customer →
+# nation → region dimension chain), then two windows over the tiny
+# 25-row rollup.
+# --------------------------------------------------------------------------
+@CATALOG.query(
+    "region_nation_revenue_share",
+    oracle="""
+    WITH rolled AS (
+        SELECT r.r_name AS region, n.n_name AS nation,
+               sum(o.o_totalprice) AS revenue
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name, n.n_name
+    )
+    SELECT region, nation,
+           CAST(revenue AS REAL) AS revenue,
+           CAST(revenue / sum(revenue) OVER (PARTITION BY region) AS REAL)
+               AS share_in_region,
+           CAST(sum(revenue) OVER (PARTITION BY region)
+                / sum(revenue) OVER () AS REAL) AS region_share
+    FROM rolled
+    """,
+)
+def region_nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dim = (
+        _t(spark, sf_dir, "customer")
+        .join(
+            _t(spark, sf_dir, "nation"),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            _t(spark, sf_dir, "region"),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select(
+            F.col("c_custkey"),
+            F.col("n_name").alias("nation"),
+            F.col("r_name").alias("region"),
+        )
+    )
+    rolled = (
+        _t(spark, sf_dir, "orders")
+        .join(F.broadcast(dim), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("region", "nation")
+        .agg(F.sum("o_totalprice").alias("revenue"))
+    )
+    region_w = W.partitionBy("region")
+    total_w = W.partitionBy()
+    return rolled.select(
+        "region",
+        "nation",
+        f32(F.col("revenue")).alias("revenue"),
+        f32(F.col("revenue") / F.sum("revenue").over(region_w)).alias(
+            "share_in_region"
+        ),
+        f32(
+            F.sum("revenue").over(region_w) / F.sum("revenue").over(total_w)
+        ).alias("region_share"),
+    )
+
+
+# --------------------------------------------------------------------------
+# referential_integrity_audit — the data-quality gate a pipeline runs
+# before trusting a snapshot: per FK constraint, how many child rows
+# have no parent (anti-join counts), plus child totals. Every check is
+# a broadcast/shuffle anti-join that Catalyst plans as LeftAnti with
+# the parent side reduced to its key column — no fact fan-out, no
+# distinct pass. The fixed 5-row output unions one row per constraint.
+# --------------------------------------------------------------------------
+@CATALOG.query(
+    "referential_integrity_audit",
+    oracle="""
+    SELECT 'orders.o_custkey -> customer' AS constraint_name,
+           (SELECT count(*) FROM orders) AS n_child_rows,
+           (SELECT count(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey)) AS n_orphans
+    UNION ALL
+    SELECT 'lineitem.l_orderkey -> orders',
+           (SELECT count(*) FROM lineitem),
+           (SELECT count(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_orderkey = l.l_orderkey))
+    UNION ALL
+    SELECT 'lineitem.l_partkey -> part',
+           (SELECT count(*) FROM lineitem),
+           (SELECT count(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM part p
+                              WHERE p.p_partkey = l.l_partkey))
+    UNION ALL
+    SELECT 'customer.c_nationkey -> nation',
+           (SELECT count(*) FROM customer),
+           (SELECT count(*) FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM nation n
+                              WHERE n.n_nationkey = c.c_nationkey))
+    UNION ALL
+    SELECT 'events.user_id -> customer',
+           (SELECT count(*) FROM events),
+           (SELECT count(*) FROM events e
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = e.user_id))
+    """,
+)
+def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def check(
+        name: str,
+        child: DataFrame,
+        child_key: str,
+        parent: DataFrame,
+        parent_key: str,
+    ) -> DataFrame:
+        # one LAZY row per constraint: total and orphan counts are both
+        # 1-row aggregates cross-joined (never a driver-side .count()),
+        # so the whole audit stays a single distributed plan.
+        total = child.agg(F.count("*").alias("n_child_rows"))
+        orphans = (
+            child.select(child_key)
+            .join(
+                parent.select(parent_key),
+                F.col(child_key) == F.col(parent_key),
+                "left_anti",
+            )
+            .agg(F.count("*").alias("n_orphans"))
+        )
+        return (
+            total.crossJoin(orphans)
+            .select(
+                F.lit(name).alias("constraint_name"),
+                "n_child_rows",
+                "n_orphans",
+            )
+        )
+
+    from orca_ztbus_python_processor_spark.sources.parquet import read_table  # noqa: PLC0415
+
+    orders = _t(spark, sf_dir, "orders")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    customer = _t(spark, sf_dir, "customer")
+    frames = [
+        check("orders.o_custkey -> customer", orders, "o_custkey", customer, "c_custkey"),
+        check("lineitem.l_orderkey -> orders", lineitem, "l_orderkey", orders, "o_orderkey"),
+        check("lineitem.l_partkey -> part", lineitem, "l_partkey", _t(spark, sf_dir, "part"), "p_partkey"),
+        check("customer.c_nationkey -> nation", customer, "c_nationkey", _t(spark, sf_dir, "nation"), "n_nationkey"),
+        check("events.user_id -> customer", read_table(spark, sf_dir, "events"), "user_id", customer, "c_custkey"),
+    ]
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out

@@ -718,3 +718,56 @@ def stream_click_error_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     run_to_memory(joined, "q_stream_click_error_left_join", output_mode="append")
     return spark.table("q_stream_click_error_left_join")
+
+
+@CATALOG.query(
+    "stream_time_weighted_value",
+    oracle="""
+    WITH held AS (
+        SELECT user_id, value,
+               lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id)
+                   - epoch_us(ts) AS dur_us
+        FROM events
+    )
+    SELECT user_id,
+           count(*) AS n_intervals,
+           CAST(sum(dur_us) AS BIGINT) AS total_dur_us,
+           CAST(sum(value * dur_us) / sum(dur_us) AS REAL) AS twa_value
+    FROM held
+    WHERE dur_us IS NOT NULL
+    GROUP BY user_id
+    """,
+)
+def stream_time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``time_weighted_value``: a CUSTOM STATEFUL
+    operator (``streaming/sessions.twap_intervals_stream``,
+    applyInPandasWithState) holds each user's single open interval in
+    state and emits a (held_value, duration) row when the next event
+    closes it; the per-user weighted rollup then runs over the emitted
+    intervals. Each user's LAST interval stays open in state when the
+    bounded replay ends — which is bit-identical to the batch form's
+    dur-IS-NOT-NULL contract, so the streaming pipeline hash-matches
+    the same oracle (stronger than the rows-only gate most custom
+    stateful ops get). State is O(1) per live key; emission volume
+    equals input volume — no retention beyond one row per user.
+    """
+    from orca_ztbus_python_processor_spark.streaming.sessions import (  # noqa: PLC0415
+        twap_intervals_stream,
+    )
+
+    intervals = twap_intervals_stream(
+        read_events_stream(spark, sf_dir), key_col="user_id", value_col="value"
+    )
+    run_to_memory(intervals, "q_stream_twap_intervals", output_mode="append")
+    return (
+        spark.table("q_stream_twap_intervals")
+        .groupBy(F.col("key").alias("user_id"))
+        .agg(
+            F.count("*").alias("n_intervals"),
+            F.sum("dur_us").cast("long").alias("total_dur_us"),
+            f32(
+                F.sum(F.col("held_value") * F.col("dur_us")) / F.sum("dur_us")
+            ).alias("twa_value"),
+        )
+    )

@@ -1854,3 +1854,85 @@ def event_debounce_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("keep_share"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# zorder_layout_profile — space-filling-curve layout audit (the
+# lakehouse OPTIMIZE ZORDER primitive): interleave the bits of two
+# scan dimensions (user bucket, value bucket — 8 bits each) into a
+# 16-bit Morton key, then profile each coarse z-bucket's per-dimension
+# spread. A good multi-dim layout keeps BOTH dimension ranges narrow
+# inside every file/bucket, which is exactly what lets min/max file
+# stats prune scans on EITHER predicate; this query measures that
+# (max-min spread per bucket) instead of asserting it. The bit math is
+# identical integer arithmetic in both engines; the value bucket comes
+# from a 1-row min/max scalar broadcast back (the histogram device).
+# --------------------------------------------------------------------------
+@CATALOG.query(
+    "zorder_layout_profile",
+    oracle="""
+    WITH scal AS (
+        SELECT min(value) AS vmin, max(value) AS vmax FROM events
+    ), bucketed AS (
+        SELECT (user_id % 256) AS u,
+               CAST(CASE WHEN s.vmax = s.vmin THEN 0
+                    ELSE least(floor((e.value - s.vmin)
+                               / ((s.vmax - s.vmin) / 256)), 255)
+                    END AS BIGINT) AS v
+        FROM events e CROSS JOIN scal s
+    ), keyed AS (
+        SELECT u, v,
+               ( (((u >> 0) & 1) << 1)  | (((v >> 0) & 1) << 0)
+               | (((u >> 1) & 1) << 3)  | (((v >> 1) & 1) << 2)
+               | (((u >> 2) & 1) << 5)  | (((v >> 2) & 1) << 4)
+               | (((u >> 3) & 1) << 7)  | (((v >> 3) & 1) << 6)
+               | (((u >> 4) & 1) << 9)  | (((v >> 4) & 1) << 8)
+               | (((u >> 5) & 1) << 11) | (((v >> 5) & 1) << 10)
+               | (((u >> 6) & 1) << 13) | (((v >> 6) & 1) << 12)
+               | (((u >> 7) & 1) << 15) | (((v >> 7) & 1) << 14) ) AS z
+        FROM bucketed
+    )
+    SELECT CAST(z >> 8 AS BIGINT) AS z_bucket,
+           count(*) AS n,
+           CAST(min(u) AS BIGINT) AS u_min, CAST(max(u) AS BIGINT) AS u_max,
+           CAST(min(v) AS BIGINT) AS v_min, CAST(max(v) AS BIGINT) AS v_max
+    FROM keyed
+    GROUP BY z >> 8
+    """,
+)
+def zorder_layout_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    scal = ev.agg(F.min("value").alias("vmin"), F.max("value").alias("vmax"))
+    width = (F.col("vmax") - F.col("vmin")) / 256
+    u = F.pmod(F.col("user_id"), F.lit(256))
+    v = (
+        F.when(F.col("vmax") == F.col("vmin"), 0)
+        .otherwise(
+            F.least(F.floor((F.col("value") - F.col("vmin")) / width), F.lit(255))
+        )
+        .cast("long")
+    )
+    bucketed = ev.crossJoin(F.broadcast(scal)).select(
+        u.alias("u"), v.alias("v")
+    )
+    z = None
+    for i in range(8):
+        u_bit = F.shiftleft(
+            F.shiftright(F.col("u"), i).bitwiseAND(F.lit(1)), 2 * i + 1
+        )
+        v_bit = F.shiftleft(
+            F.shiftright(F.col("v"), i).bitwiseAND(F.lit(1)), 2 * i
+        )
+        term = u_bit.bitwiseOR(v_bit)
+        z = term if z is None else z.bitwiseOR(term)
+    return (
+        bucketed.select("u", "v", z.alias("z"))
+        .groupBy(F.shiftright(F.col("z"), 8).cast("long").alias("z_bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            F.min("u").cast("long").alias("u_min"),
+            F.max("u").cast("long").alias("u_max"),
+            F.min("v").cast("long").alias("v_min"),
+            F.max("v").cast("long").alias("v_max"),
+        )
+    )

@@ -52,6 +52,11 @@ NEVER_SAMPLED_R5_ADDITIONS = {
     "time_weighted_value",
     "wau_rolling_exact",
     "event_debounce_profile",
+    "q4_late_shipment_priority",
+    "region_nation_revenue_share",
+    "referential_integrity_audit",
+    "zorder_layout_profile",
+    "stream_time_weighted_value",
 }
 
 

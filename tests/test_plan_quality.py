@@ -505,3 +505,30 @@ def test_forward_asof_single_join_shuffle(spark, catalog):
     assert _n_exchanges(plan) == 2, plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q4_exists_plans_as_broadcast_semi_join(spark, catalog):
+    """The EXISTS lowers to a LeftSemi broadcast join on orderkey — the
+    fact table never fans out on multi-lineitem matches, and the
+    order-date window is pushed to the scan."""
+    plan = _plan(spark, catalog.queries["q4_late_shipment_priority"](spark, SMOKE_SF_DIR))
+    assert "LeftSemi" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert re.search(r"PushedFilters:.*o_orderdate", plan), plan
+
+
+def test_zorder_profile_two_exchanges_no_python(spark, catalog):
+    """Morton-key interleave is pure codegen'd bit arithmetic: the only
+    exchanges are the 1-row min/max scalar and the z-bucket rollup."""
+    plan = _plan(spark, catalog.queries["zorder_layout_profile"](spark, SMOKE_SF_DIR))
+    assert _n_exchanges(plan) == 2, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_referential_audit_all_anti_joins(spark, catalog):
+    """Every constraint is a LeftAnti with the parent reduced to its
+    key column — never an outer join + null filter over the fact."""
+    plan = _plan(spark, catalog.queries["referential_integrity_audit"](spark, SMOKE_SF_DIR))
+    assert plan.count("LeftAnti") >= 5, plan
+    assert "SortMergeJoin" not in plan, plan

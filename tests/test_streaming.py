@@ -190,3 +190,52 @@ def test_checkpoint_resume_exactly_once(spark, tmp_path):
     got = spark.read.parquet(out_dir).select("event_id").toPandas()["event_id"]
     assert len(got) == 100, f"expected exactly-once delivery of 100 rows, got {len(got)}"
     assert sorted(got) == list(range(100))
+
+
+def test_twap_stream_state_carries_across_batches(spark, tmp_path):
+    """twap_intervals_stream holds ONE open interval per key in state:
+    an interval whose closing event arrives in a LATER micro-batch must
+    still be emitted with the duration measured from the earlier batch's
+    event (state carry), and each key's final interval stays open
+    (never emitted)."""
+    import pandas as pd  # noqa: PLC0415
+
+    from orca_ztbus_python_processor_spark.streaming.sessions import (  # noqa: PLC0415
+        twap_intervals_stream,
+    )
+
+    d = str(tmp_path / "twap_in")
+    b1 = pd.DataFrame(
+        {
+            "user_id": [1, 1, 2],
+            "ts": pd.to_datetime(["2024-01-01 00:00:00", "2024-01-01 00:00:10",
+                                  "2024-01-01 00:00:05"]),
+            "value": [10.0, 20.0, 5.0],
+        }
+    )
+    b2 = pd.DataFrame(
+        {
+            "user_id": [1, 2],
+            "ts": pd.to_datetime(["2024-01-01 00:00:40", "2024-01-01 00:01:05"]),
+            "value": [30.0, 7.0],
+        }
+    )
+    spark.createDataFrame(b1).coalesce(1).write.parquet(d + "/f1")
+    spark.createDataFrame(b2).coalesce(1).write.parquet(d + "/f2")
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp, value double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d + "/f*/*.parquet")
+    )
+    out = twap_intervals_stream(stream, key_col="user_id", value_col="value")
+    run_to_memory(out, "twap_intervals", output_mode="append")
+    got = (
+        spark.table("twap_intervals")
+        .toPandas()
+        .sort_values(["key", "dur_us"])
+        .reset_index(drop=True)
+    )
+    # user 1: 10.0 held 10 s, 20.0 held 30 s (closed ACROSS the batch
+    # boundary); 30.0 stays open. user 2: 5.0 held 60 s; 7.0 open.
+    expect = {(1, 10.0, 10_000_000), (1, 20.0, 30_000_000), (2, 5.0, 60_000_000)}
+    assert {(r.key, r.held_value, r.dur_us) for r in got.itertuples()} == expect
