@@ -1597,3 +1597,161 @@ def temperature_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         f32(q).alias("temp_share"),
         f32(q / F.col("p")).alias("boost"),
     )
+
+
+# --------------------------------------------------------------------------
+# prefix_blocked_edit_distance — classic record-linkage blocking: docs
+# sharing a 24-char prefix form a block; within each block every
+# unordered pair gets an exact Levenshtein similarity. Blocking is what
+# makes edit distance (quadratic per pair, useless all-pairs) usable at
+# corpus scale: candidate generation is an equi-self-join on the block
+# key (shuffle on prefix hash, pairs only WITHIN blocks), the
+# O(len_a*len_b) DP runs only on those pairs, and both engines ship the
+# same built-in levenshtein. Complements the MinHash family: edit
+# distance catches character-level near-dups (OCR noise, small edits)
+# that shingle Jaccard underweights.
+# --------------------------------------------------------------------------
+_EDIT_BLOCK_CHARS = 24
+
+
+@CATALOG.query(
+    "prefix_blocked_edit_distance",
+    oracle=f"""
+    WITH blocked AS (
+        SELECT doc_id, text, substr(text, 1, {_EDIT_BLOCK_CHARS}) AS blk
+        FROM documents WHERE length(text) >= {_EDIT_BLOCK_CHARS}
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           levenshtein(a.text, b.text) AS edit_dist,
+           CAST(1.0 - levenshtein(a.text, b.text)
+                / CAST(greatest(length(a.text), length(b.text)) AS DOUBLE)
+                AS REAL) AS edit_sim
+    FROM blocked a JOIN blocked b
+      ON a.blk = b.blk AND a.doc_id < b.doc_id
+    """,
+)
+def prefix_blocked_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    blocked = (
+        _docs(spark, sf_dir)
+        .where(F.length("text") >= _EDIT_BLOCK_CHARS)
+        .select(
+            "doc_id",
+            "text",
+            F.substring("text", 1, _EDIT_BLOCK_CHARS).alias("blk"),
+        )
+    )
+    a = blocked.select(
+        F.col("blk"), F.col("doc_id").alias("id_a"), F.col("text").alias("t_a")
+    )
+    b = blocked.select(
+        F.col("blk").alias("blk_b"),
+        F.col("doc_id").alias("id_b"),
+        F.col("text").alias("t_b"),
+    )
+    lev = F.levenshtein(F.col("t_a"), F.col("t_b"))
+    return (
+        a.join(b, (F.col("blk") == F.col("blk_b")) & (F.col("id_a") < F.col("id_b")))
+        .select(
+            "id_a",
+            "id_b",
+            lev.alias("edit_dist"),
+            f32(
+                1.0
+                - lev
+                / F.greatest(F.length("t_a"), F.length("t_b")).cast("double")
+            ).alias("edit_sim"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# token_cooccurrence_pmi — collocation mining: pointwise mutual
+# information of adjacent token pairs, ln(N * c(ab) / (c(a)*c(b))),
+# over pairs seen >= 5 times; top 50 by PMI (ties by pair). High-PMI
+# pairs are multiword units ("new york") a tokenizer/phrase stage
+# should treat atomically. One explode produces BOTH the unigram and
+# the adjacent-bigram streams; the scalar N is a 1-row broadcast; the
+# two unigram lookups broadcast back onto the (already aggregated)
+# bigram frame, so nothing wide crosses a second shuffle.
+# --------------------------------------------------------------------------
+_PMI_MIN_COUNT = 5
+
+
+@CATALOG.query(
+    "token_cooccurrence_pmi",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               lower(unnest(regexp_extract_all(text, '{TOKEN_RE}'))) AS tok,
+               generate_subscripts(regexp_extract_all(text, '{TOKEN_RE}'), 1) AS pos
+        FROM documents
+    ), uni AS (
+        SELECT tok, count(*) AS c FROM toks GROUP BY tok
+    ), n_total AS (
+        SELECT count(*) AS n FROM toks
+    ), bi AS (
+        SELECT a.tok AS tok_a, b.tok AS tok_b, count(*) AS c_ab
+        FROM toks a JOIN toks b
+          ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        GROUP BY a.tok, b.tok
+        HAVING count(*) >= {_PMI_MIN_COUNT}
+    )
+    SELECT bi.tok_a, bi.tok_b, bi.c_ab,
+           CAST(ln(n.n * CAST(bi.c_ab AS DOUBLE) / (ua.c * CAST(ub.c AS DOUBLE)))
+                AS REAL) AS pmi
+    FROM bi, n_total n
+    JOIN uni ua ON bi.tok_a = ua.tok
+    JOIN uni ub ON bi.tok_b = ub.tok
+    ORDER BY pmi DESC, bi.tok_a, bi.tok_b
+    LIMIT 50
+    """,
+)
+def token_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.posexplode(
+            F.expr(f"regexp_extract_all(text, '{TOKEN_RE}', 0)")
+        ).alias("pos0", "raw"),
+    ).select(
+        "doc_id",
+        (F.col("pos0") + 1).alias("pos"),
+        F.lower(F.col("raw")).alias("tok"),
+    )
+    uni = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    n_total = toks.agg(F.count("*").alias("n"))
+    nxt = toks.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("pos").alias("pos_b"),
+        F.col("tok").alias("tok_b"),
+    )
+    bi = (
+        toks.join(
+            nxt,
+            (F.col("doc_id") == F.col("doc_b"))
+            & (F.col("pos_b") == F.col("pos") + 1),
+        )
+        .groupBy(F.col("tok").alias("tok_a"), "tok_b")
+        .agg(F.count("*").alias("c_ab"))
+        .where(F.col("c_ab") >= _PMI_MIN_COUNT)
+    )
+    ua = uni.select(F.col("tok").alias("tok_a"), F.col("c").alias("c_a"))
+    ub = uni.select(F.col("tok").alias("tok_b"), F.col("c").alias("c_b"))
+    return (
+        bi.join(F.broadcast(ua), "tok_a")
+        .join(F.broadcast(ub), "tok_b")
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            "tok_a",
+            "tok_b",
+            "c_ab",
+            f32(
+                F.log(
+                    F.col("n")
+                    * F.col("c_ab").cast("double")
+                    / (F.col("c_a") * F.col("c_b").cast("double"))
+                )
+            ).alias("pmi"),
+        )
+        .orderBy(F.col("pmi").desc(), "tok_a", "tok_b")
+        .limit(50)
+    )

@@ -1936,3 +1936,44 @@ def zorder_layout_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("v").cast("long").alias("v_max"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# seasonal_hour_profile — hour-of-week seasonality: per (ISO weekday,
+# hour-of-day) cell, event count and mean value, plus each cell's lift
+# over the global mean (the seasonality factor a forecasting or
+# anomaly baseline divides out). One map-combinable groupBy on the
+# 168-cell key; the global scalar broadcasts back. Weekday is
+# ISO-anchored (1 = Monday) in both engines — Spark weekday() is
+# 0-based Monday, DuckDB isodow() 1-based.
+# --------------------------------------------------------------------------
+@CATALOG.query(
+    "seasonal_hour_profile",
+    oracle="""
+    WITH scal AS (
+        SELECT avg(value) AS gmean FROM events
+    )
+    SELECT CAST(isodow(ts) AS BIGINT) AS iso_dow,
+           CAST(hour(ts) AS BIGINT) AS hour_of_day,
+           count(*) AS n_events,
+           CAST(avg(value) AS REAL) AS mean_value,
+           CAST(avg(value) / any_value(s.gmean) AS REAL) AS value_lift
+    FROM events CROSS JOIN scal s
+    GROUP BY isodow(ts), hour(ts)
+    """,
+)
+def seasonal_hour_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    scal = ev.agg(F.avg("value").alias("gmean"))
+    return (
+        ev.crossJoin(F.broadcast(scal))
+        .groupBy(
+            (F.weekday("ts") + 1).cast("long").alias("iso_dow"),
+            F.hour("ts").cast("long").alias("hour_of_day"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            f32(F.avg("value")).alias("mean_value"),
+            f32(F.avg("value") / F.any_value("gmean")).alias("value_lift"),
+        )
+    )

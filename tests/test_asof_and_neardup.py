@@ -230,3 +230,56 @@ def test_connected_components_golden(spark):
         for r in connected_components(pairs, small_graph_edge_limit=0).collect()
     }
     assert got_loop == want
+
+
+def test_asof_join_forward_matches_pandas_merge_asof(spark):
+    """Property: asof_join(direction="forward") == pd.merge_asof
+    (forward, inclusive) on a randomized fixture with ties, gaps, and
+    keyless rows."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    n_l, n_r = 300, 60
+    left = pd.DataFrame(
+        {
+            "k": rng.integers(0, 8, n_l),
+            "t": pd.to_datetime(rng.integers(0, 10_000, n_l), unit="s"),
+            "row_id": np.arange(n_l),
+        }
+    )
+    right = (
+        pd.DataFrame(
+            {
+                "k": rng.integers(0, 10, n_r),
+                "rt": pd.to_datetime(rng.integers(0, 10_000, n_r), unit="s"),
+                "payload": np.arange(n_r),
+            }
+        )
+        .drop_duplicates(subset=["k", "rt"])
+        .reset_index(drop=True)
+    )
+
+    got = (
+        asof_join(
+            spark.createDataFrame(left),
+            spark.createDataFrame(right),
+            on="k",
+            left_time="t",
+            right_time="rt",
+            payload_cols=["payload"],
+            direction="forward",
+        )
+        .toPandas()
+        .sort_values("row_id")
+        .reset_index(drop=True)
+    )
+    expected = pd.merge_asof(
+        left.sort_values("t"),
+        right.sort_values("rt"),
+        left_on="t",
+        right_on="rt",
+        by="k",
+        direction="forward",
+        allow_exact_matches=True,
+    ).sort_values("row_id").reset_index(drop=True)
+    assert (got["payload"].fillna(-1) == expected["payload"].fillna(-1)).all()

@@ -57,6 +57,9 @@ NEVER_SAMPLED_R5_ADDITIONS = {
     "referential_integrity_audit",
     "zorder_layout_profile",
     "stream_time_weighted_value",
+    "prefix_blocked_edit_distance",
+    "token_cooccurrence_pmi",
+    "seasonal_hour_profile",
 }
 
 
