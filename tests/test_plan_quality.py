@@ -532,3 +532,21 @@ def test_referential_audit_all_anti_joins(spark, catalog):
     plan = _plan(spark, catalog.queries["referential_integrity_audit"](spark, SMOKE_SF_DIR))
     assert plan.count("LeftAnti") >= 5, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_scan_splittability_conf_splits_multi_rowgroup_files(spark, tmp_path):
+    """The engine session caps maxPartitionBytes at 1 MB so multi-
+    row-group files actually split locally (session.py rationale). Pin
+    the conf AND the behavior: a >1 MB file written with small row
+    groups must produce multiple scan partitions."""
+    assert spark.conf.get("spark.sql.files.maxPartitionBytes") == "1048576"
+    p = str(tmp_path / "wide.parquet")
+    (
+        spark.range(400_000)
+        .selectExpr("id", "id * 2 AS a", "uuid() AS pad")
+        .coalesce(1)
+        .write.option("parquet.block.size", 262144)
+        .parquet(p)
+    )
+    n = spark.read.parquet(p).rdd.getNumPartitions()
+    assert n >= 2, f"expected a split scan, got {n} partition(s)"
