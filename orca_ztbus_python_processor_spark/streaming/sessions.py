@@ -112,22 +112,36 @@ def _twap_fn(
     state — the step-function integral over a half-open observation
     window never sees it, which is exactly the batch TWAP's
     dur-IS-NOT-NULL contract."""
+    import numpy as np  # noqa: PLC0415
+
     if state.exists:
         has_prev, prev_ts, prev_value = state.get
     else:
         has_prev, prev_ts, prev_value = False, 0, 0.0
 
-    out: list[tuple[Any, float, int]] = []
     for pdf in pdf_iter:
+        if not len(pdf):
+            continue
         pdf = pdf.sort_values("_ts_us")
-        for ts_us, value in zip(pdf["_ts_us"], pdf["_value"]):
-            if has_prev:
-                out.append((key[0], prev_value, int(ts_us) - prev_ts))
-            has_prev, prev_ts, prev_value = True, int(ts_us), float(value)
+        ts = pdf["_ts_us"].to_numpy(dtype=np.int64)
+        val = pdf["_value"].to_numpy(dtype=np.float64)
+        # Vectorized interval closing: the batch's own pairs close in
+        # one diff; the carried open interval closes against the first
+        # arrival. No per-row Python.
+        if has_prev:
+            ts = np.concatenate(([prev_ts], ts))
+            val = np.concatenate(([prev_value], val))
+        if len(ts) > 1:
+            yield pd.DataFrame(
+                {
+                    "key": np.full(len(ts) - 1, key[0]),
+                    "held_value": val[:-1],
+                    "dur_us": np.diff(ts),
+                }
+            )
+        has_prev, prev_ts, prev_value = True, int(ts[-1]), float(val[-1])
 
     state.update((has_prev, prev_ts, prev_value))
-    if out:
-        yield pd.DataFrame(out, columns=["key", "held_value", "dur_us"])
 
 
 def twap_intervals_stream(

@@ -1024,3 +1024,64 @@ def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for f in frames[1:]:
         out = out.unionByName(f)
     return out
+
+
+# --------------------------------------------------------------------------
+# lineitem_column_census — data-profiling staple: per numeric measure
+# column, row/null/distinct counts and min/max/mean. Expressed as ONE
+# unpivot (stack) pass — the 4× long-form explode is map-side and the
+# per-column rollup is a single groupBy on the column name, instead of
+# four separate scans or one wide aggregate with four count-distinct
+# Expands. The profile every ingestion gate diffs against yesterday's.
+# --------------------------------------------------------------------------
+_CENSUS_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+@CATALOG.query(
+    "lineitem_column_census",
+    oracle="""
+    SELECT 'l_quantity' AS column_name, count(*) AS n_rows,
+           count(*) - count(l_quantity) AS n_null,
+           count(DISTINCT l_quantity) AS n_distinct,
+           CAST(min(l_quantity) AS REAL) AS min_value,
+           CAST(max(l_quantity) AS REAL) AS max_value,
+           CAST(avg(l_quantity) AS REAL) AS mean_value
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_extendedprice', count(*), count(*) - count(l_extendedprice),
+           count(DISTINCT l_extendedprice),
+           CAST(min(l_extendedprice) AS REAL),
+           CAST(max(l_extendedprice) AS REAL),
+           CAST(avg(l_extendedprice) AS REAL)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_discount', count(*), count(*) - count(l_discount),
+           count(DISTINCT l_discount),
+           CAST(min(l_discount) AS REAL), CAST(max(l_discount) AS REAL),
+           CAST(avg(l_discount) AS REAL)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_tax', count(*), count(*) - count(l_tax),
+           count(DISTINCT l_tax),
+           CAST(min(l_tax) AS REAL), CAST(max(l_tax) AS REAL),
+           CAST(avg(l_tax) AS REAL)
+    FROM lineitem
+    """,
+)
+def lineitem_column_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stack_expr = "stack({n}, {args}) AS (column_name, value)".format(
+        n=len(_CENSUS_COLS),
+        args=", ".join(f"'{c}', {c}" for c in _CENSUS_COLS),
+    )
+    long_form = _t(spark, sf_dir, "lineitem").selectExpr(stack_expr)
+    return (
+        long_form.groupBy("column_name")
+        .agg(
+            F.count("*").alias("n_rows"),
+            (F.count("*") - F.count("value")).alias("n_null"),
+            F.countDistinct("value").alias("n_distinct"),
+            f32(F.min("value")).alias("min_value"),
+            f32(F.max("value")).alias("max_value"),
+            f32(F.avg("value")).alias("mean_value"),
+        )
+    )

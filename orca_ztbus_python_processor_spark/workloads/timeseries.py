@@ -1977,3 +1977,102 @@ def seasonal_hour_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             f32(F.avg("value") / F.any_value("gmean")).alias("value_lift"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# minute_value_ohlc — OHLC bars: per (event_type, minute) the first
+# (open), max (high), min (low), and last (close) value. The
+# time-series compaction every market-data / telemetry dashboard is
+# built on, expressed as ONE map-combinable aggregate: open/close are
+# min_by/max_by over an order key (no window sort, no self-join).
+# Neither engine's min_by accepts a composite ordering, so the order
+# key is a zero-padded "<epoch_us><event_id>" string — lexicographic
+# equals chronological with a deterministic id tie-break, bytewise
+# identical in both engines.
+# --------------------------------------------------------------------------
+@CATALOG.query(
+    "minute_value_ohlc",
+    oracle="""
+    WITH keyed AS (
+        SELECT event_type,
+               date_trunc('minute', ts) AS minute,
+               value,
+               printf('%020d%012d', epoch_us(ts), event_id) AS ord
+        FROM events
+    )
+    SELECT event_type, minute,
+           count(*) AS n_events,
+           CAST(min_by(value, ord) AS REAL) AS open,
+           CAST(max(value) AS REAL) AS high,
+           CAST(min(value) AS REAL) AS low,
+           CAST(max_by(value, ord) AS REAL) AS close
+    FROM keyed
+    GROUP BY event_type, minute
+    """,
+)
+def minute_value_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ord_key = F.format_string(
+        "%020d%012d", F.unix_micros(F.col("ts")), F.col("event_id")
+    )
+    return (
+        _events(spark, sf_dir)
+        .select(
+            "event_type",
+            F.date_trunc("minute", F.col("ts")).alias("minute"),
+            "value",
+            ord_key.alias("ord"),
+        )
+        .groupBy("event_type", "minute")
+        .agg(
+            F.count("*").alias("n_events"),
+            f32(F.min_by("value", "ord")).alias("open"),
+            f32(F.max("value")).alias("high"),
+            f32(F.min("value")).alias("low"),
+            f32(F.max_by("value", "ord")).alias("close"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# orders_monthly_mom_growth — month-over-month reporting: monthly
+# revenue and order counts with absolute and relative deltas vs the
+# previous month (lag over the tiny aggregated frame). The standard
+# finance/ops rollup; the heavy work is one map-combinable month
+# aggregation, the window runs over |months| rows.
+# --------------------------------------------------------------------------
+@CATALOG.query(
+    "orders_monthly_mom_growth",
+    oracle="""
+    WITH monthly AS (
+        SELECT date_trunc('month', o_orderdate) AS month,
+               count(*) AS n_orders,
+               sum(o_totalprice) AS revenue
+        FROM orders GROUP BY 1
+    )
+    SELECT month, n_orders,
+           CAST(revenue AS REAL) AS revenue,
+           CAST(revenue - lag(revenue) OVER (ORDER BY month) AS REAL)
+               AS revenue_delta,
+           CAST(CASE WHEN lag(revenue) OVER (ORDER BY month) > 0
+                THEN revenue / lag(revenue) OVER (ORDER BY month) - 1.0
+                END AS REAL) AS mom_growth
+    FROM monthly
+    """,
+)
+def orders_monthly_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    monthly = (
+        read_table(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("month", F.col("o_orderdate")).alias("month"))
+        .agg(F.count("*").alias("n_orders"), F.sum("o_totalprice").alias("revenue"))
+    )
+    w = W.orderBy("month")
+    prev = F.lag("revenue").over(w)
+    return monthly.select(
+        "month",
+        "n_orders",
+        f32(F.col("revenue")).alias("revenue"),
+        f32(F.col("revenue") - prev).alias("revenue_delta"),
+        f32(
+            F.when(prev > 0, F.col("revenue") / prev - 1.0)
+        ).alias("mom_growth"),
+    )

@@ -60,6 +60,9 @@ NEVER_SAMPLED_R5_ADDITIONS = {
     "prefix_blocked_edit_distance",
     "token_cooccurrence_pmi",
     "seasonal_hour_profile",
+    "minute_value_ohlc",
+    "orders_monthly_mom_growth",
+    "lineitem_column_census",
 }
 
 
