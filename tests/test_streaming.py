@@ -239,3 +239,62 @@ def test_twap_stream_state_carries_across_batches(spark, tmp_path):
     # boundary); 30.0 stays open. user 2: 5.0 held 60 s; 7.0 open.
     expect = {(1, 10.0, 10_000_000), (1, 20.0, 30_000_000), (2, 5.0, 60_000_000)}
     assert {(r.key, r.held_value, r.dur_us) for r in got.itertuples()} == expect
+
+
+def test_stream_left_outer_eviction_boundary(spark, tmp_path):
+    """Pins the stream-stream LEFT OUTER eviction contract that
+    stream_click_error_left_join's oracle encodes: with both sides
+    watermarked 10 min and the join bound e_ts <= c_ts + 5 min, an
+    unmatched click emits its NULL row iff
+    c_ts < global_wm - 5 min, where global_wm = min(max click ts,
+    max error ts) - 10 min. Constructed so the boundary cases are
+    unambiguous whole seconds (no ms-floor interaction)."""
+    import pandas as pd  # noqa: PLC0415
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    T0 = pd.Timestamp("2024-01-01 00:00:00")
+    m = pd.Timedelta(minutes=1)
+    rows = [
+        # user 1: matched pair (error 2 min after click)
+        (1, T0, "click"), (1, T0 + 2 * m, "error"),
+        # user 2: unmatched click well below the cutoff -> NULL emitted
+        (2, T0, "click"),
+        # user 4: unmatched click just ABOVE the cutoff -> held in state
+        (4, T0 + 46 * m, "click"),
+        # user 5: unmatched click AT the cutoff -> strict <, held
+        (5, T0 + 45 * m, "click"),
+        # watermark anchors: max click 70 min, max error 60 min
+        # -> global_wm = min(70, 60) - 10 = 50 min; cutoff = 45 min
+        (8, T0 + 60 * m, "error"),
+        (9, T0 + 70 * m, "click"),
+    ]
+    pdf = pd.DataFrame(rows, columns=["user_id", "ts", "event_type"])
+    d = str(tmp_path / "lo_events")
+    spark.createDataFrame(pdf).coalesce(1).write.parquet(d)
+
+    ev = spark.readStream.schema("user_id long, ts timestamp, event_type string").parquet(d)
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
+        .withWatermark("c_ts", "10 minutes")
+    )
+    errors = (
+        ev.where(F.col("event_type") == "error")
+        .select(F.col("user_id").alias("e_user"), F.col("ts").alias("e_ts"))
+        .withWatermark("e_ts", "10 minutes")
+    )
+    joined = clicks.join(
+        errors,
+        (F.col("c_user") == F.col("e_user"))
+        & (F.col("e_ts") > F.col("c_ts"))
+        & (F.col("e_ts") <= F.col("c_ts") + F.expr("INTERVAL 5 MINUTES")),
+        "left_outer",
+    )
+    run_to_memory(joined, "lo_boundary", output_mode="append")
+    got = spark.table("lo_boundary").toPandas()
+    matched = got[got.e_user.notna()]
+    nulls = got[got.e_user.isna()]
+    assert set(matched.c_user) == {1}
+    # user 2 evicted (below cutoff); users 4 (above) and 5 (exactly at,
+    # strict <) stay in state; user 9's click is above the cutoff too
+    assert set(nulls.c_user) == {2}
