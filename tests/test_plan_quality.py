@@ -550,3 +550,29 @@ def test_scan_splittability_conf_splits_multi_rowgroup_files(spark, tmp_path):
     )
     n = spark.read.parquet(p).rdd.getNumPartitions()
     assert n >= 2, f"expected a split scan, got {n} partition(s)"
+
+
+def test_ohlc_single_aggregate_no_window(spark, catalog):
+    """OHLC bars are ONE map-combinable aggregate (min_by/max_by over
+    the chronological key) — never a window sort or self-join."""
+    plan = _plan(spark, catalog.queries["minute_value_ohlc"](spark, SMOKE_SF_DIR))
+    assert _n_exchanges(plan) == 1, plan
+    assert re.search(r"partial_", plan), plan
+    assert "Window" not in plan, plan
+
+
+def test_scd2_windows_reuse_one_exchange(spark, catalog):
+    """Both SCD2 window passes (change-flag running sum; lead() closing
+    edge) and the per-state rollup share the user_id partitioning —
+    exactly ONE exchange in the whole plan."""
+    plan = _plan(spark, catalog.queries["scd2_user_state"](spark, SMOKE_SF_DIR))
+    assert _n_exchanges(plan) == 1, plan
+
+
+def test_column_census_one_unpivot_no_expand_blowup(spark, catalog):
+    """The census is one stack/unpivot pass + a single rollup — never
+    four scans and never a 4x count-distinct Expand over the fact."""
+    plan = _plan(spark, catalog.queries["lineitem_column_census"](spark, SMOKE_SF_DIR))
+    assert _n_exchanges(plan) == 2, plan
+    # exactly one scan (formatted mode lists each scan's Location once)
+    assert plan.count("Location: InMemoryFileIndex") == 1, plan
