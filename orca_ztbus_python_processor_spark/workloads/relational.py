@@ -1085,3 +1085,107 @@ def lineitem_column_census(spark: SparkSession, sf_dir: str) -> DataFrame:
             f32(F.avg("value")).alias("mean_value"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# fulfillment_lag_profile — ship-vs-order lag distribution per order
+# priority: exact median/p90/max of (l_shipdate - o_orderdate) in days.
+# The cross-table interval metric behind SLA reporting. The orders date
+# frame broadcasts onto the lineitem scan (fact never re-shuffles for
+# the join); one exact-percentile agg per priority follows.
+# --------------------------------------------------------------------------
+@CATALOG.query(
+    "fulfillment_lag_profile",
+    oracle="""
+    WITH lags AS (
+        SELECT o.o_orderpriority,
+               date_diff('day', o.o_orderdate, l.l_shipdate) AS lag_days
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    )
+    SELECT o_orderpriority,
+           count(*) AS n_lineitems,
+           CAST(quantile_cont(lag_days, 0.5) AS REAL) AS median_lag_days,
+           CAST(quantile_cont(lag_days, 0.9) AS REAL) AS p90_lag_days,
+           CAST(max(lag_days) AS BIGINT) AS max_lag_days
+    FROM lags
+    GROUP BY o_orderpriority
+    """,
+)
+def fulfillment_lag_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    lag_days = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    return (
+        li.join(F.broadcast(orders), F.col("l_orderkey") == F.col("o_orderkey"))
+        .select("o_orderpriority", lag_days.alias("lag_days"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_lineitems"),
+            f32(F.percentile("lag_days", F.lit(0.5))).alias("median_lag_days"),
+            f32(F.percentile("lag_days", F.lit(0.9))).alias("p90_lag_days"),
+            F.max("lag_days").cast("long").alias("max_lag_days"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# user_rfm_segments — RFM segmentation (the marketing-analytics
+# classic): per user recency (last-activity timestamp — oldest =
+# quartile 1), frequency (event count), monetary (value sum), each
+# quartiled with ntile(4) (deterministic user_id tie-breaks),
+# composed into a 3-digit
+# segment code, then segment-level population counts. The per-user
+# aggregate is the only fact-scale pass; the quartile windows run over
+# the user frame (same distributed-rank swap note as
+# customer_value_deciles at billion-user scale).
+# --------------------------------------------------------------------------
+@CATALOG.query(
+    "user_rfm_segments",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id,
+               max(ts) AS last_ts,
+               count(*) AS frequency,
+               sum(value) AS monetary
+        FROM events GROUP BY user_id
+    ), scored AS (
+        SELECT ntile(4) OVER (ORDER BY last_ts, user_id) AS r,
+               ntile(4) OVER (ORDER BY frequency, user_id) AS f,
+               ntile(4) OVER (ORDER BY monetary, user_id) AS m
+        FROM per_user
+    )
+    SELECT CAST(r * 100 + f * 10 + m AS BIGINT) AS segment,
+           count(*) AS n_users
+    FROM scored
+    GROUP BY 1
+    """,
+)
+def user_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events_rfm(spark, sf_dir)
+    per_user = ev.groupBy("user_id").agg(
+        F.max("ts").alias("last_ts"),
+        F.count("*").alias("frequency"),
+        F.sum("value").alias("monetary"),
+    )
+    # recency quartile orders directly on last-activity time (oldest =
+    # quartile 1): timestamp ordering is exactly portable, unlike an
+    # hours-since conversion (boundary-count vs elapsed semantics
+    # diverge between engines).
+    r = F.ntile(4).over(W.orderBy(F.col("last_ts"), "user_id"))
+    f_ = F.ntile(4).over(W.orderBy("frequency", "user_id"))
+    m = F.ntile(4).over(W.orderBy("monetary", "user_id"))
+    return (
+        per_user.select(r.alias("r"), f_.alias("f"), m.alias("m"))
+        .groupBy(
+            (F.col("r") * 100 + F.col("f") * 10 + F.col("m"))
+            .cast("long")
+            .alias("segment")
+        )
+        .agg(F.count("*").alias("n_users"))
+    )
+
+
+def _events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return read_table(spark, sf_dir, "events")

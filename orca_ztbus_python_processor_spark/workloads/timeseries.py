@@ -2076,3 +2076,63 @@ def orders_monthly_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(prev > 0, F.col("revenue") / prev - 1.0)
         ).alias("mom_growth"),
     )
+
+
+# --------------------------------------------------------------------------
+# hourly_burst_flags — burst/anomaly detection on arrival rate: hourly
+# event counts, each scored against the TRAILING 24 hours (rows between
+# 24 preceding and 1 preceding — never peeking at itself), flagged when
+# it exceeds mean + 3 sigma. The ops-alerting staple. The heavy work is
+# one map-combinable hourly rollup; the trailing window runs over the
+# tiny hour frame. Sample stddev over <2 trailing rows is NULL, so the
+# first two hours are unflagged by construction in both engines.
+# --------------------------------------------------------------------------
+@CATALOG.query(
+    "hourly_burst_flags",
+    oracle="""
+    WITH hourly AS (
+        SELECT date_trunc('hour', ts) AS hour, count(*) AS n_events
+        FROM events GROUP BY 1
+    ), scored AS (
+        SELECT hour, n_events,
+               avg(n_events) OVER w AS trail_mean,
+               stddev_samp(n_events) OVER w AS trail_std
+        FROM hourly
+        WINDOW w AS (ORDER BY hour ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT hour, n_events,
+           CAST(trail_mean AS REAL) AS trail_mean,
+           CAST(trail_std AS REAL) AS trail_std,
+           coalesce(trail_std > 0
+                    AND n_events > trail_mean + 3 * trail_std, false)
+               AS is_burst
+    FROM scored
+    """,
+)
+def hourly_burst_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hourly = (
+        _events(spark, sf_dir)
+        .groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"))
+        .agg(F.count("*").alias("n_events"))
+    )
+    w = W.orderBy("hour").rowsBetween(-24, -1)
+    scored = hourly.select(
+        "hour",
+        "n_events",
+        F.avg("n_events").over(w).alias("trail_mean"),
+        F.stddev_samp("n_events").over(w).alias("trail_std"),
+    )
+    return scored.select(
+        "hour",
+        "n_events",
+        f32(F.col("trail_mean")).alias("trail_mean"),
+        f32(F.col("trail_std")).alias("trail_std"),
+        F.coalesce(
+            (F.col("trail_std") > 0)
+            & (
+                F.col("n_events")
+                > F.col("trail_mean") + 3 * F.col("trail_std")
+            ),
+            F.lit(False),
+        ).alias("is_burst"),
+    )

@@ -63,6 +63,9 @@ NEVER_SAMPLED_R5_ADDITIONS = {
     "minute_value_ohlc",
     "orders_monthly_mom_growth",
     "lineitem_column_census",
+    "hourly_burst_flags",
+    "fulfillment_lag_profile",
+    "user_rfm_segments",
 }
 
 
