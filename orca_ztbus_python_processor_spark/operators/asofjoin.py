@@ -95,9 +95,26 @@ def asof_join(
         .orderBy(time_order, F.col(_SIDE).desc())
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
+    # Carry ONE struct of all payload columns, not each column
+    # independently: per-column last(ignorenulls) would let a NULL in
+    # one payload column of the matched row silently inherit that
+    # column from a FARTHER right row while the others came from the
+    # nearest — mixing rows, unlike DuckDB ASOF (which takes the whole
+    # matched row, NULLs included). The struct is non-null exactly on
+    # right rows, so last(ignorenulls) picks the nearest right ROW and
+    # unpacking preserves its NULLs.
+    payload_struct = F.when(
+        F.col(_SIDE) == 1, F.struct(*[F.col(c) for c in payload_cols])
+    )
     carried = l.unionByName(r).select(
         *left_cols,
         _SIDE,
-        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in payload_cols],
+        F.last(payload_struct, ignorenulls=True).over(w).alias("__asof_p"),
     )
-    return carried.where(F.col(_SIDE) == 0).drop(_SIDE)
+    return (
+        carried.where(F.col(_SIDE) == 0)
+        .select(
+            *left_cols,
+            *[F.col(f"__asof_p.{c}").alias(c) for c in payload_cols],
+        )
+    )

@@ -56,14 +56,24 @@ def _dist_matrix(X, C):  # noqa: N803 - matrix names
 
     ``|x - c|^2 = |x|^2 - 2 x.c + |c|^2`` — the vectorized identity.
     Row-wise, so Arrow batch boundaries cannot change any value.
+
+    The expansion can go slightly NEGATIVE under float cancellation
+    (x ≈ c), so clamp at 0 — a true distance is non-negative, and the
+    clamp keeps inertia sums well-defined. Near-tie caveat: for two
+    centers within ~sqrt(eps)·|x| of the same distance, argmin under
+    this form may differ from the direct (x-c)^2 sum; the numpy parity
+    reference in tests/test_clustering.py therefore uses this SAME
+    expanded form, so the pinned contract matches the implementation
+    exactly rather than to within an unstated tolerance.
     """
     import numpy as np
 
-    return (
+    d2 = (
         (X * X).sum(axis=1)[:, None]
         - 2.0 * (X @ C.T)
         + (C * C).sum(axis=1)[None, :]
     )
+    return np.maximum(d2, 0.0)
 
 
 def assign_clusters(

@@ -40,9 +40,18 @@ def _fsm_fn(
     else:
         run_open, run_start, last_true, n = False, 0, 0, 0
 
+    # Concatenate every Arrow chunk of the group BEFORE sorting: state
+    # (run_open/last_true) carries across chunks, so a per-chunk sort
+    # would mis-order a group whose micro-batch data spans multiple
+    # chunks (rows > arrow.maxRecordsPerBatch, or unordered chunk
+    # delivery after the state shuffle). Stable mergesort keeps arrival
+    # order deterministic on timestamp ties.
+    chunks = [pdf for pdf in pdf_iter if len(pdf)]
     out_rows: list[tuple[Any, int, int, int]] = []
-    for pdf in pdf_iter:
-        pdf = pdf.sort_values("_ts_us")
+    if chunks:
+        pdf = pd.concat(chunks, ignore_index=True).sort_values(
+            "_ts_us", kind="mergesort"
+        )
         for ts_us, flag in zip(pdf["_ts_us"], pdf["_flag"]):
             if flag and not run_open:
                 run_open, run_start, n = True, int(ts_us), 1
@@ -111,7 +120,14 @@ def _twap_fn(
     becomes the new open interval. The final interval per key stays in
     state — the step-function integral over a half-open observation
     window never sees it, which is exactly the batch TWAP's
-    dur-IS-NOT-NULL contract."""
+    dur-IS-NOT-NULL contract.
+
+    Ordering contract: ALL Arrow chunks of the group are concatenated
+    before ONE stable sort on (_ts_us, _oid) — prev_ts carries across
+    chunks, so a per-chunk sort would compute negative/incorrect
+    durations whenever a micro-batch's group spans multiple chunks;
+    the _oid tie-break makes interval order on equal timestamps match
+    the batch oracle's (ts, event_id) window ordering exactly."""
     import numpy as np  # noqa: PLC0415
 
     if state.exists:
@@ -119,10 +135,11 @@ def _twap_fn(
     else:
         has_prev, prev_ts, prev_value = False, 0, 0.0
 
-    for pdf in pdf_iter:
-        if not len(pdf):
-            continue
-        pdf = pdf.sort_values("_ts_us")
+    chunks = [pdf for pdf in pdf_iter if len(pdf)]
+    if chunks:
+        pdf = pd.concat(chunks, ignore_index=True).sort_values(
+            ["_ts_us", "_oid"], kind="mergesort"
+        )
         ts = pdf["_ts_us"].to_numpy(dtype=np.int64)
         val = pdf["_value"].to_numpy(dtype=np.float64)
         # Vectorized interval closing: the batch's own pairs close in
@@ -150,19 +167,26 @@ def twap_intervals_stream(
     value_col: str,
     time_col: str = "ts",
     watermark: str = "10 minutes",
+    order_col: str | None = "event_id",
 ) -> DataFrame:
     """Streaming holding-interval emission for time-weighted averaging,
     keyed by ``key_col``: one output row per CLOSED interval
     (``key, held_value, dur_us``); O(1) state per key (the single open
-    interval). Same ordering contract as ``fsm_runs_stream``."""
+    interval). ``order_col`` is the deterministic secondary sort key on
+    timestamp ties — pass the same column the batch twin's window
+    orders by so the interval sequence (and thus every duration) is
+    engine-portable; ``None`` for sources whose (key, time) pairs are
+    already unique."""
     from pyspark.sql import functions as F  # noqa: PLC0415
 
+    oid = F.col(order_col) if order_col is not None else F.lit(0)
     prepared = (
         events.withWatermark(time_col, watermark)
         .select(
             F.col(key_col).alias("key"),
             F.unix_micros(F.col(time_col)).alias("_ts_us"),
             F.col(value_col).alias("_value"),
+            oid.alias("_oid"),
         )
     )
     return prepared.groupBy("key").applyInPandasWithState(

@@ -112,7 +112,42 @@ _R4_SAMPLE = frozenset({
     "stream_sliding_append", "multimodal_real_decode",
 })
 
-_DRIVER_VERIFIED = _R1_DRIVER_VERIFIED | _R2_SAMPLE | _R3_SAMPLE | _R4_SAMPLE
+# The 50 queries the driver verified in round 5 (CORRECTNESS_r05.json:
+# 48 hash-match + 2 contractual rows-only, zero failures). All 50 were
+# round-5 additions — the ordering mechanism delivered a perfect
+# never-before-sampled window — so the whole set joins the back group
+# and round 6's sample window is filled by round-6 additions only.
+_R5_SAMPLE = frozenset({
+    "bigram_lm_quality_score", "bm25_keyword_topk",
+    "concurrent_active_intervals", "cosine_topk_sharded",
+    "customer_value_deciles", "embedding_dim_variance",
+    "event_debounce_profile", "event_transition_matrix",
+    "events_asof_next_order", "ewma_value_smoothing",
+    "fulfillment_lag_profile", "grouping_sets_revenue",
+    "hll_weekly_rollup", "hourly_burst_flags", "iqr_outlier_profile",
+    "key_skew_profile", "kmeans_embedding_profile",
+    "latest_event_snapshot", "lineitem_column_census",
+    "mad_outlier_profile", "minute_value_ohlc",
+    "nation_balance_full_outer", "ngram_novelty_score",
+    "orders_monthly_mom_growth", "prefix_blocked_edit_distance",
+    "q4_late_shipment_priority", "referential_integrity_audit",
+    "region_nation_revenue_share", "scd2_user_state",
+    "seasonal_hour_profile", "source_lorenz_profile",
+    "stream_click_error_left_join", "stream_concurrent_intervals",
+    "stream_static_enrich", "stream_time_weighted_value",
+    "stream_upsert_snapshot", "temperature_mix_weights",
+    "term_postings_index", "time_decayed_user_score",
+    "time_weighted_value", "token_cooccurrence_pmi",
+    "token_entropy_profile", "unicode_class_profile",
+    "user_gap_quantiles", "user_rfm_segments",
+    "value_histogram_equiwidth", "value_quantiles_distributed",
+    "wau_rolling_exact", "weekly_cohort_retention",
+    "zorder_layout_profile",
+})
+
+_DRIVER_VERIFIED = (
+    _R1_DRIVER_VERIFIED | _R2_SAMPLE | _R3_SAMPLE | _R4_SAMPLE | _R5_SAMPLE
+)
 
 _MERGED: Catalog | None = None
 

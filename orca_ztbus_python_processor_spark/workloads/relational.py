@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
+from orca_ztbus_python_processor_spark.functions.ranks import with_global_ntile
 from orca_ztbus_python_processor_spark.functions.stats import (
     column_stats,
     f32,
@@ -769,15 +770,17 @@ def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # customer_value_deciles — revenue concentration (Pareto profile): per-
-# customer lifetime revenue, ntile(10) by revenue DESC, then per-decile
+# customer lifetime revenue, NTILE(10) by revenue DESC, then per-decile
 # customer count, revenue mass, share, and cumulative share ("top 10%
 # of customers hold X% of revenue"). The fact-table aggregation is
-# fully distributed (one shuffle on o_custkey); only the per-customer
-# frame (|customers| rows, ~1/10th of orders) crosses the global ntile
-# sort. At billion-customer scale, swap the ntile window for the
-# partition-offset distributed rank used by value_quantiles_distributed
-# — the decile definition is identical; the plan just trades the single
-# sort partition for a two-pass rank.
+# fully distributed (one shuffle on o_custkey); the decile assignment
+# uses functions.ranks.with_global_ntile (range-repartition →
+# partition-offset rank → bucket arithmetic), so NO stage sorts the
+# customer dimension on one task — identical NTILE semantics to the
+# oracle, billion-customer safe. The share/cum-share pass runs on the
+# 10-row decile frame via broadcast self-join (bounded cardinality), so
+# the whole plan carries zero unpartitioned WindowExec nodes (pinned:
+# test_deciles_no_unpartitioned_window).
 # --------------------------------------------------------------------------
 @CATALOG.query(
     "customer_value_deciles",
@@ -809,24 +812,31 @@ def customer_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_custkey")
         .agg(F.sum("o_totalprice").alias("revenue"))
     )
-    rank_w = W.orderBy(F.col("revenue").desc(), F.col("o_custkey"))
     dec = (
-        per_cust.select("revenue", F.ntile(10).over(rank_w).alias("decile"))
+        with_global_ntile(
+            per_cust, 10, [F.col("revenue").desc(), F.col("o_custkey")], "decile"
+        )
         .groupBy("decile")
         .agg(F.count("*").alias("n_customers"), F.sum("revenue").alias("revenue_sum"))
+        .localCheckpoint(eager=False)  # ≤10 rows; reused by both sides below
     )
-    total_w = W.partitionBy()
-    cum_w = W.orderBy("decile").rowsBetween(W.unboundedPreceding, W.currentRow)
-    return dec.select(
-        "decile",
-        "n_customers",
-        f32(F.col("revenue_sum")).alias("revenue_sum"),
-        f32(F.col("revenue_sum") / F.sum("revenue_sum").over(total_w)).alias(
-            "revenue_share"
-        ),
-        f32(
-            F.sum("revenue_sum").over(cum_w) / F.sum("revenue_sum").over(total_w)
-        ).alias("cum_share"),
+    # Running + grand totals over the ≤10-row decile frame via broadcast
+    # self-join (b.decile <= a.decile) and a 1-row broadcast total — no
+    # unpartitioned window anywhere in the plan.
+    b = dec.select(F.col("decile").alias("_d"), F.col("revenue_sum").alias("_rs"))
+    total = F.broadcast(dec.agg(F.sum("revenue_sum").alias("_total")))
+    return (
+        dec.join(F.broadcast(b), F.col("_d") <= F.col("decile"))
+        .groupBy("decile", "n_customers", "revenue_sum")
+        .agg(F.sum("_rs").alias("_cum"))
+        .crossJoin(total)
+        .select(
+            "decile",
+            "n_customers",
+            f32(F.col("revenue_sum")).alias("revenue_sum"),
+            f32(F.col("revenue_sum") / F.col("_total")).alias("revenue_share"),
+            f32(F.col("_cum") / F.col("_total")).alias("cum_share"),
+        )
     )
 
 
@@ -1134,12 +1144,15 @@ def fulfillment_lag_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 # user_rfm_segments — RFM segmentation (the marketing-analytics
 # classic): per user recency (last-activity timestamp — oldest =
 # quartile 1), frequency (event count), monetary (value sum), each
-# quartiled with ntile(4) (deterministic user_id tie-breaks),
+# quartiled with NTILE(4) (deterministic user_id tie-breaks),
 # composed into a 3-digit
 # segment code, then segment-level population counts. The per-user
-# aggregate is the only fact-scale pass; the quartile windows run over
-# the user frame (same distributed-rank swap note as
-# customer_value_deciles at billion-user scale).
+# aggregate is the only fact-scale pass; each quartile dimension is one
+# functions.ranks.with_global_ntile pass (range shuffle + partitioned
+# local rank + broadcast offsets) over the checkpointed user frame —
+# three distributed passes, zero single-partition sorts, identical
+# NTILE semantics to the oracle (pinned:
+# test_rfm_no_unpartitioned_window). Billion-user safe.
 # --------------------------------------------------------------------------
 @CATALOG.query(
     "user_rfm_segments",
@@ -1172,13 +1185,20 @@ def user_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     # recency quartile orders directly on last-activity time (oldest =
     # quartile 1): timestamp ordering is exactly portable, unlike an
     # hours-since conversion (boundary-count vs elapsed semantics
-    # diverge between engines).
-    r = F.ntile(4).over(W.orderBy(F.col("last_ts"), "user_id"))
-    f_ = F.ntile(4).over(W.orderBy("frequency", "user_id"))
-    m = F.ntile(4).over(W.orderBy("monetary", "user_id"))
+    # diverge between engines). Checkpoint the user frame so the three
+    # sequential ntile passes don't re-run the fact aggregation.
+    per_user = per_user.localCheckpoint(eager=False)
+    scored = with_global_ntile(
+        per_user, 4, [F.col("last_ts"), F.col("user_id")], "r"
+    )
+    scored = with_global_ntile(
+        scored, 4, [F.col("frequency"), F.col("user_id")], "f"
+    )
+    scored = with_global_ntile(
+        scored, 4, [F.col("monetary"), F.col("user_id")], "m"
+    )
     return (
-        per_user.select(r.alias("r"), f_.alias("f"), m.alias("m"))
-        .groupBy(
+        scored.groupBy(
             (F.col("r") * 100 + F.col("f") * 10 + F.col("m"))
             .cast("long")
             .alias("segment")

@@ -1,72 +1,27 @@
 """Pin the driver-sample ordering of merged_catalog().
 
 The verification driver samples the FIRST 50 catalog entries each round.
-Rounds 1-4 verified all 122 catalog names in _R1_DRIVER_VERIFIED |
-_R2_SAMPLE | _R3_SAMPLE | _R4_SAMPLE (zero failures), so round 5's
-sample window must be filled by the queries that have never had a driver
-CORRECTNESS row: exactly the entries added this round. A regression here
-(VERDICT.md round 2, "What's wrong" #2; round 3 #2; round 4 #2) would
-silently re-verify old queries and starve new ones of driver evidence.
+Rounds 1-5 verified all 172 catalog names in _R1_DRIVER_VERIFIED |
+_R2_SAMPLE | _R3_SAMPLE | _R4_SAMPLE | _R5_SAMPLE (zero failures), so
+round 6's sample window must be filled by the queries that have never
+had a driver CORRECTNESS row: exactly the entries added this round. A
+regression here (VERDICT.md round 2, "What's wrong" #2; round 3 #2;
+round 4 #2; round 5 #3) would silently re-verify old queries and starve
+new ones of driver evidence.
 """
 
 from orca_ztbus_python_processor_spark.workloads.base import (
+    _R5_SAMPLE,
     _DRIVER_VERIFIED,
     merged_catalog,
 )
 
-# Added in round 5; driver evidence arrives in round 5's sample.
-NEVER_SAMPLED_R5_ADDITIONS = {
-    "cosine_topk_sharded",
-    "value_quantiles_distributed",
-    "bigram_lm_quality_score",
-    "latest_event_snapshot",
-    "ewma_value_smoothing",
-    "iqr_outlier_profile",
-    "stream_static_enrich",
-    "kmeans_embedding_profile",
-    "time_decayed_user_score",
-    "token_entropy_profile",
-    "hll_weekly_rollup",
-    "stream_upsert_snapshot",
-    "nation_balance_full_outer",
-    "ngram_novelty_score",
-    "bm25_keyword_topk",
-    "weekly_cohort_retention",
-    "concurrent_active_intervals",
-    "value_histogram_equiwidth",
-    "stream_concurrent_intervals",
-    "event_transition_matrix",
-    "mad_outlier_profile",
-    "grouping_sets_revenue",
-    "customer_value_deciles",
-    "unicode_class_profile",
-    "term_postings_index",
-    "embedding_dim_variance",
-    "events_asof_next_order",
-    "stream_click_error_left_join",
-    "user_gap_quantiles",
-    "scd2_user_state",
-    "key_skew_profile",
-    "source_lorenz_profile",
-    "temperature_mix_weights",
-    "time_weighted_value",
-    "wau_rolling_exact",
-    "event_debounce_profile",
-    "q4_late_shipment_priority",
-    "region_nation_revenue_share",
-    "referential_integrity_audit",
-    "zorder_layout_profile",
-    "stream_time_weighted_value",
-    "prefix_blocked_edit_distance",
-    "token_cooccurrence_pmi",
-    "seasonal_hour_profile",
-    "minute_value_ohlc",
-    "orders_monthly_mom_growth",
-    "lineitem_column_census",
-    "hourly_burst_flags",
-    "fulfillment_lag_profile",
-    "user_rfm_segments",
-}
+
+def test_r5_sample_folded_into_back_group():
+    # CORRECTNESS_r05.json held exactly these 50 names; all must now be
+    # in the verified back group so round-6 additions fill the window.
+    assert len(_R5_SAMPLE) == 50
+    assert _R5_SAMPLE <= _DRIVER_VERIFIED
 
 
 def test_unverified_queries_fill_the_sample_window():
@@ -75,8 +30,6 @@ def test_unverified_queries_fill_the_sample_window():
     unverified = [n for n in names if n not in _DRIVER_VERIFIED]
     # Every never-verified query sorts ahead of every verified one.
     assert names[: len(unverified)] == unverified
-    # The round-5 additions are all present and all unverified.
-    assert NEVER_SAMPLED_R5_ADDITIONS <= set(unverified)
     # The driver samples 50: nothing unverified may be pushed past the
     # window. If this trips, a round has to pass before adding more.
     assert len(unverified) <= 50, (

@@ -21,20 +21,32 @@ from tests.conftest import SMOKE_SF_DIR
 K, ITERS = 8, 5
 
 
+def _ref_d2(X: np.ndarray, centers: np.ndarray) -> np.ndarray:
+    """SAME expanded |x|^2 - 2xC^T + |c|^2 form (clamped at 0) as
+    operators.clustering._dist_matrix: the pinned contract is exact
+    equality with the implementation's arithmetic, not equality with a
+    differently-rounded direct (x-c)^2 sum that could flip argmin on
+    near-tied centers."""
+    d2 = (
+        (X * X).sum(axis=1)[:, None]
+        - 2.0 * (X @ centers.T)
+        + (centers * centers).sum(axis=1)[None, :]
+    )
+    return np.maximum(d2, 0.0)
+
+
 def _numpy_kmeans(ids: np.ndarray, X: np.ndarray, k: int, iters: int):
     """Independent reference: identical contract (lowest-id init,
     lowest-cluster tie-break, empty cluster keeps its center)."""
     order = np.argsort(ids, kind="stable")
     centers = X[order[:k]].astype(np.float64).copy()
     for _ in range(iters):
-        d2 = ((X[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
-        assign = d2.argmin(axis=1)  # argmin takes the FIRST min: lowest id
+        assign = _ref_d2(X, centers).argmin(axis=1)  # FIRST min: lowest id
         for j in range(k):
             mask = assign == j
             if mask.any():
                 centers[j] = X[mask].mean(axis=0)
-    d2 = ((X[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
-    return d2.argmin(axis=1), centers
+    return _ref_d2(X, centers).argmin(axis=1), centers
 
 
 @pytest.fixture(scope="module")
@@ -90,3 +102,17 @@ def test_kmeans_plan_is_arrow_vectorized(spark, emb):
     assert "MapInPandas" in plan
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_kmeans_final_inertia_golden(spark, emb):
+    """Deterministic-output pin (VERDICT r5 item 7): the fixed-seed
+    contract (lowest-id init, 5 Lloyd iterations, first-min tie-break)
+    makes the final inertia on the seeded fixture a single number; any
+    numeric drift in the assignment/update path fails loudly here even
+    if the numpy parity test's tolerances were ever loosened."""
+    from pyspark.sql import functions as F
+
+    df, _, _ = emb
+    assigned, _ = kmeans_fit(df, k=K, iters=ITERS)
+    inertia = assigned.agg(F.sum("sq_dist")).collect()[0][0]
+    assert inertia == pytest.approx(464.6290203830815, rel=1e-9)

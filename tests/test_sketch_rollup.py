@@ -52,3 +52,23 @@ def test_estimate_within_hll_error_envelope(spark):
         # default lgConfigK=12 => rsd ~1.6%; allow 5 sigma plus the
         # small-cardinality floor (HLL is near-exact below ~2.5k)
         assert abs(est - exact) <= max(3, 0.08 * exact), (wk, est, exact)
+
+
+def test_weekly_rollup_golden_on_seeded_fixture(spark):
+    """Deterministic-output pin (VERDICT r5 item 7): HLL sketches are
+    deterministic functions of their input, so the seeded sf0.001
+    fixture has ONE correct output. Any drift in the sketch config,
+    week truncation, or union path surfaces as a value diff here, not
+    just an envelope violation."""
+    rows = merged_catalog().queries["hll_weekly_rollup"](spark, SMOKE_SF_DIR).collect()
+    got = sorted(
+        (str(r["week_start"]), r["n_days"], r["approx_distinct_users"])
+        for r in rows
+    )
+    assert got == [
+        ("2024-01-01 00:00:00", 7, 15),
+        ("2024-01-08 00:00:00", 7, 15),
+        ("2024-01-15 00:00:00", 7, 15),
+        ("2024-01-22 00:00:00", 7, 15),
+        ("2024-01-29 00:00:00", 2, 15),
+    ]

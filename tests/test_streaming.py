@@ -227,7 +227,9 @@ def test_twap_stream_state_carries_across_batches(spark, tmp_path):
         .option("maxFilesPerTrigger", "1")
         .parquet(d + "/f*/*.parquet")
     )
-    out = twap_intervals_stream(stream, key_col="user_id", value_col="value")
+    out = twap_intervals_stream(
+        stream, key_col="user_id", value_col="value", order_col=None
+    )
     run_to_memory(out, "twap_intervals", output_mode="append")
     got = (
         spark.table("twap_intervals")
