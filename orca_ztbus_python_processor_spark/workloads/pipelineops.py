@@ -258,3 +258,61 @@ def multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = synthesize_real_payloads(_docs(spark, sf_dir))
     return real_features(media)
+
+
+@CATALOG.query("winnow_containment_pairs")
+def winnow_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 CONTAINMENT detection — the dedup relation Jaccard misses:
+    doc A pasted inside a larger doc B scores low Jaccard (union is
+    dominated by B) but high containment |fp(A) ∩ fp(B)| / |fp(A)|.
+    Winnowing fingerprints (operators/dedup.winnow_fingerprints, k=8,
+    window=4) make that computable without shingle sets: docs sharing
+    a fingerprint share a k-gram run, and the fingerprint count is a
+    calibrated ~1/window sample of the k-gram profile.
+
+    Plan shape: exploded (doc, fp) rows self-join ON FINGERPRINT (the
+    natural shuffle key — co-located equi-join, no cross join), pair
+    counts aggregate map-side, per-doc fingerprint totals broadcast
+    back, containment = shared / min(|A|, |B|) >= 0.5. A stop-list
+    drops fingerprints appearing in > 64 docs BEFORE the join (the
+    LSH flood-guard argument: a fingerprint shared by f docs expands
+    to f² pair rows; ubiquitous boilerplate fingerprints carry no
+    containment signal and only quadratic cost). Rows-only by the
+    driver contract (the fingerprint algorithm is engine-specific);
+    the containment semantics are pinned with planted
+    substring-inclusion cases in tests/test_pipeline_ops.py.
+
+    Output: ``id_a, id_b, n_shared, containment`` (id_a < id_b).
+    """
+    fps = winnow_fingerprints(_docs(spark, sf_dir)).localCheckpoint(eager=False)
+    rare = fps.groupBy("fingerprint").agg(F.count("*").alias("_df")).where(
+        F.col("_df") <= 64
+    )
+    filtered = fps.join(rare.select("fingerprint"), "fingerprint")
+    sizes = fps.groupBy("doc_id").agg(F.count("*").alias("n_fp"))
+    a = filtered.select(F.col("doc_id").alias("id_a"), "fingerprint")
+    b = filtered.select(F.col("doc_id").alias("id_b"), "fingerprint")
+    shared = (
+        a.join(b, "fingerprint")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    containment = F.col("n_shared") / F.least("n_fp_a", "n_fp_b").cast("double")
+    return (
+        shared.join(
+            sizes.select(F.col("doc_id").alias("id_a"), F.col("n_fp").alias("n_fp_a")),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("id_b"), F.col("n_fp").alias("n_fp_b")),
+            "id_b",
+        )
+        .where(containment >= 0.5)
+        .select(
+            "id_a",
+            "id_b",
+            "n_shared",
+            containment.cast("float").alias("containment"),
+        )
+    )

@@ -1209,3 +1209,148 @@ def user_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_table(spark, sf_dir, "events")
+
+
+# --------------------------------------------------------------------------
+# benford_leading_digit — data-quality screen: leading-digit frequency
+# of o_totalprice vs the Benford expectation log10(1 + 1/d), with
+# absolute deviation per digit. The classic fabricated-data detector,
+# run as ONE map-combinable aggregate over the fact scan (the digit is
+# pure string/casting codegen; the output frame is 9 rows). Any corpus
+# size: partial counts per digit, one exchange of 9 longs.
+# --------------------------------------------------------------------------
+@CATALOG.query(
+    "benford_leading_digit",
+    oracle="""
+    WITH d AS (
+        SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+                    AS BIGINT) AS digit
+        FROM orders
+        WHERE o_totalprice >= 1
+    )
+    SELECT digit,
+           count(*) AS n_orders,
+           CAST(count(*) / CAST(sum(count(*)) OVER () AS DOUBLE) AS REAL)
+               AS observed_share,
+           CAST(log10(1.0 + 1.0 / digit) AS REAL) AS benford_share,
+           CAST(abs(count(*) / CAST(sum(count(*)) OVER () AS DOUBLE)
+                    - log10(1.0 + 1.0 / digit)) AS REAL) AS abs_deviation
+    FROM d
+    GROUP BY digit
+    """,
+)
+def benford_leading_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    digit = F.substring(
+        F.floor(F.col("o_totalprice")).cast("long").cast("string"), 1, 1
+    ).cast("long")
+    counts = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_totalprice") >= 1)
+        .groupBy(digit.alias("digit"))
+        .agg(F.count("*").alias("n_orders"))
+        .localCheckpoint(eager=False)  # 9 rows; reused by the total side
+    )
+    total = F.broadcast(counts.agg(F.sum("n_orders").alias("_total")))
+    benford = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
+    share = F.col("n_orders") / F.col("_total").cast("double")
+    return counts.crossJoin(total).select(
+        "digit",
+        "n_orders",
+        f32(share).alias("observed_share"),
+        f32(benford).alias("benford_share"),
+        f32(F.abs(share - benford)).alias("abs_deviation"),
+    )
+
+
+# --------------------------------------------------------------------------
+# customer_revenue_percentile — entity-grain percent_rank WITHOUT the
+# single-partition window sort: exact global rank from
+# functions.ranks.with_global_rank (range shuffle + partitioned local
+# row_number + broadcast offsets), percentile = rank/(n-1). The oracle
+# is SQL percent_rank() over the same TOTAL order (revenue, custkey —
+# unique tie-break makes rank == row_number, so the two definitions
+# coincide exactly). The demonstration query for the docs/SCALE.md
+# global-window policy: customer-grain ranking with zero unpartitioned
+# WindowExec (covered by the catalog-wide lint).
+# --------------------------------------------------------------------------
+@CATALOG.query(
+    "customer_revenue_percentile",
+    oracle="""
+    WITH per_cust AS (
+        SELECT o_custkey, sum(o_totalprice) AS revenue
+        FROM orders GROUP BY o_custkey
+    )
+    SELECT o_custkey,
+           CAST(revenue AS REAL) AS revenue,
+           CAST(percent_rank() OVER (ORDER BY revenue, o_custkey) AS REAL)
+               AS pct_rank
+    FROM per_cust
+    """,
+)
+def customer_revenue_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from orca_ztbus_python_processor_spark.functions.ranks import (  # noqa: PLC0415
+        with_global_rank,
+    )
+
+    per_cust = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.sum("o_totalprice").alias("revenue"))
+    )
+    ranked, n = with_global_rank(
+        per_cust, [F.col("revenue"), F.col("o_custkey")], "_r0"
+    )
+    denom = float(max(n - 1, 1))
+    return ranked.select(
+        "o_custkey",
+        f32(F.col("revenue")).alias("revenue"),
+        f32(F.col("_r0") / F.lit(denom)).alias("pct_rank"),
+    )
+
+
+# --------------------------------------------------------------------------
+# relational_division_suppliers — relational DIVISION (the "FOR ALL"
+# operator family, SURVEY §2.3's only untouched join-algebra corner):
+# suppliers whose shipped parts cover EVERY brand in the part catalog.
+# Plan shape: distinct (supplier, brand) pairs — partial-agg before the
+# one fact exchange — counted per supplier and compared to the brand
+# total, which enters as a broadcast 1-row aggregate (never a collect).
+# At 100 TB the pair-distinct is the only fact-scale stage.
+# --------------------------------------------------------------------------
+@CATALOG.query(
+    "relational_division_suppliers",
+    oracle="""
+    WITH pairs AS (
+        SELECT DISTINCT l.l_suppkey, p.p_brand
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ), tot AS (SELECT count(DISTINCT p_brand) AS n_brands FROM part)
+    SELECT s.s_suppkey, s.s_name,
+           CAST(count(*) AS BIGINT) AS n_brands_covered
+    FROM pairs
+    JOIN supplier s ON pairs.l_suppkey = s.s_suppkey
+    GROUP BY s.s_suppkey, s.s_name
+    HAVING count(*) = (SELECT n_brands FROM tot)
+    """,
+)
+def relational_division_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    pairs = (
+        _t(spark, sf_dir, "lineitem")
+        .join(F.broadcast(part.select("p_partkey", "p_brand")),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .select("l_suppkey", "p_brand")
+        .distinct()
+    )
+    covered = pairs.groupBy("l_suppkey").agg(
+        F.count("*").alias("n_brands_covered")
+    )
+    total = F.broadcast(
+        part.agg(F.count_distinct("p_brand").alias("_n_brands"))
+    )
+    sup = F.broadcast(_t(spark, sf_dir, "supplier").select("s_suppkey", "s_name"))
+    return (
+        covered.crossJoin(total)
+        .where(F.col("n_brands_covered") == F.col("_n_brands"))
+        .join(sup, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "n_brands_covered")
+    )

@@ -771,3 +771,53 @@ def stream_time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("twa_value"),
         )
     )
+
+
+@CATALOG.query(
+    "stream_minute_type_pivot",
+    oracle="""
+    SELECT date_trunc('minute', ts) AS time_from,
+           date_trunc('minute', ts) + INTERVAL 1 MINUTE AS time_to,
+           CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+           CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+           CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+           CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+           CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error
+    FROM events
+    GROUP BY 1, 2
+    HAVING date_trunc('minute', ts) + INTERVAL 1 MINUTE
+           <= (SELECT max(ts) - INTERVAL 10 MINUTE FROM events)
+    """,
+)
+def stream_minute_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming PIVOT: per-minute event counts split into one column
+    per event type. Spark's ``pivot()`` is batch-only (it needs a
+    distinct-values pass), so the streaming form is the standard
+    conditional-aggregation rewrite over the KNOWN type domain — five
+    CASE sums inside one windowed aggregate, which keeps the query a
+    single stateful operator in append mode (state = one row per open
+    minute, watermark-bounded; a per-type groupBy would multiply state
+    keys x5 and need a second pivot pass). The oracle encodes the
+    append contract like stream_minute_user_append: exactly the
+    windows closed by the final watermark emit."""
+    counts = [
+        F.sum((F.col("event_type") == t).cast("long")).alias(f"n_{t}")
+        for t in ("click", "view", "purchase", "signup", "error")
+    ]
+    agged = (
+        read_events_stream(spark, sf_dir)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window(F.col("ts"), "60 seconds").alias("w"))
+        .agg(*counts)
+        .select(
+            F.col("w.start").alias("time_from"),
+            F.col("w.end").alias("time_to"),
+            "n_click",
+            "n_view",
+            "n_purchase",
+            "n_signup",
+            "n_error",
+        )
+    )
+    run_to_memory(agged, "q_stream_minute_type_pivot", output_mode="append")
+    return spark.table("q_stream_minute_type_pivot")

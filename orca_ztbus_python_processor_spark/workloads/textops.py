@@ -1755,3 +1755,345 @@ def token_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("pmi").desc(), "tok_a", "tok_b")
         .limit(50)
     )
+
+
+# --------------------------------------------------------------------------
+# doc_length_log2_histogram — corpus length distribution on a log2
+# scale (the curation histogram every corpus report opens with:
+# power-law length spread needs log buckets, not equiwidth). Bucket =
+# floor(log2(n_chars)) on the pre-materialized n_chars column; one
+# map-combinable aggregate, ~30 output rows at any corpus size, shares
+# and average length per bucket from a broadcast 1-row total.
+# --------------------------------------------------------------------------
+@CATALOG.query(
+    "doc_length_log2_histogram",
+    oracle="""
+    WITH b AS (
+        SELECT CAST(floor(log2(n_chars)) AS BIGINT) AS log2_bucket, n_chars
+        FROM documents WHERE n_chars > 0
+    )
+    SELECT log2_bucket,
+           count(*) AS n_docs,
+           CAST(count(*) / CAST(sum(count(*)) OVER () AS DOUBLE) AS REAL)
+               AS doc_share,
+           CAST(avg(n_chars) AS REAL) AS avg_chars
+    FROM b
+    GROUP BY log2_bucket
+    """,
+)
+def doc_length_log2_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bucket = F.floor(F.log2(F.col("n_chars"))).cast("long")
+    counts = (
+        _docs(spark, sf_dir)
+        .where(F.col("n_chars") > 0)
+        .groupBy(bucket.alias("log2_bucket"))
+        .agg(F.count("*").alias("n_docs"), F.avg("n_chars").alias("_avg"))
+        .localCheckpoint(eager=False)  # ~30 rows; reused by the total side
+    )
+    total = F.broadcast(counts.agg(F.sum("n_docs").alias("_total")))
+    return counts.crossJoin(total).select(
+        "log2_bucket",
+        "n_docs",
+        f32(F.col("n_docs") / F.col("_total").cast("double")).alias("doc_share"),
+        f32(F.col("_avg")).alias("avg_chars"),
+    )
+
+
+# --------------------------------------------------------------------------
+# token_length_histogram — token-length distribution (the BPE/tokenizer
+# design histogram: how much mass sits in 1-2-char tokens vs long
+# identifiers). One explode -> (length) partial counts; the explode is
+# the only fact-scale stage and the shuffle carries ~20 (length, count)
+# cells per task.
+# --------------------------------------------------------------------------
+@CATALOG.query(
+    "token_length_histogram",
+    oracle=f"""
+    WITH tok AS (
+        SELECT unnest(regexp_extract_all(lower(text), '{TOKEN_RE.lower()}')) AS token
+        FROM documents
+    ), counted AS (
+        SELECT length(token) AS token_len, token FROM tok
+    )
+    SELECT token_len,
+           count(*) AS n_tokens,
+           count(DISTINCT token) AS n_distinct,
+           CAST(count(*) / CAST(sum(count(*)) OVER () AS DOUBLE) AS REAL)
+               AS token_share
+    FROM counted
+    GROUP BY token_len
+    """,
+)
+def token_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tok = _docs(spark, sf_dir).select(
+        F.explode(
+            F.expr(f"regexp_extract_all(lower(text), '{TOKEN_RE.lower()}', 0)")
+        ).alias("token")
+    )
+    counts = (
+        tok.groupBy(F.length("token").alias("token_len"))
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.count_distinct("token").alias("n_distinct"),
+        )
+        .localCheckpoint(eager=False)  # ~20 rows
+    )
+    total = F.broadcast(counts.agg(F.sum("n_tokens").alias("_total")))
+    return counts.crossJoin(total).select(
+        "token_len",
+        "n_tokens",
+        "n_distinct",
+        f32(F.col("n_tokens") / F.col("_total").cast("double")).alias("token_share"),
+    )
+
+
+# --------------------------------------------------------------------------
+# source_vocab_overlap_matrix — pairwise vocabulary overlap between
+# sources (the domain-similarity matrix a data-mixing stage consults:
+# which corpora are near-duplicates in vocabulary space?). Distinct
+# (source, token) pairs — partial-agg'd before the one token-keyed
+# exchange — self-joined ON TOKEN (co-located, no cross join), counted
+# per source pair, then Jaccard from broadcast per-source vocab sizes.
+# Output is |sources| choose 2 rows; the token join is the only
+# fact-scale stage and its key (token) is the natural shuffle key.
+# --------------------------------------------------------------------------
+@CATALOG.query(
+    "source_vocab_overlap_matrix",
+    oracle=f"""
+    WITH vocab AS (
+        SELECT DISTINCT source,
+               unnest(regexp_extract_all(lower(text), '{TOKEN_RE.lower()}')) AS token
+        FROM documents
+    ), sizes AS (
+        SELECT source, count(*) AS vocab_size FROM vocab GROUP BY source
+    ), inter AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+               count(*) AS n_shared
+        FROM vocab a JOIN vocab b
+          ON a.token = b.token AND a.source < b.source
+        GROUP BY a.source, b.source
+    )
+    SELECT source_a, source_b, n_shared,
+           sa.vocab_size AS vocab_a, sb.vocab_size AS vocab_b,
+           CAST(n_shared / CAST(sa.vocab_size + sb.vocab_size - n_shared
+                                AS DOUBLE) AS REAL) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.source = source_a
+    JOIN sizes sb ON sb.source = source_b
+    """,
+)
+def source_vocab_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vocab = (
+        _docs(spark, sf_dir)
+        .select(
+            "source",
+            F.explode(
+                F.expr(f"regexp_extract_all(lower(text), '{TOKEN_RE.lower()}', 0)")
+            ).alias("token"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)  # reused by sizes and both join sides
+    )
+    sizes = F.broadcast(
+        vocab.groupBy("source").agg(F.count("*").alias("vocab_size"))
+    )
+    a = vocab.select(F.col("source").alias("source_a"), "token")
+    b = vocab.select(F.col("source").alias("source_b"), "token")
+    inter = (
+        a.join(b, ["token"])
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    return (
+        inter.join(
+            sizes.select(F.col("source").alias("source_a"), F.col("vocab_size").alias("vocab_a")),
+            "source_a",
+        )
+        .join(
+            sizes.select(F.col("source").alias("source_b"), F.col("vocab_size").alias("vocab_b")),
+            "source_b",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            "vocab_a",
+            "vocab_b",
+            f32(
+                F.col("n_shared")
+                / (F.col("vocab_a") + F.col("vocab_b") - F.col("n_shared")).cast(
+                    "double"
+                )
+            ).alias("jaccard"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# hapax_legomena_share — per-source hapax profile (tokens occurring
+# exactly once): the vocabulary-freshness signal that separates
+# organic text (hapax share ~40-60% by Zipf) from templated/generated
+# text (low hapax share). Two nested map-combinable aggregates over the
+# single token explode; output is |sources| rows.
+# --------------------------------------------------------------------------
+@CATALOG.query(
+    "hapax_legomena_share",
+    oracle=f"""
+    WITH tok AS (
+        SELECT source,
+               unnest(regexp_extract_all(lower(text), '{TOKEN_RE.lower()}')) AS token
+        FROM documents
+    ), counts AS (
+        SELECT source, token, count(*) AS c FROM tok GROUP BY source, token
+    )
+    SELECT source,
+           count(*) AS vocab_size,
+           CAST(sum(c) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+           CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+                / CAST(count(*) AS DOUBLE) AS REAL) AS hapax_vocab_share
+    FROM counts
+    GROUP BY source
+    """,
+)
+def hapax_legomena_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    counts = (
+        _docs(spark, sf_dir)
+        .select(
+            "source",
+            F.explode(
+                F.expr(f"regexp_extract_all(lower(text), '{TOKEN_RE.lower()}', 0)")
+            ).alias("token"),
+        )
+        .groupBy("source", "token")
+        .agg(F.count("*").alias("c"))
+    )
+    hapax = (F.col("c") == 1).cast("long")
+    return counts.groupBy("source").agg(
+        F.count("*").alias("vocab_size"),
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.sum(hapax).alias("n_hapax"),
+        f32(F.sum(hapax) / F.count("*").cast("double")).alias("hapax_vocab_share"),
+    )
+
+
+# --------------------------------------------------------------------------
+# exact_dup_cross_source_keep — curation KEEP POLICY on exact-dup
+# groups: identical texts collapse to ONE canonical copy chosen by
+# (source ASC, doc_id ASC) — the deterministic "priority source wins"
+# rule — and the rollup reports, per source, how many docs it keeps,
+# how many it loses, and how many it loses TO ANOTHER SOURCE (the
+# cross-source leakage number a mixing stage needs, since dropping a
+# doc whose canonical lives in a different source shifts the mix).
+# Plan: min(struct(source, doc_id)) per text group is one
+# map-combinable aggregate; the shuffle carries (text-hash, 2-field
+# struct); the rollup is |sources| rows.
+# --------------------------------------------------------------------------
+@CATALOG.query(
+    "exact_dup_cross_source_keep",
+    oracle="""
+    WITH labeled AS (
+        SELECT source, doc_id,
+               first_value(source) OVER w AS canon_source,
+               first_value(doc_id) OVER w AS canon_doc_id
+        FROM documents
+        WINDOW w AS (PARTITION BY text ORDER BY source, doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND UNBOUNDED FOLLOWING)
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN doc_id = canon_doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN doc_id <> canon_doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dropped,
+           CAST(sum(CASE WHEN doc_id <> canon_doc_id
+                         AND canon_source <> source THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_lost_cross_source
+    FROM labeled
+    GROUP BY source
+    """,
+)
+def exact_dup_cross_source_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).select("doc_id", "source", "text")
+    canon = docs.groupBy("text").agg(
+        F.min(F.struct("source", "doc_id")).alias("c")
+    )
+    labeled = docs.join(canon, "text").select(
+        "source",
+        "doc_id",
+        F.col("c.source").alias("canon_source"),
+        F.col("c.doc_id").alias("canon_doc_id"),
+    )
+    kept = (F.col("doc_id") == F.col("canon_doc_id")).cast("long")
+    cross = (
+        (F.col("doc_id") != F.col("canon_doc_id"))
+        & (F.col("canon_source") != F.col("source"))
+    ).cast("long")
+    return labeled.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(kept).alias("n_kept"),
+        F.sum(1 - kept).alias("n_dropped"),
+        F.sum(cross).alias("n_lost_cross_source"),
+    )
+
+
+# --------------------------------------------------------------------------
+# training_shard_layout — output-shard planning (the step between
+# curation and the training-export write): docs are assigned to
+# N_SHARDS output files by content-stable hash (first 8 md5 hex chars
+# mod N — reproducible, resilient to repartitioning, the same device
+# train_test_split_profile uses), and the layout report gives each
+# shard's doc count, byte mass, and imbalance vs the ideal — the
+# number that decides whether the export needs a salt. The assignment
+# is a pure map projection fusable into the write itself
+# (partitionBy(shard)); only the |shards|-row census shuffles.
+# --------------------------------------------------------------------------
+N_SHARDS = 16
+
+
+@CATALOG.query(
+    "training_shard_layout",
+    oracle=f"""
+    WITH assigned AS (
+        SELECT CAST(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                         AS BIGINT) % {N_SHARDS} AS BIGINT) AS shard,
+               n_chars
+        FROM documents
+    )
+    SELECT shard,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS n_bytes,
+           CAST(sum(n_chars) * {N_SHARDS}
+                / CAST(sum(sum(n_chars)) OVER () AS DOUBLE) AS REAL)
+               AS balance_ratio
+    FROM assigned
+    GROUP BY shard
+    """,
+)
+def training_shard_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    shard = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % N_SHARDS
+    )
+    census = (
+        _docs(spark, sf_dir)
+        .select(shard.alias("shard"), "n_chars")
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("n_bytes"),
+        )
+        .localCheckpoint(eager=False)  # N_SHARDS rows
+    )
+    total = F.broadcast(census.agg(F.sum("n_bytes").alias("_total")))
+    return census.crossJoin(total).select(
+        "shard",
+        "n_docs",
+        "n_bytes",
+        f32(
+            F.col("n_bytes") * N_SHARDS / F.col("_total").cast("double")
+        ).alias("balance_ratio"),
+    )

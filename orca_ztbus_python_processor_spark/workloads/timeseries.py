@@ -2136,3 +2136,346 @@ def hourly_burst_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(False),
         ).alias("is_burst"),
     )
+
+
+# --------------------------------------------------------------------------
+# value_autocorr_by_user — lag-1 autocorrelation of each user's value
+# series (the signal-persistence diagnostic: is this sensor/user stream
+# trending or white noise?). Pearson r over (value, previous value)
+# pairs, computed from explicit moment sums — NOT corr() — so both
+# engines evaluate the identical closed form (corr's NaN-vs-NULL
+# conventions on degenerate series differ between engines; the moment
+# form with guarded division returns NULL in both). One (user) window
+# shuffle for the lag, then a map-combinable 6-moment aggregate.
+# --------------------------------------------------------------------------
+@CATALOG.query(
+    "value_autocorr_by_user",
+    oracle="""
+    WITH pairs AS (
+        SELECT user_id, value AS y,
+               lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS x
+        FROM events
+    ), m AS (
+        SELECT user_id, count(*) AS n_pairs,
+               sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+               sum(x * x) AS sx2, sum(y * y) AS sy2
+        FROM pairs WHERE x IS NOT NULL
+        GROUP BY user_id
+    )
+    SELECT user_id, n_pairs,
+           CAST(CASE WHEN (n_pairs * sx2 - sx * sx) * (n_pairs * sy2 - sy * sy) > 0
+                THEN (n_pairs * sxy - sx * sy)
+                     / sqrt((n_pairs * sx2 - sx * sx) * (n_pairs * sy2 - sy * sy))
+                END AS REAL) AS autocorr_lag1
+    FROM m
+    """,
+)
+def value_autocorr_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        _events(spark, sf_dir)
+        .select("user_id", F.col("value").alias("y"), F.lag("value").over(w).alias("x"))
+        .where(F.col("x").isNotNull())
+    )
+    m = pairs.groupBy("user_id").agg(
+        F.count("*").alias("n_pairs"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sx2"),
+        F.sum(F.col("y") * F.col("y")).alias("sy2"),
+    )
+    varx = F.col("n_pairs") * F.col("sx2") - F.col("sx") * F.col("sx")
+    vary = F.col("n_pairs") * F.col("sy2") - F.col("sy") * F.col("sy")
+    num = F.col("n_pairs") * F.col("sxy") - F.col("sx") * F.col("sy")
+    return m.select(
+        "user_id",
+        "n_pairs",
+        f32(F.when(varx * vary > 0, num / F.sqrt(varx * vary))).alias(
+            "autocorr_lag1"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# sessionized_bounce_rate — the bounce-rate rollup on top of the
+# gap-sessionization machinery (W3 composition): per user, how many
+# inactivity-gap sessions, how many were single-event "bounces", and
+# the bounce share. Same two-window session numbering as
+# user_sessions_gap (one user shuffle feeding both window passes), then
+# two nested map-combinable aggregates.
+# --------------------------------------------------------------------------
+@CATALOG.query(
+    "sessionized_bounce_rate",
+    oracle=f"""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                        OVER (PARTITION BY user_id ORDER BY ts, event_id) > {_GAP_US}
+                    OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+    ), numbered AS (
+        SELECT user_id,
+               CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        FROM flagged
+    ), sessions AS (
+        SELECT user_id, session_id, count(*) AS n_events
+        FROM numbered GROUP BY user_id, session_id
+    )
+    SELECT user_id,
+           count(*) AS n_sessions,
+           CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_bounces,
+           CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+                / CAST(count(*) AS DOUBLE) AS REAL) AS bounce_rate
+    FROM sessions
+    GROUP BY user_id
+    """,
+)
+def sessionized_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_us = F.lag(F.unix_micros(F.col("ts"))).over(w)
+    is_new = F.when(
+        prev_us.isNull() | (F.unix_micros(F.col("ts")) - prev_us > _GAP_US), 1
+    ).otherwise(0)
+    sessions = (
+        _events(spark, sf_dir)
+        .withColumn(
+            "session_id",
+            F.sum(is_new).over(w.rowsBetween(W.unboundedPreceding, 0)),
+        )
+        .groupBy("user_id", "session_id")
+        .agg(F.count("*").alias("n_events"))
+    )
+    bounce = (F.col("n_events") == 1).cast("long")
+    return sessions.groupBy("user_id").agg(
+        F.count("*").alias("n_sessions"),
+        F.sum(bounce).alias("n_bounces"),
+        f32(F.sum(bounce) / F.count("*").cast("double")).alias("bounce_rate"),
+    )
+
+
+# --------------------------------------------------------------------------
+# resample_linear_interpolate — gridded LINEAR interpolation, the
+# second member of the resample family next to resample_forward_fill:
+# each user's value series is resampled onto a 6-hourly grid, and each
+# grid point strictly between two observations gets the time-weighted
+# linear blend v_prev + (v_next - v_prev) * (t - t_prev)/(t_next -
+# t_prev). Implementation is the union-window pattern (the as-of join
+# device): grid rows (per-user hourly sequence between that user's
+# first and last event — bounded fan-out, no global calendar) union
+# event rows; ONE user-partitioned exchange feeds both direction
+# passes — last non-null carried forward and first non-null carried
+# backward (same partitioning, Catalyst fuses into two WindowExecs on
+# one Sort) — then pure arithmetic. Grid volume at 100 TB is
+# |users| x span-hours, itself a fact-scale table; every stage is
+# key-partitioned with zero driver traffic.
+# --------------------------------------------------------------------------
+@CATALOG.query(
+    "resample_linear_interpolate",
+    oracle="""
+    WITH bounds AS (
+        SELECT user_id, min(ts) AS t0, max(ts) AS t1 FROM events GROUP BY user_id
+    ), grid AS (
+        SELECT user_id,
+               unnest(generate_series(date_trunc('hour', t0) + INTERVAL 6 HOUR,
+                                      t1, INTERVAL 6 HOUR)) AS gts
+        FROM bounds
+    ), united AS (
+        SELECT user_id, ts, 0 AS is_grid, value FROM events
+        UNION ALL
+        SELECT user_id, gts AS ts, 1 AS is_grid, NULL AS value FROM grid
+    ), carried AS (
+        SELECT user_id, ts, is_grid,
+               last_value(value IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY ts, is_grid
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_prev,
+               last_value(CASE WHEN value IS NOT NULL THEN epoch_us(ts) END
+                          IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY ts, is_grid
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS t_prev,
+               first_value(value IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY ts, is_grid
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS v_next,
+               first_value(CASE WHEN value IS NOT NULL THEN epoch_us(ts) END
+                           IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY ts, is_grid
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS t_next
+        FROM united
+    )
+    SELECT user_id, ts AS grid_ts,
+           CAST(CASE WHEN t_next = t_prev THEN v_prev
+                ELSE v_prev + (v_next - v_prev) * (epoch_us(ts) - t_prev)
+                     / (t_next - t_prev) END AS REAL) AS value_interp
+    FROM carried
+    WHERE is_grid = 1 AND v_prev IS NOT NULL AND v_next IS NOT NULL
+    """,
+)
+def resample_linear_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).select("user_id", "ts", "value")
+    bounds = ev.groupBy("user_id").agg(F.min("ts").alias("t0"), F.max("ts").alias("t1"))
+    grid = bounds.select(
+        "user_id",
+        F.explode(
+            F.expr(
+                "sequence(date_trunc('HOUR', t0) + INTERVAL 6 HOUR, t1,"
+                " INTERVAL 6 HOUR)"
+            )
+        ).alias("ts"),
+    ).select("user_id", "ts", F.lit(1).alias("is_grid"), F.lit(None).cast("double").alias("value"))
+    united = ev.select(
+        "user_id", "ts", F.lit(0).alias("is_grid"), "value"
+    ).unionByName(grid)
+    wf = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "is_grid")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wb = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "is_grid")
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    obs_us = F.when(F.col("value").isNotNull(), F.unix_micros(F.col("ts")))
+    carried = united.select(
+        "user_id",
+        "ts",
+        "is_grid",
+        F.last("value", ignorenulls=True).over(wf).alias("v_prev"),
+        F.last(obs_us, ignorenulls=True).over(wf).alias("t_prev"),
+        F.first("value", ignorenulls=True).over(wb).alias("v_next"),
+        F.first(obs_us, ignorenulls=True).over(wb).alias("t_next"),
+    )
+    interp = F.when(F.col("t_next") == F.col("t_prev"), F.col("v_prev")).otherwise(
+        F.col("v_prev")
+        + (F.col("v_next") - F.col("v_prev"))
+        * (F.unix_micros(F.col("ts")) - F.col("t_prev"))
+        / (F.col("t_next") - F.col("t_prev"))
+    )
+    return (
+        carried.where(
+            (F.col("is_grid") == 1)
+            & F.col("v_prev").isNotNull()
+            & F.col("v_next").isNotNull()
+        )
+        .select("user_id", F.col("ts").alias("grid_ts"), f32(interp).alias("value_interp"))
+    )
+
+
+# --------------------------------------------------------------------------
+# nearest_event_order_asof — BIDIRECTIONAL (nearest-neighbor) as-of:
+# each event paired with the user's temporally CLOSEST order, either
+# side (the attribution variant where "which order is this activity
+# about?" has no directional prior). Composition of the two as-of
+# directions (operators/asofjoin.py): one backward pass + one forward
+# pass — each a single union-window shuffle — then pure CASE
+# arithmetic picks the smaller |lag| (ties prefer the preceding
+# order). DuckDB's two native ASOF joins + the same CASE is the
+# oracle. Still zero range-join explosion at any scale.
+# --------------------------------------------------------------------------
+@CATALOG.query(
+    "nearest_event_order_asof",
+    oracle="""
+    WITH o AS (
+        SELECT o_custkey, o_orderdate, max(o_orderkey) AS okey
+        FROM orders GROUP BY o_custkey, o_orderdate
+    ), back AS (
+        SELECT e.event_id, e.ts, e.user_id, o.okey AS prev_key,
+               o.o_orderdate AS prev_date
+        FROM events e ASOF LEFT JOIN o
+          ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+    ), paired AS (
+        SELECT b.event_id, b.ts, b.user_id, b.prev_key, b.prev_date,
+               o2.okey AS next_key, o2.o_orderdate AS next_date
+        FROM back b ASOF LEFT JOIN o o2
+          ON b.user_id = o2.o_custkey AND b.ts <= o2.o_orderdate
+    )
+    SELECT event_id, ts, user_id,
+           CASE WHEN prev_date IS NULL AND next_date IS NULL THEN NULL
+                WHEN next_date IS NULL THEN prev_key
+                WHEN prev_date IS NULL THEN next_key
+                WHEN date_diff('microsecond', prev_date, ts)
+                     <= date_diff('microsecond', ts, next_date)
+                THEN prev_key ELSE next_key END AS nearest_order_key,
+           CASE WHEN prev_date IS NULL AND next_date IS NULL THEN NULL
+                WHEN next_date IS NULL THEN 'prev'
+                WHEN prev_date IS NULL THEN 'next'
+                WHEN date_diff('microsecond', prev_date, ts)
+                     <= date_diff('microsecond', ts, next_date)
+                THEN 'prev' ELSE 'next' END AS direction,
+           CAST(CASE WHEN prev_date IS NULL AND next_date IS NULL THEN NULL
+                WHEN next_date IS NULL
+                THEN date_diff('microsecond', prev_date, ts)
+                WHEN prev_date IS NULL
+                THEN date_diff('microsecond', ts, next_date)
+                ELSE least(date_diff('microsecond', prev_date, ts),
+                           date_diff('microsecond', ts, next_date))
+                END AS BIGINT) AS abs_lag_us
+    FROM paired
+    """,
+)
+def nearest_event_order_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from orca_ztbus_python_processor_spark.operators.asofjoin import (  # noqa: PLC0415
+        asof_join,
+    )
+
+    ev = _events(spark, sf_dir).select("event_id", "ts", "user_id")
+    o = (
+        read_table(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_custkey").alias("user_id"),
+            F.col("o_orderdate").alias("odate"),
+        )
+        .agg(F.max("o_orderkey").alias("okey"))
+    )
+    back = asof_join(
+        ev,
+        o.select("user_id", "odate",
+                 F.col("okey").alias("prev_key"),
+                 F.col("odate").alias("prev_date")),
+        on="user_id",
+        left_time="ts",
+        right_time="odate",
+        payload_cols=["prev_key", "prev_date"],
+        direction="backward",
+    )
+    both = asof_join(
+        back,
+        o.select("user_id", "odate",
+                 F.col("okey").alias("next_key"),
+                 F.col("odate").alias("next_date")),
+        on="user_id",
+        left_time="ts",
+        right_time="odate",
+        payload_cols=["next_key", "next_date"],
+        direction="forward",
+    )
+    # o_orderdate reads as TIMESTAMP_NTZ; the UTC session makes the
+    # cast to TIMESTAMP an identity, and unix_micros needs it.
+    prev_us = F.unix_micros(F.col("prev_date").cast("timestamp"))
+    next_us = F.unix_micros(F.col("next_date").cast("timestamp"))
+    prev_lag = F.unix_micros(F.col("ts")) - prev_us
+    next_lag = next_us - F.unix_micros(F.col("ts"))
+    prefer_prev = F.col("next_date").isNull() | (
+        F.col("prev_date").isNotNull() & (prev_lag <= next_lag)
+    )
+    none = F.col("prev_date").isNull() & F.col("next_date").isNull()
+    return both.select(
+        "event_id",
+        "ts",
+        "user_id",
+        F.when(none, F.lit(None).cast("long"))
+        .when(prefer_prev, F.col("prev_key"))
+        .otherwise(F.col("next_key"))
+        .alias("nearest_order_key"),
+        F.when(none, F.lit(None).cast("string"))
+        .when(prefer_prev, F.lit("prev"))
+        .otherwise(F.lit("next"))
+        .alias("direction"),
+        F.when(none, F.lit(None).cast("long"))
+        .when(prefer_prev, prev_lag)
+        .otherwise(next_lag)
+        .alias("abs_lag_us"),
+    )

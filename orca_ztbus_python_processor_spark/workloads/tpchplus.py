@@ -432,3 +432,50 @@ def q22_idle_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_nationkey")
         .agg(F.count("*").alias("numcust"), f32(F.sum("c_acctbal")).alias("totacctbal"))
     )
+
+
+# --------------------------------------------------------------------------
+# q12_ship_mode_priority — the TPC-H Q12 shape (shipping-lag priority
+# audit) adapted to this corpus's columns: lineitems whose ship lag
+# falls in the 30-90 day band, grouped by linestatus (the shipmode
+# analog), with the two-way CASE split counting critical
+# (URGENT/HIGH) vs other order priorities — Q12's signature
+# conditional-aggregation-after-join form. Plan: orders joins on
+# orderkey (the natural co-partition key), the lag band is a
+# post-join filter on date arithmetic, and both CASE sums
+# partial-aggregate before the 2-row exchange.
+# --------------------------------------------------------------------------
+@CATALOG.query(
+    "q12_ship_mode_priority",
+    oracle="""
+    SELECT l.l_linestatus,
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate >= o.o_orderdate + INTERVAL 30 DAY
+      AND l.l_shipdate <  o.o_orderdate + INTERVAL 90 DAY
+    GROUP BY l.l_linestatus
+    """,
+)
+def q12_ship_mode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linestatus", "l_shipdate"
+    )
+    critical = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .where(
+            (F.col("l_shipdate") >= F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"))
+            & (F.col("l_shipdate") < F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+        )
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(critical.cast("long")).alias("high_line_count"),
+            F.sum((~critical).cast("long")).alias("low_line_count"),
+        )
+    )

@@ -408,3 +408,126 @@ def embedding_dim_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
             f32(F.max("val")).alias("dim_max"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# pca_top_component — distributed power iteration for the corpus's top
+# principal component (operators/pca.py): per-dimension loadings of the
+# unit eigenvector plus its eigenvalue and explained-variance share.
+# Rows-only by the driver contract (iterative linear algebra is not
+# SQL-expressible); exactness is pinned against an independent numpy
+# reference with the identical contract (init, budget, sign canon) in
+# tests/test_pca.py, plus a golden eigen-pair on the seeded fixture.
+# Scale: each iteration is ONE distributed matvec pass with
+# n_partitions x (d+2) driver scalars — the kmeans/CC bounded-driver
+# contract; the d x d covariance is never materialized.
+# --------------------------------------------------------------------------
+@CATALOG.query("pca_top_component")
+def pca_top_component_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from orca_ztbus_python_processor_spark.operators.pca import (  # noqa: PLC0415
+        pca_top_component,
+    )
+
+    emb = _emb(spark, sf_dir)
+    loadings, eigenvalue, total_var, n = pca_top_component(emb, vec_col="emb")
+    share = eigenvalue / total_var if total_var > 0 else 0.0
+    rows = [
+        (i, float(x), float(eigenvalue), float(share), n)
+        for i, x in enumerate(loadings)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "dim_idx int, loading double, eigenvalue double,"
+        " explained_var_share double, n_vectors long",
+    ).select(
+        "dim_idx",
+        f32(F.col("loading")).alias("loading"),
+        f32(F.col("eigenvalue")).alias("eigenvalue"),
+        f32(F.col("explained_var_share")).alias("explained_var_share"),
+        "n_vectors",
+    )
+
+
+# --------------------------------------------------------------------------
+# embedding_cosine_histogram — the pairwise-similarity DISTRIBUTION
+# (the corpus-geometry companion to top-k: is the embedding space
+# uniform or clustered? what similarity threshold separates signal from
+# bulk?). A deterministic query subset (vec_id % 500 == 0) is scored
+# against the whole corpus; cosines are bucketed at 0.1 width on the
+# FLOAT32-cast score — the same f32 output boundary every similarity
+# query uses, which makes the bucket edge decision bit-portable across
+# engines (f64 summation-order noise is far below f32 resolution).
+# Scale shape: broadcast query matrix, ONE Arrow-batched matmul pass
+# over the corpus emitting per-BATCH partial bucket counts — the
+# shuffle carries ~21 cells per batch, never a pair row; any corpus
+# size streams through.
+# --------------------------------------------------------------------------
+HIST_QUERY_MOD = 500
+
+
+@CATALOG.query(
+    "embedding_cosine_histogram",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+    ), q AS (SELECT * FROM e WHERE vec_id % {HIST_QUERY_MOD} = 0),
+    pairs AS (
+        SELECT CAST(floor(CAST(CAST(list_cosine_similarity(q.emb, e.emb)
+                                    AS REAL) AS DOUBLE) * 10) AS BIGINT)
+                   AS bucket
+        FROM q JOIN e ON q.vec_id <> e.vec_id
+    )
+    SELECT bucket,
+           count(*) AS n_pairs,
+           CAST(count(*) / CAST(sum(count(*)) OVER () AS DOUBLE) AS REAL)
+               AS pair_share
+    FROM pairs
+    GROUP BY bucket
+    """,
+)
+def embedding_cosine_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+
+    emb = _emb(spark, sf_dir)
+    q_rows = emb.where(F.col("vec_id") % HIST_QUERY_MOD == 0).collect()
+    q_ids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
+    Q = np.array([r["emb"] for r in q_rows], dtype=np.float64)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+
+    def partials(batches):
+        counts: dict[int, int] = {}
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.array(pdf["emb"].tolist(), dtype=np.float64)
+            Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+            cos = (Xn @ Qn.T).astype(np.float32)  # f32 boundary, then bucket
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            mask = ids[:, None] != q_ids[None, :]  # drop self-pairs
+            buckets = np.floor(cos.astype(np.float64) * 10).astype(np.int64)
+            for b, c in zip(*np.unique(buckets[mask], return_counts=True)):
+                counts[int(b)] = counts.get(int(b), 0) + int(c)
+        if counts:
+            yield pd.DataFrame(
+                {"bucket": list(counts), "c": list(counts.values())}
+            )
+
+    cells = emb.select("vec_id", "emb").mapInPandas(
+        partials, schema="bucket long, c long"
+    )
+    # The grand total is known in closed form (each query pairs with
+    # every corpus vector except itself), so the share needs no second
+    # pass and no total join — the whole query is one Arrow map stage
+    # plus a ~21-cell aggregation.
+    n_corpus = emb.count()
+    total = float(len(q_ids) * (n_corpus - 1))
+    return (
+        cells.groupBy("bucket")
+        .agg(F.sum("c").alias("n_pairs"))
+        .select(
+            "bucket",
+            "n_pairs",
+            f32(F.col("n_pairs") / F.lit(total)).alias("pair_share"),
+        )
+    )

@@ -1,0 +1,95 @@
+"""Exact parity of the distributed power-iteration PCA
+(operators/pca.py) against an independent numpy reference with the
+identical contract (ones/√d init, fixed budget, Rayleigh-by-norm,
+sign canon) — the rows-only catalog entry ``pca_top_component``'s
+correctness gate, plus a golden eigen-pair on the seeded fixture.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from orca_ztbus_python_processor_spark.operators.pca import pca_top_component
+from orca_ztbus_python_processor_spark.sources.parquet import read_table
+
+from tests.conftest import SMOKE_SF_DIR
+
+ITERS = 8
+
+
+def _numpy_pca(X: np.ndarray, iters: int):
+    n, d = X.shape
+    mu = X.mean(axis=0)
+    Xc = X - mu
+    v = np.ones(d) / np.sqrt(d)
+    ev = 0.0
+    for _ in range(iters):
+        y = Xc.T @ (Xc @ v)
+        norm = np.linalg.norm(y)
+        ev = norm / n
+        v = y / norm
+    pivot = int(np.argmax(np.abs(v)))
+    if v[pivot] < 0:
+        v = -v
+    total_var = float((Xc * Xc).sum()) / n
+    return v, ev, total_var
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    df = read_table(spark, SMOKE_SF_DIR, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    pdf = df.toPandas()
+    return df, np.vstack(pdf["emb"].to_numpy())
+
+
+def test_pca_matches_numpy_reference(spark, emb):
+    df, X = emb
+    loadings, ev, total_var, n = pca_top_component(df, iters=ITERS)
+    ref_v, ref_ev, ref_tv = _numpy_pca(X, ITERS)
+    assert n == len(X)
+    np.testing.assert_allclose(np.array(loadings), ref_v, rtol=1e-8, atol=1e-10)
+    assert ev == pytest.approx(ref_ev, rel=1e-9)
+    assert total_var == pytest.approx(ref_tv, rel=1e-9)
+
+
+def test_pca_loadings_unit_norm_and_sign_canon(spark, emb):
+    df, _ = emb
+    loadings, _, _, _ = pca_top_component(df, iters=ITERS)
+    v = np.array(loadings)
+    assert np.linalg.norm(v) == pytest.approx(1.0, rel=1e-9)
+    assert v[int(np.argmax(np.abs(v)))] > 0
+
+
+def test_pca_recovers_planted_direction(spark):
+    """A synthetic corpus with one dominant planted axis: the top
+    component must align with it (|cos| > 0.99) and explain most of
+    the variance."""
+    rng = np.random.RandomState(7)
+    d, n = 16, 400
+    axis = np.zeros(d)
+    axis[3] = 1.0
+    X = rng.normal(0, 0.05, size=(n, d)) + np.outer(
+        rng.normal(0, 1.0, size=n), axis
+    )
+    rows = [(i, [float(x) for x in X[i]]) for i in range(n)]
+    df = spark.createDataFrame(rows, "vec_id long, emb array<double>")
+    loadings, ev, total_var, _ = pca_top_component(df, iters=ITERS)
+    v = np.array(loadings)
+    assert abs(float(v @ axis)) > 0.99
+    assert ev / total_var > 0.8
+
+
+def test_pca_golden_on_seeded_fixture(spark, emb):
+    """Deterministic-output pin: fixed init + fixed budget means the
+    seeded fixture has ONE correct eigen-pair."""
+    df, _ = emb
+    _, ev, total_var, n = pca_top_component(df, iters=ITERS)
+    assert n == 500
+    # Golden values recorded from the verified numpy-parity run.
+    assert ev == pytest.approx(0.025945287270647776, rel=1e-9)
+    assert total_var == pytest.approx(0.998312864292686, rel=1e-6)

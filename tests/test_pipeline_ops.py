@@ -696,3 +696,65 @@ def test_gif_decode_sub_gates():
         _decode_gif(bytes(local_ct))
     with pytest.raises(ValueError, match="not a GIF"):
         _decode_gif(b"NOTGIF" + bytes(20))
+
+
+def test_winnow_containment_detects_planted_inclusion(spark):
+    """Containment semantics: a doc pasted verbatim inside a larger doc
+    must pair with it at high containment even though their JACCARD is
+    low (the case winnow_containment_pairs exists for); two unrelated
+    docs must not pair."""
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+
+    def rand_text(n):
+        return " ".join(
+            "".join(rng.choice(list("abcdefghij"), size=6)) for _ in range(n)
+        )
+
+    inner = rand_text(40)
+    outer = rand_text(200) + " " + inner + " " + rand_text(200)
+    other = rand_text(400)
+    pdf = __import__("pandas").DataFrame(
+        {"doc_id": [1, 2, 3], "text": [inner, outer, other]}
+    )
+    from pyspark.sql import functions as F
+
+    from orca_ztbus_python_processor_spark.operators.dedup import (
+        winnow_fingerprints,
+    )
+
+    docs = spark.createDataFrame(pdf)
+    # same pipeline as the catalog query, on the synthetic frame
+
+    fps = winnow_fingerprints(docs).localCheckpoint(eager=False)
+    rare = fps.groupBy("fingerprint").agg(F.count("*").alias("_df")).where(
+        F.col("_df") <= 64
+    )
+    filtered = fps.join(rare.select("fingerprint"), "fingerprint")
+    sizes = fps.groupBy("doc_id").agg(F.count("*").alias("n_fp"))
+    a = filtered.select(F.col("doc_id").alias("id_a"), "fingerprint")
+    b = filtered.select(F.col("doc_id").alias("id_b"), "fingerprint")
+    shared = (
+        a.join(b, "fingerprint")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    joined = (
+        shared.join(
+            sizes.select(F.col("doc_id").alias("id_a"), F.col("n_fp").alias("n_fp_a")),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("id_b"), F.col("n_fp").alias("n_fp_b")),
+            "id_b",
+        )
+        .withColumn(
+            "containment",
+            F.col("n_shared") / F.least("n_fp_a", "n_fp_b").cast("double"),
+        )
+    )
+    rows = {(r["id_a"], r["id_b"]): r["containment"] for r in joined.collect()}
+    assert rows.get((1, 2), 0.0) >= 0.9, rows
+    assert rows.get((1, 3), 0.0) < 0.2 and rows.get((2, 3), 0.0) < 0.2, rows

@@ -652,3 +652,89 @@ def test_catalog_wide_unpartitioned_window_lint(spark, catalog):
         f"{ {k: offenders[k] for k in unexpected} }"
     )
     assert not stale, f"whitelist entries no longer needed: {stale}"
+
+
+def test_q12_partial_case_sums_on_join(spark, catalog):
+    """Q12 shape: the two CASE sums partial-aggregate before the 2-row
+    exchange; no cartesian/range-join explosion for the lag band."""
+    plan = _plan(spark, catalog.queries["q12_ship_mode_priority"](spark, SMOKE_SF_DIR))
+    assert "partial_sum" in plan, plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_division_distinct_partial_total_broadcast(spark, catalog):
+    """Relational division: the (supplier, brand) distinct partial-aggs
+    before its exchange; the brand total and supplier dim broadcast —
+    no sort-merge join anywhere."""
+    plan = _plan(
+        spark, catalog.queries["relational_division_suppliers"](spark, SMOKE_SF_DIR)
+    )
+    assert plan.count("HashAggregate") >= 2, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_percentile_rank_distributed_no_global_window(spark, catalog):
+    """customer_revenue_percentile ranks an entity-grain frame with the
+    distributed-rank machinery: zero unpartitioned windows (the policy
+    demonstrator), offsets enter via broadcast."""
+    df = catalog.queries["customer_revenue_percentile"](spark, SMOKE_SF_DIR)
+    assert _unpartitioned_windows(df) == 0
+    plan = _plan(spark, df)
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_interpolation_windows_share_one_exchange(spark, catalog):
+    """resample_linear_interpolate: the forward-carry and backward-carry
+    window passes run on the SAME (user_id) partitioning — the union
+    feeds exactly two exchanges total (grid-bounds agg + the window
+    key), never one per direction."""
+    plan = _plan(
+        spark, catalog.queries["resample_linear_interpolate"](spark, SMOKE_SF_DIR)
+    )
+    assert _n_exchanges(plan) <= 3, plan
+    assert len(re.findall(r"\(\d+\) Window", plan)) <= 2, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_nearest_asof_no_range_explosion(spark, catalog):
+    """Bidirectional as-of = two union-window passes; no cartesian, no
+    BroadcastNestedLoop range join at any scale."""
+    plan = _plan(
+        spark, catalog.queries["nearest_event_order_asof"](spark, SMOKE_SF_DIR)
+    )
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_cosine_histogram_shuffles_buckets_not_pairs(spark, catalog):
+    """embedding_cosine_histogram: ONE Arrow MapInPandas pass emitting
+    partial bucket counts — the exchange carries ~21 cells per batch,
+    never a pair row; no join of the corpus against itself."""
+    plan = _plan(
+        spark, catalog.queries["embedding_cosine_histogram"](spark, SMOKE_SF_DIR)
+    )
+    assert "MapInPandas" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+
+
+def test_vocab_overlap_joins_on_token_not_cross(spark, catalog):
+    """source_vocab_overlap_matrix: the pair stage is an equi-join ON
+    TOKEN (co-located by the shuffle key), never a cross join of the
+    vocabularies; vocab sizes broadcast."""
+    plan = _plan(
+        spark, catalog.queries["source_vocab_overlap_matrix"](spark, SMOKE_SF_DIR)
+    )
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_histogram_censuses_partial_agg(spark, catalog):
+    """The two new histogram censuses partial-aggregate map-side and
+    join their grand totals as broadcast 1-row frames."""
+    for name in ("doc_length_log2_histogram", "token_length_histogram",
+                 "benford_leading_digit"):
+        plan = _plan(spark, catalog.queries[name](spark, SMOKE_SF_DIR))
+        assert "partial_" in plan, f"{name}:\n{plan}"
+        assert "SortMergeJoin" not in plan, f"{name}:\n{plan}"
