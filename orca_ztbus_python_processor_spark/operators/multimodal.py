@@ -11,11 +11,14 @@ Two decode paths:
   container can handle with the stdlib alone: WAV (via ``wave``),
   BMP (hand-rolled BITMAPINFOHEADER parse, 24bpp uncompressed),
   PPM (P6), PNG (zlib inflate + per-scanline unfilter, 8-bit
-  non-interlaced grey/RGB(A)), and GIF (hand-rolled variable-width
-  LZW expansion, global palette, non-interlaced). Formats that
-  genuinely require
-  PIL/libvips/ffmpeg (jpeg/webp/mp4/...) raise NotImplementedError
-  *inside the decode stage* — the gate is per-format, not per-path.
+  non-interlaced grey/RGB(A)), GIF (hand-rolled variable-width
+  LZW expansion, global palette, non-interlaced), and baseline
+  sequential JPEG (full marker parse + canonical-Huffman entropy
+  decode + dequant/IDCT, 1x1-sampled 1- or 3-component streams;
+  ITU-T T.81 with Annex K tables). Formats that genuinely require
+  PIL/libvips/ffmpeg (progressive/subsampled jpeg, webp, mp4, ...)
+  raise NotImplementedError *inside the decode stage* — the gate is
+  per-format, not per-path.
 
 Scale: payloads never leave the executor that scanned them — the
 mapInPandas stages are map-only (no shuffle); feature extraction
@@ -119,7 +122,7 @@ REAL_FEATURE_SCHEMA = (
 )
 
 #: formats ``decoder="real"`` can decode with the stdlib alone
-REAL_DECODABLE = ("wav", "bmp", "ppm", "png", "gif")
+REAL_DECODABLE = ("wav", "bmp", "ppm", "png", "gif", "jpeg")
 
 
 def _decode_wav(b: bytes) -> dict:
@@ -413,12 +416,362 @@ def _decode_gif(b: bytes) -> dict:
     raise ValueError("GIF missing image data")
 
 
+
+
+# ---------------------------------------------------------------------------
+# Baseline JPEG (ITU-T T.81, public standard) — stdlib + numpy only.
+# Annex K example tables; sequential DCT, Huffman entropy coding.
+# ---------------------------------------------------------------------------
+
+_JPEG_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+_JPEG_QUANT_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int32)
+_JPEG_DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_JPEG_DC_VALS = list(range(12))
+_JPEG_AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_JPEG_AC_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+
+def _jpeg_dct_matrix() -> np.ndarray:
+    C = np.zeros((8, 8))
+    for k in range(8):
+        a = np.sqrt(0.125) if k == 0 else np.sqrt(0.25)
+        for n in range(8):
+            C[k, n] = a * np.cos((2 * n + 1) * k * np.pi / 16.0)
+    return C
+
+
+_JPEG_C = _jpeg_dct_matrix()
+
+
+def _jpeg_huff_codes(bits: list, vals: list) -> dict:
+    """Canonical Huffman (T.81 C.2): {symbol: (code, length)}."""
+    out, code, i = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[i]] = (code, length)
+            code += 1
+            i += 1
+        code <<= 1
+    return out
+
+
+def _jpeg_huff_decode_map(bits: list, vals: list) -> dict:
+    """Inverse direction: {(length, code): symbol}."""
+    out, code, i = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[(length, code)] = vals[i]
+            code += 1
+            i += 1
+        code <<= 1
+    return out
+
+
+class _JpegBitWriter:
+    """MSB-first bit packer with 0xFF byte stuffing (T.81 F.1.2.3)."""
+
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            byte = (self.acc >> (self.n - 8)) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:
+                self.buf.append(0x00)
+            self.n -= 8
+            self.acc &= (1 << self.n) - 1
+
+    def flush(self) -> None:
+        if self.n:
+            pad = 8 - self.n
+            self.write((1 << pad) - 1, pad)
+
+
+def _jpeg_category(v: int) -> int:
+    return int(v).bit_length() if v > 0 else int(-v).bit_length() if v < 0 else 0
+
+
+def _encode_jpeg_gray(pix: np.ndarray) -> bytes:
+    """Baseline sequential GRAYSCALE JPEG from a (h, w) uint8 array —
+    the fixture-side encoder (Annex K tables, quality fixed). Edge
+    padding to 8-multiples uses edge replication, the standard choice
+    that keeps boundary DC values representative."""
+    pix = np.asarray(pix, dtype=np.uint8)
+    h, w = pix.shape
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    padded = np.pad(pix, ((0, ph - h), (0, pw - w)), mode="edge").astype(np.float64)
+    dc_codes = _jpeg_huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _jpeg_huff_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    bw = _JpegBitWriter()
+    pred = 0
+    qtab = _JPEG_QUANT_LUMA.reshape(8, 8)
+    for by in range(0, ph, 8):
+        for bx in range(0, pw, 8):
+            block = padded[by : by + 8, bx : bx + 8] - 128.0
+            q = np.round((_JPEG_C @ block @ _JPEG_C.T) / qtab).astype(np.int64)
+            zz = q.flatten()[_JPEG_ZIGZAG]
+            diff = int(zz[0]) - pred
+            pred = int(zz[0])
+            s = _jpeg_category(diff)
+            c, ln = dc_codes[s]
+            bw.write(c, ln)
+            if s:
+                bw.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+            last_nz = 0
+            for k in range(63, 0, -1):
+                if zz[k]:
+                    last_nz = k
+                    break
+            run = 0
+            for k in range(1, last_nz + 1):
+                v = int(zz[k])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    c, ln = ac_codes[0xF0]  # ZRL
+                    bw.write(c, ln)
+                    run -= 16
+                s = _jpeg_category(v)
+                c, ln = ac_codes[(run << 4) | s]
+                bw.write(c, ln)
+                bw.write(v if v >= 0 else v + (1 << s) - 1, s)
+                run = 0
+            if last_nz < 63:
+                c, ln = ac_codes[0x00]  # EOB
+                bw.write(c, ln)
+    bw.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    dqt = seg(0xDB, bytes([0]) + bytes(int(_JPEG_QUANT_LUMA[z]) for z in _JPEG_ZIGZAG))
+    sof = seg(0xC0, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
+    dht = seg(0xC4, bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)) + seg(
+        0xC4, bytes([0x10]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS)
+    )
+    sos = seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    return b"\xff\xd8" + dqt + sof + dht + sos + bytes(bw.buf) + b"\xff\xd9"
+
+
+class _JpegBitReader:
+    """MSB-first reader over entropy-coded bytes with 0xFF00
+    unstuffing; raises on any bare marker (no restart support — the
+    encoder never emits DRI and the decoder gates it)."""
+
+    def __init__(self, b: bytes, i: int) -> None:
+        self.b = b
+        self.i = i
+        self.acc = 0
+        self.n = 0
+
+    def _fill(self) -> None:
+        byte = self.b[self.i]
+        if byte == 0xFF:
+            if self.b[self.i + 1] != 0x00:
+                raise ValueError("unexpected marker in entropy data")
+            self.i += 2
+        else:
+            self.i += 1
+        self.acc = (self.acc << 8) | byte
+        self.n += 8
+
+    def bits(self, length: int) -> int:
+        while self.n < length:
+            self._fill()
+        self.n -= length
+        v = (self.acc >> self.n) & ((1 << length) - 1)
+        self.acc &= (1 << self.n) - 1
+        return v
+
+    def huff(self, table: dict) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.bits(1)
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("bad Huffman code")
+
+
+def _jpeg_extend(v: int, s: int) -> int:
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def _decode_jpeg(b: bytes) -> dict:
+    """Baseline sequential JPEG decode — full entropy + DCT pipeline in
+    numpy/stdlib: marker parse (DQT/SOF0/DHT/SOS, APPn/COM skipped),
+    canonical-Huffman entropy decode with byte unstuffing, dequant,
+    inverse zigzag, IDCT, level shift; 3-component 1x1 streams get the
+    BT.601 YCbCr->RGB transform. The HONEST residual gate narrows to
+    what genuinely needs libjpeg: progressive/hierarchical SOFs,
+    subsampled components, 16-bit quant tables, restart intervals."""
+    if b[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    i = 2
+    qt: dict = {}
+    dc_maps: dict = {}
+    ac_maps: dict = {}
+    comps = None
+    h = w = None
+    scan = None
+    while i < len(b) - 1:
+        if b[i] != 0xFF:
+            raise ValueError("JPEG marker sync lost")
+        marker = b[i + 1]
+        i += 2
+        if marker == 0xD9:
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            continue
+        (seglen,) = struct.unpack_from(">H", b, i)
+        data = b[i + 2 : i + seglen]
+        if marker == 0xDB:
+            j = 0
+            while j < len(data):
+                pq, tq = data[j] >> 4, data[j] & 0xF
+                if pq != 0:
+                    raise NotImplementedError("16-bit JPEG quant tables")
+                tbl = np.zeros(64, dtype=np.int32)
+                for k in range(64):
+                    tbl[_JPEG_ZIGZAG[k]] = data[j + 1 + k]
+                qt[tq] = tbl.reshape(8, 8)
+                j += 65
+        elif marker in (0xC0, 0xC1):
+            _, h, w, nc = struct.unpack_from(">BHHB", data, 0)
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = data[6 + 3 * c : 9 + 3 * c]
+                if hv != 0x11:
+                    raise NotImplementedError(
+                        "subsampled JPEG needs libjpeg/PIL (not in this container)"
+                    )
+                comps.append((cid, tq))
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                "progressive/hierarchical JPEG needs libjpeg/PIL"
+            )
+        elif marker == 0xC4:
+            j = 0
+            while j < len(data):
+                tc, th = data[j] >> 4, data[j] & 0xF
+                bits = list(data[j + 1 : j + 17])
+                nv = sum(bits)
+                m = _jpeg_huff_decode_map(bits, list(data[j + 17 : j + 17 + nv]))
+                (dc_maps if tc == 0 else ac_maps)[th] = m
+                j += 17 + nv
+        elif marker == 0xDD:
+            (interval,) = struct.unpack_from(">H", data, 0)
+            if interval:
+                raise NotImplementedError("JPEG restart intervals")
+        elif marker == 0xDA:
+            ns = data[0]
+            scan = []
+            for c in range(ns):
+                cid, tt = data[1 + 2 * c], data[2 + 2 * c]
+                scan.append((cid, tt >> 4, tt & 0xF))
+            i += seglen
+            break
+        i += seglen
+    if comps is None or scan is None or h is None:
+        raise ValueError("JPEG missing SOF/SOS")
+    tq_by_cid = dict(comps)
+    reader = _JpegBitReader(b, i)
+    mcux, mcuy = -(-w // 8), -(-h // 8)
+    planes = {cid: np.zeros((mcuy * 8, mcux * 8)) for cid, _ in comps}
+    preds = {cid: 0 for cid, _ in comps}
+    qtab8 = {cid: qt[tq] for cid, tq in comps}
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for cid, td, ta in scan:
+                zz = np.zeros(64, dtype=np.int64)
+                s = reader.huff(dc_maps[td])
+                preds[cid] += _jpeg_extend(reader.bits(s), s) if s else 0
+                zz[0] = preds[cid]
+                k = 1
+                while k < 64:
+                    rs = reader.huff(ac_maps[ta])
+                    if rs == 0x00:  # EOB
+                        break
+                    if rs == 0xF0:  # ZRL
+                        k += 16
+                        continue
+                    k += rs >> 4
+                    if k > 63:
+                        raise ValueError("JPEG AC run overflow")
+                    zz[k] = _jpeg_extend(reader.bits(rs & 0xF), rs & 0xF)
+                    k += 1
+                q = np.zeros(64, dtype=np.int64)
+                q[_JPEG_ZIGZAG] = zz
+                block = q.reshape(8, 8) * qtab8[cid]
+                planes[cid][my * 8 : (my + 1) * 8, mx * 8 : (mx + 1) * 8] = (
+                    _JPEG_C.T @ block @ _JPEG_C + 128.0
+                )
+    arrs = [
+        np.clip(np.round(planes[cid][:h, :w]), 0, 255) for cid, _ in comps
+    ]
+    if len(arrs) == 1:
+        px = arrs[0] / 255.0
+        nch = 1
+    elif len(arrs) == 3:
+        y, cb, cr = arrs
+        r = y + 1.402 * (cr - 128.0)
+        g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+        bl = y + 1.772 * (cb - 128.0)
+        px = np.clip(np.stack([r, g, bl], axis=-1), 0, 255) / 255.0
+        nch = 3
+    else:
+        raise NotImplementedError(f"{len(arrs)}-component JPEG")
+    return {
+        "width": w, "height": h, "n_channels": nch, "sample_rate": None,
+        "n_samples": w * h,
+        "mean_level": float(px.mean()), "peak_level": float(px.max()),
+    }
+
+
 _REAL_DECODERS = {
     "wav": _decode_wav,
     "bmp": _decode_bmp,
     "ppm": _decode_ppm,
     "png": _decode_png,
     "gif": _decode_gif,
+    "jpeg": _decode_jpeg,
 }
 
 
@@ -612,6 +965,11 @@ def synthesize_real_payloads(docs: DataFrame) -> DataFrame:
                         for row in range(ht)
                     ]
                     payload = _encode_png_rgb(rows, wd)
+                elif kind == "jpeg":  # baseline grayscale, Annex K tables
+                    wd, ht = 8 + d % 9, 6 + d % 7
+                    yy, xx = np.mgrid[0:ht, 0:wd]
+                    img = ((yy * 23 + xx * 11 + d) % 256).astype(np.uint8)
+                    payload = _encode_jpeg_gray(img)
                 else:  # gif (16-color global palette, real LZW stream)
                     wd, ht = 4 + d % 6, 3 + d % 5
                     pal = [

@@ -229,11 +229,11 @@ def test_multimodal_features_deterministic(spark):
 
 
 def test_multimodal_real_decoder_gate_narrowed_to_missing_codecs(spark):
-    """decoder="real" decodes wav/bmp/ppm/png for real; formats that
-    need PIL/ffmpeg (jpeg/webp/mp4) still raise NotImplementedError —
-    from inside the decode stage."""
+    """decoder="real" decodes wav/bmp/ppm/png/gif/jpeg for real;
+    formats that need PIL/ffmpeg (webp/mp4) still raise
+    NotImplementedError — from inside the decode stage."""
     media = spark.createDataFrame(
-        [(1, b"\xff\xd8\xff", 2, 2, "jpeg", 1)],
+        [(1, b"RIFFxxxxWEBP", 2, 2, "webp", 1)],
         "media_id long, payload binary, width int, height int, "
         "format string, n_frames int",
     )
@@ -378,7 +378,7 @@ def test_multimodal_real_decode_catalog_entry_deterministic(spark):
     a = multimodal_real_decode(spark, SMOKE_SF_DIR).toPandas().sort_values("media_id")
     b = multimodal_real_decode(spark, SMOKE_SF_DIR).toPandas().sort_values("media_id")
     assert len(a) > 0 and a.reset_index(drop=True).equals(b.reset_index(drop=True))
-    assert set(a["format"]) == {"wav", "bmp", "ppm", "png", "gif"}
+    assert set(a["format"]) == {"wav", "bmp", "ppm", "png", "gif", "jpeg"}
     assert (a["peak_level"] <= 1.0).all() and (a["payload_bytes"] > 0).all()
 
 
@@ -758,3 +758,87 @@ def test_winnow_containment_detects_planted_inclusion(spark):
     rows = {(r["id_a"], r["id_b"]): r["containment"] for r in joined.collect()}
     assert rows.get((1, 2), 0.0) >= 0.9, rows
     assert rows.get((1, 3), 0.0) < 0.2 and rows.get((2, 3), 0.0) < 0.2, rows
+
+
+def test_jpeg_roundtrip_matches_independent_reconstruction():
+    """The baseline JPEG decoder must reproduce EXACTLY the quantized
+    reconstruction computed independently (FDCT -> round -> dequant ->
+    IDCT in straight numpy, no shared code path with the entropy
+    coder), across random sizes incl. non-multiple-of-8 edges — this
+    pins the Huffman tables, zigzag, byte stuffing, DC prediction and
+    IDCT all at once. Quantization error vs the ORIGINAL image stays
+    bounded."""
+    import numpy as np
+
+    from orca_ztbus_python_processor_spark.operators.multimodal import (
+        _JPEG_C,
+        _JPEG_QUANT_LUMA,
+        _decode_jpeg,
+        _encode_jpeg_gray,
+    )
+
+    rng = np.random.RandomState(3)
+    qtab = _JPEG_QUANT_LUMA.reshape(8, 8)
+    for _ in range(10):
+        h, w = rng.randint(1, 40), rng.randint(1, 40)
+        img = rng.randint(0, 256, size=(h, w)).astype(np.uint8)
+        feats = _decode_jpeg(_encode_jpeg_gray(img))
+        assert (feats["width"], feats["height"]) == (w, h)
+        ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+        padded = np.pad(img, ((0, ph - h), (0, pw - w)), mode="edge").astype(
+            np.float64
+        )
+        recon = np.zeros_like(padded)
+        for by in range(0, ph, 8):
+            for bx in range(0, pw, 8):
+                blk = padded[by : by + 8, bx : bx + 8] - 128.0
+                qv = np.round((_JPEG_C @ blk @ _JPEG_C.T) / qtab)
+                recon[by : by + 8, bx : bx + 8] = (
+                    _JPEG_C.T @ (qv * qtab) @ _JPEG_C + 128.0
+                )
+        recon = np.clip(np.round(recon[:h, :w]), 0, 255) / 255.0
+        assert feats["mean_level"] == float(recon.mean())
+        assert feats["peak_level"] == float(recon.max())
+        assert abs(feats["mean_level"] - img.mean() / 255.0) < 0.08
+
+
+def test_jpeg_flat_image_is_dc_only_exact():
+    """A flat image survives JPEG exactly (DC-only block, quantization
+    of a constant is lossless up to the rounding step)."""
+    import numpy as np
+
+    from orca_ztbus_python_processor_spark.operators.multimodal import (
+        _decode_jpeg,
+        _encode_jpeg_gray,
+    )
+
+    img = np.full((16, 24), 200, dtype=np.uint8)
+    feats = _decode_jpeg(_encode_jpeg_gray(img))
+    assert abs(feats["mean_level"] - 200 / 255) < 0.02
+    assert feats["n_channels"] == 1 and feats["n_samples"] == 16 * 24
+
+
+def test_jpeg_honest_gates_progressive_and_subsampled():
+    """The residual NotImplementedError gate narrows to what genuinely
+    needs libjpeg: progressive SOF2 and subsampled components."""
+    import struct
+
+    import pytest as _pytest
+
+    from orca_ztbus_python_processor_spark.operators.multimodal import (
+        _decode_jpeg,
+        _encode_jpeg_gray,
+    )
+    import numpy as np
+
+    good = _encode_jpeg_gray(np.zeros((8, 8), dtype=np.uint8))
+    # flip SOF0 (0xC0) to SOF2 (0xC2): progressive
+    prog = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with _pytest.raises(NotImplementedError, match="progressive"):
+        _decode_jpeg(prog)
+    # patch the component sampling byte to 4:2:0 (0x22)
+    i = good.index(b"\xff\xc0")
+    sof_payload = bytearray(good)
+    sof_payload[i + 2 + 2 + 6 + 1] = 0x22  # comp 0 HV factor
+    with _pytest.raises(NotImplementedError, match="subsampled"):
+        _decode_jpeg(bytes(sof_payload))
