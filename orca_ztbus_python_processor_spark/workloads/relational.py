@@ -1354,3 +1354,77 @@ def relational_division_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame
         .join(sup, F.col("l_suppkey") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "n_brands_covered")
     )
+
+
+# --------------------------------------------------------------------------
+# merge_upsert_actions — the warehouse MERGE (CDC upsert) shape: a
+# change source (per-customer order rollup) merged onto a dimension
+# snapshot (customers with even keys — deterministically "half-stale"
+# so every branch is non-empty), classifying each key into the four
+# MERGE actions: update_active / update_lapsed (WHEN MATCHED, split on
+# revenue), insert (WHEN NOT MATCHED BY TARGET), delete_candidate
+# (WHEN NOT MATCHED BY SOURCE). Spark has no MERGE INTO on plain
+# parquet, so the engine form is the canonical rewrite every lakehouse
+# engine compiles MERGE to: ONE full-outer join on the key + CASE
+# action assignment — here rolled up to action-grain counts. The
+# source aggregation partial-aggs before its exchange; the join keys
+# co-partition.
+# --------------------------------------------------------------------------
+@CATALOG.query(
+    "merge_upsert_actions",
+    oracle="""
+    WITH base AS (
+        SELECT c_custkey, c_acctbal FROM customer WHERE c_custkey % 2 = 0
+    ), src AS (
+        SELECT o_custkey, count(*) AS n_orders, sum(o_totalprice) AS revenue
+        FROM orders GROUP BY o_custkey
+    ), merged AS (
+        SELECT CASE
+                 WHEN b.c_custkey IS NULL THEN 'insert'
+                 WHEN s.o_custkey IS NULL THEN 'delete_candidate'
+                 WHEN s.revenue >= 100000 THEN 'update_active'
+                 ELSE 'update_lapsed'
+               END AS action,
+               coalesce(s.revenue, 0.0) AS revenue,
+               coalesce(s.n_orders, 0) AS n_orders
+        FROM base b FULL OUTER JOIN src s ON b.c_custkey = s.o_custkey
+    )
+    SELECT action,
+           count(*) AS n_keys,
+           CAST(sum(n_orders) AS BIGINT) AS n_orders,
+           CAST(sum(revenue) AS REAL) AS revenue
+    FROM merged
+    GROUP BY action
+    """,
+)
+def merge_upsert_actions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = (
+        _t(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") % 2 == 0)
+        .select("c_custkey", "c_acctbal")
+    )
+    src = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"), F.sum("o_totalprice").alias("revenue"))
+    )
+    merged = base.join(src, base.c_custkey == src.o_custkey, "full_outer")
+    action = (
+        F.when(F.col("c_custkey").isNull(), "insert")
+        .when(F.col("o_custkey").isNull(), "delete_candidate")
+        .when(F.col("revenue") >= 100000, "update_active")
+        .otherwise("update_lapsed")
+    )
+    return (
+        merged.select(
+            action.alias("action"),
+            F.coalesce(F.col("revenue"), F.lit(0.0)).alias("revenue"),
+            F.coalesce(F.col("n_orders"), F.lit(0)).alias("n_orders"),
+        )
+        .groupBy("action")
+        .agg(
+            F.count("*").alias("n_keys"),
+            F.sum("n_orders").cast("long").alias("n_orders"),
+            f32(F.sum("revenue")).alias("revenue"),
+        )
+    )

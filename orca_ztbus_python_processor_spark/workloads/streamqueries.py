@@ -821,3 +821,62 @@ def stream_minute_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     run_to_memory(agged, "q_stream_minute_type_pivot", output_mode="append")
     return spark.table("q_stream_minute_type_pivot")
+
+
+@CATALOG.query(
+    "stream_error_rate_alert",
+    oracle="""
+    SELECT date_trunc('minute', ts)
+               - INTERVAL (CAST(date_part('minute', ts) AS INTEGER) % 5) MINUTE
+               AS time_from,
+           date_trunc('minute', ts)
+               - INTERVAL (CAST(date_part('minute', ts) AS INTEGER) % 5) MINUTE
+               + INTERVAL 5 MINUTE AS time_to,
+           count(*) AS n_events,
+           CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_errors,
+           CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                / CAST(count(*) AS DOUBLE) AS REAL) AS error_rate,
+           coalesce(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                    / CAST(count(*) AS DOUBLE) > 0.25
+                    AND count(*) >= 20, false) AS is_alert
+    FROM events
+    GROUP BY 1, 2
+    HAVING date_trunc('minute', ts)
+               - INTERVAL (CAST(date_part('minute', ts) AS INTEGER) % 5) MINUTE
+               + INTERVAL 5 MINUTE
+           <= (SELECT max(ts) - INTERVAL 10 MINUTE FROM events)
+    """,
+)
+def stream_error_rate_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SLO alerting: per 5-minute tumbling window, total and
+    error event counts, the error rate, and the alert flag (rate >
+    0.25 with a 20-event support floor — the floor keeps quiet windows
+    from paging). ONE stateful windowed aggregate in append mode —
+    the derived columns are post-aggregation projections, so alerting
+    adds zero state over the plain count; the oracle encodes the same
+    append contract as stream_minute_user_append at 5-minute grain."""
+    agged = (
+        read_events_stream(spark, sf_dir)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window(F.col("ts"), "300 seconds").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum((F.col("event_type") == "error").cast("long")).alias("n_errors"),
+        )
+        .select(
+            F.col("w.start").alias("time_from"),
+            F.col("w.end").alias("time_to"),
+            "n_events",
+            "n_errors",
+            f32(F.col("n_errors") / F.col("n_events").cast("double")).alias(
+                "error_rate"
+            ),
+            (
+                (F.col("n_errors") / F.col("n_events").cast("double") > 0.25)
+                & (F.col("n_events") >= 20)
+            ).alias("is_alert"),
+        )
+    )
+    run_to_memory(agged, "q_stream_error_rate_alert", output_mode="append")
+    return spark.table("q_stream_error_rate_alert")

@@ -2097,3 +2097,43 @@ def training_shard_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_bytes") * N_SHARDS / F.col("_total").cast("double")
         ).alias("balance_ratio"),
     )
+
+
+# --------------------------------------------------------------------------
+# heavy_hitters_topk_tokens — EXACT top-k tokens via the mergeable
+# heavy-hitters candidate pass (operators/freqsketch.py): per-partition
+# top-`capacity` candidates (pigeonhole-complete for every global heavy
+# hitter), broadcast semi-join recount, TakeOrdered. The FREQUENCY dual
+# of the HLL rollup, and the scale path next to `vocab_top_tokens`:
+# that query aggregates the FULL token dictionary globally (right when
+# the dictionary fits a shuffle), this one never shuffles more than the
+# candidate set — the form that survives a 100 TB corpus whose
+# dictionary alone is TB-scale. Unsound-parameter cases RAISE rather
+# than return a wrong answer (soundness pinned in
+# tests/test_freqsketch.py); the oracle is the plain exact top-k.
+# --------------------------------------------------------------------------
+@CATALOG.query(
+    "heavy_hitters_topk_tokens",
+    oracle=f"""
+    WITH tok AS (
+        SELECT unnest(regexp_extract_all(lower(text), '{TOKEN_RE.lower()}')) AS item
+        FROM documents
+    )
+    SELECT item, count(*) AS n
+    FROM tok
+    GROUP BY item
+    ORDER BY n DESC, item
+    LIMIT 50
+    """,
+)
+def heavy_hitters_topk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from orca_ztbus_python_processor_spark.operators.freqsketch import (  # noqa: PLC0415
+        heavy_hitters_topk,
+    )
+
+    tok = _docs(spark, sf_dir).select(
+        F.explode(
+            F.expr(f"regexp_extract_all(lower(text), '{TOKEN_RE.lower()}', 0)")
+        ).alias("item")
+    )
+    return heavy_hitters_topk(tok, "item", k=50, capacity=4096)

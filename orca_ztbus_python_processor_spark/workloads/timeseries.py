@@ -2479,3 +2479,87 @@ def nearest_event_order_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(next_lag)
         .alias("abs_lag_us"),
     )
+
+
+# --------------------------------------------------------------------------
+# session_path_topk — user-journey mining: each gap-session's first 5
+# event types concatenated into a path string ("click>view>purchase"),
+# counted corpus-wide, top 20 paths. The product-analytics "top user
+# flows" query, built on the same W3 session numbering as
+# user_sessions_gap. Determinism: the per-session ordering is pinned
+# by array_sort over (ts, event_id, type) structs — collect_list alone
+# is arrival-ordered and engine-unstable; sorting inside the aggregate
+# makes the path a pure function of the data. Scale: one user shuffle
+# for the session windows, one (user, session) agg, one path agg with
+# map-side combine, TakeOrdered for the top 20.
+# --------------------------------------------------------------------------
+@CATALOG.query(
+    "session_path_topk",
+    oracle=f"""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                        OVER (PARTITION BY user_id ORDER BY ts, event_id) > {_GAP_US}
+                    OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+    ), sessions AS (
+        SELECT user_id, ts, event_id, event_type,
+               CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        FROM flagged
+    ), numbered AS (
+        SELECT user_id, ts, event_id, event_type, session_id,
+               row_number() OVER (PARTITION BY user_id, session_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM sessions
+    ), paths AS (
+        SELECT user_id, session_id,
+               string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+        FROM numbered WHERE rn <= 5
+        GROUP BY user_id, session_id
+    )
+    SELECT path, count(*) AS n_sessions
+    FROM paths
+    GROUP BY path
+    ORDER BY n_sessions DESC, path
+    LIMIT 20
+    """,
+)
+def session_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_us = F.lag(F.unix_micros(F.col("ts"))).over(w)
+    is_new = F.when(
+        prev_us.isNull() | (F.unix_micros(F.col("ts")) - prev_us > _GAP_US), 1
+    ).otherwise(0)
+    numbered = (
+        _events(spark, sf_dir)
+        .withColumn(
+            "session_id",
+            F.sum(is_new).over(w.rowsBetween(W.unboundedPreceding, 0)),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("user_id", "session_id").orderBy("ts", "event_id")
+            ),
+        )
+        .where(F.col("rn") <= 5)
+    )
+    paths = numbered.groupBy("user_id", "session_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("ts", "event_id", "event_type"))
+                ),
+                lambda x: x["event_type"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), F.col("path"))
+        .limit(20)
+    )
