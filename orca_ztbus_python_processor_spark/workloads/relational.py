@@ -1428,3 +1428,138 @@ def merge_upsert_actions(spark: SparkSession, sf_dir: str) -> DataFrame:
             f32(F.sum("revenue")).alias("revenue"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# copurchase_pagerank_topk — co-purchase item centrality: parts that
+# ship together in one order form a weighted undirected graph
+# (weight = co-occurrence count); 5 fixed PageRank iterations
+# (operators/pagerank.py) rank the parts; top-20 by (rank, partkey).
+# The iterative-graph family beyond connected components — rows-only
+# by the driver contract (power iteration is not SQL-expressible);
+# exactness pinned against a numpy reference in tests/test_pagerank.py.
+# Scale: pairs-per-order is bounded by order width (TPC-H <= 7 lines),
+# so the edge build is linear in lineitems; each iteration is one
+# co-partitioned join + agg with a scalar-only driver footprint.
+# --------------------------------------------------------------------------
+@CATALOG.query("copurchase_pagerank_topk")
+def copurchase_pagerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from orca_ztbus_python_processor_spark.operators.pagerank import (  # noqa: PLC0415
+        pagerank,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("src"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("dst"))
+    edges = (
+        a.join(b, "k")
+        .where(F.col("src") < F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count("*").cast("double").alias("weight"))
+    )
+    ranks = pagerank(edges, damping=0.85, iters=5)
+    return (
+        ranks.orderBy(F.col("rank").desc(), F.col("node"))
+        .limit(20)
+        .select(F.col("node").alias("l_partkey"), f32(F.col("rank")).alias("rank"))
+    )
+
+
+# --------------------------------------------------------------------------
+# shipments_point_in_time_tier — POINT-IN-TIME (temporal) dimension
+# join: each shipment looked up against the customer's loyalty-tier
+# SCD interval valid AT ship time. Tiers derive from the order history
+# itself (1st order -> 'new', 2nd -> 'repeat', 4th -> 'loyal'), so the
+# dimension CHANGES through the fact table's time range and the lookup
+# is non-degenerate: early line items bill under 'new', later ones
+# under 'loyal'. Because tier intervals are contiguous per customer,
+# the lookup is exactly a backward as-of on valid_from — the single
+# union-window pass of operators/asofjoin.py, never an interval
+# explosion; same-date tier jumps collapse to the HIGHEST tier reached
+# that day (max_by), which also keeps the as-of right side unique per
+# (customer, valid_from). DuckDB's native ASOF join is the oracle.
+# --------------------------------------------------------------------------
+@CATALOG.query(
+    "shipments_point_in_time_tier",
+    oracle="""
+    WITH ranked AS (
+        SELECT o_custkey, o_orderdate, o_orderkey,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate, o_orderkey) AS rn
+        FROM orders
+    ), changes AS (
+        SELECT o_custkey AS user_key, o_orderdate AS valid_from,
+               CASE WHEN rn = 1 THEN 'new'
+                    WHEN rn = 2 THEN 'repeat' ELSE 'loyal' END AS tier,
+               CASE WHEN rn = 1 THEN 1 WHEN rn = 2 THEN 2 ELSE 3 END AS tier_rank
+        FROM ranked WHERE rn IN (1, 2, 4)
+    ), states AS (
+        SELECT user_key, valid_from, arg_max(tier, tier_rank) AS tier
+        FROM changes GROUP BY user_key, valid_from
+    ), probe AS (
+        SELECT o.o_custkey AS user_key, l.l_shipdate AS pts,
+               l.l_extendedprice AS price
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    )
+    SELECT s.tier,
+           count(*) AS n_lineitems,
+           CAST(sum(p.price) AS REAL) AS revenue
+    FROM probe p ASOF LEFT JOIN states s
+      ON p.user_key = s.user_key AND p.pts >= s.valid_from
+    GROUP BY s.tier
+    """,
+)
+def shipments_point_in_time_tier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from orca_ztbus_python_processor_spark.operators.asofjoin import (  # noqa: PLC0415
+        asof_join,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    rn = F.row_number().over(
+        W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    )
+    changes = (
+        orders.select("o_custkey", "o_orderdate", rn.alias("rn"))
+        .where(F.col("rn").isin(1, 2, 4))
+        .select(
+            F.col("o_custkey").alias("user_key"),
+            F.col("o_orderdate").alias("valid_from"),
+            F.when(F.col("rn") == 1, "new")
+            .when(F.col("rn") == 2, "repeat")
+            .otherwise("loyal")
+            .alias("tier"),
+            F.when(F.col("rn") == 1, 1)
+            .when(F.col("rn") == 2, 2)
+            .otherwise(3)
+            .alias("tier_rank"),
+        )
+    )
+    states = changes.groupBy("user_key", "valid_from").agg(
+        F.max_by("tier", "tier_rank").alias("tier")
+    )
+    probe = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_shipdate", "l_extendedprice")
+        .join(
+            orders.select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(
+            F.col("o_custkey").alias("user_key"),
+            F.col("l_shipdate").alias("pts"),
+            F.col("l_extendedprice").alias("price"),
+        )
+    )
+    joined = asof_join(
+        probe,
+        states,
+        on="user_key",
+        left_time="pts",
+        right_time="valid_from",
+        payload_cols=["tier"],
+        direction="backward",
+    )
+    return joined.groupBy("tier").agg(
+        F.count("*").alias("n_lineitems"),
+        f32(F.sum("price")).alias("revenue"),
+    )

@@ -2137,3 +2137,56 @@ def heavy_hitters_topk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("item")
     )
     return heavy_hitters_topk(tok, "item", k=50, capacity=4096)
+
+
+# --------------------------------------------------------------------------
+# neyman_sample_allocation — optimal (Neyman) stratified-sampling
+# design: given a fixed sample budget, each source stratum gets budget
+# proportional to n_h * sigma_h (its size x within-stratum stddev of
+# doc length) — the allocation that minimizes estimator variance,
+# versus the proportional allocation train_test_split-style pipelines
+# default to. Pure two-level map-combinable aggregation (moment-based
+# stddev); the allocation arithmetic runs on the |sources|-row frame
+# with a broadcast 1-row total.
+# --------------------------------------------------------------------------
+SAMPLE_BUDGET = 1000
+
+
+@CATALOG.query(
+    "neyman_sample_allocation",
+    oracle=f"""
+    WITH per AS (
+        SELECT source, count(*) AS n_docs,
+               coalesce(stddev_samp(n_chars), 0.0) AS sigma
+        FROM documents GROUP BY source
+    )
+    SELECT source, n_docs,
+           CAST(sigma AS REAL) AS sigma_chars,
+           CAST(n_docs * sigma / sum(n_docs * sigma) OVER () AS REAL)
+               AS neyman_share,
+           CAST(floor({SAMPLE_BUDGET} * n_docs * sigma
+                      / sum(n_docs * sigma) OVER ()) AS BIGINT) AS n_alloc
+    FROM per
+    """,
+)
+def neyman_sample_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per = (
+        _docs(spark, sf_dir)
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.coalesce(F.stddev_samp("n_chars"), F.lit(0.0)).alias("sigma"),
+        )
+        .localCheckpoint(eager=False)  # |sources| rows
+    )
+    mass = F.col("n_docs") * F.col("sigma")
+    total = F.broadcast(
+        per.agg(F.sum(F.col("n_docs") * F.col("sigma")).alias("_t"))
+    )
+    return per.crossJoin(total).select(
+        "source",
+        "n_docs",
+        f32(F.col("sigma")).alias("sigma_chars"),
+        f32(mass / F.col("_t")).alias("neyman_share"),
+        F.floor(F.lit(SAMPLE_BUDGET) * mass / F.col("_t")).cast("long").alias("n_alloc"),
+    )

@@ -64,3 +64,8 @@ def test_small_dictionary_is_trivially_exact(spark):
     got = heavy_hitters_topk(items, "item", k=50, capacity=4096).collect()
     assert len(got) == 7
     assert sum(r["n"] for r in got) == 1000
+
+
+def test_empty_input_returns_empty(spark):
+    items = spark.createDataFrame([], "item string")
+    assert heavy_hitters_topk(items, "item", k=5, capacity=64).count() == 0

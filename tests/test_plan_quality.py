@@ -785,3 +785,20 @@ def test_heavy_hitters_candidates_broadcast_recount(spark, catalog):
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
     assert "MapInPandas" in plan, plan
     assert len(df.columns) == 2 and df.count() > 0
+
+
+def test_point_in_time_join_no_interval_explosion(spark, catalog):
+    """The temporal (point-in-time) lookup rides the as-of union-window
+    device — never a range join that explodes per matching interval."""
+    plan = _plan(
+        spark, catalog.queries["shipments_point_in_time_tier"](spark, SMOKE_SF_DIR)
+    )
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_neyman_allocation_partial_aggs(spark, catalog):
+    plan = _plan(
+        spark, catalog.queries["neyman_sample_allocation"](spark, SMOKE_SF_DIR)
+    )
+    assert "partial_" in plan, plan

@@ -71,3 +71,11 @@ def test_descending_order_and_column_preservation(spark):
     }
     assert {r["id"]: r["bucket"] for r in rows} == ref
     assert all(r["extra"] == r["id"] * 2 for r in rows)
+
+
+def test_empty_frame_ranks_and_ntile(spark):
+    df = spark.createDataFrame([], "id long, v double")
+    ranked, n = with_global_rank(df, [F.col("v"), F.col("id")], "r0")
+    assert n == 0 and ranked.count() == 0
+    out = with_global_ntile(df, 4, [F.col("v"), F.col("id")], "b")
+    assert out.count() == 0
