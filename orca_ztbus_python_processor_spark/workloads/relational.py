@@ -1448,13 +1448,25 @@ def copurchase_pagerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         pagerank,
     )
 
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
-    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("src"))
-    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("dst"))
+    # Pair generation WITHOUT a self-join: one groupBy(order) collects
+    # the sorted distinct part set (collect_set partial-aggregates
+    # map-side), then the ordered pairs explode from array slices —
+    # per-order work is bounded by order width² (TPC-H ≤ 7 lines), and
+    # the whole build is TWO exchanges (order grouping, edge weights)
+    # instead of the distinct + self-join + groupBy chain's four.
+    parts_per_order = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("parts"))
+    )
+    pair_expr = F.expr(
+        "flatten(transform(parts, (x, i) ->"
+        " transform(slice(parts, i + 2, size(parts)),"
+        " y -> struct(x AS src, y AS dst))))"
+    )
     edges = (
-        a.join(b, "k")
-        .where(F.col("src") < F.col("dst"))
-        .groupBy("src", "dst")
+        parts_per_order.select(F.explode(pair_expr).alias("e"))
+        .groupBy(F.col("e.src").alias("src"), F.col("e.dst").alias("dst"))
         .agg(F.count("*").cast("double").alias("weight"))
     )
     ranks = pagerank(edges, damping=0.85, iters=5)

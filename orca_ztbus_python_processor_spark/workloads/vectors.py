@@ -460,7 +460,12 @@ def pca_top_component_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Scale shape: broadcast query matrix, ONE Arrow-batched matmul pass
 # over the corpus emitting per-BATCH partial bucket counts — the
 # shuffle carries ~21 cells per batch, never a pair row; any corpus
-# size streams through.
+# size streams through. Bound: the QUERY subset is driver-collected
+# and broadcast (same contract as cosine_topk_broadcast), so it must
+# stay broadcast-sized — at larger corpora tighten the modulus (the
+# histogram is a sampled diagnostic; its variance shrinks with corpus
+# size, so a CONSTANT absolute query-sample size suffices), or shard
+# the queries through cosine_topk_sharded's cogroup layout.
 # --------------------------------------------------------------------------
 HIST_QUERY_MOD = 500
 
