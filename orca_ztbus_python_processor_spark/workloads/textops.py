@@ -2190,3 +2190,73 @@ def neyman_sample_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         f32(mass / F.col("_t")).alias("neyman_share"),
         F.floor(F.lit(SAMPLE_BUDGET) * mass / F.col("_t")).cast("long").alias("n_alloc"),
     )
+
+
+# --------------------------------------------------------------------------
+# lang_id_confusion_matrix — classifier EVALUATION on top of the
+# language-ID heuristic: the (label, prediction) confusion matrix with
+# per-cell share of the true-label row — the quality report any
+# auto-labeling stage ships with. Reuses lang_id_heuristic's scoring
+# verbatim; one extra map-combinable rollup over the scored frame plus
+# a broadcast per-label total. Output is ≤ |langs|² rows at any corpus
+# size.
+# --------------------------------------------------------------------------
+@CATALOG.query(
+    "lang_id_confusion_matrix",
+    oracle=f"""
+    WITH scored AS (
+        SELECT lang,
+               CAST(len(regexp_extract_all(text, '{_LANG_MARKERS["en"]}')) AS BIGINT) AS score_en,
+               CAST(len(regexp_extract_all(text, '{_LANG_MARKERS["es"]}')) AS BIGINT) AS score_es,
+               CAST(len(regexp_extract_all(text, '{_LANG_MARKERS["fr"]}')) AS BIGINT) AS score_fr,
+               CAST(len(regexp_extract_all(text, '{_LANG_MARKERS["de"]}')) AS BIGINT) AS score_de,
+               CAST(len(regexp_extract_all(text, '{_LANG_MARKERS["zh"]}')) AS BIGINT) AS score_zh
+        FROM documents
+    ), pred AS (
+        SELECT lang,
+               CASE
+                 WHEN score_en >= greatest(score_es, score_fr, score_de, score_zh) THEN 'en'
+                 WHEN score_es >= greatest(score_fr, score_de, score_zh) THEN 'es'
+                 WHEN score_fr >= greatest(score_de, score_zh) THEN 'fr'
+                 WHEN score_de >= score_zh THEN 'de'
+                 ELSE 'zh'
+               END AS pred_lang
+        FROM scored
+    )
+    SELECT lang, pred_lang,
+           count(*) AS n_docs,
+           CAST(count(*) / CAST(sum(count(*)) OVER (PARTITION BY lang)
+                                AS DOUBLE) AS REAL) AS row_share
+    FROM pred
+    GROUP BY lang, pred_lang
+    """,
+)
+def lang_id_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scores = {
+        lang: F.regexp_count(F.col("text"), F.lit(pat)).cast("long")
+        for lang, pat in _LANG_MARKERS.items()
+    }
+    s = {lang: scores[lang] for lang in _LANG_MARKERS}
+    pred = (
+        F.when(s["en"] >= F.greatest(s["es"], s["fr"], s["de"], s["zh"]), "en")
+        .when(s["es"] >= F.greatest(s["fr"], s["de"], s["zh"]), "es")
+        .when(s["fr"] >= F.greatest(s["de"], s["zh"]), "fr")
+        .when(s["de"] >= s["zh"], "de")
+        .otherwise("zh")
+    )
+    cells = (
+        _docs(spark, sf_dir)
+        .select("lang", pred.alias("pred_lang"))
+        .groupBy("lang", "pred_lang")
+        .agg(F.count("*").alias("n_docs"))
+    )
+    # per-true-label totals over the ≤|langs|² cell frame
+    row_w = W.partitionBy("lang")
+    return cells.select(
+        "lang",
+        "pred_lang",
+        "n_docs",
+        f32(
+            F.col("n_docs") / F.sum("n_docs").over(row_w).cast("double")
+        ).alias("row_share"),
+    )

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from orca_ztbus_python_processor_spark.functions.stats import f32
 from orca_ztbus_python_processor_spark.sources.parquet import read_table
@@ -535,4 +536,88 @@ def embedding_cosine_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_pairs",
             f32(F.col("n_pairs") / F.lit(total)).alias("pair_share"),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# knn_label_accuracy — embedding-quality evaluation by leave-one-out
+# 1-NN label agreement: every vector queries the corpus for its
+# nearest OTHER vector (exact cosine via the sharded matmul kernel,
+# k=2 then drop self) and the per-label rollup reports how often the
+# neighbor shares the label — the standard "do embeddings encode the
+# labels?" probe run before any embedding-based dedup/curation is
+# trusted. Scale: the all-pairs FLOP rides cosine_topk_sharded's
+# shard-pair layout (no broadcast of the query side, no driver
+# materialization); everything after is a broadcast label join at
+# |corpus| rows and one map-combinable rollup.
+# --------------------------------------------------------------------------
+@CATALOG.query(
+    "knn_label_accuracy",
+    oracle="""
+    WITH e AS (
+        SELECT vec_id, CAST(label AS BIGINT) AS label,
+               CAST(embedding AS DOUBLE[]) AS emb
+        FROM embeddings
+    ), scored AS (
+        SELECT a.vec_id, a.label,
+               b.label AS nn_label,
+               row_number() OVER (
+                   PARTITION BY a.vec_id
+                   ORDER BY CAST(list_cosine_similarity(a.emb, b.emb)
+                                 AS REAL) DESC, b.vec_id
+               ) AS rn
+        FROM e a JOIN e b ON a.vec_id <> b.vec_id
+    )
+    SELECT label,
+           count(*) AS n_vectors,
+           CAST(sum(CASE WHEN nn_label = label THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_matching,
+           CAST(sum(CASE WHEN nn_label = label THEN 1 ELSE 0 END)
+                / CAST(count(*) AS DOUBLE) AS REAL) AS nn_accuracy
+    FROM scored
+    WHERE rn = 1
+    GROUP BY label
+    """,
+)
+def knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from orca_ztbus_python_processor_spark.operators.similarity import (  # noqa: PLC0415
+        cosine_topk_sharded,
+    )
+
+    emb = _emb(spark, sf_dir)
+    topk = cosine_topk_sharded(emb, emb, k=2, n_shards=8)
+    nn = topk.where(F.col("neighbor_id") != F.col("query_id")).where(
+        F.col("rank") <= 2
+    )
+    # after dropping self (score 1.0, rank 1), the nearest OTHER vector
+    # is the remaining lowest rank per query
+    best = nn.withColumn(
+        "rn",
+        F.row_number().over(
+            W.partitionBy("query_id").orderBy("rank", "neighbor_id")
+        ),
+    ).where(F.col("rn") == 1)
+    labels = emb.select("vec_id", "label")
+    joined = (
+        best.join(
+            labels.select(
+                F.col("vec_id").alias("query_id"), F.col("label").alias("label")
+            ),
+            "query_id",
+        )
+        .join(
+            F.broadcast(
+                labels.select(
+                    F.col("vec_id").alias("neighbor_id"),
+                    F.col("label").alias("nn_label"),
+                )
+            ),
+            "neighbor_id",
+        )
+    )
+    match = (F.col("nn_label") == F.col("label")).cast("long")
+    return joined.groupBy("label").agg(
+        F.count("*").alias("n_vectors"),
+        F.sum(match).alias("n_matching"),
+        f32(F.sum(match) / F.count("*").cast("double")).alias("nn_accuracy"),
     )

@@ -802,3 +802,11 @@ def test_neyman_allocation_partial_aggs(spark, catalog):
         spark, catalog.queries["neyman_sample_allocation"](spark, SMOKE_SF_DIR)
     )
     assert "partial_" in plan, plan
+
+
+def test_knn_accuracy_rides_sharded_kernel_no_cartesian(spark, catalog):
+    """The 1-NN label probe must ride the shard-pair matmul layout —
+    never a row-level cross join of the corpus against itself."""
+    plan = _plan(spark, catalog.queries["knn_label_accuracy"](spark, SMOKE_SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+    assert "FlatMapCoGroupsInPandas" in plan or "CoGroup" in plan, plan
