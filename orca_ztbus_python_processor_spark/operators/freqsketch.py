@@ -44,8 +44,16 @@ def heavy_hitters_topk(
 
     Raises ``ValueError`` if the soundness condition (k-th count >
     n_items/capacity) does not hold — raise ``capacity`` in that case.
+    ``capacity >= k`` is required up front: with a smaller capacity the
+    candidate union can hold fewer than k items while the dictionary
+    holds more, which the post-hoc check cannot detect (fewer than k
+    result rows then only implies a complete dictionary when no
+    partition truncated).
     """
     import pandas as pd  # noqa: PLC0415
+
+    if capacity < k:
+        raise ValueError(f"capacity ({capacity}) must be >= k ({k})")
 
     src = items.select(F.col(item_col).alias("item")).where(
         F.col("item").isNotNull()

@@ -53,7 +53,7 @@ def test_unsound_capacity_raises_not_wrong_answer(spark):
     rows = [(f"u{i % 4000:05d}",) for i in range(40_000)]  # all counts = 10
     items = spark.createDataFrame(rows, "item string").repartition(8)
     with pytest.raises(ValueError, match="unsound"):
-        heavy_hitters_topk(items, "item", k=K, capacity=16)
+        heavy_hitters_topk(items, "item", k=K, capacity=K)
 
 
 def test_small_dictionary_is_trivially_exact(spark):
@@ -69,3 +69,11 @@ def test_small_dictionary_is_trivially_exact(spark):
 def test_empty_input_returns_empty(spark):
     items = spark.createDataFrame([], "item string")
     assert heavy_hitters_topk(items, "item", k=5, capacity=64).count() == 0
+
+
+def test_capacity_below_k_rejected(spark):
+    """capacity < k would let the candidate union silently hold fewer
+    than k items while the dictionary holds more — rejected up front."""
+    items = spark.createDataFrame([("a",)], "item string")
+    with pytest.raises(ValueError, match="capacity"):
+        heavy_hitters_topk(items, "item", k=100, capacity=50)
