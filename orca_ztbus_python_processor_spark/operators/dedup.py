@@ -778,11 +778,16 @@ def connected_components(
     component = smallest node id in the cluster.
     """
     spark = pairs.sparkSession
+    # Checkpoint the DIRECTED edge table, not the symmetric one: pair
+    # generation (upstream minhash banding / embedding matmul — often
+    # the most expensive stage of the whole pipeline) materializes
+    # exactly once, and BOTH downstream consumers read the checkpoint:
+    # the fast path's toPandas() and the loop path's symmetric union.
+    # (A previous layout checkpointed only the symmetric view, so the
+    # fast path's collect silently recomputed pair generation a second
+    # time — 2x the dominant stage on every small graph.)
     edges = pairs.select(
         F.col(id_a).cast("long").alias("u"), F.col(id_b).cast("long").alias("v")
-    )
-    sym = edges.union(
-        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
     ).localCheckpoint()
     # Size the per-round frame width to the edge volume (~500k edges per
     # partition): CC rounds are many small shuffles, and running a
@@ -792,11 +797,11 @@ def connected_components(
     # spark.sql.shuffle.partitions, which would race with concurrent
     # queries on a shared session. Intermediate join/agg exchanges that
     # still plan at session width are coalesced down by AQE at runtime.
-    n_edges = sym.count()
+    n_edges = 2 * edges.count()  # symmetric edge count
     if n_edges == 0:
         # no pairs -> no components; skip the propagation loop entirely
         # (otherwise an empty graph still pays a full round of jobs)
-        return sym.select(F.col("u").alias("node"), F.col("u").alias("component"))
+        return edges.select(F.col("u").alias("node"), F.col("u").alias("component"))
     if n_edges <= small_graph_edge_limit:
         # Small-graph fast path: union-find over the collected DIRECTED
         # edge list (half of ``n_edges``) — bounded driver traffic by
@@ -808,7 +813,7 @@ def connected_components(
         # with ONE Arrow collect, the dominant cost of the distributed
         # loop on sparse graphs. The loop above the limit is pinned
         # against this path in tests/test_asof_and_neardup.py.
-        pdf = edges.toPandas()
+        pdf = edges.toPandas()  # reads the checkpoint — no recompute
         parent: dict[int, int] = {}
 
         def find(x: int) -> int:
@@ -824,7 +829,11 @@ def connected_components(
         comp_rows = [(n, find(n)) for n in parent]
         return spark.createDataFrame(comp_rows, "node long, component long")
     width = max(2, min(spark.sparkContext.defaultParallelism, n_edges // 500_000 + 1))
-    sym = sym.repartition(width, "v").localCheckpoint()
+    sym = (
+        edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .repartition(width, "v")
+        .localCheckpoint()
+    )
     labels = (
         sym.select("u")
         .distinct()
