@@ -15,7 +15,7 @@ hot path except where parity demands exact percentile).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
@@ -1574,4 +1574,232 @@ def shipments_point_in_time_tier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("tier").agg(
         F.count("*").alias("n_lineitems"),
         f32(F.sum("price")).alias("revenue"),
+    )
+
+
+# --------------------------------------------------------------------------
+# copurchase_triangle_count — distributed triangle counting over the
+# RECURRENT co-purchase part graph (pairs bought together in >= 2
+# orders — single co-occurrence in market-basket data is hub noise
+# that densifies the graph ~100x without signal): global edge/wedge/
+# triangle census + clustering coefficient.
+# Degree-ordered orientation (each undirected edge points from its
+# lower-(degree, id) endpoint to the higher) bounds every node's
+# out-degree by O(sqrt(|E|)) — the classic bound that makes the wedge
+# self-join arboricity-limited instead of hub-quadratic: a star of
+# degree d contributes d wedges under orientation, not d². Wedges then
+# probe the oriented edge set with ONE equi-join; no CartesianProduct
+# anywhere (pinned). Fully SQL-expressible, so the oracle is the same
+# algebra in DuckDB. At 100 TB: orientation is two hash joins against a
+# broadcast-or-shuffled degree table; the wedge join shuffles on the
+# center node; the closing probe shuffles on the (v, w) pair — all
+# key-partitioned, skew-bounded by the orientation.
+# --------------------------------------------------------------------------
+@CATALOG.query(
+    "copurchase_triangle_count",
+    oracle="""
+    WITH parts_per_order AS (
+        SELECT l_orderkey, list_sort(list(DISTINCT l_partkey)) AS parts
+        FROM lineitem GROUP BY l_orderkey
+    ), pair_w AS (
+        SELECT u.part AS a, v.part AS b
+        FROM parts_per_order,
+             unnest(parts) AS u(part), unnest(parts) AS v(part)
+        WHERE u.part < v.part
+    ), edges AS (
+        SELECT a, b FROM pair_w GROUP BY a, b HAVING count(*) >= 2
+    ), deg AS (
+        SELECT node, count(*) AS d FROM (
+            SELECT a AS node FROM edges UNION ALL SELECT b FROM edges
+        ) GROUP BY node
+    ), oriented AS (
+        SELECT CASE WHEN (da.d, e.a) < (db.d, e.b) THEN e.a ELSE e.b END AS src,
+               CASE WHEN (da.d, e.a) < (db.d, e.b) THEN e.b ELSE e.a END AS dst
+        FROM edges e
+        JOIN deg da ON da.node = e.a
+        JOIN deg db ON db.node = e.b
+    ), wedges AS (
+        SELECT o1.dst AS v, o2.dst AS w
+        FROM oriented o1 JOIN oriented o2
+          ON o1.src = o2.src AND o1.dst < o2.dst
+    ), tri AS (
+        SELECT count(*) AS n_triangles
+        FROM wedges JOIN oriented o3
+          ON least(wedges.v, wedges.w) = least(o3.src, o3.dst)
+         AND greatest(wedges.v, wedges.w) = greatest(o3.src, o3.dst)
+    )
+    SELECT (SELECT count(*) FROM edges)       AS n_edges,
+           (SELECT count(*) FROM wedges)      AS n_wedges,
+           (SELECT n_triangles FROM tri)      AS n_triangles,
+           CAST(3.0 * (SELECT n_triangles FROM tri)
+                / greatest((SELECT count(*) FROM wedges), 1) AS REAL)
+               AS closure_rate
+    """,
+)
+def copurchase_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    parts_per_order = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("parts"))
+    )
+    pair_expr = F.expr(
+        "flatten(transform(parts, (x, i) ->"
+        " transform(slice(parts, i + 2, size(parts)),"
+        " y -> struct(x AS a, y AS b))))"
+    )
+    edges = (
+        parts_per_order.select(F.explode(pair_expr).alias("e"))
+        .groupBy(F.col("e.a").alias("a"), F.col("e.b").alias("b"))
+        .agg(F.count("*").alias("_w"))
+        .where(F.col("_w") >= 2)
+        .drop("_w")
+        .localCheckpoint(eager=False)  # reused by degree + orient + probe
+    )
+    deg = (
+        edges.select(F.col("a").alias("node"))
+        .union(edges.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+    )
+    # Orientation: lower (degree, id) endpoint becomes src. The degree
+    # table is part-grain (bounded by |parts|), so both enrich joins
+    # broadcast it.
+    e = (
+        edges.join(
+            F.broadcast(deg.select(F.col("node").alias("a"), F.col("d").alias("da"))),
+            "a",
+        )
+        .join(
+            F.broadcast(deg.select(F.col("node").alias("b"), F.col("d").alias("db"))),
+            "b",
+        )
+    )
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = e.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("src"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
+    ).localCheckpoint(eager=False)  # reused as both wedge sides + probe
+    o1 = oriented.select(F.col("src"), F.col("dst").alias("v"))
+    o2 = oriented.select(F.col("src"), F.col("dst").alias("w"))
+    wedges = o1.join(o2, "src").where(F.col("v") < F.col("w"))
+    # Close each wedge against the oriented edges in EITHER direction —
+    # orientation is by degree, so (v, w) may be stored as (w, v).
+    probe = oriented.select(
+        F.array_sort(F.array("src", "dst")).alias("_key")
+    )
+    closed = (
+        wedges.select(F.array("v", "w").alias("_key"))
+        .join(probe, "_key")
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    census = F.broadcast(
+        edges.agg(F.count("*").alias("n_edges")).crossJoin(
+            wedges.agg(F.count("*").alias("n_wedges"))
+        )
+    )
+    return closed.crossJoin(census).select(
+        "n_edges",
+        "n_wedges",
+        "n_triangles",
+        f32(
+            F.lit(3.0)
+            * F.col("n_triangles")
+            / F.greatest(F.col("n_wedges"), F.lit(1)).cast("double")
+        ).alias("closure_rate"),
+    )
+
+
+# --------------------------------------------------------------------------
+# bloom_prefiltered_join — hand-built runtime filter: the urgent-order
+# key set is compressed into a Blocked-free classic Bloom bitmap
+# (m bits as m/64 longs, k xxhash64 probes) by ONE aggregation, and the
+# bitmap — a single array<long> row, ~16 KB for this key volume —
+# crossJoin-broadcasts to the lineitem probe side, which drops
+# non-members with pure JVM bit arithmetic BEFORE the shuffle join.
+# Bloom filters have no false negatives, so prefilter + exact join ==
+# plain join, and the oracle is the plain join. This is the
+# semi-join-reduction pattern AQE's runtime row filters automate: at
+# 100 TB the build side is far too large to broadcast as a set, but
+# its Bloom image (~10 bits/key) broadcasts fine, and the probe-side
+# shuffle shrinks by the selectivity of the filter. False-positive
+# stragglers are removed by the exact join that follows.
+# --------------------------------------------------------------------------
+_BLOOM_BITS = 1 << 17  # m: bits in the bitmap (2048 longs)
+_BLOOM_K = 5  # probes per key
+
+
+def _bloom_positions(key: Column) -> list[Column]:
+    """k bit positions for a key: xxhash64 with k seeds, mod m."""
+    return [
+        F.pmod(F.xxhash64(key, F.lit(s)), F.lit(_BLOOM_BITS))
+        for s in range(_BLOOM_K)
+    ]
+
+
+@CATALOG.query(
+    "bloom_prefiltered_join",
+    oracle="""
+    SELECT l.l_returnflag AS return_flag,
+           count(*) AS n_items,
+           CAST(sum(l.l_extendedprice * (1 - l.l_discount)) AS REAL)
+               AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderpriority = '1-URGENT'
+    GROUP BY l.l_returnflag
+    """,
+)
+def bloom_prefiltered_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    urgent = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey")
+    )
+    # Build: explode each key's k (word, bit) pairs, OR them into words,
+    # then assemble the dense word array with aggregate-side zero-fill
+    # (map_from_entries + element_at default) — one exchange on the
+    # word index, then a 1-row reduction.
+    pos = F.explode(F.array(*_bloom_positions(F.col("o_orderkey")))).alias("_pos")
+    words = (
+        urgent.select(pos)
+        .select(
+            F.expr("CAST(_pos DIV 64 AS INT)").alias("_w"),
+            # column-valued shift counts need the SQL form (the PySpark
+            # shiftleft binding only takes a Python-int bit count)
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(_pos % 64 AS INT))").alias("_bit"),
+        )
+        .groupBy("_w")
+        .agg(F.bit_or("_bit").alias("_word"))
+    )
+    bitmap = words.agg(
+        F.map_from_entries(F.collect_list(F.struct("_w", "_word"))).alias("_m")
+    ).select(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(_BLOOM_BITS // 64 - 1)),
+            # _m is a MAP keyed by the 0-based word index (element_at
+            # on a map is a KEY lookup, unlike the 1-based array form)
+            lambda i: F.coalesce(F.element_at(F.col("_m"), i), F.lit(0).cast("long")),
+        ).alias("_bloom")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"
+    )
+    probes = " AND ".join(
+        f"(shiftright(element_at(_bloom,"
+        f" CAST(pmod(xxhash64(l_orderkey, {seed}), {_BLOOM_BITS}) DIV 64 AS INT) + 1),"
+        f" CAST(pmod(xxhash64(l_orderkey, {seed}), {_BLOOM_BITS}) % 64 AS INT)) & 1) = 1"
+        for seed in range(_BLOOM_K)
+    )
+    candidates = li.crossJoin(F.broadcast(bitmap)).where(F.expr(probes)).drop("_bloom")
+    return (
+        candidates.join(urgent, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(F.col("l_returnflag").alias("return_flag"))
+        .agg(
+            F.count("*").alias("n_items"),
+            f32(
+                F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+            ).alias("revenue"),
+        )
     )

@@ -2563,3 +2563,255 @@ def session_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_sessions").desc(), F.col("path"))
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------
+# rolling_median_value — EXACT rolling median (7-row trailing frame) of
+# each user's value series. Mean-based rolling stats are partial-agg
+# friendly, but a rolling MEDIAN is holistic — the standard scale
+# approach (t-digest per frame) is approximate, so this query keeps the
+# exact semantics with a bounded trick: the frame is ROWS-bounded (7),
+# so collect_list over the window is a constant-width array per row and
+# the median is pure JVM array math (sort_array + element_at) — no UDF,
+# no unbounded state, one user-partitioned window sort. The frame order
+# (ts, event_id) is total, so both engines see identical frames.
+# --------------------------------------------------------------------------
+ROLL_MED_FRAME = 7  # trailing rows per frame (6 preceding + current)
+
+
+@CATALOG.query(
+    "rolling_median_value",
+    oracle=f"""
+    SELECT event_id, user_id,
+           CAST(median(value) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN {ROLL_MED_FRAME - 1} PRECEDING AND CURRENT ROW
+           ) AS REAL) AS roll_median
+    FROM events
+    """,
+)
+def rolling_median_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(ROLL_MED_FRAME - 1), 0)
+    )
+    arr = F.sort_array(F.collect_list("value").over(w))
+    s = F.size(arr)
+    # SQL median of a sorted s-array: avg of elements at ceil(s/2) and
+    # s/2+1 (1-based) — equal indices when s is odd.
+    med = (
+        F.element_at(arr, ((s + 1) / 2).cast("int"))
+        + F.element_at(arr, (s / 2).cast("int") + 1)
+    ) / 2.0
+    return _events(spark, sf_dir).select(
+        "event_id", "user_id", f32(med).alias("roll_median")
+    )
+
+
+# --------------------------------------------------------------------------
+# value_cusum_changepoint — CUSUM changepoint detection per user: the
+# running cumulative sum of (value - user_mean) peaks (in absolute
+# value) exactly where the series' level shifts; report that peak's
+# timestamp and height per user. Two user-partitioned windows (the
+# whole-partition mean and the ordered prefix sum) share ONE user_id
+# exchange; the argmax is a third window on the same partitioning —
+# zero entity-grain global sorts. The time-series drift-detection
+# primitive (Page's CUSUM statistic with the offline mean).
+# --------------------------------------------------------------------------
+@CATALOG.query(
+    "value_cusum_changepoint",
+    oracle="""
+    WITH m AS (
+        SELECT user_id, ts, event_id, value,
+               avg(value) OVER (PARTITION BY user_id) AS mu,
+               count(*) OVER (PARTITION BY user_id) AS n_events
+        FROM events
+    ), dev AS (
+        SELECT user_id, ts, event_id, n_events,
+               sum(value - mu)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cusum
+        FROM m
+    ), ranked AS (
+        SELECT user_id, ts, cusum, n_events,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY abs(cusum) DESC, ts, event_id)
+                   AS rn
+        FROM dev
+    )
+    SELECT user_id, ts AS changepoint_ts,
+           CAST(abs(cusum) AS REAL) AS max_abs_cusum,
+           n_events
+    FROM ranked WHERE rn = 1
+    """,
+)
+def value_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w_user = W.partitionBy("user_id")
+    w_ord = w_user.orderBy("ts", "event_id").rowsBetween(W.unboundedPreceding, 0)
+    dev = _events(spark, sf_dir).select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.sum(F.col("value") - F.avg("value").over(w_user)).over(w_ord).alias("cusum"),
+        F.count("*").over(w_user).alias("n_events"),
+    )
+    rn = F.row_number().over(
+        w_user.orderBy(F.abs(F.col("cusum")).desc(), "ts", "event_id")
+    )
+    return (
+        dev.withColumn("rn", rn)
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("ts").alias("changepoint_ts"),
+            f32(F.abs(F.col("cusum"))).alias("max_abs_cusum"),
+            "n_events",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# value_histogram_equidepth — equi-DEPTH histogram of events.value: 10
+# buckets with (near-)equal row counts, each reporting its value range.
+# The dual of value_histogram_equiwidth, and the profiling primitive
+# behind range-partition boundary planning. Bucket assignment is exact
+# SQL NTILE over the TOTAL order (value, event_id) — computed with the
+# distributed-rank machinery (functions.ranks.with_global_ntile: range
+# shuffle + partitioned local row_number + broadcast offsets), never an
+# unpartitioned window sort (docs/SCALE.md global-window policy; the
+# catalog-wide lint applies).
+# --------------------------------------------------------------------------
+EQUIDEPTH_BUCKETS = 10
+
+
+@CATALOG.query(
+    "value_histogram_equidepth",
+    oracle=f"""
+    WITH b AS (
+        SELECT value,
+               ntile({EQUIDEPTH_BUCKETS}) OVER (ORDER BY value, event_id)
+                   AS bucket
+        FROM events
+    )
+    SELECT bucket, count(*) AS n,
+           CAST(min(value) AS REAL) AS lo,
+           CAST(max(value) AS REAL) AS hi
+    FROM b GROUP BY bucket
+    """,
+)
+def value_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from orca_ztbus_python_processor_spark.functions.ranks import (  # noqa: PLC0415
+        with_global_ntile,
+    )
+
+    ev = _events(spark, sf_dir).select("event_id", "value")
+    bucketed = with_global_ntile(
+        ev, EQUIDEPTH_BUCKETS, [F.col("value"), F.col("event_id")], "bucket"
+    )
+    return bucketed.groupBy("bucket").agg(
+        F.count("*").alias("n"),
+        f32(F.min("value")).alias("lo"),
+        f32(F.max("value")).alias("hi"),
+    )
+
+
+# --------------------------------------------------------------------------
+# funnel_time_constrained — conversion funnel with a per-step deadline:
+# first 'view' per user, first 'click' within 1 hour AFTER that view,
+# first 'purchase' within 1 hour after the click. Unlike
+# event_funnel_stages (order-only), each step must land in the
+# previous step's time window — the product-analytics definition of an
+# attributable conversion. Three user-grain min-aggregations chained by
+# equi-joins on user_id (each stage frame is one row per user, so the
+# chain stays key-partitioned; no windows, no self-join over the raw
+# stream); stage counts enter the 3-row result via broadcast 1-row
+# aggregates.
+# --------------------------------------------------------------------------
+@CATALOG.query(
+    "funnel_time_constrained",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, min(ts) AS t_view FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+        SELECT e.user_id, min(e.ts) AS t_click
+        FROM events e JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'click'
+          AND e.ts > v.t_view AND e.ts <= v.t_view + INTERVAL 1 HOUR
+        GROUP BY e.user_id
+    ), p AS (
+        SELECT e.user_id, min(e.ts) AS t_purchase
+        FROM events e JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase'
+          AND e.ts > c.t_click AND e.ts <= c.t_click + INTERVAL 1 HOUR
+        GROUP BY e.user_id
+    ), stages AS (
+        SELECT 1 AS stage, 'view' AS stage_name, count(*) AS n_users FROM v
+        UNION ALL
+        SELECT 2, 'click_1h', count(*) FROM c
+        UNION ALL
+        SELECT 3, 'purchase_1h', count(*) FROM p
+    )
+    SELECT stage, stage_name, n_users,
+           CAST(n_users / CAST((SELECT n_users FROM stages WHERE stage = 1)
+                AS DOUBLE) AS REAL) AS share_of_entry
+    FROM stages
+    """,
+)
+def funnel_time_constrained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).select("user_id", "event_type", "ts")
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(
+            (F.col("ts") > F.col("t_view"))
+            & (F.col("ts") <= F.col("t_view") + F.expr("INTERVAL 1 HOUR"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(
+            (F.col("ts") > F.col("t_click"))
+            & (F.col("ts") <= F.col("t_click") + F.expr("INTERVAL 1 HOUR"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    stages = (
+        v.agg(F.count("*").alias("n_users")).select(
+            F.lit(1).alias("stage"), F.lit("view").alias("stage_name"), "n_users"
+        )
+        .unionByName(
+            c.agg(F.count("*").alias("n_users")).select(
+                F.lit(2).alias("stage"),
+                F.lit("click_1h").alias("stage_name"),
+                "n_users",
+            )
+        )
+        .unionByName(
+            p.agg(F.count("*").alias("n_users")).select(
+                F.lit(3).alias("stage"),
+                F.lit("purchase_1h").alias("stage_name"),
+                "n_users",
+            )
+        )
+    )
+    entry = F.broadcast(v.agg(F.count("*").alias("_entry")))
+    return stages.crossJoin(entry).select(
+        "stage",
+        "stage_name",
+        "n_users",
+        f32(F.col("n_users") / F.col("_entry").cast("double")).alias(
+            "share_of_entry"
+        ),
+    )

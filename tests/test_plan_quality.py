@@ -810,3 +810,66 @@ def test_knn_accuracy_rides_sharded_kernel_no_cartesian(spark, catalog):
     plan = _plan(spark, catalog.queries["knn_label_accuracy"](spark, SMOKE_SF_DIR))
     assert "CartesianProduct" not in plan, plan
     assert "FlatMapCoGroupsInPandas" in plan or "CoGroup" in plan, plan
+
+
+# ---- round-6 wave-6b pins -------------------------------------------------
+
+
+def test_triangle_count_no_cartesian_no_smj(spark, catalog):
+    """Triangle counting: degree enrichment broadcasts; the wedge join
+    and closing probe are equi-joins (never CartesianProduct), and
+    nothing falls back to a sort-merge join at smoke scale."""
+    plan = _plan(spark, catalog.queries["copurchase_triangle_count"](spark, SMOKE_SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_bloom_join_probe_stays_jvm(spark, catalog):
+    """The Bloom membership probe is pure JVM bit arithmetic against the
+    broadcast 1-row bitmap: no Python evaluation anywhere, at most the
+    two 1-row broadcast nested loops (bitmap + the final 1-row census),
+    and the real key join never degrades to CartesianProduct."""
+    plan = _plan(spark, catalog.queries["bloom_prefiltered_join"](spark, SMOKE_SF_DIR))
+    assert "BatchEvalPython" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 2, plan
+
+
+def test_rolling_median_one_window_exchange(spark, catalog):
+    """The exact rolling median is ONE user-partitioned window pass —
+    a single exchange, no Python, no unpartitioned window."""
+    df = catalog.queries["rolling_median_value"](spark, SMOKE_SF_DIR)
+    assert _unpartitioned_windows(df) == 0
+    plan = _plan(spark, df)
+    assert _n_exchanges(plan) == 1, plan
+    assert "BatchEvalPython" not in plan, plan
+
+
+def test_cusum_windows_share_one_exchange(spark, catalog):
+    """CUSUM needs three windows (partition mean, ordered prefix sum,
+    argmax rank) — all on the SAME user_id partitioning, so the whole
+    plan carries exactly ONE exchange."""
+    df = catalog.queries["value_cusum_changepoint"](spark, SMOKE_SF_DIR)
+    assert _unpartitioned_windows(df) == 0
+    plan = _plan(spark, df)
+    assert _n_exchanges(plan) == 1, plan
+
+
+def test_equidepth_histogram_distributed_rank(spark, catalog):
+    """Equi-depth bucketing rides functions.ranks (range shuffle +
+    broadcast offsets): zero unpartitioned windows, offsets enter via
+    a broadcast hash join."""
+    df = catalog.queries["value_histogram_equidepth"](spark, SMOKE_SF_DIR)
+    assert _unpartitioned_windows(df) == 0
+    plan = _plan(spark, df)
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_funnel_no_cartesian(spark, catalog):
+    """The per-step deadline filters ride the stage equi-joins on
+    user_id; only the two 1-row entry-count broadcasts may plan as
+    nested loops, and nothing is a CartesianProduct."""
+    plan = _plan(spark, catalog.queries["funnel_time_constrained"](spark, SMOKE_SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
