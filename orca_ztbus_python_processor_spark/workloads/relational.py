@@ -1803,3 +1803,99 @@ def bloom_prefiltered_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("revenue"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# orders_skyline_paretofront — SKYLINE operator (Pareto front): orders
+# not dominated on (earlier-or-equal o_orderdate, higher-or-equal
+# o_totalprice, strict in at least one). The classic multi-criteria
+# operator, computed WITHOUT the naive quadratic dominance self-join:
+# an order survives iff its price equals its date's maximum AND beats
+# every earlier date's maximum — so the skyline reduces to a date-grain
+# cummax. The running max runs on the AGGREGATED |dates| frame (a
+# bounded non-entity grain, whitelisted like the monthly/hourly global
+# windows per docs/SCALE.md), and membership rejoins via one broadcast.
+# The oracle states the independent NOT EXISTS dominance definition.
+# --------------------------------------------------------------------------
+@CATALOG.query(
+    "orders_skyline_paretofront",
+    oracle="""
+    SELECT a.o_orderkey, a.o_orderdate,
+           CAST(a.o_totalprice AS REAL) AS o_totalprice
+    FROM orders a
+    WHERE NOT EXISTS (
+        SELECT 1 FROM orders b
+        WHERE b.o_orderdate <= a.o_orderdate
+          AND b.o_totalprice >= a.o_totalprice
+          AND (b.o_orderdate < a.o_orderdate
+               OR b.o_totalprice > a.o_totalprice)
+    )
+    """,
+)
+def orders_skyline_paretofront(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    per_date = orders.groupBy("o_orderdate").agg(
+        F.max("o_totalprice").alias("d_max")
+    )
+    w_prior = (
+        W.orderBy("o_orderdate").rowsBetween(W.unboundedPreceding, -1)
+    )
+    sky_dates = (
+        per_date.withColumn("prior_max", F.max("d_max").over(w_prior))
+        .where(F.col("prior_max").isNull() | (F.col("d_max") > F.col("prior_max")))
+        .select("o_orderdate", "d_max")
+    )
+    return (
+        orders.join(F.broadcast(sky_dates), "o_orderdate")
+        .where(F.col("o_totalprice") == F.col("d_max"))
+        .select(
+            "o_orderkey", "o_orderdate", f32(F.col("o_totalprice")).alias("o_totalprice")
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# weighted_order_sample — deterministic weighted sampling without
+# replacement (Efraimidis–Spirakis A-ES): each order draws a uniform u
+# from a Knuth multiplicative hash of its key (pure integer arithmetic
+# — bit-identical across engines, unlike rand()) and ranks by
+# ln(u)/weight; the top-k under that ranking is EXACTLY a weighted
+# sample without replacement with inclusion ∝ o_totalprice. The
+# curation primitive behind importance-weighted corpus subsampling
+# when proportional inclusion (not Bernoulli) is required. Plan: the
+# scoring is map-side expression math and the top-k is TakeOrdered —
+# no global sort materialization, no unpartitioned window.
+# --------------------------------------------------------------------------
+SAMPLE_K = 100
+_AES_KEY = (
+    "ln(((o_orderkey * 2654435761) % 4294967296 + 0.5) / 4294967296.0)"
+    " / o_totalprice"
+)
+
+
+@CATALOG.query(
+    "weighted_order_sample",
+    oracle=f"""
+    SELECT o_orderkey,
+           CAST(o_totalprice AS REAL) AS weight,
+           CAST({_AES_KEY} AS REAL) AS sample_key
+    FROM orders
+    ORDER BY {_AES_KEY} DESC, o_orderkey
+    LIMIT {SAMPLE_K}
+    """,
+)
+def weighted_order_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scored = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_totalprice").alias("weight"),
+        F.expr(_AES_KEY).alias("_key"),
+    )
+    return (
+        scored.orderBy(F.col("_key").desc(), "o_orderkey")
+        .limit(SAMPLE_K)
+        .select(
+            "o_orderkey",
+            f32(F.col("weight")).alias("weight"),
+            f32(F.col("_key")).alias("sample_key"),
+        )
+    )

@@ -2815,3 +2815,117 @@ def funnel_time_constrained(spark: SparkSession, sf_dir: str) -> DataFrame:
             "share_of_entry"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# value_psi_drift — population-stability-index / KL drift report between
+# the first and second half of the event stream (by time): the ML-ops
+# primitive behind "did the feature distribution move between the
+# training window and serving". 10 equi-width bins from the GLOBAL
+# value bounds (one 1-row scalar agg, broadcast back — no collect);
+# per-bin counts for both halves come from ONE map-combinable groupBy
+# with conditional sums; add-one smoothing keeps empty bins finite and
+# identical in both engines. The bin grid is generated (sequence /
+# generate_series), so all 10 rows appear even when a bin is empty on
+# both sides.
+# --------------------------------------------------------------------------
+PSI_BINS = 10
+
+
+@CATALOG.query(
+    "value_psi_drift",
+    oracle=f"""
+    WITH scal AS (
+        SELECT min(value) AS vmin, max(value) AS vmax,
+               min(epoch(ts)) AS tmin, max(epoch(ts)) AS tmax
+        FROM events
+    ), binned AS (
+        SELECT CAST(CASE WHEN s.vmax = s.vmin THEN 0
+                    ELSE least(floor((e.value - s.vmin)
+                               / ((s.vmax - s.vmin) / {PSI_BINS})),
+                               {PSI_BINS - 1}) END AS INTEGER) AS bin,
+               CASE WHEN epoch(e.ts) <= (s.tmin + s.tmax) / 2.0
+                    THEN 1 ELSE 0 END AS is_expected
+        FROM events e CROSS JOIN scal s
+    ), counts AS (
+        SELECT bin,
+               sum(is_expected) AS n_expected,
+               sum(1 - is_expected) AS n_actual
+        FROM binned GROUP BY bin
+    ), grid AS (
+        SELECT g.bin,
+               CAST(COALESCE(c.n_expected, 0) AS BIGINT) AS n_expected,
+               CAST(COALESCE(c.n_actual, 0) AS BIGINT) AS n_actual
+        FROM (SELECT unnest(generate_series(0, {PSI_BINS - 1})) AS bin) g
+        LEFT JOIN counts c ON g.bin = c.bin
+    ), tot AS (
+        SELECT sum(n_expected) AS te, sum(n_actual) AS ta FROM grid
+    )
+    SELECT bin, n_expected, n_actual,
+           CAST((n_actual + 1) / (ta + {PSI_BINS}.0)
+                - (n_expected + 1) / (te + {PSI_BINS}.0) AS REAL)
+               AS share_shift,
+           CAST(((n_actual + 1) / (ta + {PSI_BINS}.0)
+                 - (n_expected + 1) / (te + {PSI_BINS}.0))
+                * ln(((n_actual + 1) / (ta + {PSI_BINS}.0))
+                     / ((n_expected + 1) / (te + {PSI_BINS}.0))) AS REAL)
+               AS psi_term
+    FROM grid CROSS JOIN tot
+    """,
+)
+def value_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).select(
+        "value", F.col("ts").cast("double").alias("ts_sec")
+    )
+    scal = ev.agg(
+        F.min("value").alias("vmin"),
+        F.max("value").alias("vmax"),
+        F.min("ts_sec").alias("tmin"),
+        F.max("ts_sec").alias("tmax"),
+    )
+    width = (F.col("vmax") - F.col("vmin")) / PSI_BINS
+    bin_id = (
+        F.when(F.col("vmax") == F.col("vmin"), 0)
+        .otherwise(
+            F.least(
+                F.floor((F.col("value") - F.col("vmin")) / width),
+                F.lit(PSI_BINS - 1),
+            )
+        )
+        .cast("int")
+    )
+    is_expected = (
+        F.col("ts_sec") <= (F.col("tmin") + F.col("tmax")) / 2.0
+    ).cast("long")
+    counts = (
+        ev.crossJoin(F.broadcast(scal))
+        .groupBy(bin_id.alias("bin"))
+        .agg(
+            F.sum(is_expected).alias("n_expected"),
+            F.sum(1 - is_expected).alias("n_actual"),
+        )
+    )
+    grid = spark.range(PSI_BINS).select(F.col("id").cast("int").alias("bin"))
+    filled = (
+        grid.join(counts, "bin", "left")
+        .select(
+            "bin",
+            F.coalesce(F.col("n_expected"), F.lit(0)).alias("n_expected"),
+            F.coalesce(F.col("n_actual"), F.lit(0)).alias("n_actual"),
+        )
+        .localCheckpoint(eager=False)  # 10 rows; reused by the total side
+    )
+    tot = F.broadcast(
+        filled.agg(
+            F.sum("n_expected").alias("te"), F.sum("n_actual").alias("ta")
+        )
+    )
+    pe = (F.col("n_expected") + 1) / (F.col("te") + F.lit(float(PSI_BINS)))
+    pa = (F.col("n_actual") + 1) / (F.col("ta") + F.lit(float(PSI_BINS)))
+    return filled.crossJoin(tot).select(
+        "bin",
+        "n_expected",
+        "n_actual",
+        f32(pa - pe).alias("share_shift"),
+        f32((pa - pe) * F.log(pa / pe)).alias("psi_term"),
+    )

@@ -630,6 +630,7 @@ BOUNDED_GLOBAL_WINDOW_OK = {
     "temperature_mix_weights": "|sources| rows after source-grain agg",
     "region_nation_revenue_share": "25 nation rows after dim-grain agg",
     "data_mix_rebalance_profile": "|sources| rows after source-grain agg",
+    "orders_skyline_paretofront": "|dates| rows after date-grain agg",
 }
 
 
@@ -873,3 +874,32 @@ def test_funnel_no_cartesian(spark, catalog):
     plan = _plan(spark, catalog.queries["funnel_time_constrained"](spark, SMOKE_SF_DIR))
     assert "CartesianProduct" not in plan, plan
     assert "BatchEvalPython" not in plan, plan
+
+
+def test_psi_drift_one_scan_grid_filled(spark, catalog):
+    """PSI reads the events fact ONCE (scalar bounds + the conditional
+    per-bin sums share the scan via the broadcast 1-row cross join) and
+    always emits the full 10-row grid."""
+    df = catalog.queries["value_psi_drift"](spark, SMOKE_SF_DIR)
+    plan = _plan(spark, df)
+    assert plan.count("Location: InMemoryFileIndex") <= 2, plan
+    assert "BatchEvalPython" not in plan, plan
+
+
+def test_skyline_no_dominance_self_join(spark, catalog):
+    """The skyline never plans the quadratic dominance self-join: the
+    only window runs on the date-grain aggregated frame (whitelisted
+    bounded global window) and membership rejoins via broadcast."""
+    plan = _plan(spark, catalog.queries["orders_skyline_paretofront"](spark, SMOKE_SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_weighted_sample_takeordered(spark, catalog):
+    """A-ES weighted sampling is map-side scoring + TakeOrdered top-k —
+    never a global sort materialization or an unpartitioned window."""
+    df = catalog.queries["weighted_order_sample"](spark, SMOKE_SF_DIR)
+    assert _unpartitioned_windows(df) == 0
+    plan = _plan(spark, df)
+    assert "TakeOrderedAndProject" in plan, plan
