@@ -1899,3 +1899,81 @@ def weighted_order_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             f32(F.col("_key")).alias("sample_key"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# order_penny_allocation — exact proration with largest-remainder
+# reconciliation (the finance "penny allocation" / Hamilton
+# apportionment operator): each order's total is split across its line
+# items proportionally to extended price, IN CENTS, with the floor
+# residue handed one cent at a time to the lines with the largest
+# division remainders (ties by line number). Every quantity is BIGINT
+# cent/remainder arithmetic — cross-engine bit-exact, and per-order
+# sums reconcile to the total BY CONSTRUCTION (pinned in the oracle
+# parity: sum(alloc) == total for every order). All three windows ride
+# the l_orderkey partitioning; the order total joins on the same key.
+# --------------------------------------------------------------------------
+@CATALOG.query(
+    "order_penny_allocation",
+    oracle="""
+    WITH li AS (
+        SELECT l_orderkey, l_linenumber,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS ext_c
+        FROM lineitem
+    ), o AS (
+        SELECT o_orderkey,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS total_c
+        FROM orders
+    ), base AS (
+        SELECT li.l_orderkey, li.l_linenumber, li.ext_c, o.total_c,
+               sum(li.ext_c) OVER (PARTITION BY li.l_orderkey) AS sum_c,
+               (o.total_c * li.ext_c) // sum(li.ext_c)
+                   OVER (PARTITION BY li.l_orderkey) AS floor_c,
+               (o.total_c * li.ext_c) % sum(li.ext_c)
+                   OVER (PARTITION BY li.l_orderkey) AS rem
+        FROM li JOIN o ON li.l_orderkey = o.o_orderkey
+    ), ranked AS (
+        SELECT *,
+               row_number() OVER (PARTITION BY l_orderkey
+                                  ORDER BY rem DESC, l_linenumber) AS rr,
+               total_c - sum(floor_c) OVER (PARTITION BY l_orderkey)
+                   AS residue
+        FROM base
+    )
+    SELECT l_orderkey, l_linenumber,
+           CAST(floor_c + CASE WHEN rr <= residue THEN 1 ELSE 0 END
+                AS BIGINT) AS alloc_cents
+    FROM ranked
+    """,
+)
+def order_penny_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("ext_c"),
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("total_c"),
+    )
+    w_ord = W.partitionBy("l_orderkey")
+    base = (
+        li.join(o, "l_orderkey")
+        .withColumn("sum_c", F.sum("ext_c").over(w_ord))
+        # BIGINT integer division (SQL DIV): double-precision floor(a/b)
+        # can be off by one near exact multiples at these magnitudes
+        .withColumn("floor_c", F.expr("(total_c * ext_c) DIV sum_c"))
+        .withColumn("rem", F.expr("(total_c * ext_c) % sum_c"))
+    )
+    ranked = base.withColumn(
+        "rr",
+        F.row_number().over(w_ord.orderBy(F.col("rem").desc(), "l_linenumber")),
+    ).withColumn("residue", F.col("total_c") - F.sum("floor_c").over(w_ord))
+    return ranked.select(
+        "l_orderkey",
+        "l_linenumber",
+        (
+            F.col("floor_c")
+            + F.when(F.col("rr") <= F.col("residue"), 1).otherwise(0)
+        ).cast("long").alias("alloc_cents"),
+    )

@@ -2929,3 +2929,89 @@ def value_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         f32(pa - pe).alias("share_shift"),
         f32((pa - pe) * F.log(pa / pe)).alias("psi_term"),
     )
+
+
+# --------------------------------------------------------------------------
+# user_interval_coverage — merged-interval coverage (the sweep-line
+# union of overlapping intervals): each event opens the same 5-minute
+# activity interval as concurrent_active_intervals; per user, the
+# intervals merge into maximal islands (an island starts where an
+# interval's start exceeds the running max end of everything earlier),
+# and the report is events / islands / covered time / span coverage.
+# The utilization dual of the concurrency counter. All arithmetic is
+# epoch-MICROSECOND integers (unix_micros / epoch_us), so the result is
+# bit-exact across engines. Three windows, all on the user_id
+# partitioning — one exchange (pinned).
+# --------------------------------------------------------------------------
+@CATALOG.query(
+    "user_interval_coverage",
+    oracle=f"""
+    WITH iv AS (
+        SELECT user_id, event_id,
+               epoch_us(ts) AS s_us,
+               epoch_us(ts + INTERVAL {INTERVAL_SECONDS} SECOND) AS e_us
+        FROM events
+    ), marked AS (
+        SELECT user_id, event_id, s_us, e_us,
+               CASE WHEN s_us > max(e_us) OVER (
+                        PARTITION BY user_id ORDER BY s_us, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    THEN 1 ELSE 0 END AS new_island
+        FROM iv
+    ), islands AS (
+        SELECT user_id, s_us, e_us,
+               sum(new_island) OVER (
+                   PARTITION BY user_id ORDER BY s_us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS island_id
+        FROM marked
+    ), per_island AS (
+        SELECT user_id, island_id,
+               min(s_us) AS i_start, max(e_us) AS i_end
+        FROM islands GROUP BY user_id, island_id
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_islands,
+           CAST(sum(i_end - i_start) AS BIGINT) AS covered_us,
+           CAST(max(i_end) - min(i_start) AS BIGINT) AS span_us,
+           CAST(sum(i_end - i_start)
+                / CAST(max(i_end) - min(i_start) AS DOUBLE) AS REAL)
+               AS coverage_ratio
+    FROM per_island GROUP BY user_id
+    """,
+)
+def user_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    iv = _events(spark, sf_dir).select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts")).alias("s_us"),
+        F.unix_micros(
+            F.col("ts") + F.expr(f"INTERVAL {INTERVAL_SECONDS} SECOND")
+        ).alias("e_us"),
+    )
+    w_prev = (
+        W.partitionBy("user_id")
+        .orderBy("s_us", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    marked = iv.withColumn(
+        "new_island",
+        F.when(F.col("s_us") > F.max("e_us").over(w_prev), 1).otherwise(0),
+    )
+    w_pre = (
+        W.partitionBy("user_id")
+        .orderBy("s_us", "event_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    islands = marked.withColumn("island_id", F.sum("new_island").over(w_pre))
+    per_island = islands.groupBy("user_id", "island_id").agg(
+        F.min("s_us").alias("i_start"), F.max("e_us").alias("i_end")
+    )
+    span = F.max("i_end") - F.min("i_start")
+    covered = F.sum(F.col("i_end") - F.col("i_start"))
+    return per_island.groupBy("user_id").agg(
+        F.count("*").alias("n_islands"),
+        covered.alias("covered_us"),
+        span.alias("span_us"),
+        f32(covered / span.cast("double")).alias("coverage_ratio"),
+    )

@@ -150,3 +150,31 @@ def test_straddle_fixture_exercises_fsm_edges(spark):
     assert straddling > 0, "no run straddles its emitting window start"
     assert truncated > 0, "no run hit the 400 s lookback truncation"
     assert boundary_close > 0, "no run closes exactly on a window boundary"
+
+
+def test_penny_allocation_reconciles_every_order(spark):
+    """The largest-remainder construction guarantees per-order
+    reconciliation: sum(alloc_cents) == round(o_totalprice*100) for
+    EVERY order — the invariant that makes proration finance-safe."""
+    from pyspark.sql import functions as F
+
+    from orca_ztbus_python_processor_spark.workloads.base import merged_catalog
+    from tests.conftest import SMOKE_SF_DIR
+
+    cat = merged_catalog()
+    alloc = cat.queries["order_penny_allocation"](spark, SMOKE_SF_DIR)
+    totals = (
+        spark.read.parquet(f"{SMOKE_SF_DIR}/orders.parquet")
+        .select(
+            F.col("o_orderkey").alias("l_orderkey"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("total_c"),
+        )
+    )
+    bad = (
+        alloc.groupBy("l_orderkey")
+        .agg(F.sum("alloc_cents").alias("s"))
+        .join(totals, "l_orderkey")
+        .where(F.col("s") != F.col("total_c"))
+        .count()
+    )
+    assert bad == 0

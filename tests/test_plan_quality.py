@@ -903,3 +903,25 @@ def test_weighted_sample_takeordered(spark, catalog):
     assert _unpartitioned_windows(df) == 0
     plan = _plan(spark, df)
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_interval_coverage_one_user_exchange(spark, catalog):
+    """Merge-interval coverage: the marking window, island running sum,
+    island rollup, and per-user rollup all ride ONE user_id exchange;
+    zero unpartitioned windows."""
+    df = catalog.queries["user_interval_coverage"](spark, SMOKE_SF_DIR)
+    assert _unpartitioned_windows(df) == 0
+    plan = _plan(spark, df)
+    assert _n_exchanges(plan) == 1, plan
+
+
+def test_penny_allocation_one_key_exchange(spark, catalog):
+    """Largest-remainder allocation: all three windows + the order-total
+    join share the l_orderkey partitioning — at most the join's two
+    input exchanges, never a window re-shuffle; zero unpartitioned
+    windows, no Python."""
+    df = catalog.queries["order_penny_allocation"](spark, SMOKE_SF_DIR)
+    assert _unpartitioned_windows(df) == 0
+    plan = _plan(spark, df)
+    assert _n_exchanges(plan) <= 2, plan
+    assert "BatchEvalPython" not in plan, plan
