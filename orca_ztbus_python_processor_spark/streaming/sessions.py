@@ -50,7 +50,7 @@ def _fsm_fn(
     out_rows: list[tuple[Any, int, int, int]] = []
     if chunks:
         pdf = pd.concat(chunks, ignore_index=True).sort_values(
-            "_ts_us", kind="mergesort"
+            ["_ts_us", "_oid"], kind="mergesort"
         )
         for ts_us, flag in zip(pdf["_ts_us"], pdf["_flag"]):
             if flag and not run_open:
@@ -80,12 +80,17 @@ def fsm_runs_stream(
     key_col: str,
     time_col: str = "ts",
     watermark: str = "400 seconds",
+    order_col: str | None = None,
 ) -> DataFrame:
     """Apply the exact FSM over a stream, keyed by ``key_col``.
 
     Output: ``key, time_from, time_to, n_samples`` — one row per CLOSED
     run; the trailing open run is retained in state, never emitted
-    (reference ST5 semantics).
+    (reference ST5 semantics). ``order_col`` is the deterministic
+    secondary sort key on timestamp ties (pass the source's event id
+    when its batch twin orders by ``(ts, event_id)``); with ties and no
+    ``order_col`` the run boundaries on tied flags are
+    arrival-order-dependent.
     """
     from pyspark.sql import functions as F  # noqa: PLC0415
 
@@ -95,6 +100,9 @@ def fsm_runs_stream(
             F.col(key_col).alias("key"),
             F.unix_micros(F.col(time_col)).alias("_ts_us"),
             F.col(flag_col).alias("_flag"),
+            (
+                F.col(order_col) if order_col is not None else F.lit(0)
+            ).cast("long").alias("_oid"),
         )
     )
     return prepared.groupBy("key").applyInPandasWithState(

@@ -188,7 +188,9 @@ def stream_error_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = read_events_stream(spark, sf_dir).withColumn(
         "is_error", F.col("event_type") == "error"
     )
-    runs = fsm_runs_stream(stream, "is_error", key_col="user_id", time_col="ts")
+    runs = fsm_runs_stream(
+        stream, "is_error", key_col="user_id", time_col="ts", order_col="event_id"
+    )
     run_to_memory(runs, "q_stream_error_runs", output_mode="append")
     return spark.table("q_stream_error_runs")
 
