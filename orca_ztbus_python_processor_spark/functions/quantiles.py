@@ -113,3 +113,81 @@ def exact_group_quantiles(
         .join(ndf, "g")
         .select(F.col("g").alias(group_col), "n", *[f"p{int(round(q * 100))}" for q in qs])
     )
+
+
+def exact_weighted_quantiles(
+    df: DataFrame,
+    value_col: str,
+    weight_col: str,
+    qs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.9, 0.99),
+) -> DataFrame:
+    """Exact WEIGHTED quantiles, distributed — the weighted dual of
+    ``exact_group_quantiles``: quantile q is the smallest value whose
+    cumulative weight reaches ``q * total_weight`` (the lower weighted
+    quantile — the definition both engines can state identically, so
+    results hash-match; with integer-valued weights every cumulative
+    sum is exact in doubles regardless of summation order).
+
+    Same addressing scheme as the unweighted form: range-repartition on
+    the value, per-partition WEIGHT sums to the driver (n_partitions
+    scalars), broadcast prefix offsets, one pid-partitioned window for
+    the local cumulative weight (RANGE frame — tied values share their
+    cumulative weight in both engines, which cannot change the min-v
+    selection). Targets enter as a broadcast ~|qs|-row frame; the
+    selection is a map-side partial min per target.
+
+    Output: ``q (double), wq (float32 value), total_weight (double)``.
+    """
+    spark = df.sparkSession
+    src = (
+        df.select(
+            F.col(value_col).cast("double").alias("v"),
+            F.col(weight_col).cast("double").alias("w"),
+        )
+        .where(F.col("v").isNotNull() & F.col("w").isNotNull() & (F.col("w") > 0))
+    )
+    nparts = max(spark.sparkContext.defaultParallelism, 2)
+    s = src.repartitionByRange(nparts, "v").localCheckpoint(eager=False)
+    s = s.withColumn("pid", F.spark_partition_id())
+
+    cells = sorted(
+        (r["pid"], r["sw"])
+        for r in s.groupBy("pid").agg(F.sum("w").alias("sw")).collect()
+    )
+    total_w = float(sum(c for _, c in cells))
+    offs, off = [], 0.0
+    for pid, c in cells:
+        offs.append((pid, off))
+        off += float(c)
+    odf = F.broadcast(
+        spark.createDataFrame(offs or [(0, 0.0)], "pid int, off double")
+    )
+    # Address each target to the FIRST partition whose cumulative
+    # weight reaches it (the driver already holds the prefix sums):
+    # the min-v row for a target always lives in that partition, so the
+    # selection join probes ~|qs| partitions instead of cross-joining
+    # every row against every target.
+    targets = []
+    for q in qs:
+        t = float(q) * total_w
+        holder = 0
+        for pid, start in offs:
+            w_p = dict(cells).get(pid, 0.0)
+            if start + float(w_p) >= t:
+                holder = pid
+                break
+        targets.append((holder, float(q), t))
+    tdf = F.broadcast(
+        spark.createDataFrame(targets or [(0, 0.0, 0.0)], "pid int, q double, target double")
+    )
+    cw_local = F.sum("w").over(W.partitionBy("pid").orderBy("v"))
+    cw = s.join(odf, "pid").withColumn("cw", F.col("off") + cw_local)
+    return (
+        cw.join(tdf, "pid")
+        .where(F.col("cw") >= F.col("target"))
+        .groupBy("q")
+        .agg(
+            f32(F.min("v")).alias("wq"),
+            F.first(F.lit(total_w)).alias("total_weight"),
+        )
+    )

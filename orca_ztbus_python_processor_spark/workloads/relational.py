@@ -1977,3 +1977,49 @@ def order_penny_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.when(F.col("rr") <= F.col("residue"), 1).otherwise(0)
         ).cast("long").alias("alloc_cents"),
     )
+
+
+# --------------------------------------------------------------------------
+# weighted_price_quantiles — exact WEIGHTED quantiles of the unit
+# price distribution, weighted by quantity: "what price does the
+# median SHIPPED UNIT pay" (not the median line item) — the
+# inventory-weighted statistic pricing and data-mix decisions actually
+# need. Rides functions/quantiles.exact_weighted_quantiles: the same
+# range-repartition + scalar-offsets + bounded-window addressing as the
+# unweighted exact path, with WEIGHT prefix sums instead of row counts
+# (quantity weights are integer-valued, so every cumulative double is
+# exact and the cross-engine hash matches bit-for-bit). Quantile q =
+# smallest price whose cumulative quantity reaches q * total quantity.
+# --------------------------------------------------------------------------
+WQ_QS = (0.25, 0.5, 0.75, 0.9, 0.99)
+
+
+@CATALOG.query(
+    "weighted_price_quantiles",
+    oracle=f"""
+    WITH src AS (
+        SELECT l_extendedprice AS v, l_quantity AS w FROM lineitem
+        WHERE l_extendedprice IS NOT NULL AND l_quantity > 0
+    ), tot AS (SELECT sum(w) AS tw FROM src),
+    c AS (
+        SELECT v, sum(w) OVER (ORDER BY v) AS cw FROM src
+    ), targets AS (
+        SELECT unnest(ARRAY{list(WQ_QS)}) AS q
+    )
+    SELECT t.q,
+           CAST(min(c.v) AS REAL) AS wq,
+           CAST(any_value(tot.tw) AS DOUBLE) AS total_weight
+    FROM targets t
+    CROSS JOIN tot
+    JOIN c ON c.cw >= t.q * tot.tw
+    GROUP BY t.q
+    """,
+)
+def weighted_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from orca_ztbus_python_processor_spark.functions.quantiles import (  # noqa: PLC0415
+        exact_weighted_quantiles,
+    )
+
+    return exact_weighted_quantiles(
+        _t(spark, sf_dir, "lineitem"), "l_extendedprice", "l_quantity", qs=WQ_QS
+    )

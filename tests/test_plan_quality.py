@@ -925,3 +925,13 @@ def test_penny_allocation_one_key_exchange(spark, catalog):
     plan = _plan(spark, df)
     assert _n_exchanges(plan) <= 2, plan
     assert "BatchEvalPython" not in plan, plan
+
+
+def test_weighted_quantiles_no_global_window(spark, catalog):
+    """Weighted quantiles ride the range-repartition + pid-window
+    addressing: zero unpartitioned windows (each window cell is bounded
+    by partition size), targets enter via broadcast."""
+    df = catalog.queries["weighted_price_quantiles"](spark, SMOKE_SF_DIR)
+    assert _unpartitioned_windows(df) == 0
+    plan = _plan(spark, df)
+    assert "BatchEvalPython" not in plan, plan
