@@ -425,3 +425,40 @@ def test_psi_full_grid_finite_terms(spark):
     # smoothing guarantees psi_term >= 0 is NOT implied (terms signed);
     # but the TOTAL is >= 0 by Gibbs' inequality on the smoothed shares
     assert sum(r["psi_term"] for r in rows) >= -1e-9
+
+
+# ---------------------------------------------------------------------------
+# hypothesis: weighted quantiles on arbitrary integer-weighted inputs
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    data=st.lists(
+        st.tuples(
+            st.floats(-1e6, 1e6, allow_nan=False, width=32),
+            st.integers(1, 100),
+        ),
+        min_size=1,
+        max_size=300,
+    ),
+    q=st.sampled_from([0.01, 0.25, 0.5, 0.75, 0.99, 1.0]),
+)
+def test_weighted_quantile_hypothesis(spark, data, q):
+    from orca_ztbus_python_processor_spark.functions.quantiles import (
+        exact_weighted_quantiles,
+    )
+
+    v = np.array([x for x, _ in data], dtype=float)
+    w = np.array([y for _, y in data], dtype=float)
+    df = spark.createDataFrame(pd.DataFrame({"v": v, "w": w}))
+    got = exact_weighted_quantiles(df, "v", "w", qs=(q,)).collect()
+    order = np.argsort(v, kind="stable")
+    sv, cw = v[order], np.cumsum(w[order])
+    idx = int(np.searchsorted(cw, q * cw[-1], side="left"))
+    idx = min(idx, len(sv) - 1)
+    assert len(got) == 1
+    assert got[0]["wq"] == np.float32(sv[idx])
