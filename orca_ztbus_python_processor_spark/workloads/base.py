@@ -145,8 +145,40 @@ _R5_SAMPLE = frozenset({
     "zorder_layout_profile",
 })
 
+# The 50 queries the driver verified in round 6 (CORRECTNESS_r06.json:
+# 47 hash-match + 3 contractual rows-only, zero failures). 39 were
+# round-6 additions plus 11 re-verifications; all join the back group so
+# round 7's sample window is filled by round-7 additions first.
+_R6_SAMPLE = frozenset({
+    "benford_leading_digit", "bloom_prefiltered_join",
+    "copurchase_pagerank_topk", "copurchase_triangle_count",
+    "customer_revenue_percentile", "customers_with_orders_by_nation",
+    "customers_without_orders", "doc_length_log2_histogram",
+    "embedding_cosine_histogram", "exact_dup_cross_source_keep",
+    "funnel_time_constrained", "hapax_legomena_share",
+    "heavy_hitters_topk_tokens", "knn_label_accuracy",
+    "lang_id_confusion_matrix", "merge_upsert_actions",
+    "nearest_event_order_asof", "neyman_sample_allocation",
+    "order_penny_allocation", "orders_skyline_paretofront",
+    "pca_top_component", "pivot_linestatus", "point_lookup_customer",
+    "q12_ship_mode_priority", "q1_pricing_summary", "q3_top_orders",
+    "q5_region_revenue", "relational_division_suppliers",
+    "resample_linear_interpolate", "rolling_median_value",
+    "rollup_revenue", "session_path_topk", "sessionized_bounce_rate",
+    "shipments_point_in_time_tier", "source_vocab_overlap_matrix",
+    "stream_error_rate_alert", "stream_minute_type_pivot",
+    "token_length_histogram", "top1_latest_order",
+    "topk_orders_per_segment", "training_shard_layout",
+    "union_price_slices", "user_interval_coverage",
+    "value_autocorr_by_user", "value_cusum_changepoint",
+    "value_histogram_equidepth", "value_psi_drift",
+    "weighted_order_sample", "weighted_price_quantiles",
+    "winnow_containment_pairs",
+})
+
 _DRIVER_VERIFIED = (
-    _R1_DRIVER_VERIFIED | _R2_SAMPLE | _R3_SAMPLE | _R4_SAMPLE | _R5_SAMPLE
+    _R1_DRIVER_VERIFIED | _R2_SAMPLE | _R3_SAMPLE | _R4_SAMPLE
+    | _R5_SAMPLE | _R6_SAMPLE
 )
 
 _MERGED: Catalog | None = None

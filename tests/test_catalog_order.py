@@ -1,17 +1,18 @@
 """Pin the driver-sample ordering of merged_catalog().
 
 The verification driver samples the FIRST 50 catalog entries each round.
-Rounds 1-5 verified all 172 catalog names in _R1_DRIVER_VERIFIED |
-_R2_SAMPLE | _R3_SAMPLE | _R4_SAMPLE | _R5_SAMPLE (zero failures), so
-round 6's sample window must be filled by the queries that have never
-had a driver CORRECTNESS row: exactly the entries added this round. A
-regression here (VERDICT.md round 2, "What's wrong" #2; round 3 #2;
-round 4 #2; round 5 #3) would silently re-verify old queries and starve
-new ones of driver evidence.
+Rounds 1-6 verified all 211 catalog names in _R1_DRIVER_VERIFIED |
+_R2_SAMPLE | ... | _R6_SAMPLE (zero failures), so round 7's sample
+window must be filled by the queries that have never had a driver
+CORRECTNESS row: exactly the entries added this round. A regression
+here (VERDICT.md round 2, "What's wrong" #2; rounds 3-6 likewise)
+would silently re-verify old queries and starve new ones of driver
+evidence.
 """
 
 from orca_ztbus_python_processor_spark.workloads.base import (
     _R5_SAMPLE,
+    _R6_SAMPLE,
     _DRIVER_VERIFIED,
     merged_catalog,
 )
@@ -22,6 +23,13 @@ def test_r5_sample_folded_into_back_group():
     # in the verified back group so round-6 additions fill the window.
     assert len(_R5_SAMPLE) == 50
     assert _R5_SAMPLE <= _DRIVER_VERIFIED
+
+
+def test_r6_sample_folded_into_back_group():
+    # CORRECTNESS_r06.json held exactly these 50 names; all must now be
+    # in the verified back group so round-7 additions fill the window.
+    assert len(_R6_SAMPLE) == 50
+    assert _R6_SAMPLE <= _DRIVER_VERIFIED
 
 
 def test_unverified_queries_fill_the_sample_window():
