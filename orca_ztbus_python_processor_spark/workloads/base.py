@@ -176,10 +176,17 @@ _R6_SAMPLE = frozenset({
     "winnow_containment_pairs",
 })
 
+# Queries whose SEMANTICS changed after their last driver verification:
+# they must re-enter the sample window so the driver re-verifies the new
+# definition (round 7: knn_label_accuracy became the fixed-size sampled
+# probe — VERDICT r6 "Next round" #1; its exhaustive form moved to the
+# new knn_label_accuracy_allpairs entry).
+_RESAMPLE_R7 = frozenset({"knn_label_accuracy"})
+
 _DRIVER_VERIFIED = (
     _R1_DRIVER_VERIFIED | _R2_SAMPLE | _R3_SAMPLE | _R4_SAMPLE
     | _R5_SAMPLE | _R6_SAMPLE
-)
+) - _RESAMPLE_R7
 
 _MERGED: Catalog | None = None
 

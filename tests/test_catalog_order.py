@@ -13,6 +13,7 @@ evidence.
 from orca_ztbus_python_processor_spark.workloads.base import (
     _R5_SAMPLE,
     _R6_SAMPLE,
+    _RESAMPLE_R7,
     _DRIVER_VERIFIED,
     merged_catalog,
 )
@@ -27,9 +28,16 @@ def test_r5_sample_folded_into_back_group():
 
 def test_r6_sample_folded_into_back_group():
     # CORRECTNESS_r06.json held exactly these 50 names; all must now be
-    # in the verified back group so round-7 additions fill the window.
+    # in the verified back group so round-7 additions fill the window —
+    # EXCEPT entries whose semantics changed in round 7, which re-enter
+    # the window for driver re-verification under the new definition.
     assert len(_R6_SAMPLE) == 50
-    assert _R6_SAMPLE <= _DRIVER_VERIFIED
+    assert _R6_SAMPLE - _RESAMPLE_R7 <= _DRIVER_VERIFIED
+    # knn_label_accuracy became the fixed-size sampled probe in round 7
+    # (VERDICT r6 #1): its r6 hash row covered the all-pairs semantics,
+    # which now live under knn_label_accuracy_allpairs.
+    assert _RESAMPLE_R7 == {"knn_label_accuracy"}
+    assert not (_RESAMPLE_R7 & _DRIVER_VERIFIED)
 
 
 def test_unverified_queries_fill_the_sample_window():

@@ -709,15 +709,33 @@ def test_nearest_asof_no_range_explosion(spark, catalog):
 
 
 def test_cosine_histogram_shuffles_buckets_not_pairs(spark, catalog):
-    """embedding_cosine_histogram: ONE Arrow MapInPandas pass emitting
-    partial bucket counts — the exchange carries ~21 cells per batch,
-    never a pair row; no join of the corpus against itself."""
-    plan = _plan(
-        spark, catalog.queries["embedding_cosine_histogram"](spark, SMOKE_SF_DIR)
+    """embedding_cosine_histogram (r7 rewrite, VERDICT r6 #2): the
+    shard cogroup emits partial bucket counts — the exchange carries
+    ~21 cells per shard, never a pair row, and NEITHER side is
+    driver-collected (the r6 form collect()ed |corpus|/500 query
+    vectors)."""
+    import inspect
+
+    from pyspark.sql import functions as F
+
+    from orca_ztbus_python_processor_spark.sources.parquet import read_table
+    from orca_ztbus_python_processor_spark.workloads import vectors
+
+    emb = read_table(spark, SMOKE_SF_DIR, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
-    assert "MapInPandas" in plan, plan
+    # the pair stage (pre-checkpoint): shard cogroup, never a cross join
+    plan = _plan(spark, vectors._cosine_bucket_cells(emb))
+    assert "FlatMapCoGroupsInPandas" in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "BatchEvalPython" not in plan, plan
+    # code pin: no corpus-proportional driver materialization anywhere
+    # in the query path (localCheckpoint of the ~21-row bucket agg is
+    # the only eager step).
+    src = inspect.getsource(vectors.embedding_cosine_histogram) + inspect.getsource(
+        vectors._cosine_bucket_cells
+    )
+    assert ".collect(" not in src and "toPandas(" not in src, src
 
 
 def test_vocab_overlap_joins_on_token_not_cross(spark, catalog):
@@ -811,6 +829,43 @@ def test_knn_accuracy_rides_sharded_kernel_no_cartesian(spark, catalog):
     plan = _plan(spark, catalog.queries["knn_label_accuracy"](spark, SMOKE_SF_DIR))
     assert "CartesianProduct" not in plan, plan
     assert "FlatMapCoGroupsInPandas" in plan or "CoGroup" in plan, plan
+
+
+def test_knn_accuracy_default_is_fixed_size_sampled_probe(spark, catalog):
+    """r7 (VERDICT r6 #1): the DEFAULT probe's query side is a FIXED
+    KNN_PROBE_N-row deterministic sample — the plan must carry a
+    TakeOrderedAndProject at that limit (no full sort, no all-pairs
+    corpus x corpus FLOP in the default path)."""
+    from orca_ztbus_python_processor_spark.workloads.vectors import KNN_PROBE_N
+
+    plan = _plan(spark, catalog.queries["knn_label_accuracy"](spark, SMOKE_SF_DIR))
+    assert "TakeOrderedAndProject" in plan, plan
+    # formatted-mode detail block: "Arguments: 256, [pmod((vec_id * ...)"
+    assert re.search(
+        rf"TakeOrderedAndProject\nInput.*\nArguments: {KNN_PROBE_N}, \[pmod",
+        plan,
+    ), plan
+
+
+def test_knn_allpairs_twin_matches_sampled_on_probe_subset(spark, catalog):
+    """The exhaustive twin and the sampled default implement the SAME
+    leave-one-out definition: every (label, n_matching) the sampled
+    probe reports must be consistent with the exhaustive rollup's
+    per-query decisions — checked by accuracy bounds per label."""
+    samp = {
+        r["label"]: (r["n_vectors"], r["n_matching"])
+        for r in catalog.queries["knn_label_accuracy"](spark, SMOKE_SF_DIR).collect()
+    }
+    full = {
+        r["label"]: (r["n_vectors"], r["n_matching"])
+        for r in catalog.queries["knn_label_accuracy_allpairs"](
+            spark, SMOKE_SF_DIR
+        ).collect()
+    }
+    assert set(samp) <= set(full)
+    for lab, (n_s, m_s) in samp.items():
+        n_f, m_f = full[lab]
+        assert n_s <= n_f and m_s <= m_f, (lab, samp[lab], full[lab])
 
 
 # ---- round-6 wave-6b pins -------------------------------------------------
