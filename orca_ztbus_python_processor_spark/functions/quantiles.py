@@ -168,12 +168,17 @@ def exact_weighted_quantiles(
     # selection join probes ~|qs| partitions instead of cross-joining
     # every row against every target.
     targets = []
+    w_of = dict(cells)
     for q in qs:
         t = float(q) * total_w
-        holder = 0
+        # Fall back to the LAST partition when float rounding with
+        # non-integer weights leaves every prefix sum just short of
+        # the target (ADVICE r6): the max-cumulative-weight partition
+        # still holds the answer row, so the quantile cannot silently
+        # vanish from the output.
+        holder = offs[-1][0] if offs else 0
         for pid, start in offs:
-            w_p = dict(cells).get(pid, 0.0)
-            if start + float(w_p) >= t:
+            if start + float(w_of.get(pid, 0.0)) >= t:
                 holder = pid
                 break
         targets.append((holder, float(q), t))

@@ -55,8 +55,14 @@ def heavy_hitters_topk(
     if capacity < k:
         raise ValueError(f"capacity ({capacity}) must be >= k ({k})")
 
-    src = items.select(F.col(item_col).alias("item")).where(
-        F.col("item").isNotNull()
+    # Pin the item stream: the source is often expensive to produce
+    # (e.g. a regexp-tokenize explode), and three passes read it — the
+    # candidate pass, the exact recount, and the soundness-check count
+    # (ADVICE r6). One materialization, three cheap re-reads.
+    src = (
+        items.select(F.col(item_col).alias("item"))
+        .where(F.col("item").isNotNull())
+        .localCheckpoint(eager=False)
     )
 
     def partition_top(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

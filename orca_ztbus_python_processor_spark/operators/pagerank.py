@@ -54,7 +54,15 @@ def pagerank(
     whose per-iteration cost is one edge-table exchange — the standard
     Pregel bound.
     """
-    edges_ck = edges.select("src", "dst", "weight").localCheckpoint(eager=False)
+    # Self-loops would be emitted twice by the symmetrization below,
+    # silently doubling their weight in out_w and the transition table
+    # (ADVICE r6); they carry no ranking signal, so drop them rather
+    # than trust the src < dst contract.
+    edges_ck = (
+        edges.select("src", "dst", "weight")
+        .where(F.col("src") != F.col("dst"))
+        .localCheckpoint(eager=False)
+    )
     sym = edges_ck.unionByName(
         edges_ck.select(
             F.col("dst").alias("src"), F.col("src").alias("dst"), "weight"

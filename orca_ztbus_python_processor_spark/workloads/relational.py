@@ -1636,7 +1636,9 @@ def shipments_point_in_time_tier(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS closure_rate
     """,
 )
-def copurchase_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+def copurchase_triangle_count(
+    spark: SparkSession, sf_dir: str, broadcast_nodes_limit: int = 2_000_000
+) -> DataFrame:
     parts_per_order = (
         _t(spark, sf_dir, "lineitem")
         .groupBy("l_orderkey")
@@ -1660,20 +1662,21 @@ def copurchase_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(edges.select(F.col("b").alias("node")))
         .groupBy("node")
         .agg(F.count("*").alias("d"))
+        .localCheckpoint(eager=False)  # reused: size probe + two joins
     )
     # Orientation: lower (degree, id) endpoint becomes src. The degree
-    # table is part-grain (bounded by |parts|), so both enrich joins
-    # broadcast it.
-    e = (
-        edges.join(
-            F.broadcast(deg.select(F.col("node").alias("a"), F.col("d").alias("da"))),
-            "a",
-        )
-        .join(
-            F.broadcast(deg.select(F.col("node").alias("b"), F.col("d").alias("db"))),
-            "b",
-        )
-    )
+    # table is node-grain (part-grain here, bounded by |distinct
+    # parts|): up to ``broadcast_nodes_limit`` nodes it broadcasts onto
+    # the edges — the same threshold/fallback duality operators.pagerank
+    # models (VERDICT r6 #3). Beyond the limit (billion-node graphs)
+    # the enrich joins fall back to shuffle joins on the node key: one
+    # edge-table exchange each, the standard bound.
+    small = deg.count() <= broadcast_nodes_limit
+    deg_a = deg.select(F.col("node").alias("a"), F.col("d").alias("da"))
+    deg_b = deg.select(F.col("node").alias("b"), F.col("d").alias("db"))
+    if small:
+        deg_a, deg_b = F.broadcast(deg_a), F.broadcast(deg_b)
+    e = edges.join(deg_a, "a").join(deg_b, "b")
     a_first = (F.col("da") < F.col("db")) | (
         (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
     )

@@ -72,3 +72,15 @@ def test_pagerank_weight_sensitivity(spark):
     a outranks c."""
     got = _spark_ranks(spark, [(1, 2, 10.0), (2, 3, 1.0)])
     assert got[1] > got[3]
+
+
+def test_pagerank_ignores_self_loops(spark):
+    """ADVICE r6: a self-loop edge would be double-counted by the
+    symmetrization, skewing out-weights; it must be dropped, leaving
+    ranks identical to the loop-free graph."""
+    base = [(0, 1, 2.0), (1, 2, 1.0), (0, 2, 3.0)]
+    clean = _spark_ranks(spark, base)
+    loopy = _spark_ranks(spark, base + [(1, 1, 5.0), (2, 2, 0.5)])
+    assert set(clean) == set(loopy)
+    for k in clean:
+        assert loopy[k] == pytest.approx(clean[k], rel=1e-12)

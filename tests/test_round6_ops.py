@@ -99,6 +99,20 @@ def test_triangle_census_matches_bruteforce(spark, tmp_path):
     assert got["n_wedges"] == n_wedges
     assert got["n_triangles"] == n_tri
 
+    # VERDICT r6 #3: beyond broadcast_nodes_limit the degree enrich
+    # joins must fall back to shuffle joins and return IDENTICAL
+    # results (the pagerank threshold/fallback duality).
+    from orca_ztbus_python_processor_spark.workloads.relational import (
+        copurchase_triangle_count,
+    )
+
+    fb = copurchase_triangle_count(
+        spark, str(tmp_path), broadcast_nodes_limit=0
+    ).collect()[0]
+    assert (fb["n_edges"], fb["n_wedges"], fb["n_triangles"]) == (
+        got["n_edges"], got["n_wedges"], got["n_triangles"],
+    )
+
 
 # ---------------------------------------------------------------------------
 # skyline
@@ -462,3 +476,24 @@ def test_weighted_quantile_hypothesis(spark, data, q):
     idx = min(idx, len(sv) - 1)
     assert len(got) == 1
     assert got[0]["wq"] == np.float32(sv[idx])
+
+
+def test_weighted_quantile_fractional_weights_never_drop_a_quantile(spark):
+    """ADVICE r6: with NON-integer weights, float rounding can leave
+    every partition's prefix sum just short of q * total_weight; the
+    holder scan must fall back to the last partition so the quantile
+    is still emitted (q=1.0 must return the max value)."""
+    from orca_ztbus_python_processor_spark.functions.quantiles import (
+        exact_weighted_quantiles,
+    )
+
+    rows = [(float(i), 0.1) for i in range(1, 201)]
+    df = spark.createDataFrame(rows, "x double, w double").repartition(8)
+    out = {
+        r["q"]: r["wq"]
+        for r in exact_weighted_quantiles(
+            df, "x", "w", qs=(0.5, 0.99, 1.0)
+        ).collect()
+    }
+    assert set(out) == {0.5, 0.99, 1.0}, out
+    assert out[1.0] == 200.0
