@@ -431,10 +431,16 @@ def priority_value_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # parts_intersect_rf — INTERSECT (set semantics): parts that appear both
-# in returned lineitems and in finished-status lineitems. Spark plans
-# intersect as a left-semi aggregate join; both branches push their
-# filter to the scan. (SURVEY.md §2.7 — the reference has no set ops
-# beyond UNION ALL; intersect/except are built-in coverage.)
+# in returned lineitems and in finished-status lineitems. (SURVEY.md
+# §2.7 — the reference has no set ops beyond UNION ALL; intersect/
+# except are built-in coverage.)
+#
+# Plan (round 7, VERDICT r6 #6): NOT DataFrame.intersect — Spark plans
+# that as two distinct aggregates + a left-semi join, i.e. TWO scans of
+# lineitem and two row-volume exchanges (measured 5.2x wall at 10x
+# data). An INTERSECT of two filters OF THE SAME TABLE is just a
+# conditional aggregation: ONE scan, map-side partial max of the two
+# membership flags, ONE exchange carrying |distinct partkeys| partials.
 # --------------------------------------------------------------------------
 @CATALOG.query(
     "parts_intersect_rf",
@@ -446,9 +452,16 @@ def priority_value_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def parts_intersect_rf(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
-    returned = li.where(F.col("l_returnflag") == "R").select("l_partkey")
-    finished = li.where(F.col("l_linestatus") == "F").select("l_partkey")
-    return returned.intersect(finished)
+    return (
+        li.where((F.col("l_returnflag") == "R") | (F.col("l_linestatus") == "F"))
+        .groupBy("l_partkey")
+        .agg(
+            F.max((F.col("l_returnflag") == "R").cast("int")).alias("_r"),
+            F.max((F.col("l_linestatus") == "F").cast("int")).alias("_f"),
+        )
+        .where((F.col("_r") == 1) & (F.col("_f") == 1))
+        .select("l_partkey")
+    )
 
 
 # --------------------------------------------------------------------------

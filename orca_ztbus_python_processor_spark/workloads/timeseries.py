@@ -636,34 +636,52 @@ def events_in_error_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def resample_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Round-7 plan (VERDICT r6 #6): the r6 form materialized the DENSE
+    # per-user minute grid first and LEFT-JOINED the sparse minute agg
+    # onto it — the join and the fill window both shuffled grid-sized
+    # volume (5.2x wall at 10x data). The dense grid is derivable from
+    # each observed minute alone: forward-fill ON THE SPARSE AGG (one
+    # user-partitioned window over observed minutes), then explode each
+    # observed minute into the gap up to its successor. The expansion
+    # happens map-side AFTER the window — no join, no grid-sized
+    # exchange; the only shuffles carry the sparse (user, minute) agg.
     ev = _events(spark, sf_dir).where(
         (F.col("ts") >= "2024-01-15") & (F.col("ts") < "2024-01-16")
     )
     minute = F.date_trunc("minute", F.col("ts"))
-    grid = (
-        ev.groupBy("user_id")
-        .agg(
-            F.date_trunc("minute", F.min("ts")).alias("lo"),
-            F.date_trunc("minute", F.max("ts")).alias("hi"),
-        )
-        .select(
-            "user_id",
-            F.explode(F.sequence("lo", "hi", F.expr("interval 1 minute"))).alias("minute"),
-        )
-    )
     agg = ev.groupBy("user_id", minute.alias("minute")).agg(
         F.sum("value").alias("v"), F.count("*").alias("n")
     )
-    w = W.partitionBy("user_id").orderBy("minute").rowsBetween(W.unboundedPreceding, W.currentRow)
-    return (
-        grid.join(agg, ["user_id", "minute"], "left")
-        .select(
-            "user_id",
-            "minute",
-            f32(F.last("v", ignorenulls=True).over(w)).alias("value_sum"),
-            F.coalesce(F.col("n"), F.lit(0)).alias("n_events"),
-            F.col("v").isNull().alias("is_filled"),
+    w = W.partitionBy("user_id").orderBy("minute")
+    wff = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    sparse = agg.select(
+        "user_id",
+        "minute",
+        "n",
+        F.last("v", ignorenulls=True).over(wff).alias("_vff"),
+        F.lead("minute").over(w).alias("_nxt"),
+    )
+    slot = F.explode(
+        F.expr(
+            "sequence(minute,"
+            " coalesce(_nxt - interval 1 minute, minute),"
+            " interval 1 minute)"
         )
+    )
+    return sparse.select(
+        "user_id",
+        slot.alias("slot"),
+        "minute",
+        "n",
+        "_vff",
+    ).select(
+        "user_id",
+        F.col("slot").alias("minute"),
+        f32(F.col("_vff")).alias("value_sum"),
+        F.when(F.col("slot") == F.col("minute"), F.col("n"))
+        .otherwise(F.lit(0))
+        .alias("n_events"),
+        (F.col("slot") != F.col("minute")).alias("is_filled"),
     )
 
 
