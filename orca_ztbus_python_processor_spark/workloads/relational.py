@@ -2039,3 +2039,164 @@ def weighted_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_weighted_quantiles(
         _t(spark, sf_dir, "lineitem"), "l_extendedprice", "l_quantity", qs=WQ_QS
     )
+
+
+# --------------------------------------------------------------------------
+# copurchase_degree_histogram — degree distribution of the recurrent
+# co-purchase graph (the structural-observability companion to the
+# triangle census and PageRank over the SAME edge table): node count
+# per power-of-two degree bucket plus the bucket's degree bounds.
+# Bucketing is pure integer arithmetic — bucket = bit_length(d) - 1 via
+# length(bin(d)) in BOTH engines — so no float log2 edge cases at
+# exact powers of two. Scale: the edge build is the shared pair-explode
+# + count shape; degrees are one map-combinable aggregation; the
+# histogram aggregates |nodes| rows down to <= 64 buckets.
+# --------------------------------------------------------------------------
+@CATALOG.query(
+    "copurchase_degree_histogram",
+    oracle="""
+    WITH parts_per_order AS (
+        SELECT l_orderkey, list_sort(list(DISTINCT l_partkey)) AS parts
+        FROM lineitem GROUP BY l_orderkey
+    ), pair_w AS (
+        SELECT u.part AS a, v.part AS b
+        FROM parts_per_order,
+             unnest(parts) AS u(part), unnest(parts) AS v(part)
+        WHERE u.part < v.part
+    ), edges AS (
+        SELECT a, b FROM pair_w GROUP BY a, b HAVING count(*) >= 2
+    ), deg AS (
+        SELECT node, count(*) AS d FROM (
+            SELECT a AS node FROM edges UNION ALL SELECT b FROM edges
+        ) GROUP BY node
+    )
+    SELECT CAST(length(bin(d)) - 1 AS BIGINT) AS degree_bucket,
+           count(*) AS n_nodes,
+           CAST(min(d) AS BIGINT) AS min_degree,
+           CAST(max(d) AS BIGINT) AS max_degree
+    FROM deg
+    GROUP BY 1
+    """,
+)
+def copurchase_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    parts_per_order = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("parts"))
+    )
+    pair_expr = F.expr(
+        "flatten(transform(parts, (x, i) ->"
+        " transform(slice(parts, i + 2, size(parts)),"
+        " y -> struct(x AS a, y AS b))))"
+    )
+    edges = (
+        parts_per_order.select(F.explode(pair_expr).alias("e"))
+        .groupBy(F.col("e.a").alias("a"), F.col("e.b").alias("b"))
+        .agg(F.count("*").alias("_w"))
+        .where(F.col("_w") >= 2)
+        .drop("_w")
+    )
+    deg = (
+        edges.select(F.col("a").alias("node"))
+        .union(edges.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+    )
+    # DuckDB bin() omits leading zeros like Spark's bin(); for d >= 1
+    # length(bin(d)) - 1 == floor(log2(d)) exactly.
+    bucket = (F.length(F.bin(F.col("d"))) - 1).cast("long")
+    return deg.groupBy(bucket.alias("degree_bucket")).agg(
+        F.count("*").alias("n_nodes"),
+        F.min("d").alias("min_degree"),
+        F.max("d").alias("max_degree"),
+    )
+
+
+# --------------------------------------------------------------------------
+# uniform_group_sample — deterministic fixed-size per-group sample
+# (the unweighted dual of weighted_order_sample): GROUP_SAMPLE_N
+# customers per market segment chosen by a Knuth multiplicative hash
+# of the key — reproducible across engines and runs, no RNG. Scale:
+# rank <= N over a group-partitioned window triggers Spark's
+# WindowGroupLimit: every input partition pre-filters to its local
+# top-N per group BEFORE the exchange, so the shuffle and the final
+# sort carry <= N * n_input_partitions rows per group — never the
+# group's full membership (the plan pin asserts the node).
+# --------------------------------------------------------------------------
+GROUP_SAMPLE_N = 10
+
+
+@CATALOG.query(
+    "uniform_group_sample",
+    oracle=f"""
+    WITH h AS (
+        SELECT c_mktsegment, c_custkey,
+               (c_custkey * 2654435761) % 4294967296 AS hk
+        FROM customer
+    ), r AS (
+        SELECT c_mktsegment, c_custkey,
+               row_number() OVER (
+                   PARTITION BY c_mktsegment ORDER BY hk, c_custkey
+               ) AS sample_rank
+        FROM h
+    )
+    SELECT c_mktsegment, CAST(sample_rank AS BIGINT) AS sample_rank,
+           c_custkey
+    FROM r WHERE sample_rank <= {GROUP_SAMPLE_N}
+    """,
+)
+def uniform_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    hk = F.pmod(F.col("c_custkey") * F.lit(2654435761), F.lit(4294967296))
+    w = W.partitionBy("c_mktsegment").orderBy(hk.asc(), F.col("c_custkey").asc())
+    return (
+        cust.select("c_mktsegment", "c_custkey")
+        .withColumn("sample_rank", F.row_number().over(w).cast("long"))
+        .where(F.col("sample_rank") <= GROUP_SAMPLE_N)
+        .select("c_mktsegment", "sample_rank", "c_custkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# table_checksum_audit — engine-portable content checksum per
+# returnflag partition: the migration-validation primitive ("does the
+# copied table hold byte-identical rows?") computed as a sum of
+# per-row polynomial hashes over the key + integer-cents measure
+# columns. All arithmetic is exact BIGINT with an explicit modulus, so
+# any engine computes the identical number; the sum is commutative, so
+# partitioning/merge order cannot change it. One map-combinable
+# aggregation, shuffle carries 3 rows.
+# --------------------------------------------------------------------------
+CHECKSUM_MOD = 2147483647  # 2^31 - 1
+
+
+@CATALOG.query(
+    "table_checksum_audit",
+    oracle=f"""
+    SELECT l_returnflag,
+           count(*) AS n_rows,
+           CAST(sum((((l_orderkey % {CHECKSUM_MOD}) * 1000003
+                      + l_linenumber) % {CHECKSUM_MOD} * 999983
+                     + l_partkey
+                     + CAST(round(l_quantity * 100) AS BIGINT))
+                    % {CHECKSUM_MOD}) AS BIGINT) AS checksum
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def table_checksum_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    h = (
+        (
+            (F.col("l_orderkey") % CHECKSUM_MOD) * 1000003
+            + F.col("l_linenumber")
+        )
+        % CHECKSUM_MOD
+        * 999983
+        + F.col("l_partkey")
+        + F.round(F.col("l_quantity") * 100).cast("long")
+    ) % CHECKSUM_MOD
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("n_rows"), F.sum(h).alias("checksum"))
+    )

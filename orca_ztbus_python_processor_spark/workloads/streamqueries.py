@@ -882,3 +882,70 @@ def stream_error_rate_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     run_to_memory(agged, "q_stream_error_rate_alert", output_mode="append")
     return spark.table("q_stream_error_rate_alert")
+
+
+@CATALOG.query(
+    "stream_minute_ohlc",
+    oracle="""
+    WITH keyed AS (
+        SELECT event_type,
+               date_trunc('minute', ts) AS time_from,
+               date_trunc('minute', ts) + INTERVAL 1 MINUTE AS time_to,
+               value,
+               printf('%020d%012d', epoch_us(ts), event_id) AS ord
+        FROM events
+    )
+    SELECT time_from, time_to, event_type,
+           count(*) AS n_events,
+           CAST(min_by(value, ord) AS REAL) AS open,
+           CAST(max(value) AS REAL) AS high,
+           CAST(min(value) AS REAL) AS low,
+           CAST(max_by(value, ord) AS REAL) AS close
+    FROM keyed
+    GROUP BY time_from, time_to, event_type
+    HAVING time_to <= (SELECT max(ts) - INTERVAL 10 MINUTE FROM events)
+    """,
+)
+def stream_minute_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming OHLC compaction — the streaming twin of the batch
+    ``minute_value_ohlc`` bars: per (minute window, event_type) the
+    first/max/min/last value. open/close ride ``min_by``/``max_by``
+    over the zero-padded "<epoch_us><event_id>" order key (the batch
+    twin's engine-portable total order), which are commutative
+    mergeable aggregates, so the whole query stays ONE stateful
+    windowed aggregation in append mode — no sort, no per-key
+    event-time ordering state beyond the aggregate cells themselves;
+    state = open (minute, type) windows, watermark-bounded. The oracle
+    encodes the append contract like stream_minute_type_pivot: exactly
+    the windows closed by the final watermark emit."""
+    ord_key = F.format_string(
+        "%020d%012d", F.unix_micros(F.col("ts")), F.col("event_id")
+    )
+    agged = (
+        read_events_stream(spark, sf_dir)
+        .withWatermark("ts", "10 minutes")
+        .withColumn("ord", ord_key)
+        .groupBy(
+            F.window(F.col("ts"), "60 seconds").alias("w"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            f32(F.min_by("value", "ord")).alias("open"),
+            f32(F.max("value")).alias("high"),
+            f32(F.min("value")).alias("low"),
+            f32(F.max_by("value", "ord")).alias("close"),
+        )
+        .select(
+            F.col("w.start").alias("time_from"),
+            F.col("w.end").alias("time_to"),
+            "event_type",
+            "n_events",
+            "open",
+            "high",
+            "low",
+            "close",
+        )
+    )
+    run_to_memory(agged, "q_stream_minute_ohlc", output_mode="append")
+    return spark.table("q_stream_minute_ohlc")

@@ -3033,3 +3033,241 @@ def user_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         span.alias("span_us"),
         f32(covered / span.cast("double")).alias("coverage_ratio"),
     )
+
+
+# --------------------------------------------------------------------------
+# ks_binned_drift — two-sample Kolmogorov-Smirnov drift report between
+# the error-event value distribution and everything else: the binned
+# ECDF gap per bin (max over rows = the KS statistic). The exact KS
+# needs a cumulative sum over DISTINCT VALUES — unbounded entity-grain
+# cardinality — so the scale-safe form bins first (KS_BINS equi-width
+# bins from the global bounds, same scheme as value_psi_drift) and
+# reports the ECDF gap at every bin edge; the binned statistic is a
+# lower bound of exact KS that converges as the grid refines, and the
+# bin-grain cumulative window runs over KS_BINS rows (whitelisted
+# bounded frame). One row-volume aggregation, everything after is
+# arithmetic on KS_BINS rows.
+# --------------------------------------------------------------------------
+KS_BINS = 20
+
+
+@CATALOG.query(
+    "ks_binned_drift",
+    oracle=f"""
+    WITH scal AS (
+        SELECT min(value) AS vmin, max(value) AS vmax FROM events
+    ), binned AS (
+        SELECT CAST(CASE WHEN s.vmax = s.vmin THEN 0
+                    ELSE least(floor((e.value - s.vmin)
+                               / ((s.vmax - s.vmin) / {KS_BINS})),
+                               {KS_BINS - 1}) END AS INTEGER) AS bin,
+               CASE WHEN e.event_type = 'error' THEN 1 ELSE 0 END AS is_err
+        FROM events e CROSS JOIN scal s
+    ), counts AS (
+        SELECT bin, sum(is_err) AS n_err, sum(1 - is_err) AS n_other
+        FROM binned GROUP BY bin
+    ), grid AS (
+        SELECT g.bin,
+               CAST(COALESCE(c.n_err, 0) AS BIGINT) AS n_err,
+               CAST(COALESCE(c.n_other, 0) AS BIGINT) AS n_other
+        FROM (SELECT unnest(generate_series(0, {KS_BINS - 1})) AS bin) g
+        LEFT JOIN counts c ON g.bin = c.bin
+    ), cum AS (
+        SELECT bin, n_err, n_other,
+               sum(n_err) OVER (ORDER BY bin) AS ce,
+               sum(n_other) OVER (ORDER BY bin) AS co,
+               sum(n_err) OVER () AS te,
+               sum(n_other) OVER () AS tot
+        FROM grid
+    )
+    SELECT bin, n_err, n_other,
+           CAST(ce / CAST(greatest(te, 1) AS DOUBLE) AS REAL) AS ecdf_err,
+           CAST(co / CAST(greatest(tot, 1) AS DOUBLE) AS REAL) AS ecdf_other,
+           CAST(abs(ce / CAST(greatest(te, 1) AS DOUBLE)
+                    - co / CAST(greatest(tot, 1) AS DOUBLE)) AS REAL)
+               AS ecdf_gap
+    FROM cum
+    """,
+)
+def ks_binned_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).select("value", "event_type")
+    scal = ev.agg(F.min("value").alias("vmin"), F.max("value").alias("vmax"))
+    width = (F.col("vmax") - F.col("vmin")) / KS_BINS
+    bin_id = (
+        F.when(F.col("vmax") == F.col("vmin"), 0)
+        .otherwise(
+            F.least(
+                F.floor((F.col("value") - F.col("vmin")) / width),
+                F.lit(KS_BINS - 1),
+            )
+        )
+        .cast("int")
+    )
+    is_err = (F.col("event_type") == "error").cast("long")
+    counts = (
+        ev.crossJoin(F.broadcast(scal))
+        .groupBy(bin_id.alias("bin"))
+        .agg(
+            F.sum(is_err).alias("n_err"),
+            F.sum(1 - is_err).alias("n_other"),
+        )
+    )
+    grid = spark.range(KS_BINS).select(F.col("id").cast("int").alias("bin"))
+    filled = grid.join(counts, "bin", "left").select(
+        "bin",
+        F.coalesce(F.col("n_err"), F.lit(0)).alias("n_err"),
+        F.coalesce(F.col("n_other"), F.lit(0)).alias("n_other"),
+    )
+    # KS_BINS rows: the unpartitioned cumulative/total windows are
+    # bounded by the bin grid (whitelisted in the catalog-wide lint).
+    wc = W.orderBy("bin").rowsBetween(W.unboundedPreceding, W.currentRow)
+    wt = W.orderBy("bin").rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    ce = F.sum("n_err").over(wc)
+    co = F.sum("n_other").over(wc)
+    te = F.greatest(F.sum("n_err").over(wt), F.lit(1)).cast("double")
+    tot = F.greatest(F.sum("n_other").over(wt), F.lit(1)).cast("double")
+    return filled.select(
+        "bin",
+        "n_err",
+        "n_other",
+        f32(ce / te).alias("ecdf_err"),
+        f32(co / tot).alias("ecdf_other"),
+        f32(F.abs(ce / te - co / tot)).alias("ecdf_gap"),
+    )
+
+
+# --------------------------------------------------------------------------
+# mannwhitney_value_shift — exact Mann-Whitney U (rank-sum) between the
+# click and purchase value distributions: the nonparametric "did the
+# distribution shift" test (AUC interpretation: P(click > purchase) +
+# 0.5 P(tie)). Exact tie handling via midranks, computed DISTRIBUTED:
+# functions.ranks assigns global 0-based row ranks under a total order
+# (value, event_id) with zero single-partition sorts; a value-grain
+# aggregation recovers each tie group's min rank and size, from which
+# the midrank is integer arithmetic: 2*midrank = 2*min_rank + c + 1.
+# Everything is exact BIGINT until the final AUC division (f32
+# boundary), so the cross-engine hash is summation-order-proof.
+# --------------------------------------------------------------------------
+@CATALOG.query(
+    "mannwhitney_value_shift",
+    oracle="""
+    WITH x AS (
+        SELECT value,
+               CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS a,
+               event_id
+        FROM events WHERE event_type IN ('click', 'purchase')
+    ), r AS (
+        SELECT a,
+               rank() OVER (ORDER BY value) AS rmin,
+               count(*) OVER (PARTITION BY value) AS c
+        FROM x
+    ), s AS (
+        SELECT CAST(sum(a) AS BIGINT) AS n_click,
+               CAST(count(*) - sum(a) AS BIGINT) AS n_purchase,
+               CAST(sum(a * (2 * rmin + c - 1)) AS BIGINT) AS r2
+        FROM r
+    )
+    SELECT n_click, n_purchase,
+           CAST(r2 - n_click * (n_click + 1) AS BIGINT) AS u_times_2,
+           CAST((r2 - n_click * (n_click + 1))
+                / (2.0 * n_click * n_purchase) AS REAL) AS auc
+    FROM s
+    """,
+)
+def mannwhitney_value_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from orca_ztbus_python_processor_spark.functions.ranks import (  # noqa: PLC0415
+        with_global_rank,
+    )
+
+    ev = (
+        _events(spark, sf_dir)
+        .where(F.col("event_type").isin("click", "purchase"))
+        .select(
+            "value",
+            "event_id",
+            (F.col("event_type") == "click").cast("long").alias("a"),
+        )
+    )
+    ranked, _n = with_global_rank(
+        ev, [F.col("value"), F.col("event_id")], "rank0"
+    )
+    # tie group (value): min 0-based rank m, size c; 1-based midrank
+    # doubled = 2m + c + 1 == 2*rank()_min + c - 1
+    per_value = ranked.groupBy("value").agg(
+        F.min("rank0").alias("m"),
+        F.count("*").alias("c"),
+        F.sum("a").alias("na_v"),
+    )
+    s = per_value.agg(
+        F.sum("na_v").alias("n_click"),
+        (F.sum("c") - F.sum("na_v")).alias("n_purchase"),
+        F.sum(F.col("na_v") * (2 * F.col("m") + F.col("c") + 1)).alias("r2"),
+    )
+    u2 = F.col("r2") - F.col("n_click") * (F.col("n_click") + 1)
+    return s.select(
+        "n_click",
+        "n_purchase",
+        u2.alias("u_times_2"),
+        f32(
+            u2 / (2.0 * F.col("n_click") * F.col("n_purchase"))
+        ).alias("auc"),
+    )
+
+
+# --------------------------------------------------------------------------
+# ols_trend_by_user — per-user least-squares trend of value over time
+# (slope / intercept / R^2): the entity-grain feature-drift regression
+# a training pipeline runs per cohort. ONE map-combinable aggregation:
+# slope = cov(x,y)/var(x) from streaming co-moments (numerically
+# stable in both engines; epoch-second magnitudes cancel inside the
+# co-moment update, and the f32 output boundary absorbs merge-order
+# noise). Users need >= 3 points and non-degenerate x; R^2 is NULL
+# when y is constant (NULLIF in both engines).
+# --------------------------------------------------------------------------
+@CATALOG.query(
+    "ols_trend_by_user",
+    oracle="""
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_points,
+           CAST(covar_pop(epoch(ts), value) / var_pop(epoch(ts)) AS REAL)
+               AS slope,
+           CAST(avg(value) - covar_pop(epoch(ts), value)
+                / var_pop(epoch(ts)) * avg(epoch(ts)) AS REAL) AS intercept,
+           CAST(covar_pop(epoch(ts), value) * covar_pop(epoch(ts), value)
+                / NULLIF(var_pop(epoch(ts)) * var_pop(value), 0) AS REAL)
+               AS r_squared
+    FROM events
+    GROUP BY user_id
+    HAVING count(*) >= 3 AND var_pop(epoch(ts)) > 0
+    """,
+)
+def ols_trend_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    x = F.unix_micros(F.col("ts")) / 1_000_000.0
+    ev = _events(spark, sf_dir).select(
+        "user_id", x.alias("x"), F.col("value").alias("y")
+    )
+    g = ev.groupBy("user_id").agg(
+        F.count("*").alias("n_points"),
+        F.covar_pop("x", "y").alias("sxy"),
+        F.var_pop("x").alias("sxx"),
+        F.var_pop("y").alias("syy"),
+        F.avg("x").alias("mx"),
+        F.avg("y").alias("my"),
+    )
+    slope = F.col("sxy") / F.col("sxx")
+    return (
+        g.where((F.col("n_points") >= 3) & (F.col("sxx") > 0))
+        .select(
+            "user_id",
+            "n_points",
+            f32(slope).alias("slope"),
+            f32(F.col("my") - slope * F.col("mx")).alias("intercept"),
+            f32(
+                F.col("sxy")
+                * F.col("sxy")
+                / F.nullif(F.col("sxx") * F.col("syy"), F.lit(0.0))
+            ).alias("r_squared"),
+        )
+    )

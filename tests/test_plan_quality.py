@@ -631,6 +631,7 @@ BOUNDED_GLOBAL_WINDOW_OK = {
     "region_nation_revenue_share": "25 nation rows after dim-grain agg",
     "data_mix_rebalance_profile": "|sources| rows after source-grain agg",
     "orders_skyline_paretofront": "|dates| rows after date-grain agg",
+    "ks_binned_drift": "KS_BINS (20) rows after bin-grain agg",
 }
 
 
@@ -1016,3 +1017,28 @@ def test_resample_ffill_no_grid_join(spark, catalog):
     assert "Join" not in plan, plan
     assert _n_exchanges(plan) == 2, plan  # sparse agg + user window only
     assert "Generate" in plan, plan  # the explode, after the window
+
+
+def test_uniform_group_sample_window_group_limit(spark, catalog):
+    """uniform_group_sample: rank <= N must trigger WindowGroupLimit so
+    each input partition pre-filters to its local top-N per group
+    before the exchange — the shuffle never carries a group's full
+    membership."""
+    plan = _plan(spark, catalog.queries["uniform_group_sample"](spark, SMOKE_SF_DIR))
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_table_checksum_partial_agg_single_exchange(spark, catalog):
+    """table_checksum_audit: the polynomial row hash sums map-side;
+    one exchange carrying 3 partial rows."""
+    plan = _plan(spark, catalog.queries["table_checksum_audit"](spark, SMOKE_SF_DIR))
+    assert "partial_sum" in plan, plan
+    assert _n_exchanges(plan) == 1, plan
+
+
+def test_mannwhitney_distributed_rank_no_global_sort(spark, catalog):
+    """mannwhitney_value_shift rides functions.ranks: zero
+    unpartitioned windows (the global rank is partition-offset
+    addressed), and the only sorts are within range partitions."""
+    df = catalog.queries["mannwhitney_value_shift"](spark, SMOKE_SF_DIR)
+    assert _unpartitioned_windows(df) == 0
