@@ -14,11 +14,13 @@ Two decode paths:
   non-interlaced grey/RGB(A)), GIF (hand-rolled variable-width
   LZW expansion, global palette, non-interlaced), and baseline
   sequential JPEG (full marker parse + canonical-Huffman entropy
-  decode + dequant/IDCT, 1x1-sampled 1- or 3-component streams;
-  ITU-T T.81 with Annex K tables). Formats that genuinely require
-  PIL/libvips/ffmpeg (progressive/subsampled jpeg, webp, mp4, ...)
-  raise NotImplementedError *inside the decode stage* — the gate is
-  per-format, not per-path.
+  decode + dequant/IDCT, 1- or 3-component interleaved streams with
+  sampling factors up to 2x2 — including 4:2:0/4:2:2 chroma
+  subsampling with box-replication upsampling; ITU-T T.81 with
+  Annex K tables). Formats that genuinely require PIL/libvips/ffmpeg
+  (progressive jpeg, restart intervals, sampling factors beyond 2x2,
+  webp, mp4, ...) raise NotImplementedError *inside the decode
+  stage* — the gate is per-format, not per-path.
 
 Scale: payloads never leave the executor that scanned them — the
 mapInPandas stages are map-only (no shuffle); feature extraction
@@ -526,6 +528,65 @@ def _jpeg_category(v: int) -> int:
     return int(v).bit_length() if v > 0 else int(-v).bit_length() if v < 0 else 0
 
 
+def _jpeg_write_block(
+    bw: "_JpegBitWriter",
+    block: np.ndarray,
+    qtab: np.ndarray,
+    dc_codes: dict,
+    ac_codes: dict,
+    pred: int,
+) -> int:
+    """FDCT + quantize + entropy-code one 8x8 block (level-shifted
+    input); returns the new DC predictor."""
+    q = np.round((_JPEG_C @ block @ _JPEG_C.T) / qtab).astype(np.int64)
+    zz = q.flatten()[_JPEG_ZIGZAG]
+    diff = int(zz[0]) - pred
+    pred = int(zz[0])
+    s = _jpeg_category(diff)
+    c, ln = dc_codes[s]
+    bw.write(c, ln)
+    if s:
+        bw.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+    last_nz = 0
+    for k in range(63, 0, -1):
+        if zz[k]:
+            last_nz = k
+            break
+    run = 0
+    for k in range(1, last_nz + 1):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            c, ln = ac_codes[0xF0]  # ZRL
+            bw.write(c, ln)
+            run -= 16
+        s = _jpeg_category(v)
+        c, ln = ac_codes[(run << 4) | s]
+        bw.write(c, ln)
+        bw.write(v if v >= 0 else v + (1 << s) - 1, s)
+        run = 0
+    if last_nz < 63:
+        c, ln = ac_codes[0x00]  # EOB
+        bw.write(c, ln)
+    return pred
+
+
+def _jpeg_seg(marker: int, payload: bytes) -> bytes:
+    return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+
+def _jpeg_tables_preamble() -> bytes:
+    dqt = _jpeg_seg(
+        0xDB, bytes([0]) + bytes(int(_JPEG_QUANT_LUMA[z]) for z in _JPEG_ZIGZAG)
+    )
+    dht = _jpeg_seg(
+        0xC4, bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+    ) + _jpeg_seg(0xC4, bytes([0x10]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS))
+    return dqt + dht
+
+
 def _encode_jpeg_gray(pix: np.ndarray) -> bytes:
     """Baseline sequential GRAYSCALE JPEG from a (h, w) uint8 array —
     the fixture-side encoder (Annex K tables, quality fixed). Edge
@@ -543,50 +604,75 @@ def _encode_jpeg_gray(pix: np.ndarray) -> bytes:
     for by in range(0, ph, 8):
         for bx in range(0, pw, 8):
             block = padded[by : by + 8, bx : bx + 8] - 128.0
-            q = np.round((_JPEG_C @ block @ _JPEG_C.T) / qtab).astype(np.int64)
-            zz = q.flatten()[_JPEG_ZIGZAG]
-            diff = int(zz[0]) - pred
-            pred = int(zz[0])
-            s = _jpeg_category(diff)
-            c, ln = dc_codes[s]
-            bw.write(c, ln)
-            if s:
-                bw.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
-            last_nz = 0
-            for k in range(63, 0, -1):
-                if zz[k]:
-                    last_nz = k
-                    break
-            run = 0
-            for k in range(1, last_nz + 1):
-                v = int(zz[k])
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    c, ln = ac_codes[0xF0]  # ZRL
-                    bw.write(c, ln)
-                    run -= 16
-                s = _jpeg_category(v)
-                c, ln = ac_codes[(run << 4) | s]
-                bw.write(c, ln)
-                bw.write(v if v >= 0 else v + (1 << s) - 1, s)
-                run = 0
-            if last_nz < 63:
-                c, ln = ac_codes[0x00]  # EOB
-                bw.write(c, ln)
+            pred = _jpeg_write_block(bw, block, qtab, dc_codes, ac_codes, pred)
     bw.flush()
-
-    def seg(marker: int, payload: bytes) -> bytes:
-        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
-
-    dqt = seg(0xDB, bytes([0]) + bytes(int(_JPEG_QUANT_LUMA[z]) for z in _JPEG_ZIGZAG))
-    sof = seg(0xC0, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
-    dht = seg(0xC4, bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)) + seg(
-        0xC4, bytes([0x10]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS)
+    sof = _jpeg_seg(0xC0, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
+    sos = _jpeg_seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    return (
+        b"\xff\xd8" + _jpeg_tables_preamble() + sof + sos + bytes(bw.buf)
+        + b"\xff\xd9"
     )
-    sos = seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
-    return b"\xff\xd8" + dqt + sof + dht + sos + bytes(bw.buf) + b"\xff\xd9"
+
+
+def _jpeg_rgb_to_ycbcr(rgb: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """BT.601 full-range forward transform — the exact inverse pair of
+    the decoder's YCbCr->RGB coefficients."""
+    r, g, b = (rgb[..., k].astype(np.float64) for k in range(3))
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+    return y, cb, cr
+
+
+def _encode_jpeg_color_420(rgb: np.ndarray) -> bytes:
+    """Baseline sequential YCbCr 4:2:0 JPEG from a (h, w, 3) uint8
+    array — the most common real-world JPEG layout (2x2-sampled luma,
+    1x1 chroma, interleaved MCUs). Chroma planes are 2x2 box-averaged;
+    one quant/Huffman table pair serves all components (legal per
+    T.81; quality fixed). Edge padding replicates, luma to 16-multiple
+    MCU bounds and chroma to 8-multiples of its own grid."""
+    rgb = np.asarray(rgb, dtype=np.uint8)
+    h, w, _ = rgb.shape
+    y, cb, cr = _jpeg_rgb_to_ycbcr(rgb)
+    ph, pw = -(-h // 16) * 16, -(-w // 16) * 16
+    y = np.pad(y, ((0, ph - h), (0, pw - w)), mode="edge")
+    # chroma at half resolution: box average of each 2x2 (on the padded
+    # grid so the subsampled plane is already an 8-multiple)
+    sub = []
+    for c in (cb, cr):
+        c = np.pad(c, ((0, ph - h), (0, pw - w)), mode="edge")
+        sub.append((c[0::2, 0::2] + c[0::2, 1::2] + c[1::2, 0::2] + c[1::2, 1::2]) / 4.0)
+    dc_codes = _jpeg_huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _jpeg_huff_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    qtab = _JPEG_QUANT_LUMA.reshape(8, 8)
+    bw = _JpegBitWriter()
+    preds = [0, 0, 0]
+    for my in range(ph // 16):
+        for mx in range(pw // 16):
+            for by in range(2):  # 4 luma blocks, raster order in MCU
+                for bx in range(2):
+                    r0, c0 = my * 16 + by * 8, mx * 16 + bx * 8
+                    preds[0] = _jpeg_write_block(
+                        bw, y[r0 : r0 + 8, c0 : c0 + 8] - 128.0,
+                        qtab, dc_codes, ac_codes, preds[0],
+                    )
+            for ci, plane in enumerate(sub):  # 1 Cb + 1 Cr block
+                r0, c0 = my * 8, mx * 8
+                preds[ci + 1] = _jpeg_write_block(
+                    bw, plane[r0 : r0 + 8, c0 : c0 + 8] - 128.0,
+                    qtab, dc_codes, ac_codes, preds[ci + 1],
+                )
+    bw.flush()
+    sof = _jpeg_seg(
+        0xC0,
+        struct.pack(">BHHB", 8, h, w, 3)
+        + bytes([1, 0x22, 0, 2, 0x11, 0, 3, 0x11, 0]),
+    )
+    sos = _jpeg_seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
+    return (
+        b"\xff\xd8" + _jpeg_tables_preamble() + sof + sos + bytes(bw.buf)
+        + b"\xff\xd9"
+    )
 
 
 class _JpegBitReader:
@@ -637,10 +723,12 @@ def _decode_jpeg(b: bytes) -> dict:
     """Baseline sequential JPEG decode — full entropy + DCT pipeline in
     numpy/stdlib: marker parse (DQT/SOF0/DHT/SOS, APPn/COM skipped),
     canonical-Huffman entropy decode with byte unstuffing, dequant,
-    inverse zigzag, IDCT, level shift; 3-component 1x1 streams get the
-    BT.601 YCbCr->RGB transform. The HONEST residual gate narrows to
-    what genuinely needs libjpeg: progressive/hierarchical SOFs,
-    subsampled components, 16-bit quant tables, restart intervals."""
+    inverse zigzag, IDCT, level shift; interleaved sampling factors up
+    to 2x2 per component (4:4:4 / 4:2:2 / 4:2:0) with box-replication
+    chroma upsampling; 3-component streams get the BT.601 YCbCr->RGB
+    transform. The HONEST residual gate narrows to what genuinely
+    needs libjpeg: progressive/hierarchical SOFs, sampling factors
+    beyond 2x2, 16-bit quant tables, restart intervals."""
     if b[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
     i = 2
@@ -677,11 +765,13 @@ def _decode_jpeg(b: bytes) -> dict:
             comps = []
             for c in range(nc):
                 cid, hv, tq = data[6 + 3 * c : 9 + 3 * c]
-                if hv != 0x11:
+                hfac, vfac = hv >> 4, hv & 0xF
+                if not (1 <= hfac <= 2 and 1 <= vfac <= 2):
                     raise NotImplementedError(
-                        "subsampled JPEG needs libjpeg/PIL (not in this container)"
+                        "subsampled JPEG beyond 2x2 factors needs "
+                        "libjpeg/PIL (not in this container)"
                     )
-                comps.append((cid, tq))
+                comps.append((cid, hfac, vfac, tq))
         elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
@@ -711,41 +801,58 @@ def _decode_jpeg(b: bytes) -> dict:
         i += seglen
     if comps is None or scan is None or h is None:
         raise ValueError("JPEG missing SOF/SOS")
-    tq_by_cid = dict(comps)
+    facs = {cid: (hfac, vfac) for cid, hfac, vfac, _ in comps}
     reader = _JpegBitReader(b, i)
-    mcux, mcuy = -(-w // 8), -(-h // 8)
-    planes = {cid: np.zeros((mcuy * 8, mcux * 8)) for cid, _ in comps}
-    preds = {cid: 0 for cid, _ in comps}
-    qtab8 = {cid: qt[tq] for cid, tq in comps}
+    hmax = max(hf for _, hf, _, _ in comps)
+    vmax = max(vf for _, _, vf, _ in comps)
+    mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+    # each component's plane lives at ITS OWN sampling grid; the MCU
+    # contributes hfac x vfac blocks to it in raster order
+    planes = {
+        cid: np.zeros((mcuy * vf * 8, mcux * hf * 8))
+        for cid, hf, vf, _ in comps
+    }
+    preds = {cid: 0 for cid, _, _, _ in comps}
+    qtab8 = {cid: qt[tq] for cid, _, _, tq in comps}
     for my in range(mcuy):
         for mx in range(mcux):
             for cid, td, ta in scan:
-                zz = np.zeros(64, dtype=np.int64)
-                s = reader.huff(dc_maps[td])
-                preds[cid] += _jpeg_extend(reader.bits(s), s) if s else 0
-                zz[0] = preds[cid]
-                k = 1
-                while k < 64:
-                    rs = reader.huff(ac_maps[ta])
-                    if rs == 0x00:  # EOB
-                        break
-                    if rs == 0xF0:  # ZRL
-                        k += 16
-                        continue
-                    k += rs >> 4
-                    if k > 63:
-                        raise ValueError("JPEG AC run overflow")
-                    zz[k] = _jpeg_extend(reader.bits(rs & 0xF), rs & 0xF)
-                    k += 1
-                q = np.zeros(64, dtype=np.int64)
-                q[_JPEG_ZIGZAG] = zz
-                block = q.reshape(8, 8) * qtab8[cid]
-                planes[cid][my * 8 : (my + 1) * 8, mx * 8 : (mx + 1) * 8] = (
-                    _JPEG_C.T @ block @ _JPEG_C + 128.0
-                )
-    arrs = [
-        np.clip(np.round(planes[cid][:h, :w]), 0, 255) for cid, _ in comps
-    ]
+                hf, vf = facs[cid]
+                for by in range(vf):
+                    for bx in range(hf):
+                        zz = np.zeros(64, dtype=np.int64)
+                        s = reader.huff(dc_maps[td])
+                        preds[cid] += _jpeg_extend(reader.bits(s), s) if s else 0
+                        zz[0] = preds[cid]
+                        k = 1
+                        while k < 64:
+                            rs = reader.huff(ac_maps[ta])
+                            if rs == 0x00:  # EOB
+                                break
+                            if rs == 0xF0:  # ZRL
+                                k += 16
+                                continue
+                            k += rs >> 4
+                            if k > 63:
+                                raise ValueError("JPEG AC run overflow")
+                            zz[k] = _jpeg_extend(reader.bits(rs & 0xF), rs & 0xF)
+                            k += 1
+                        q = np.zeros(64, dtype=np.int64)
+                        q[_JPEG_ZIGZAG] = zz
+                        block = q.reshape(8, 8) * qtab8[cid]
+                        r0 = (my * vf + by) * 8
+                        c0 = (mx * hf + bx) * 8
+                        planes[cid][r0 : r0 + 8, c0 : c0 + 8] = (
+                            _JPEG_C.T @ block @ _JPEG_C + 128.0
+                        )
+    # upsample subsampled planes to full resolution by sample
+    # replication (box upsampling), then crop to the frame
+    arrs = []
+    for cid, hf, vf, _ in comps:
+        p = planes[cid]
+        if hf != hmax or vf != vmax:
+            p = np.repeat(np.repeat(p, vmax // vf, axis=0), hmax // hf, axis=1)
+        arrs.append(np.clip(np.round(p[:h, :w]), 0, 255))
     if len(arrs) == 1:
         px = arrs[0] / 255.0
         nch = 1
@@ -965,11 +1072,24 @@ def synthesize_real_payloads(docs: DataFrame) -> DataFrame:
                         for row in range(ht)
                     ]
                     payload = _encode_png_rgb(rows, wd)
-                elif kind == "jpeg":  # baseline grayscale, Annex K tables
+                elif kind == "jpeg":
+                    # alternate baseline grayscale 1x1 and YCbCr 4:2:0
+                    # color so BOTH sampling layouts live in the corpus
                     wd, ht = 8 + d % 9, 6 + d % 7
                     yy, xx = np.mgrid[0:ht, 0:wd]
-                    img = ((yy * 23 + xx * 11 + d) % 256).astype(np.uint8)
-                    payload = _encode_jpeg_gray(img)
+                    if (d // len(REAL_DECODABLE)) % 2:
+                        rgb = np.stack(
+                            [
+                                (yy * 23 + xx * 11 + d) % 256,
+                                (yy * 7 + xx * 31 + 3 * d) % 256,
+                                (yy * 13 + xx * 17 + 5 * d) % 256,
+                            ],
+                            axis=-1,
+                        ).astype(np.uint8)
+                        payload = _encode_jpeg_color_420(rgb)
+                    else:
+                        img = ((yy * 23 + xx * 11 + d) % 256).astype(np.uint8)
+                        payload = _encode_jpeg_gray(img)
                 else:  # gif (16-color global palette, real LZW stream)
                     wd, ht = 4 + d % 6, 3 + d % 5
                     pal = [

@@ -836,9 +836,71 @@ def test_jpeg_honest_gates_progressive_and_subsampled():
     prog = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
     with _pytest.raises(NotImplementedError, match="progressive"):
         _decode_jpeg(prog)
-    # patch the component sampling byte to 4:2:0 (0x22)
+    # 2x2 factors are DECODED since round 7 (4:2:0 support); the gate
+    # now starts beyond 2x2 — patch comp 0 to 3x3
     i = good.index(b"\xff\xc0")
     sof_payload = bytearray(good)
-    sof_payload[i + 2 + 2 + 6 + 1] = 0x22  # comp 0 HV factor
-    with _pytest.raises(NotImplementedError, match="subsampled"):
+    sof_payload[i + 2 + 2 + 6 + 1] = 0x33  # comp 0 HV factor
+    with _pytest.raises(NotImplementedError, match="beyond 2x2"):
         _decode_jpeg(bytes(sof_payload))
+
+
+def test_jpeg420_roundtrip_matches_independent_reconstruction():
+    """The 4:2:0 decode path must reproduce EXACTLY the reconstruction
+    computed independently in straight numpy (pad -> 2x2 box subsample
+    -> per-plane FDCT/round/dequant/IDCT -> 2x2 replication upsample
+    -> per-component round/clip -> BT.601 inverse), across sizes incl.
+    odd dimensions and sub-MCU frames — pinning the MCU block order,
+    per-component DC prediction, plane grids, and the upsample in one
+    assertion."""
+    import numpy as np
+
+    from orca_ztbus_python_processor_spark.operators.multimodal import (
+        _JPEG_C,
+        _JPEG_QUANT_LUMA,
+        _decode_jpeg,
+        _encode_jpeg_color_420,
+        _jpeg_rgb_to_ycbcr,
+    )
+
+    qtab = _JPEG_QUANT_LUMA.reshape(8, 8)
+
+    def quantized_recon(plane):
+        ph, pw = plane.shape
+        out = np.zeros_like(plane)
+        for by in range(0, ph, 8):
+            for bx in range(0, pw, 8):
+                blk = plane[by : by + 8, bx : bx + 8] - 128.0
+                qv = np.round((_JPEG_C @ blk @ _JPEG_C.T) / qtab)
+                out[by : by + 8, bx : bx + 8] = (
+                    _JPEG_C.T @ (qv * qtab) @ _JPEG_C + 128.0
+                )
+        return out
+
+    rng = np.random.RandomState(11)
+    for _ in range(8):
+        h, w = rng.randint(1, 40), rng.randint(1, 40)
+        rgb = rng.randint(0, 256, size=(h, w, 3)).astype(np.uint8)
+        feats = _decode_jpeg(_encode_jpeg_color_420(rgb))
+        assert (feats["width"], feats["height"], feats["n_channels"]) == (w, h, 3)
+
+        y, cb, cr = _jpeg_rgb_to_ycbcr(rgb)
+        ph, pw = -(-h // 16) * 16, -(-w // 16) * 16
+        y = np.pad(y, ((0, ph - h), (0, pw - w)), mode="edge")
+        planes = [quantized_recon(y)]
+        for c in (cb, cr):
+            c = np.pad(c, ((0, ph - h), (0, pw - w)), mode="edge")
+            s = (c[0::2, 0::2] + c[0::2, 1::2] + c[1::2, 0::2] + c[1::2, 1::2]) / 4.0
+            r = quantized_recon(s)
+            planes.append(np.repeat(np.repeat(r, 2, axis=0), 2, axis=1))
+        yr, cbr, crr = (
+            np.clip(np.round(p[:h, :w]), 0, 255) for p in planes
+        )
+        r = yr + 1.402 * (crr - 128.0)
+        g = yr - 0.344136 * (cbr - 128.0) - 0.714136 * (crr - 128.0)
+        b = yr + 1.772 * (cbr - 128.0)
+        px = np.clip(np.stack([r, g, b], axis=-1), 0, 255) / 255.0
+        assert feats["mean_level"] == float(px.mean())
+        assert feats["peak_level"] == float(px.max())
+        # lossy but bounded vs the original
+        assert abs(feats["mean_level"] - rgb.mean() / 255.0) < 0.08
