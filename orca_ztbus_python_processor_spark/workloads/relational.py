@@ -2200,3 +2200,169 @@ def table_checksum_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag")
         .agg(F.count("*").alias("n_rows"), F.sum(h).alias("checksum"))
     )
+
+
+# --------------------------------------------------------------------------
+# basket_affinity_lift — market-basket association mining over orders:
+# for recurrent part pairs (>= LIFT_MIN_PAIRS co-occurrences), the
+# lift statistic  P(a,b) / (P(a) P(b))  with exact integer counts; the
+# LIFT_TOP_K strongest associations under a total order. Pair counts
+# ride the shared per-order pair-explode (arboricity-style shape, no
+# row-level self-join); the part-support table is part-grain and
+# broadcasts onto the pair frame (valid while |parts| stays
+# broadcast-sized — the same node-dimension contract as the triangle
+# census); the final selection is a TakeOrdered top-k, never a full
+# sort. lift = (c_ab * n_orders) / (c_a * c_b) stays exact BIGINT
+# until the single output division (f32 boundary).
+# --------------------------------------------------------------------------
+LIFT_MIN_PAIRS = 5
+LIFT_TOP_K = 20
+
+
+@CATALOG.query(
+    "basket_affinity_lift",
+    oracle=f"""
+    WITH parts_per_order AS (
+        SELECT l_orderkey, list_sort(list(DISTINCT l_partkey)) AS parts
+        FROM lineitem GROUP BY l_orderkey
+    ), n AS (
+        SELECT count(*) AS n_orders FROM parts_per_order
+    ), pair_c AS (
+        SELECT u.part AS part_a, v.part AS part_b, count(*) AS n_both
+        FROM parts_per_order,
+             unnest(parts) AS u(part), unnest(parts) AS v(part)
+        WHERE u.part < v.part
+        GROUP BY 1, 2 HAVING count(*) >= {LIFT_MIN_PAIRS}
+    ), support AS (
+        SELECT part, count(*) AS c FROM (
+            SELECT l_orderkey, unnest(parts) AS part FROM parts_per_order
+        ) GROUP BY part
+    )
+    SELECT part_a, part_b, CAST(n_both AS BIGINT) AS n_both,
+           CAST(sa.c AS BIGINT) AS n_a, CAST(sb.c AS BIGINT) AS n_b,
+           CAST(n_both * n.n_orders / CAST(sa.c * sb.c AS DOUBLE) AS REAL)
+               AS lift
+    FROM pair_c
+    JOIN support sa ON sa.part = part_a
+    JOIN support sb ON sb.part = part_b
+    CROSS JOIN n
+    ORDER BY lift DESC, part_a, part_b
+    LIMIT {LIFT_TOP_K}
+    """,
+)
+def basket_affinity_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    parts_per_order = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("parts"))
+        .localCheckpoint(eager=False)  # reused: n_orders + pairs + support
+    )
+    n_orders = parts_per_order.count()
+    pair_expr = F.expr(
+        "flatten(transform(parts, (x, i) ->"
+        " transform(slice(parts, i + 2, size(parts)),"
+        " y -> struct(x AS a, y AS b))))"
+    )
+    pair_c = (
+        parts_per_order.select(F.explode(pair_expr).alias("e"))
+        .groupBy(F.col("e.a").alias("part_a"), F.col("e.b").alias("part_b"))
+        .agg(F.count("*").alias("n_both"))
+        .where(F.col("n_both") >= LIFT_MIN_PAIRS)
+    )
+    support = (
+        parts_per_order.select(F.explode("parts").alias("part"))
+        .groupBy("part")
+        .agg(F.count("*").alias("c"))
+    )
+    lift = (
+        F.col("n_both")
+        * F.lit(n_orders)
+        / (F.col("n_a") * F.col("n_b")).cast("double")
+    )
+    return (
+        pair_c.join(
+            F.broadcast(support.select(F.col("part").alias("part_a"), F.col("c").alias("n_a"))),
+            "part_a",
+        )
+        .join(
+            F.broadcast(support.select(F.col("part").alias("part_b"), F.col("c").alias("n_b"))),
+            "part_b",
+        )
+        .select(
+            "part_a", "part_b", "n_both", "n_a", "n_b", f32(lift).alias("lift")
+        )
+        .orderBy(F.col("lift").desc(), "part_a", "part_b")
+        .limit(LIFT_TOP_K)
+    )
+
+
+# --------------------------------------------------------------------------
+# order_total_reconciliation — numeric cross-table reconciliation (the
+# data-quality dual of referential_integrity_audit's FK orphan scan):
+# does each order's lineitem-derived charge total agree with the
+# denormalized o_totalprice? Per-row charges round to BIGINT cents
+# BEFORE summing (the per-row f64 expression is deterministic and
+# identical in both engines, so every cent value — and therefore every
+# sum — is exact), and the >1% mismatch predicate is pure integer
+# arithmetic: no float threshold can flip between engines. One
+# order-key join of two map-combined rollups.
+# --------------------------------------------------------------------------
+@CATALOG.query(
+    "order_total_reconciliation",
+    oracle="""
+    WITH li AS (
+        SELECT l_orderkey,
+               sum(CAST(round(l_extendedprice * (1 - l_discount)
+                              * (1 + l_tax) * 100) AS BIGINT)) AS li_cents
+        FROM lineitem GROUP BY l_orderkey
+    ), o AS (
+        SELECT o_orderkey, o_orderstatus,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS o_cents
+        FROM orders
+    )
+    SELECT o_orderstatus,
+           count(*) AS n_orders,
+           CAST(sum(CASE WHEN abs(li_cents - o_cents) * 100 > o_cents
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatched,
+           CAST(sum(abs(li_cents - o_cents)) AS BIGINT) AS abs_diff_cents,
+           CAST(max(abs(li_cents - o_cents) / CAST(o_cents AS DOUBLE))
+                AS REAL) AS max_rel_diff
+    FROM o JOIN li ON li.l_orderkey = o.o_orderkey
+    GROUP BY o_orderstatus
+    """,
+)
+def order_total_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                    * 100
+                ).cast("long")
+            ).alias("li_cents")
+        )
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"),
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("o_cents"),
+    )
+    diff = F.abs(F.col("li_cents") - F.col("o_cents"))
+    return (
+        o.join(li, "l_orderkey")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum((diff * 100 > F.col("o_cents")).cast("long")).alias(
+                "n_mismatched"
+            ),
+            F.sum(diff).alias("abs_diff_cents"),
+            f32(F.max(diff / F.col("o_cents").cast("double"))).alias(
+                "max_rel_diff"
+            ),
+        )
+    )

@@ -3271,3 +3271,127 @@ def ols_trend_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("r_squared"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# seasonal_decompose_profile — two-factor additive seasonal
+# decomposition of the value stream: value ~ global mean + hour-of-day
+# effect + day-of-week effect, with per-(hour, dow) residual variance
+# (the observability view behind "is this spike seasonal or an
+# anomaly"). Scale shape: ALL THREE effect grains come from ONE
+# grouping-sets scan (hour / dow / global share a single shuffle of
+# map-combined partials); the 24-row and 7-row effect tables broadcast
+# back onto the stream for the residual pass — two row-volume scans
+# total, no entity-grain state.
+# --------------------------------------------------------------------------
+@CATALOG.query(
+    "seasonal_decompose_profile",
+    oracle="""
+    WITH g AS (
+        SELECT avg(value) AS m FROM events
+    ), eh AS (
+        SELECT date_part('hour', ts) AS hour, avg(value) AS ah
+        FROM events GROUP BY 1
+    ), ed AS (
+        SELECT date_part('dow', ts) AS dow, avg(value) AS ad
+        FROM events GROUP BY 1
+    )
+    SELECT CAST(date_part('hour', e.ts) AS BIGINT) AS hour,
+           CAST(date_part('dow', e.ts) AS BIGINT) AS dow,
+           count(*) AS n_events,
+           CAST(g.m + (eh.ah - g.m) + (ed.ad - g.m) AS REAL) AS seasonal_pred,
+           CAST(avg((e.value - (g.m + (eh.ah - g.m) + (ed.ad - g.m)))
+                    * (e.value - (g.m + (eh.ah - g.m) + (ed.ad - g.m))))
+                AS REAL) AS resid_var
+    FROM events e
+    CROSS JOIN g
+    JOIN eh ON eh.hour = date_part('hour', e.ts)
+    JOIN ed ON ed.dow = date_part('dow', e.ts)
+    GROUP BY 1, 2, seasonal_pred
+    """,
+)
+def seasonal_decompose_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).select(
+        F.hour("ts").cast("long").alias("hour"),
+        (F.dayofweek("ts") - 1).cast("long").alias("dow"),
+        "value",
+    )
+    # one scan, one shuffle: hour / dow / global as grouping sets
+    sets = (
+        ev.groupingSets([["hour"], ["dow"], []], "hour", "dow")
+        .agg(F.avg("value").alias("a"))
+        .localCheckpoint(eager=False)  # 32 rows, reused thrice
+    )
+    g = sets.where(F.col("hour").isNull() & F.col("dow").isNull()).select(
+        F.col("a").alias("m")
+    )
+    eh = sets.where(F.col("hour").isNotNull()).select(
+        "hour", F.col("a").alias("ah")
+    )
+    ed = sets.where(F.col("dow").isNotNull()).select("dow", F.col("a").alias("ad"))
+    pred = F.col("m") + (F.col("ah") - F.col("m")) + (F.col("ad") - F.col("m"))
+    resid = F.col("value") - pred
+    return (
+        ev.crossJoin(F.broadcast(g))
+        .join(F.broadcast(eh), "hour")
+        .join(F.broadcast(ed), "dow")
+        .groupBy("hour", "dow", f32(pred).alias("seasonal_pred"))
+        .agg(
+            F.count("*").alias("n_events"),
+            f32(F.avg(resid * resid)).alias("resid_var"),
+        )
+        .select(
+            "hour", "dow", "n_events", "seasonal_pred", "resid_var"
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# last_touch_attribution — marketing attribution: every purchase is
+# credited to the user's most recent PRECEDING non-purchase event type
+# (last-touch model). One user-partitioned window (conditional last
+# IGNORE NULLS over the strictly-preceding frame) computes the carry;
+# the rollup sums purchase value in exact BIGINT cents so the
+# cross-engine hash is summation-order-proof. Purchases with no prior
+# touch credit 'none'.
+# --------------------------------------------------------------------------
+@CATALOG.query(
+    "last_touch_attribution",
+    oracle="""
+    WITH o AS (
+        SELECT event_type, value,
+               last_value(CASE WHEN event_type <> 'purchase'
+                               THEN event_type END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS attr
+        FROM events
+    )
+    SELECT coalesce(attr, 'none') AS attributed_type,
+           count(*) AS n_purchases,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS value_cents
+    FROM o WHERE event_type = 'purchase'
+    GROUP BY 1
+    """,
+)
+def last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    attr = F.last(
+        F.when(F.col("event_type") != "purchase", F.col("event_type")),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        _events(spark, sf_dir)
+        .withColumn("attr", attr)
+        .where(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce(F.col("attr"), F.lit("none")).alias("attributed_type"))
+        .agg(
+            F.count("*").alias("n_purchases"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
+        )
+    )

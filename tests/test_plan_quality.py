@@ -1042,3 +1042,44 @@ def test_mannwhitney_distributed_rank_no_global_sort(spark, catalog):
     addressed), and the only sorts are within range partitions."""
     df = catalog.queries["mannwhitney_value_shift"](spark, SMOKE_SF_DIR)
     assert _unpartitioned_windows(df) == 0
+
+
+def test_basket_lift_takeordered_no_cartesian(spark, catalog):
+    """basket_affinity_lift: pair counts come from the per-order array
+    explode (no row-level self-join of lineitem) and the final top-k is
+    a TakeOrderedAndProject, never a global sort."""
+    plan = _plan(spark, catalog.queries["basket_affinity_lift"](spark, SMOKE_SF_DIR))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_seasonal_decompose_single_groupingsets_shuffle(spark, catalog):
+    """seasonal_decompose_profile: hour/dow/global effects share ONE
+    Expand + shuffle (grouping sets — checkpointed, so the final plan
+    scans the 32-row effect table as an ExistingRDD instead of
+    re-aggregating), the effect tables broadcast, and the residual
+    pass is the only other row-volume aggregation."""
+    from pyspark.sql import functions as F
+
+    from orca_ztbus_python_processor_spark.sources.parquet import read_table
+
+    ev = read_table(spark, SMOKE_SF_DIR, "events").select(
+        F.hour("ts").cast("long").alias("hour"),
+        (F.dayofweek("ts") - 1).cast("long").alias("dow"),
+        "value",
+    )
+    sets_plan = _plan(
+        spark,
+        ev.groupingSets([["hour"], ["dow"], []], "hour", "dow").agg(
+            F.avg("value").alias("a")
+        ),
+    )
+    assert "Expand" in sets_plan, sets_plan
+    assert _n_exchanges(sets_plan) == 1, sets_plan
+    plan = _plan(
+        spark, catalog.queries["seasonal_decompose_profile"](spark, SMOKE_SF_DIR)
+    )
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "Scan ExistingRDD" in plan, plan
