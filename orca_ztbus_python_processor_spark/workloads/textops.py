@@ -2260,3 +2260,111 @@ def lang_id_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_docs") / F.sum("n_docs").over(row_w).cast("double")
         ).alias("row_share"),
     )
+
+
+# --------------------------------------------------------------------------
+# doc_quality_filter_funnel — the curation FILTER FUNNEL: how much of
+# the corpus (docs and chars) survives each quality gate CUMULATIVELY
+# (each stage applies on top of all previous ones — the report every
+# LLM-data pipeline publishes next to its retention number). Gates:
+# 1 non-empty, 2 length >= 100, 3 >= 20 tokens, 4 stopword ratio in
+# [0.02, 0.6] (prose-likeness), 5 mean token length <= 12 (gibberish /
+# code-dump screen). ONE scan: per-row gate depth is a codegen'd CASE
+# chain; the funnel is a 5-row conditional aggregation — no joins, no
+# second pass, no per-stage subqueries.
+# --------------------------------------------------------------------------
+@CATALOG.query(
+    "doc_quality_filter_funnel",
+    oracle=f"""
+    WITH feats AS (
+        SELECT n_chars,
+               length(text) AS len,
+               len(regexp_extract_all(text, '{TOKEN_RE}')) AS n_tok,
+               len(regexp_extract_all(text, '{STOPWORD_RE}')) AS n_stop,
+               length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) AS alnum_chars
+        FROM documents
+    ), depth AS (
+        SELECT n_chars,
+               CASE
+                 WHEN len = 0 THEN 0
+                 WHEN len < 100 THEN 1
+                 WHEN n_tok < 20 THEN 2
+                 WHEN n_stop < 0.02 * n_tok OR n_stop > 0.6 * n_tok THEN 3
+                 WHEN alnum_chars > 12 * n_tok THEN 4
+                 ELSE 5
+               END AS gate_depth
+        FROM feats
+    ), tot AS (
+        SELECT count(*) AS n, sum(n_chars) AS ch FROM depth
+    )
+    SELECT g.stage,
+           CAST(count(CASE WHEN d.gate_depth >= g.stage THEN 1 END) AS BIGINT)
+               AS n_surviving,
+           CAST(sum(CASE WHEN d.gate_depth >= g.stage THEN d.n_chars
+                         ELSE 0 END) AS BIGINT) AS chars_surviving,
+           CAST(count(CASE WHEN d.gate_depth >= g.stage THEN 1 END)
+                / CAST(t.n AS DOUBLE) AS REAL) AS doc_retention,
+           CAST(sum(CASE WHEN d.gate_depth >= g.stage THEN d.n_chars
+                         ELSE 0 END) / CAST(t.ch AS DOUBLE) AS REAL)
+               AS char_retention
+    FROM depth d
+    CROSS JOIN tot t
+    CROSS JOIN (SELECT unnest(generate_series(1, 5)) AS stage) g
+    GROUP BY g.stage, t.n, t.ch
+    """,
+)
+def doc_quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n_tok = F.regexp_count(F.col("text"), F.lit(TOKEN_RE))
+    n_stop = F.regexp_count(F.col("text"), F.lit(STOPWORD_RE))
+    alnum = F.length(F.regexp_replace(F.col("text"), "[^A-Za-z0-9]", ""))
+    depth = (
+        F.when(F.length("text") == 0, 0)
+        .when(F.length("text") < 100, 1)
+        .when(n_tok < 20, 2)
+        .when(
+            (n_stop < 0.02 * n_tok) | (n_stop > 0.6 * n_tok), 3
+        )
+        .when(alnum > 12 * n_tok, 4)
+        .otherwise(5)
+    )
+    d = _docs(spark, sf_dir).select(
+        "n_chars", depth.alias("gate_depth")
+    )
+    # funnel as conditional sums: one scan, map-combined partials; the
+    # 5-stage expansion happens on the 1-row aggregate, not the corpus
+    agg = d.agg(
+        F.count("*").alias("n"),
+        F.sum("n_chars").alias("ch"),
+        *[
+            F.sum((F.col("gate_depth") >= s).cast("long")).alias(f"ns{s}")
+            for s in range(1, 6)
+        ],
+        *[
+            F.sum(
+                F.when(F.col("gate_depth") >= s, F.col("n_chars")).otherwise(0)
+            ).alias(f"cs{s}")
+            for s in range(1, 6)
+        ],
+    )
+    stages = F.array(
+        *[
+            F.struct(
+                F.lit(s).cast("long").alias("stage"),
+                F.col(f"ns{s}").alias("n_surviving"),
+                F.col(f"cs{s}").alias("chars_surviving"),
+            )
+            for s in range(1, 6)
+        ]
+    )
+    ex = agg.select("n", "ch", F.explode(stages).alias("s"))
+    return ex.select(
+        F.col("s.stage").alias("stage"),
+        F.col("s.n_surviving").alias("n_surviving"),
+        F.col("s.chars_surviving").alias("chars_surviving"),
+        f32(F.col("s.n_surviving") / F.col("n").cast("double")).alias(
+            "doc_retention"
+        ),
+        f32(F.col("s.chars_surviving") / F.col("ch").cast("double")).alias(
+            "char_retention"
+        ),
+    )
