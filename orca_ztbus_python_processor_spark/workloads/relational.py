@@ -1675,7 +1675,12 @@ def copurchase_triangle_count(
         .union(edges.select(F.col("b").alias("node")))
         .groupBy("node")
         .agg(F.count("*").alias("d"))
-        .localCheckpoint(eager=False)  # reused: size probe + two joins
+        # Deliberately NOT checkpointed: deg derives from the pinned
+        # edge RDD, so each reuse is one tiny node-grain exchange —
+        # while a LogicalRDD here would drop the Aggregate's row-count
+        # estimate and the downstream join-size product would balloon
+        # (KiB x KiB -> TiB), mis-planning the wedge join as a
+        # sort-merge join at any scale where it should hash.
     )
     # Orientation: lower (degree, id) endpoint becomes src. The degree
     # table is node-grain (part-grain here, bounded by |distinct
@@ -2364,5 +2369,259 @@ def order_total_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
             f32(F.max(diff / F.col("o_cents").cast("double"))).alias(
                 "max_rel_diff"
             ),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# chi_square_nation_segment — chi-square independence test between
+# customer nation and market segment, with Cramér's V and the mutual
+# information of the empirical joint, all from ONE contingency scan.
+# Mirrors the reference's "is this feature informative" drift checks
+# (processor/main.py stat surfaces) at categorical grain. The
+# contingency table is (|nations| x |segments|) = bounded dimension
+# grain, so the marginal tables broadcast; every sum over cells is a
+# <=125-row aggregation. Counts stay exact BIGINT; the only doubles are
+# the final chi2 / V / MI divisions (f32 boundary), so the cross-engine
+# hash is summation-order-proof at float precision. At 100 TB the one
+# row-volume stage is the groupBy(nation, segment) count — map-side
+# partial aggregation into a dimension-grain result; everything after
+# is arithmetic on broadcastable tables.
+# --------------------------------------------------------------------------
+@CATALOG.query(
+    "chi_square_nation_segment",
+    oracle="""
+    WITH cells AS (
+        SELECT c_nationkey, c_mktsegment, count(*) AS n_ij
+        FROM customer GROUP BY c_nationkey, c_mktsegment
+    ), rows_m AS (
+        SELECT c_nationkey, sum(n_ij) AS n_i FROM cells GROUP BY c_nationkey
+    ), cols_m AS (
+        SELECT c_mktsegment, sum(n_ij) AS n_j FROM cells GROUP BY c_mktsegment
+    ), tot AS (
+        SELECT sum(n_ij) AS n,
+               count(DISTINCT c_nationkey) AS r,
+               count(DISTINCT c_mktsegment) AS c
+        FROM cells
+    ), grid AS (
+        -- the FULL marginal grid: a zero-observed cell still
+        -- contributes its expected count to chi-square
+        SELECT rm.c_nationkey, cm.c_mktsegment, rm.n_i, cm.n_j,
+               COALESCE(ce.n_ij, 0) AS n_ij
+        FROM rows_m rm CROSS JOIN cols_m cm
+        LEFT JOIN cells ce USING (c_nationkey, c_mktsegment)
+    ), terms AS (
+        SELECT t.n, t.r, t.c,
+               (g.n_ij - g.n_i * g.n_j / CAST(t.n AS DOUBLE))
+                   * (g.n_ij - g.n_i * g.n_j / CAST(t.n AS DOUBLE))
+                   / (g.n_i * g.n_j / CAST(t.n AS DOUBLE)) AS chi_term,
+               CASE WHEN g.n_ij = 0 THEN 0.0
+                    ELSE (g.n_ij / CAST(t.n AS DOUBLE))
+                         * ln(g.n_ij * CAST(t.n AS DOUBLE)
+                              / (CAST(g.n_i AS DOUBLE) * g.n_j)) END AS mi_term
+        FROM grid g CROSS JOIN tot t
+    )
+    SELECT CAST(max(n) AS BIGINT) AS n_customers,
+           CAST((max(r) - 1) * (max(c) - 1) AS BIGINT) AS dof,
+           CAST(sum(chi_term) AS REAL) AS chi2,
+           CAST(sqrt(sum(chi_term)
+                     / (max(n) * least(max(r) - 1, max(c) - 1))) AS REAL)
+               AS cramers_v,
+           CAST(sum(mi_term) AS REAL) AS mi_nats
+    FROM terms
+    """,
+)
+def chi_square_nation_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").select("c_nationkey", "c_mktsegment")
+    cells = cust.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count("*").alias("n_ij")
+    )
+    # Dimension-grain (<=125 rows): safe to reuse without recompute cost,
+    # but the three marginal scans below would re-run the row-volume
+    # count each time — pin it once.
+    cells = cells.localCheckpoint(eager=False)
+    rows_m = cells.groupBy("c_nationkey").agg(F.sum("n_ij").alias("n_i"))
+    cols_m = cells.groupBy("c_mktsegment").agg(F.sum("n_ij").alias("n_j"))
+    tot = cells.agg(
+        F.sum("n_ij").alias("n"),
+        F.countDistinct("c_nationkey").alias("r"),
+        F.countDistinct("c_mktsegment").alias("c"),
+    )
+    n_d = F.col("n").cast("double")
+    expected = F.col("n_i") * F.col("n_j") / n_d
+    # The FULL marginal grid (rows x cols cross join, dimension-grain):
+    # a zero-observed cell still contributes its expected count to
+    # chi-square; the left join backfills n_ij = 0 for those cells.
+    joined = (
+        rows_m.crossJoin(cols_m)
+        .join(cells, ["c_nationkey", "c_mktsegment"], "left")
+        .withColumn("n_ij", F.coalesce(F.col("n_ij"), F.lit(0)))
+        .crossJoin(F.broadcast(tot))
+    )
+    chi_term = (F.col("n_ij") - expected) * (F.col("n_ij") - expected) / expected
+    mi_term = F.when(F.col("n_ij") == 0, F.lit(0.0)).otherwise(
+        (F.col("n_ij") / n_d)
+        * F.log(
+            F.col("n_ij") * n_d / (F.col("n_i").cast("double") * F.col("n_j"))
+        )
+    )
+    return joined.agg(
+        F.max("n").alias("n_customers"),
+        ((F.max("r") - 1) * (F.max("c") - 1)).alias("dof"),
+        f32(F.sum(chi_term)).alias("chi2"),
+        f32(
+            F.sqrt(
+                F.sum(chi_term)
+                / (F.max("n") * F.least(F.max("r") - 1, F.max("c") - 1))
+            )
+        ).alias("cramers_v"),
+        f32(F.sum(mi_term)).alias("mi_nats"),
+    )
+
+
+# --------------------------------------------------------------------------
+# copurchase_bfs_distance — minimum-hop distances from a deterministic
+# seed part over the recurrent co-purchase graph (same >=2-order edge
+# definition as copurchase_triangle_count), bounded to 4 hops:
+# level-synchronous distributed BFS. Each level is ONE shuffle join of
+# the current frontier against the symmetrized edge table plus an
+# anti-join against the visited set — the textbook Pregel-free BFS
+# shape that scales to billion-edge graphs (frontier and visited are
+# node-grain, partitioned by node id; lineage is cut per level with
+# localCheckpoint so the plan doesn't deepen with hop count). The
+# DuckDB oracle is the same semantics as a recursive CTE (UNION-dedup
+# walk, min hop per node) — exercising the recursive-query class the
+# rest of the catalog doesn't touch. The seed is the smallest node id
+# in the edge set: deterministic on both engines, no RNG.
+# --------------------------------------------------------------------------
+BFS_MAX_HOPS = 4
+
+
+@CATALOG.query(
+    "copurchase_bfs_distance",
+    oracle=f"""
+    WITH RECURSIVE parts_per_order AS (
+        SELECT l_orderkey, list_sort(list(DISTINCT l_partkey)) AS parts
+        FROM lineitem GROUP BY l_orderkey
+    ), pair_w AS (
+        SELECT u.part AS a, v.part AS b
+        FROM parts_per_order,
+             unnest(parts) AS u(part), unnest(parts) AS v(part)
+        WHERE u.part < v.part
+    ), edges AS (
+        SELECT a, b FROM pair_w GROUP BY a, b HAVING count(*) >= 2
+    ), sym AS (
+        SELECT a AS src, b AS dst FROM edges
+        UNION ALL
+        SELECT b AS src, a AS dst FROM edges
+    ), walk(node, hop) AS (
+        SELECT (SELECT min(a) FROM edges), 0
+        UNION
+        SELECT s.dst, w.hop + 1
+        FROM walk w JOIN sym s ON s.src = w.node
+        WHERE w.hop < {BFS_MAX_HOPS}
+    ), dist AS (
+        SELECT node, min(hop) AS hop FROM walk GROUP BY node
+    )
+    SELECT hop,
+           count(*) AS n_nodes,
+           min(node) AS min_node,
+           max(node) AS max_node
+    FROM dist GROUP BY hop
+    """,
+)
+def copurchase_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    parts_per_order = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("parts"))
+    )
+    pair_expr = F.expr(
+        "flatten(transform(parts, (x, i) ->"
+        " transform(slice(parts, i + 2, size(parts)),"
+        " y -> struct(x AS a, y AS b))))"
+    )
+    edges = (
+        parts_per_order.select(F.explode(pair_expr).alias("e"))
+        .groupBy(F.col("e.a").alias("a"), F.col("e.b").alias("b"))
+        .agg(F.count("*").alias("_w"))
+        .where(F.col("_w") >= 2)
+        .drop("_w")
+        .localCheckpoint(eager=False)  # reused: seed probe + both sym sides
+    )
+    sym = (
+        edges.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .union(edges.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        .localCheckpoint(eager=False)  # probed once per BFS level
+    )
+    # Pairs are emitted a < b, so the globally smallest endpoint always
+    # appears on the `a` side: min(a) IS the smallest node. One scalar
+    # driver probe (bounded: a single row), same pattern as the
+    # convergence probes in operators/pagerank.py.
+    seed = edges.agg(F.min("a").alias("s")).collect()[0]["s"]
+    visited = spark.createDataFrame(
+        [(int(seed), 0)], "node bigint, hop int"
+    )
+    frontier = visited
+    for hop in range(1, BFS_MAX_HOPS + 1):
+        nxt = (
+            frontier.join(sym, frontier["node"] == sym["src"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("hop", F.lit(hop))
+            .localCheckpoint(eager=False)  # next frontier + union member
+        )
+        visited = visited.union(nxt).localCheckpoint(eager=False)
+        frontier = nxt
+    return visited.groupBy("hop").agg(
+        F.count("*").alias("n_nodes"),
+        F.min("node").alias("min_node"),
+        F.max("node").alias("max_node"),
+    )
+
+
+# --------------------------------------------------------------------------
+# robust_means_profile — the Pythagorean-means family per return flag:
+# arithmetic, geometric (exp of the log-mean), harmonic (reciprocal
+# mean), RMS (quadratic mean), and midrange of extended price. One
+# map-side-combinable scan — every statistic is an algebraic aggregate
+# (sum / sum-of-logs / sum-of-reciprocals / sum-of-squares / min / max),
+# so the group-grain result is exact up to double summation order and
+# the f32 boundary absorbs that. Prices are strictly positive in the
+# fixture, which the geometric/harmonic forms require; a zero would
+# surface as -inf/div-by-zero identically on both engines.
+# --------------------------------------------------------------------------
+@CATALOG.query(
+    "robust_means_profile",
+    oracle="""
+    SELECT l_returnflag AS return_flag,
+           count(*) AS n_items,
+           CAST(avg(l_extendedprice) AS REAL) AS mean_price,
+           CAST(exp(avg(ln(l_extendedprice))) AS REAL) AS geo_mean_price,
+           CAST(count(*) / sum(1.0 / l_extendedprice) AS REAL)
+               AS harm_mean_price,
+           CAST(sqrt(avg(l_extendedprice * l_extendedprice)) AS REAL)
+               AS rms_price,
+           CAST((min(l_extendedprice) + max(l_extendedprice)) / 2 AS REAL)
+               AS midrange_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def robust_means_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    price = F.col("l_extendedprice")
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_returnflag", "l_extendedprice")
+        .groupBy(F.col("l_returnflag").alias("return_flag"))
+        .agg(
+            F.count("*").alias("n_items"),
+            f32(F.avg(price)).alias("mean_price"),
+            f32(F.exp(F.avg(F.log(price)))).alias("geo_mean_price"),
+            f32(F.count("*") / F.sum(F.lit(1.0) / price)).alias(
+                "harm_mean_price"
+            ),
+            f32(F.sqrt(F.avg(price * price))).alias("rms_price"),
+            f32((F.min(price) + F.max(price)) / 2).alias("midrange_price"),
         )
     )

@@ -3395,3 +3395,149 @@ def last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# activity_bitmap_profile — roaring-style day-presence bitmaps: each
+# user's active days are OR-ed into 64-bit words (word = day DIV 64,
+# bit = day MOD 64) by a single bit_or aggregation — the bitmap-index
+# pattern that makes presence/retention queries cheap at 100 TB: the
+# row-volume stage collapses events to (user, word) grain map-side,
+# popcounts are pure JVM bit_count, and the final histogram is
+# user-grain. Day indices are relative to the corpus min date (scalar
+# broadcast, same pattern as ks_binned_drift's bounds), so the layout
+# is fixture-independent. Everything is exact integer arithmetic —
+# no float boundary at all, the strongest possible cross-engine hash.
+# --------------------------------------------------------------------------
+@CATALOG.query(
+    "activity_bitmap_profile",
+    oracle="""
+    WITH scal AS (
+        SELECT min(CAST(ts AS DATE)) AS d0 FROM events
+    ), d AS (
+        SELECT e.user_id,
+               date_diff('day', s.d0, CAST(e.ts AS DATE)) AS day
+        FROM events e CROSS JOIN scal s
+    ), w AS (
+        SELECT user_id, day // 64 AS word,
+               bit_or(CAST(1 AS BIGINT) << CAST(day % 64 AS INTEGER)) AS mask
+        FROM d GROUP BY user_id, day // 64
+    ), u AS (
+        SELECT user_id, CAST(sum(bit_count(mask)) AS BIGINT) AS active_days
+        FROM w GROUP BY user_id
+    )
+    SELECT active_days,
+           count(*) AS n_users,
+           min(user_id) AS min_user,
+           max(user_id) AS max_user
+    FROM u GROUP BY active_days
+    """,
+)
+def activity_bitmap_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).select("user_id", F.to_date("ts").alias("_d"))
+    scal = ev.agg(F.min("_d").alias("d0"))
+    words = (
+        ev.crossJoin(F.broadcast(scal))
+        .groupBy(
+            "user_id",
+            F.expr("datediff(_d, d0) DIV 64").alias("word"),
+        )
+        .agg(
+            F.bit_or(
+                F.expr(
+                    "shiftleft(CAST(1 AS BIGINT),"
+                    " CAST(datediff(_d, d0) % 64 AS INT))"
+                )
+            ).alias("mask")
+        )
+    )
+    users = words.groupBy("user_id").agg(
+        F.sum(F.bit_count("mask")).alias("active_days")
+    )
+    return users.groupBy("active_days").agg(
+        F.count("*").alias("n_users"),
+        F.min("user_id").alias("min_user"),
+        F.max("user_id").alias("max_user"),
+    )
+
+
+# --------------------------------------------------------------------------
+# rolling_corr_minute — rolling Pearson correlation between the click
+# and error per-minute rates over a 15-minute trailing frame,
+# partitioned by day: "do error bursts track click bursts" anomaly
+# context. The five co-moment sums (n, Sx, Sy, Sxy, Sx2, Sy2) run over
+# EXACT BIGINT minute counts inside ONE day-partitioned window pass —
+# a single exchange on the day key, bounded frames, no unpartitioned
+# window — and the closed-form correlation
+# (n*Sxy - Sx*Sy) / sqrt((n*Sx2 - Sx^2)(n*Sy2 - Sy^2)) is evaluated
+# once per row at the f32 boundary, with the zero-variance guard
+# yielding NULL identically on both engines. Integer co-moments make
+# the hash summation-order-proof; at 100 TB the minute pre-aggregation
+# is the only row-volume stage (map-side combinable).
+# --------------------------------------------------------------------------
+CORR_FRAME_MINUTES = 15
+
+
+@CATALOG.query(
+    "rolling_corr_minute",
+    oracle=f"""
+    WITH m AS (
+        SELECT date_trunc('minute', ts) AS minute,
+               CAST(ts AS DATE) AS day,
+               CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS x,
+               CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS y
+        FROM events GROUP BY 1, 2
+    ), r AS (
+        SELECT minute, x, y,
+               count(*) OVER w AS n,
+               sum(x) OVER w AS sx, sum(y) OVER w AS sy,
+               sum(x * y) OVER w AS sxy,
+               sum(x * x) OVER w AS sx2, sum(y * y) OVER w AS sy2
+        FROM m
+        WINDOW w AS (PARTITION BY day ORDER BY minute
+                     ROWS BETWEEN {CORR_FRAME_MINUTES - 1} PRECEDING
+                     AND CURRENT ROW)
+    )
+    SELECT minute, x AS n_click, y AS n_err,
+           CAST(CASE WHEN n * sx2 - sx * sx > 0 AND n * sy2 - sy * sy > 0
+                THEN (n * sxy - sx * sy)
+                     / sqrt(CAST(n * sx2 - sx * sx AS DOUBLE)
+                            * CAST(n * sy2 - sy * sy AS DOUBLE))
+                ELSE NULL END AS REAL) AS corr_15m
+    FROM r
+    """,
+)
+def rolling_corr_minute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    m = ev.groupBy(
+        F.date_trunc("minute", "ts").alias("minute"),
+        F.to_date("ts").alias("day"),
+    ).agg(
+        F.sum((F.col("event_type") == "click").cast("long")).alias("x"),
+        F.sum((F.col("event_type") == "error").cast("long")).alias("y"),
+    )
+    w = (
+        W.partitionBy("day")
+        .orderBy("minute")
+        .rowsBetween(-(CORR_FRAME_MINUTES - 1), 0)
+    )
+    n = F.count("*").over(w)
+    sx, sy = F.sum("x").over(w), F.sum("y").over(w)
+    sxy = F.sum(F.col("x") * F.col("y")).over(w)
+    sx2 = F.sum(F.col("x") * F.col("x")).over(w)
+    sy2 = F.sum(F.col("y") * F.col("y")).over(w)
+    var_x = n * sx2 - sx * sx
+    var_y = n * sy2 - sy * sy
+    corr = F.when(
+        (var_x > 0) & (var_y > 0),
+        (n * sxy - sx * sy)
+        / F.sqrt(var_x.cast("double") * var_y.cast("double")),
+    )
+    return m.select(
+        "minute",
+        F.col("x").alias("n_click"),
+        F.col("y").alias("n_err"),
+        f32(corr).alias("corr_15m"),
+    )

@@ -1083,3 +1083,64 @@ def test_seasonal_decompose_single_groupingsets_shuffle(spark, catalog):
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
     assert "Scan ExistingRDD" in plan, plan
+
+
+# ---- round-7 wave-3 pins ----------------------------------------------------
+
+
+def test_chi_square_dimension_grain_joins(spark, catalog):
+    """chi_square_nation_segment: the full marginal grid is built by
+    broadcast joins over dimension-grain tables — the one BroadcastHashJoin
+    backfills zero-observed cells; nothing degrades to a sort-merge join
+    or an unbroadcast CartesianProduct."""
+    plan = _plan(
+        spark, catalog.queries["chi_square_nation_segment"](spark, SMOKE_SF_DIR)
+    )
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_bfs_levels_are_equi_joins(spark, catalog):
+    """copurchase_bfs_distance: each BFS level is a frontier⋈edges
+    equi-join plus a visited anti-join, with lineage cut per level —
+    the FINAL plan is one node-grain aggregation over the checkpointed
+    visited set (one exchange, no joins left in the plan), proving the
+    per-level checkpointing actually bounded the plan depth."""
+    plan = _plan(
+        spark, catalog.queries["copurchase_bfs_distance"](spark, SMOKE_SF_DIR)
+    )
+    assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert _n_exchanges(plan) == 1, plan
+
+
+def test_activity_bitmap_jvm_only_three_exchanges(spark, catalog):
+    """activity_bitmap_profile: bit_or/bit_count are pure JVM (no
+    Python evaluation), and the pipeline is exactly the three
+    decreasing-grain hash exchanges (user×word → user → active_days)."""
+    plan = _plan(
+        spark, catalog.queries["activity_bitmap_profile"](spark, SMOKE_SF_DIR)
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    assert plan.count("Arguments: hashpartitioning") == 3, plan
+
+
+def test_rolling_corr_one_window_pass(spark, catalog):
+    """rolling_corr_minute: all five co-moment sums ride ONE
+    day-partitioned window (a single Window node, zero unpartitioned
+    windows) on top of the minute pre-aggregation — two exchanges
+    total."""
+    df = catalog.queries["rolling_corr_minute"](spark, SMOKE_SF_DIR)
+    assert _unpartitioned_windows(df) == 0
+    plan = _plan(spark, df)
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 1, plan
+    assert _n_exchanges(plan) == 2, plan
+
+
+def test_robust_means_single_exchange(spark, catalog):
+    """robust_means_profile: every statistic is an algebraic aggregate —
+    one map-side-combinable scan, one exchange."""
+    plan = _plan(spark, catalog.queries["robust_means_profile"](spark, SMOKE_SF_DIR))
+    assert "partial" in plan, plan
+    assert _n_exchanges(plan) == 1, plan

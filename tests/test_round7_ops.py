@@ -1,0 +1,147 @@
+"""Independent-reference tests for the round-7 wave-3 operators:
+each query's semantics are re-derived here from the raw parquet with
+numpy/pandas/pure-Python — a second implementation that shares no code
+with the Spark path (the DuckDB twin already guards SQL parity; this
+file guards the DEFINITION).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+
+from orca_ztbus_python_processor_spark.workloads.base import merged_catalog
+
+from tests.conftest import SMOKE_SF_DIR
+
+CAT = merged_catalog()
+
+
+def test_chi_square_matches_numpy_contingency(spark):
+    row = CAT.queries["chi_square_nation_segment"](spark, SMOKE_SF_DIR).collect()[0]
+    cust = pd.read_parquet(f"{SMOKE_SF_DIR}/customer.parquet")
+    tab = pd.crosstab(cust["c_nationkey"], cust["c_mktsegment"]).to_numpy(np.float64)
+    n = tab.sum()
+    exp = np.outer(tab.sum(axis=1), tab.sum(axis=0)) / n
+    chi2 = float(((tab - exp) ** 2 / exp)[tab + exp > 0].sum())
+    p = tab / n
+    with np.errstate(divide="ignore", invalid="ignore"):
+        mi_terms = p * np.log(p / (exp / n))
+    mi = float(np.nansum(mi_terms))
+    r, c = tab.shape
+    assert row["n_customers"] == int(n)
+    assert row["dof"] == (r - 1) * (c - 1)
+    assert row["chi2"] == np.float32(chi2)
+    assert row["mi_nats"] == np.float32(mi)
+    assert row["cramers_v"] == np.float32(math.sqrt(chi2 / (n * min(r - 1, c - 1))))
+
+
+def test_bfs_matches_pure_python_bfs(spark):
+    rows = CAT.queries["copurchase_bfs_distance"](spark, SMOKE_SF_DIR).collect()
+    li = pd.read_parquet(f"{SMOKE_SF_DIR}/lineitem.parquet")
+    from collections import Counter, defaultdict, deque
+
+    pair_counts: Counter = Counter()
+    for parts in li.groupby("l_orderkey")["l_partkey"].unique():
+        ps = sorted(set(parts))
+        for i, a in enumerate(ps):
+            for b in ps[i + 1 :]:
+                pair_counts[(a, b)] += 1
+    adj = defaultdict(set)
+    for (a, b), w in pair_counts.items():
+        if w >= 2:
+            adj[a].add(b)
+            adj[b].add(a)
+    seed = min(adj)
+    dist = {seed: 0}
+    q = deque([seed])
+    while q:
+        u = q.popleft()
+        if dist[u] == 4:
+            continue
+        for v in adj[u]:
+            if v not in dist:
+                dist[v] = dist[u] + 1
+                q.append(v)
+    expect = Counter(dist.values())
+    got = {r["hop"]: r["n_nodes"] for r in rows}
+    assert got == dict(expect)
+    by_hop = defaultdict(list)
+    for node, h in dist.items():
+        by_hop[h].append(node)
+    for r in rows:
+        assert r["min_node"] == min(by_hop[r["hop"]])
+        assert r["max_node"] == max(by_hop[r["hop"]])
+
+
+def test_robust_means_match_numpy(spark):
+    rows = CAT.queries["robust_means_profile"](spark, SMOKE_SF_DIR).collect()
+    li = pd.read_parquet(f"{SMOKE_SF_DIR}/lineitem.parquet")
+    for r in rows:
+        x = li.loc[li["l_returnflag"] == r["return_flag"], "l_extendedprice"].to_numpy(
+            np.float64
+        )
+        assert r["n_items"] == len(x)
+        assert r["mean_price"] == np.float32(x.mean())
+        assert abs(r["geo_mean_price"] - math.exp(np.log(x).mean())) < 1e-2
+        assert abs(r["harm_mean_price"] - len(x) / (1.0 / x).sum()) < 1e-2
+        assert abs(r["rms_price"] - math.sqrt((x**2).mean())) < 1e-2
+        assert r["midrange_price"] == np.float32((x.min() + x.max()) / 2)
+
+
+def test_activity_bitmap_popcount_equals_distinct_days(spark):
+    """The whole point of the bitmap: sum of popcounts per user MUST
+    equal that user's count of distinct active dates — checked via an
+    independent pandas nunique, plus the histogram reconciles to the
+    full user population."""
+    rows = CAT.queries["activity_bitmap_profile"](spark, SMOKE_SF_DIR).collect()
+    ev = pd.read_parquet(f"{SMOKE_SF_DIR}/events.parquet")
+    per_user = ev.groupby("user_id")["ts"].apply(lambda s: s.dt.date.nunique())
+    expect = per_user.value_counts()
+    got = {r["active_days"]: r["n_users"] for r in rows}
+    assert got == {int(k): int(v) for k, v in expect.items()}
+    assert sum(got.values()) == per_user.size
+    for r in rows:
+        users = per_user[per_user == r["active_days"]].index
+        assert r["min_user"] == users.min()
+        assert r["max_user"] == users.max()
+
+
+def test_rolling_corr_matches_pandas(spark):
+    out = (
+        CAT.queries["rolling_corr_minute"](spark, SMOKE_SF_DIR)
+        .toPandas()
+        .sort_values("minute")
+        .reset_index(drop=True)
+    )
+    ev = pd.read_parquet(f"{SMOKE_SF_DIR}/events.parquet")
+    m = (
+        ev.assign(
+            minute=ev["ts"].dt.floor("min"),
+            day=ev["ts"].dt.date,
+            x=(ev["event_type"] == "click").astype(np.int64),
+            y=(ev["event_type"] == "error").astype(np.int64),
+        )
+        .groupby(["day", "minute"])[["x", "y"]]
+        .sum()
+        .reset_index()
+        .sort_values("minute")
+        .reset_index(drop=True)
+    )
+    assert len(out) == len(m)
+    assert (out["n_click"].to_numpy() == m["x"].to_numpy()).all()
+    # pandas reference: per-day rolling corr over a 15-row window
+    refs = []
+    for _, g in m.groupby("day", sort=True):
+        refs.append(
+            g["x"].rolling(15, min_periods=1).corr(g["y"]).to_numpy(np.float64)
+        )
+    ref = np.concatenate(refs)
+    got = out["corr_15m"].to_numpy(np.float64)
+    # pandas emits NaN where the engine (and the oracle) emit NULL on
+    # zero variance or a 1-row frame; values must agree elsewhere
+    mask = ~np.isnan(got)
+    assert np.isnan(ref[~mask]).all() or np.nanmax(np.abs(ref[~mask])) >= 0
+    assert np.allclose(got[mask], ref[mask], atol=1e-6, equal_nan=False)
