@@ -2625,3 +2625,63 @@ def robust_means_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             f32((F.min(price) + F.max(price)) / 2).alias("midrange_price"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# orderkey_sequence_audit — sequence-integrity audit over the order key
+# space: how many contiguous islands does the key sequence form, and
+# how dense is the occupied range? Island counting WITHOUT any global
+# sort or window: a key starts an island iff key-1 is absent, which is
+# one self anti-join on a shifted key — shuffle-partitioned by key,
+# scale-free. The classic "did the upstream exporter drop ranges"
+# check on ingestion ids; pairs with referential_integrity_audit
+# (cross-table orphans) at the single-table grain.
+# --------------------------------------------------------------------------
+@CATALOG.query(
+    "orderkey_sequence_audit",
+    oracle="""
+    WITH k AS (
+        SELECT DISTINCT o_orderkey AS key FROM orders
+    ), starts AS (
+        SELECT count(*) AS n_islands
+        FROM k WHERE key - 1 NOT IN (SELECT key FROM k)
+    )
+    SELECT (SELECT count(*) FROM k) AS n_keys,
+           (SELECT n_islands FROM starts) AS n_islands,
+           (SELECT min(key) FROM k) AS min_key,
+           (SELECT max(key) FROM k) AS max_key,
+           CAST((SELECT count(*) FROM k)
+                / CAST((SELECT max(key) FROM k)
+                       - (SELECT min(key) FROM k) + 1 AS DOUBLE) AS REAL)
+               AS coverage
+    FROM (SELECT 1)
+    """,
+)
+def orderkey_sequence_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    keys = (
+        _t(spark, sf_dir, "orders")
+        .select(F.col("o_orderkey").alias("key"))
+        .distinct()
+        .localCheckpoint(eager=False)  # reused: shifted side + census
+    )
+    succ = keys.select((F.col("key") + 1).alias("key"))
+    starts = keys.join(succ, "key", "left_anti")
+    census = keys.agg(
+        F.count("*").alias("n_keys"),
+        F.min("key").alias("min_key"),
+        F.max("key").alias("max_key"),
+    )
+    return (
+        starts.agg(F.count("*").alias("n_islands"))
+        .crossJoin(F.broadcast(census))
+        .select(
+            "n_keys",
+            "n_islands",
+            "min_key",
+            "max_key",
+            f32(
+                F.col("n_keys")
+                / (F.col("max_key") - F.col("min_key") + 1).cast("double")
+            ).alias("coverage"),
+        )
+    )

@@ -2368,3 +2368,94 @@ def doc_quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             "char_retention"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# boilerplate_shingle_share — the C4/RefinedWeb-style boilerplate
+# signal: content shingles that recur across many DISTINCT documents
+# (navigation chrome, license blurbs, template fragments) measured per
+# source. 12-char shingles at stride 6 (deterministic offsets, both
+# engines enumerate the same positions, per-doc dedup via
+# array_distinct) shuffle ONCE on the shingle to count distinct docs;
+# shingles hitting >= BOILER_MIN_DOCS docs form the boilerplate set,
+# and a second shingle-keyed join scores every document. Per-source
+# output: doc counts, shingle volumes, and both the micro (pooled) and
+# macro (per-doc mean) boilerplate shares. At 100 TB both row-volume
+# stages are shingle-partitioned shuffles with map-side combine — the
+# exact shape of the production line-dedup pass, at shingle grain
+# because the corpus is single-line.
+# --------------------------------------------------------------------------
+BOILER_K = 12
+BOILER_STRIDE = 6
+BOILER_MIN_DOCS = 5
+
+
+@CATALOG.query(
+    "boilerplate_shingle_share",
+    oracle=f"""
+    WITH sh AS (
+        SELECT DISTINCT doc_id, source,
+               substr(text, CAST(i AS BIGINT), {BOILER_K}) AS s
+        FROM (
+            SELECT doc_id, source, text,
+                   unnest(generate_series(1,
+                          greatest(length(text) - {BOILER_K - 1}, 1),
+                          {BOILER_STRIDE})) AS i
+            FROM documents
+        )
+    ), boiler AS (
+        SELECT s FROM sh GROUP BY s
+        HAVING count(*) >= {BOILER_MIN_DOCS}
+    ), per_doc AS (
+        SELECT sh.doc_id, sh.source,
+               count(*) AS n_sh,
+               CAST(sum(CASE WHEN b.s IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_b
+        FROM sh LEFT JOIN boiler b ON sh.s = b.s
+        GROUP BY sh.doc_id, sh.source
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(n_sh) AS BIGINT) AS n_shingles,
+           CAST(sum(n_b) AS BIGINT) AS n_boiler_shingles,
+           CAST(sum(n_b) / CAST(sum(n_sh) AS DOUBLE) AS REAL)
+               AS micro_share,
+           CAST(avg(n_b / CAST(n_sh AS DOUBLE)) AS REAL) AS macro_share
+    FROM per_doc GROUP BY source
+    """,
+)
+def boilerplate_shingle_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    shingle_arr = (
+        f"array_distinct(transform(sequence(1,"
+        f" greatest(length(text) - {BOILER_K - 1}, 1), {BOILER_STRIDE}),"
+        f" i -> substring(text, i, {BOILER_K})))"
+    )
+    sh = (
+        _docs(spark, sf_dir)
+        .select("doc_id", "source", F.explode(F.expr(shingle_arr)).alias("s"))
+        .localCheckpoint(eager=False)  # reused: boiler census + doc scoring
+    )
+    boiler = (
+        sh.groupBy("s")
+        .agg(F.count("*").alias("_nd"))  # per-doc distinct -> count = docs
+        .where(F.col("_nd") >= BOILER_MIN_DOCS)
+        .select("s")
+        .withColumn("_b", F.lit(1).cast("long"))
+    )
+    per_doc = (
+        sh.join(boiler, "s", "left")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count("*").alias("n_sh"),
+            F.coalesce(F.sum("_b"), F.lit(0)).alias("n_b"),
+        )
+    )
+    return per_doc.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_sh").alias("n_shingles"),
+        F.sum("n_b").alias("n_boiler_shingles"),
+        f32(F.sum("n_b") / F.sum("n_sh").cast("double")).alias("micro_share"),
+        f32(F.avg(F.col("n_b") / F.col("n_sh").cast("double"))).alias(
+            "macro_share"
+        ),
+    )

@@ -3541,3 +3541,66 @@ def rolling_corr_minute(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("y").alias("n_err"),
         f32(corr).alias("corr_15m"),
     )
+
+
+# --------------------------------------------------------------------------
+# daily_mix_kl_anomaly — per-day KL divergence of the event-type mix
+# against the whole-corpus mix: the "did today's traffic composition
+# shift" anomaly series (value_psi_drift compares two fixed halves;
+# this emits a per-day score). One (day, type) aggregation is the only
+# row-volume stage; the day totals and the global type mix are
+# dimension-grain tables that broadcast onto it. KL terms exist only
+# for types observed that day (p > 0, and q > 0 follows since the
+# global mix contains the day), so the sum needs no smoothing.
+# Counts stay BIGINT; the single double division chain per term meets
+# f32 at the end.
+# --------------------------------------------------------------------------
+@CATALOG.query(
+    "daily_mix_kl_anomaly",
+    oracle="""
+    WITH cnt AS (
+        SELECT date_trunc('day', ts) AS day, event_type,
+               count(*) AS n_dt
+        FROM events GROUP BY 1, 2
+    ), day_tot AS (
+        SELECT day, sum(n_dt) AS n_day FROM cnt GROUP BY day
+    ), gmix AS (
+        SELECT event_type, sum(n_dt) AS n_type FROM cnt GROUP BY event_type
+    ), tot AS (
+        SELECT sum(n_dt) AS n FROM cnt
+    )
+    SELECT c.day,
+           CAST(max(d.n_day) AS BIGINT) AS n_events,
+           CAST(sum((c.n_dt / CAST(d.n_day AS DOUBLE))
+                    * ln((c.n_dt / CAST(d.n_day AS DOUBLE))
+                         / (g.n_type / CAST(t.n AS DOUBLE)))) AS REAL)
+               AS kl_nats
+    FROM cnt c
+    JOIN day_tot d USING (day)
+    JOIN gmix g USING (event_type)
+    CROSS JOIN tot t
+    GROUP BY c.day
+    """,
+)
+def daily_mix_kl_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cnt = (
+        _events(spark, sf_dir)
+        .groupBy(F.date_trunc("day", "ts").alias("day"), "event_type")
+        .agg(F.count("*").alias("n_dt"))
+        .localCheckpoint(eager=False)  # day*type grain; reused 4 ways
+    )
+    day_tot = cnt.groupBy("day").agg(F.sum("n_dt").alias("n_day"))
+    glob = cnt.groupBy("event_type").agg(F.sum("n_dt").alias("n_type"))
+    tot = cnt.agg(F.sum("n_dt").alias("n"))
+    p = F.col("n_dt") / F.col("n_day").cast("double")
+    q = F.col("n_type") / F.col("n").cast("double")
+    return (
+        cnt.join(F.broadcast(day_tot), "day")
+        .join(F.broadcast(glob), "event_type")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("day")
+        .agg(
+            F.max("n_day").alias("n_events"),
+            f32(F.sum(p * F.log(p / q))).alias("kl_nats"),
+        )
+    )

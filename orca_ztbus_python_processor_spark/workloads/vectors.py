@@ -741,3 +741,59 @@ def knn_label_accuracy_allpairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "neighbor_id",
     )
     return _nn_label_rollup(joined)
+
+
+# --------------------------------------------------------------------------
+# label_separation_matrix — embedding-space class separability audit:
+# the cosine similarity between every pair of label centroids. A
+# training-data diagnostic (are two labels' embedding clouds
+# distinguishable at all?) that complements label_centroids (the
+# centroids themselves) and knn_label_accuracy (the instance-level
+# probe). The row-volume stage is ONE posexplode + (label, dim)
+# aggregation — map-side combinable, label*dim grain output (|labels| x
+# 64 here); the pair matrix is a dim-keyed self-join of that bounded
+# table, so nothing after the first exchange scales with the corpus.
+# f32 only at the final cosine division.
+# --------------------------------------------------------------------------
+@CATALOG.query(
+    "label_separation_matrix",
+    oracle="""
+    WITH e AS (
+        SELECT label, i AS dim, embedding[i] AS v
+        FROM embeddings,
+             unnest(generate_series(1, len(embedding))) AS t(i)
+    ), cent AS (
+        SELECT label, dim, avg(v) AS c FROM e GROUP BY label, dim
+    )
+    SELECT a.label AS label_a, b.label AS label_b,
+           CAST(sum(a.c * b.c)
+                / (sqrt(sum(a.c * a.c)) * sqrt(sum(b.c * b.c))) AS REAL)
+               AS centroid_cosine
+    FROM cent a JOIN cent b ON a.dim = b.dim AND a.label < b.label
+    GROUP BY a.label, b.label
+    """,
+)
+def label_separation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cent = (
+        _emb(spark, sf_dir)
+        .select("label", F.posexplode("emb").alias("dim", "v"))
+        .groupBy("label", "dim")
+        .agg(F.avg("v").alias("c"))
+        .localCheckpoint(eager=False)  # label*dim grain; both join sides
+    )
+    a = cent.select(
+        F.col("label").alias("label_a"), "dim", F.col("c").alias("ca")
+    )
+    b = cent.select(
+        F.col("label").alias("label_b"), "dim", F.col("c").alias("cb")
+    )
+    pairs = a.join(b, "dim").where(F.col("label_a") < F.col("label_b"))
+    return pairs.groupBy("label_a", "label_b").agg(
+        f32(
+            F.sum(F.col("ca") * F.col("cb"))
+            / (
+                F.sqrt(F.sum(F.col("ca") * F.col("ca")))
+                * F.sqrt(F.sum(F.col("cb") * F.col("cb")))
+            )
+        ).alias("centroid_cosine")
+    )

@@ -1144,3 +1144,48 @@ def test_robust_means_single_exchange(spark, catalog):
     plan = _plan(spark, catalog.queries["robust_means_profile"](spark, SMOKE_SF_DIR))
     assert "partial" in plan, plan
     assert _n_exchanges(plan) == 1, plan
+
+
+# ---- round-7 wave-4 pins ----------------------------------------------------
+
+
+def test_boilerplate_two_shingle_shuffles_no_python(spark, catalog):
+    """boilerplate_shingle_share: the shingle table is pinned once and
+    feeds both the census and the scoring join; everything is JVM
+    string/aggregate work (no Python evaluation, no CartesianProduct)."""
+    plan = _plan(
+        spark, catalog.queries["boilerplate_shingle_share"](spark, SMOKE_SF_DIR)
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "Scan ExistingRDD" in plan, plan  # the pinned shingle RDD
+
+
+def test_label_separation_bounded_after_first_exchange(spark, catalog):
+    """label_separation_matrix: one row-volume posexplode+agg; the pair
+    matrix join runs on the bounded label*dim table (hash join, never
+    CartesianProduct or a Python pass)."""
+    plan = _plan(
+        spark, catalog.queries["label_separation_matrix"](spark, SMOKE_SF_DIR)
+    )
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_daily_kl_broadcast_marginals(spark, catalog):
+    """daily_mix_kl_anomaly: the day-total and global-mix marginals
+    broadcast onto the (day,type) table — no sort-merge join anywhere."""
+    plan = _plan(spark, catalog.queries["daily_mix_kl_anomaly"](spark, SMOKE_SF_DIR))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_orderkey_audit_anti_join_no_sort(spark, catalog):
+    """orderkey_sequence_audit: island starts come from one shifted
+    self anti-join (LeftAnti hash join) — zero Sort nodes, zero windows
+    in the whole plan."""
+    df = catalog.queries["orderkey_sequence_audit"](spark, SMOKE_SF_DIR)
+    assert _unpartitioned_windows(df) == 0
+    plan = _plan(spark, df)
+    assert "LeftAnti" in plan, plan
+    assert not re.search(r"\(\d+\) Sort\b", plan), plan

@@ -145,3 +145,84 @@ def test_rolling_corr_matches_pandas(spark):
     mask = ~np.isnan(got)
     assert np.isnan(ref[~mask]).all() or np.nanmax(np.abs(ref[~mask])) >= 0
     assert np.allclose(got[mask], ref[mask], atol=1e-6, equal_nan=False)
+
+
+# ---- wave 4 -----------------------------------------------------------------
+
+
+def test_boilerplate_share_matches_pandas(spark):
+    rows = CAT.queries["boilerplate_shingle_share"](spark, SMOKE_SF_DIR).collect()
+    docs = pd.read_parquet(f"{SMOKE_SF_DIR}/documents.parquet")
+    K, S, MIN_DOCS = 12, 6, 5
+    from collections import Counter
+
+    per_doc = {}
+    counts: Counter = Counter()
+    for r in docs.itertuples():
+        t = r.text
+        shingles = {
+            t[i : i + K] for i in range(0, max(len(t) - (K - 1), 1), S)
+        }
+        per_doc[r.doc_id] = (r.source, shingles)
+        counts.update(shingles)
+    boiler = {s for s, c in counts.items() if c >= MIN_DOCS}
+    agg = {}
+    for _doc, (src, sh) in per_doc.items():
+        n_b = len(sh & boiler)
+        d = agg.setdefault(src, [0, 0, 0, 0.0])
+        d[0] += 1
+        d[1] += len(sh)
+        d[2] += n_b
+        d[3] += n_b / len(sh)
+    for r in rows:
+        n_docs, n_sh, n_b, share_sum = agg[r["source"]]
+        assert r["n_docs"] == n_docs
+        assert r["n_shingles"] == n_sh
+        assert r["n_boiler_shingles"] == n_b
+        assert r["micro_share"] == np.float32(n_b / n_sh)
+        assert abs(r["macro_share"] - share_sum / n_docs) < 1e-6
+    assert {r["source"] for r in rows} == set(agg)
+
+
+def test_label_separation_matches_numpy(spark):
+    rows = CAT.queries["label_separation_matrix"](spark, SMOKE_SF_DIR).collect()
+    emb = pd.read_parquet(f"{SMOKE_SF_DIR}/embeddings.parquet")
+    X = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    labels = emb["label"].to_numpy()
+    cents = {
+        int(lab): X[labels == lab].mean(axis=0) for lab in np.unique(labels)
+    }
+    n_labels = len(cents)
+    assert len(rows) == n_labels * (n_labels - 1) // 2
+    for r in rows:
+        ca, cb = cents[r["label_a"]], cents[r["label_b"]]
+        ref = float(ca @ cb / (np.linalg.norm(ca) * np.linalg.norm(cb)))
+        assert abs(r["centroid_cosine"] - ref) < 1e-6, (r, ref)
+
+
+def test_daily_kl_matches_numpy(spark):
+    rows = CAT.queries["daily_mix_kl_anomaly"](spark, SMOKE_SF_DIR).collect()
+    ev = pd.read_parquet(f"{SMOKE_SF_DIR}/events.parquet")
+    ev = ev.assign(day=ev["ts"].dt.floor("D"))
+    g = ev.groupby(["day", "event_type"]).size()
+    q = ev["event_type"].value_counts(normalize=True)
+    for r in rows:
+        day = pd.Timestamp(r["day"])
+        sub = g.loc[day]
+        p = sub / sub.sum()
+        ref = float((p * np.log(p / q.loc[p.index])).sum())
+        assert r["n_events"] == int(sub.sum())
+        assert abs(r["kl_nats"] - ref) < 1e-6, (day, r["kl_nats"], ref)
+    assert len(rows) == ev["day"].nunique()
+
+
+def test_orderkey_audit_matches_numpy(spark):
+    row = CAT.queries["orderkey_sequence_audit"](spark, SMOKE_SF_DIR).collect()[0]
+    keys = np.sort(
+        pd.read_parquet(f"{SMOKE_SF_DIR}/orders.parquet")["o_orderkey"].unique()
+    )
+    n_islands = int((np.diff(keys) > 1).sum()) + 1
+    assert row["n_keys"] == len(keys)
+    assert row["n_islands"] == n_islands
+    assert row["min_key"] == keys[0] and row["max_key"] == keys[-1]
+    assert row["coverage"] == np.float32(len(keys) / (keys[-1] - keys[0] + 1))
