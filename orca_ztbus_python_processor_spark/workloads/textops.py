@@ -2459,3 +2459,127 @@ def boilerplate_shingle_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             "macro_share"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# source_qq_drift — quantile-quantile drift table between each source's
+# document-length distribution and the global one: the decile grid of
+# n_chars per source against the corpus decile grid, with per-decile
+# ratios. The "is this source's length profile shifted" curation
+# diagnostic, the tabular form of a QQ plot. Both sides ride
+# functions.quantiles.exact_group_quantiles — range-repartition +
+# scalar counts matrix + partition-bounded local-rank windows, NO
+# per-group value buffer (F.percentile's buffer is the documented
+# scale wall at corpus grain) — so the plan survives sources of any
+# size. Interpolation is quantile_cont semantics on both engines;
+# the decile melt and ratio arithmetic run on |sources| x 9 rows.
+# --------------------------------------------------------------------------
+QQ_DECILES = (0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9)
+
+
+@CATALOG.query(
+    "source_qq_drift",
+    oracle="""
+    WITH s AS (
+        SELECT source,
+               quantile_cont(n_chars,
+                   [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS qv
+        FROM documents GROUP BY source
+    ), g AS (
+        SELECT quantile_cont(n_chars,
+                   [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS qv
+        FROM documents
+    ), sl AS (
+        SELECT source, 10 * i AS pct, CAST(s.qv[i] AS REAL) AS source_value
+        FROM s, unnest(generate_series(1, 9)) AS t(i)
+    ), gl AS (
+        SELECT 10 * i AS pct, CAST(g.qv[i] AS REAL) AS global_value
+        FROM g, unnest(generate_series(1, 9)) AS t(i)
+    )
+    SELECT sl.source, sl.pct, sl.source_value, gl.global_value,
+           CAST(CAST(sl.source_value AS DOUBLE)
+                / CAST(gl.global_value AS DOUBLE) AS REAL) AS qq_ratio
+    FROM sl JOIN gl USING (pct)
+    """,
+)
+def source_qq_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from orca_ztbus_python_processor_spark.functions.quantiles import (  # noqa: PLC0415
+        exact_group_quantiles,
+    )
+
+    docs = _docs(spark, sf_dir).select("source", "n_chars")
+    per_src = exact_group_quantiles(docs, "source", "n_chars", QQ_DECILES)
+    glob = exact_group_quantiles(
+        docs.withColumn("_g", F.lit(1)), "_g", "n_chars", QQ_DECILES
+    )
+    stack_src = ", ".join(
+        f"{int(q * 100)}, p{int(q * 100)}" for q in QQ_DECILES
+    )
+    sl = per_src.select(
+        "source",
+        F.expr(
+            f"stack({len(QQ_DECILES)}, {stack_src}) AS (pct, source_value)"
+        ),
+    )
+    gl = glob.select(
+        F.expr(
+            f"stack({len(QQ_DECILES)}, {stack_src}) AS (pct, global_value)"
+        )
+    )
+    return sl.join(F.broadcast(gl), "pct").select(
+        "source",
+        "pct",
+        "source_value",
+        "global_value",
+        f32(
+            F.col("source_value").cast("double")
+            / F.col("global_value").cast("double")
+        ).alias("qq_ratio"),
+    )
+
+
+# --------------------------------------------------------------------------
+# text_zlib_compress_ratio — compressibility as a quality signal: the
+# per-document zlib ratio (compressed/raw bytes), profiled per source.
+# The standard web-corpus heuristic (highly compressible text is
+# repetitive boilerplate or degenerate generation; near-incompressible
+# text is often binary junk or high-entropy noise). Compression can't
+# be expressed in SQL expressions, so this is the UD5 escape hatch done
+# right: ONE Arrow-batched scalar pandas_udf (never row-at-a-time
+# BatchEvalPython), map-only per document, followed by a JVM
+# aggregation — the 100 TB shape is embarrassingly parallel. Rows-only
+# for the driver (DuckDB has no zlib); the definition is pinned by an
+# independent stdlib-zlib reference test.
+# --------------------------------------------------------------------------
+ZLIB_LEVEL = 6
+ZRATIO_REDUNDANT = 0.35  # below = near-degenerate repetition
+
+
+def _zratio_batches(batches):
+    import zlib  # noqa: PLC0415
+
+    def one(t: str) -> float:
+        raw = t.encode("utf-8")
+        if not raw:
+            return 1.0
+        return len(zlib.compress(raw, ZLIB_LEVEL)) / len(raw)
+
+    for pdf in batches:
+        pdf = pdf[["source"]].assign(zr=pdf["text"].map(one))
+        yield pdf
+
+
+@CATALOG.query("text_zlib_compress_ratio")
+def text_zlib_compress_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scored = _docs(spark, sf_dir).select("source", "text").mapInPandas(
+        _zratio_batches, schema="source string, zr double"
+    )
+    return scored.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        f32(F.avg("zr")).alias("mean_ratio"),
+        f32(F.min("zr")).alias("min_ratio"),
+        f32(F.max("zr")).alias("max_ratio"),
+        F.sum((F.col("zr") < ZRATIO_REDUNDANT).cast("long")).alias(
+            "n_redundant"
+        ),
+    )

@@ -3604,3 +3604,73 @@ def daily_mix_kl_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             f32(F.sum(p * F.log(p / q))).alias("kl_nats"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# quantile_sketch_profile — a hand-built MERGEABLE quantile sketch
+# (disjoint-block compaction, the building block of KLL/GK-family
+# sketches) composed with the exact-weighted-quantile machinery:
+#   1. each partition sorts locally and collapses every run of k
+#      consecutive values into (block max, weight k), k sized so a
+#      partition emits <= SKETCH_BLOCK_TARGET points — a map-only
+#      Arrow-batched compaction, deterministic, no RNG;
+#   2. the compacted (value, weight) table IS a weighted sample with a
+#      provable rank guarantee (an estimate's true rank is off by at
+#      most k_p - 1 per partition, so the relative rank error shrinks
+#      as 1/SKETCH_BLOCK_TARGET), and
+#      functions.quantiles.exact_weighted_quantiles turns it into
+#      decile estimates with one scalar-offset pass.
+# This is the documented sketch path for quantiles at 100 TB: the
+# full-fidelity alternative (exact distributed quantiles) costs a
+# range shuffle of ALL rows; the sketch shuffles only n_partitions x
+# SKETCH_BLOCK_TARGET weighted points. Rows-only for the driver
+# (estimates are sketch-dependent by design); the rank-error guarantee
+# is enforced by an independent pytest gate against the exact ranks.
+# --------------------------------------------------------------------------
+SKETCH_BLOCK_TARGET = 256
+SKETCH_QS = (0.1, 0.25, 0.5, 0.75, 0.9)
+
+
+def _sketch_compact(batches):
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+
+    vals = [pdf["v"].to_numpy(dtype="float64") for pdf in batches]
+    if not vals:
+        return
+    v = np.sort(np.concatenate(vals))
+    n = v.size
+    if n == 0:
+        return
+    k = max(1, -(-n // SKETCH_BLOCK_TARGET))  # ceil
+    edges = np.arange(k - 1, n, k)
+    if edges[-1] != n - 1:
+        edges = np.append(edges, n - 1)
+    weights = np.diff(np.concatenate(([-1], edges)))
+    yield pd.DataFrame({"v": v[edges], "w": weights.astype("int64")})
+
+
+@CATALOG.query("quantile_sketch_profile")
+def quantile_sketch_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from orca_ztbus_python_processor_spark.functions.quantiles import (  # noqa: PLC0415
+        exact_weighted_quantiles,
+    )
+
+    src = _events(spark, sf_dir).select(F.col("value").cast("double").alias("v"))
+    compact = src.mapInPandas(
+        _sketch_compact, schema="v double, w long"
+    ).localCheckpoint(eager=False)  # reused: meta census + quantile pass
+    meta = F.broadcast(
+        compact.agg(
+            F.count("*").alias("sketch_rows"),
+            F.max("w").alias("max_block"),
+        )
+    )
+    est = exact_weighted_quantiles(compact, "v", "w", qs=SKETCH_QS)
+    return est.crossJoin(meta).select(
+        "q",
+        F.col("wq").alias("estimate"),
+        F.col("total_weight").cast("long").alias("n_rows"),
+        "sketch_rows",
+        "max_block",
+    )

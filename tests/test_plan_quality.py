@@ -1189,3 +1189,41 @@ def test_orderkey_audit_anti_join_no_sort(spark, catalog):
     plan = _plan(spark, df)
     assert "LeftAnti" in plan, plan
     assert not re.search(r"\(\d+\) Sort\b", plan), plan
+
+
+# ---- round-7 wave-5 pins ----------------------------------------------------
+
+
+def test_zlib_ratio_arrow_not_row_python(spark, catalog):
+    """text_zlib_compress_ratio is the UD5 escape hatch done right:
+    exactly one Arrow-batched Python stage (MapInPandas), never
+    row-at-a-time BatchEvalPython; the aggregation after it is JVM."""
+    plan = _plan(
+        spark, catalog.queries["text_zlib_compress_ratio"](spark, SMOKE_SF_DIR)
+    )
+    assert "BatchEvalPython" not in plan, plan
+    assert plan.count("MapInPandas") >= 1, plan
+    assert "partial" in plan, plan  # JVM map-side combine after the UDF
+
+
+def test_quantile_sketch_compacts_before_shuffle(spark, catalog):
+    """quantile_sketch_profile: the only Python stage is the map-only
+    per-partition compaction; the weighted-quantile pass downstream
+    runs on the compacted RDD (scan of ExistingRDD), so no full-row
+    range shuffle appears in the final plan."""
+    plan = _plan(
+        spark, catalog.queries["quantile_sketch_profile"](spark, SMOKE_SF_DIR)
+    )
+    assert "BatchEvalPython" not in plan, plan
+    assert "Scan ExistingRDD" in plan, plan
+
+
+def test_source_qq_drift_rides_rank_machinery(spark, catalog):
+    """source_qq_drift: per-source deciles come from the distributed
+    exact-quantile machinery — zero unpartitioned windows, no
+    F.percentile per-group buffer (no 'percentile(' aggregate in the
+    plan)."""
+    df = catalog.queries["source_qq_drift"](spark, SMOKE_SF_DIR)
+    assert _unpartitioned_windows(df) == 0
+    plan = _plan(spark, df)
+    assert "percentile(" not in plan, plan

@@ -226,3 +226,51 @@ def test_orderkey_audit_matches_numpy(spark):
     assert row["n_islands"] == n_islands
     assert row["min_key"] == keys[0] and row["max_key"] == keys[-1]
     assert row["coverage"] == np.float32(len(keys) / (keys[-1] - keys[0] + 1))
+
+
+# ---- wave 5 -----------------------------------------------------------------
+
+
+def test_zlib_ratio_matches_stdlib(spark):
+    import zlib
+
+    rows = CAT.queries["text_zlib_compress_ratio"](spark, SMOKE_SF_DIR).collect()
+    docs = pd.read_parquet(f"{SMOKE_SF_DIR}/documents.parquet")
+    for r in rows:
+        sub = docs.loc[docs["source"] == r["source"], "text"]
+        ratios = np.array(
+            [
+                len(zlib.compress(t.encode("utf-8"), 6)) / len(t.encode("utf-8"))
+                for t in sub
+            ]
+        )
+        assert r["n_docs"] == len(sub)
+        assert abs(r["mean_ratio"] - ratios.mean()) < 1e-6
+        assert r["min_ratio"] == np.float32(ratios.min())
+        assert r["max_ratio"] == np.float32(ratios.max())
+        assert r["n_redundant"] == int((ratios < 0.35).sum())
+    assert {r["source"] for r in rows} == set(docs["source"].unique())
+
+
+def test_quantile_sketch_rank_guarantee(spark):
+    """The sketch's contract: an estimate's true rank may deviate from
+    the target rank by at most (k-1) per partition — with k = max_block
+    from the sketch itself, the bound is n_partitions * (max_block - 1).
+    Also: total weight must reconcile to the exact row count, and the
+    estimate must be an actual data value (block maxima are observed
+    points, not interpolations)."""
+    rows = CAT.queries["quantile_sketch_profile"](spark, SMOKE_SF_DIR).collect()
+    ev = pd.read_parquet(f"{SMOKE_SF_DIR}/events.parquet")
+    v = np.sort(ev["value"].to_numpy(np.float64))
+    n = len(v)
+    vals = set(v.astype(np.float32).tolist())  # estimates exit at f32
+    n_parts = max(spark.sparkContext.defaultParallelism, 2)
+    for r in rows:
+        assert r["n_rows"] == n
+        bound = n_parts * (r["max_block"] - 1) + r["max_block"]
+        true_rank = np.searchsorted(v, r["estimate"], side="right") - 1
+        target = r["q"] * (r["n_rows"] - 1)
+        assert abs(true_rank - target) <= bound, (
+            r["q"], true_rank, target, bound,
+        )
+        assert np.float32(r["estimate"]) in vals
