@@ -3674,3 +3674,38 @@ def quantile_sketch_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sketch_rows",
         "max_block",
     )
+
+
+# --------------------------------------------------------------------------
+# minute_latency_bands — the observability staple: per-minute p50/p95/
+# p99 bands of the value signal plus throughput. This is the documented
+# COUNTERPOINT to functions.quantiles: F.percentile's per-group buffer
+# is bounded here by per-minute arrival volume (a rate, not a corpus
+# fraction), which is exactly the grain where the buffering exact
+# aggregate is the right trade (see the quantiles module docstring);
+# corpus-grain percentiles must use the distributed machinery instead.
+# One map-combinable exchange at minute grain; interpolation is
+# quantile_cont semantics on both engines, f32 at the boundary.
+# --------------------------------------------------------------------------
+@CATALOG.query(
+    "minute_latency_bands",
+    oracle="""
+    SELECT date_trunc('minute', ts) AS minute,
+           count(*) AS n_events,
+           CAST(quantile_cont(value, 0.5) AS REAL) AS p50,
+           CAST(quantile_cont(value, 0.95) AS REAL) AS p95,
+           CAST(quantile_cont(value, 0.99) AS REAL) AS p99
+    FROM events GROUP BY 1
+    """,
+)
+def minute_latency_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _events(spark, sf_dir)
+        .groupBy(F.date_trunc("minute", "ts").alias("minute"))
+        .agg(
+            F.count("*").alias("n_events"),
+            f32(F.expr("percentile(value, 0.5)")).alias("p50"),
+            f32(F.expr("percentile(value, 0.95)")).alias("p95"),
+            f32(F.expr("percentile(value, 0.99)")).alias("p99"),
+        )
+    )
