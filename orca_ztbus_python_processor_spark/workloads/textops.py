@@ -2430,10 +2430,14 @@ def boilerplate_shingle_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         f" greatest(length(text) - {BOILER_K - 1}, 1), {BOILER_STRIDE}),"
         f" i -> substring(text, i, {BOILER_K})))"
     )
-    sh = (
-        _docs(spark, sf_dir)
-        .select("doc_id", "source", F.explode(F.expr(shingle_arr)).alias("s"))
-        .localCheckpoint(eager=False)  # reused: boiler census + doc scoring
+    # Deliberately NOT checkpointed: the exploded shingle table is
+    # corpus-sized (rows x shingles-per-doc), so pinning it would cache
+    # the whole corpus's worth of substrings. Recomputing the explode
+    # for the census and the scoring join is two map-side substring
+    # passes — the standard recompute-over-cache trade for cheap,
+    # high-fanout intermediates.
+    sh = _docs(spark, sf_dir).select(
+        "doc_id", "source", F.explode(F.expr(shingle_arr)).alias("s")
     )
     boiler = (
         sh.groupBy("s")

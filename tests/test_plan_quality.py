@@ -1150,15 +1150,17 @@ def test_robust_means_single_exchange(spark, catalog):
 
 
 def test_boilerplate_two_shingle_shuffles_no_python(spark, catalog):
-    """boilerplate_shingle_share: the shingle table is pinned once and
-    feeds both the census and the scoring join; everything is JVM
-    string/aggregate work (no Python evaluation, no CartesianProduct)."""
+    """boilerplate_shingle_share: everything is JVM string/aggregate
+    work (no Python evaluation, no CartesianProduct), and the exploded
+    shingle table is NOT cached — no ExistingRDD scan; the census and
+    scoring sides each recompute the cheap map-side explode rather than
+    pinning a corpus-sized substring RDD."""
     plan = _plan(
         spark, catalog.queries["boilerplate_shingle_share"](spark, SMOKE_SF_DIR)
     )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
     assert "CartesianProduct" not in plan, plan
-    assert "Scan ExistingRDD" in plan, plan  # the pinned shingle RDD
+    assert "Scan ExistingRDD" not in plan, plan  # recompute, don't cache
 
 
 def test_label_separation_bounded_after_first_exchange(spark, catalog):
