@@ -12,15 +12,18 @@ Two decode paths:
   BMP (hand-rolled BITMAPINFOHEADER parse, 24bpp uncompressed),
   PPM (P6), PNG (zlib inflate + per-scanline unfilter, 8-bit
   non-interlaced grey/RGB(A)), GIF (hand-rolled variable-width
-  LZW expansion, global palette, non-interlaced), and baseline
-  sequential JPEG (full marker parse + canonical-Huffman entropy
-  decode + dequant/IDCT, 1- or 3-component interleaved streams with
-  sampling factors up to 2x2 — including 4:2:0/4:2:2 chroma
-  subsampling with box-replication upsampling; ITU-T T.81 with
-  Annex K tables). Formats that genuinely require PIL/libvips/ffmpeg
-  (progressive jpeg, restart intervals, sampling factors beyond 2x2,
-  webp, mp4, ...) raise NotImplementedError *inside the decode
-  stage* — the gate is per-format, not per-path.
+  LZW expansion, global palette, non-interlaced), and JPEG — baseline
+  sequential (full marker parse + canonical-Huffman entropy decode +
+  dequant/IDCT, 1- or 3-component interleaved streams with sampling
+  factors up to 2x2, including 4:2:0/4:2:2 chroma subsampling with
+  box-replication upsampling) plus PROGRESSIVE grayscale (SOF2
+  multi-scan coefficient accumulation: spectral-selection bands with
+  EOB-run coding and DC successive approximation with refinement
+  bits); ITU-T T.81 with Annex K tables. Formats that genuinely
+  require PIL/libvips/ffmpeg (progressive color, AC
+  successive-approximation refinement, restart intervals, sampling
+  factors beyond 2x2, webp, mp4, ...) raise NotImplementedError
+  *inside the decode stage* — the gate is per-format, not per-path.
 
 Scale: payloads never leave the executor that scanned them — the
 mapInPandas stages are map-only (no shuffle); feature extraction
@@ -675,6 +678,95 @@ def _encode_jpeg_color_420(rgb: np.ndarray) -> bytes:
     )
 
 
+def _encode_jpeg_progressive_gray(pix: np.ndarray) -> bytes:
+    """Progressive (SOF2) GRAYSCALE JPEG from a (h, w) uint8 array —
+    the fixture-side encoder exercising the real multi-scan layout:
+
+      scan 1: DC first pass, successive approximation Al=1 (DPCM over
+              the arithmetically right-shifted DC coefficients);
+      scan 2: DC refinement, Ah=1 -> Al=0 (one raw bit per block);
+      scan 3: AC spectral band 1..5, Ah=Al=0 (EOB-run coded);
+      scan 4: AC spectral band 6..63, Ah=Al=0.
+
+    Same Annex K quant table and Huffman tables as the baseline
+    encoder, so the quantized coefficients — and therefore the decoded
+    pixels — are IDENTICAL to ``_encode_jpeg_gray`` of the same input
+    (the round-trip equality test pins this)."""
+    pix = np.asarray(pix, dtype=np.uint8)
+    h, w = pix.shape
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    padded = np.pad(pix, ((0, ph - h), (0, pw - w)), mode="edge").astype(np.float64)
+    qtab = _JPEG_QUANT_LUMA.reshape(8, 8)
+    blocks = []
+    for by in range(0, ph, 8):
+        for bx in range(0, pw, 8):
+            block = padded[by : by + 8, bx : bx + 8] - 128.0
+            q = np.round((_JPEG_C @ block @ _JPEG_C.T) / qtab).astype(np.int64)
+            blocks.append(q.flatten()[_JPEG_ZIGZAG])
+    dc_codes = _jpeg_huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _jpeg_huff_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+
+    def sos(ss: int, se: int, ah: int, al: int) -> bytes:
+        return _jpeg_seg(0xDA, bytes([1, 1, 0x00, ss, se, (ah << 4) | al]))
+
+    # scan 1: DC first pass at Al=1 — DPCM over v >> 1 (arithmetic
+    # shift, the T.81 point transform; exact for negatives)
+    bw = _JpegBitWriter()
+    pred = 0
+    for zz in blocks:
+        v = int(zz[0]) >> 1
+        diff = v - pred
+        pred = v
+        s = _jpeg_category(diff)
+        c, ln = dc_codes[s]
+        bw.write(c, ln)
+        if s:
+            bw.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+    bw.flush()
+    out = sos(0, 0, 0, 1) + bytes(bw.buf)
+
+    # scan 2: DC refinement — bit 0 of each block's DC, one raw bit
+    bw = _JpegBitWriter()
+    for zz in blocks:
+        bw.write(int(zz[0]) & 1, 1)
+    bw.flush()
+    out += sos(0, 0, 1, 0) + bytes(bw.buf)
+
+    # scans 3-4: AC spectral bands, EOB per block (EOBRUN of 1)
+    for ss, se in ((1, 5), (6, 63)):
+        bw = _JpegBitWriter()
+        for zz in blocks:
+            band = [int(zz[k]) for k in range(ss, se + 1)]
+            last = -1
+            for idx in range(len(band) - 1, -1, -1):
+                if band[idx]:
+                    last = idx
+                    break
+            run = 0
+            for idx in range(last + 1):
+                v = band[idx]
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    c, ln = ac_codes[0xF0]  # ZRL
+                    bw.write(c, ln)
+                    run -= 16
+                s = _jpeg_category(v)
+                c, ln = ac_codes[(run << 4) | s]
+                bw.write(c, ln)
+                bw.write(v if v >= 0 else v + (1 << s) - 1, s)
+                run = 0
+            if last < len(band) - 1:
+                c, ln = ac_codes[0x00]  # EOB (EOBRUN = 1)
+                bw.write(c, ln)
+        bw.flush()
+        out += sos(ss, se, 0, 0) + bytes(bw.buf)
+
+    sof = _jpeg_seg(0xC2, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
+    return b"\xff\xd8" + _jpeg_tables_preamble() + sof + out + b"\xff\xd9"
+
+
 class _JpegBitReader:
     """MSB-first reader over entropy-coded bytes with 0xFF00
     unstuffing; raises on any bare marker (no restart support — the
@@ -719,16 +811,91 @@ def _jpeg_extend(v: int, s: int) -> int:
     return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
 
 
+def _jpeg_prog_scan(
+    b: bytes,
+    i: int,
+    coeffs: np.ndarray,
+    dc_map: dict | None,
+    ac_map: dict | None,
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+) -> int:
+    """Decode ONE progressive scan (single-component, non-interleaved)
+    over the zigzag coefficient store ``coeffs`` (n_blocks x 64,
+    raster block order); returns the byte offset of the next marker.
+
+    T.81 G.2: a DC scan (ss == 0) carries either the point-transformed
+    DPCM first pass (ah == 0, values shifted left by ``al`` on
+    receipt) or one raw refinement bit per block (ah > 0, OR-ed into
+    bit ``al`` of the two's-complement coefficient — correct for
+    negative values because the encoder's arithmetic right shift and
+    this OR are exact inverses). AC scans (ss > 0) carry a spectral
+    band with EOB-run coding: symbol (r, 0) with r < 15 means
+    2^r - 1 + extra skipped blocks."""
+    reader = _JpegBitReader(b, i)
+    n_blocks = coeffs.shape[0]
+    if ss == 0:
+        pred = 0
+        for blk in range(n_blocks):
+            if ah == 0:
+                s = reader.huff(dc_map)
+                pred += _jpeg_extend(reader.bits(s), s) if s else 0
+                coeffs[blk, 0] = pred << al
+            else:
+                if reader.bits(1):
+                    coeffs[blk, 0] = int(coeffs[blk, 0]) | (1 << al)
+    else:
+        if ah != 0:
+            raise NotImplementedError(
+                "progressive JPEG AC successive-approximation refinement"
+                " needs libjpeg/PIL"
+            )
+        eobrun = 0
+        for blk in range(n_blocks):
+            if eobrun:
+                eobrun -= 1
+                continue
+            k = ss
+            while k <= se:
+                rs = reader.huff(ac_map)
+                r, s = rs >> 4, rs & 0xF
+                if s == 0:
+                    if r == 15:  # ZRL: sixteen zero coefficients
+                        k += 16
+                        continue
+                    eobrun = (1 << r) - 1 + (reader.bits(r) if r else 0)
+                    break
+                k += r
+                if k > se:
+                    raise ValueError("JPEG AC band run overflow")
+                coeffs[blk, k] = _jpeg_extend(reader.bits(s), s) << al
+                k += 1
+    # scan forward to the next marker (skipping stuffed FF00 pairs and
+    # the encoder's byte-align padding)
+    j = reader.i
+    while j < len(b) - 1 and (b[j] != 0xFF or b[j + 1] == 0x00):
+        j += 1
+    return j
+
+
 def _decode_jpeg(b: bytes) -> dict:
-    """Baseline sequential JPEG decode — full entropy + DCT pipeline in
-    numpy/stdlib: marker parse (DQT/SOF0/DHT/SOS, APPn/COM skipped),
-    canonical-Huffman entropy decode with byte unstuffing, dequant,
-    inverse zigzag, IDCT, level shift; interleaved sampling factors up
-    to 2x2 per component (4:4:4 / 4:2:2 / 4:2:0) with box-replication
+    """Baseline-sequential AND progressive (single-component) JPEG
+    decode — full entropy + DCT pipeline in numpy/stdlib: marker parse
+    (DQT/SOF0/SOF2/DHT/SOS, APPn/COM skipped), canonical-Huffman
+    entropy decode with byte unstuffing, dequant, inverse zigzag,
+    IDCT, level shift. Baseline: interleaved sampling factors up to
+    2x2 per component (4:4:4 / 4:2:2 / 4:2:0) with box-replication
     chroma upsampling; 3-component streams get the BT.601 YCbCr->RGB
-    transform. The HONEST residual gate narrows to what genuinely
-    needs libjpeg: progressive/hierarchical SOFs, sampling factors
-    beyond 2x2, 16-bit quant tables, restart intervals."""
+    transform. Progressive (SOF2): multi-scan coefficient
+    accumulation — spectral selection bands with EOB-run coding plus
+    DC successive approximation (first pass + refinement bits) —
+    grayscale streams. The HONEST residual gate narrows to what
+    genuinely needs libjpeg: hierarchical SOFs, progressive COLOR
+    (interleaved-DC/non-interleaved-AC multi-component scans), AC
+    successive-approximation refinement, sampling factors beyond 2x2,
+    16-bit quant tables, restart intervals."""
     if b[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
     i = 2
@@ -738,6 +905,8 @@ def _decode_jpeg(b: bytes) -> dict:
     comps = None
     h = w = None
     scan = None
+    progressive = False
+    prog_coeffs = None
     while i < len(b) - 1:
         if b[i] != 0xFF:
             raise ValueError("JPEG marker sync lost")
@@ -760,8 +929,14 @@ def _decode_jpeg(b: bytes) -> dict:
                     tbl[_JPEG_ZIGZAG[k]] = data[j + 1 + k]
                 qt[tq] = tbl.reshape(8, 8)
                 j += 65
-        elif marker in (0xC0, 0xC1):
+        elif marker in (0xC0, 0xC1, 0xC2):
+            progressive = marker == 0xC2
             _, h, w, nc = struct.unpack_from(">BHHB", data, 0)
+            if progressive and nc != 1:
+                raise NotImplementedError(
+                    "progressive COLOR JPEG (multi-component scan "
+                    "schedules) needs libjpeg/PIL"
+                )
             comps = []
             for c in range(nc):
                 cid, hv, tq = data[6 + 3 * c : 9 + 3 * c]
@@ -772,10 +947,13 @@ def _decode_jpeg(b: bytes) -> dict:
                         "libjpeg/PIL (not in this container)"
                     )
                 comps.append((cid, hfac, vfac, tq))
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            if progressive:
+                nby, nbx = -(-h // 8), -(-w // 8)
+                prog_coeffs = np.zeros((nby * nbx, 64), dtype=np.int64)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "progressive/hierarchical JPEG needs libjpeg/PIL"
+                "hierarchical/arithmetic JPEG needs libjpeg/PIL"
             )
         elif marker == 0xC4:
             j = 0
@@ -797,10 +975,38 @@ def _decode_jpeg(b: bytes) -> dict:
                 cid, tt = data[1 + 2 * c], data[2 + 2 * c]
                 scan.append((cid, tt >> 4, tt & 0xF))
             i += seglen
-            break
+            if not progressive:
+                break  # baseline: single interleaved scan, decoded below
+            _, td, ta = scan[0]
+            ss, se = data[1 + 2 * ns], data[2 + 2 * ns]
+            ahal = data[3 + 2 * ns]
+            i = _jpeg_prog_scan(
+                b, i, prog_coeffs,
+                dc_maps.get(td), ac_maps.get(ta),
+                ss, se, ahal >> 4, ahal & 0xF,
+            )
+            continue
         i += seglen
     if comps is None or scan is None or h is None:
         raise ValueError("JPEG missing SOF/SOS")
+    if progressive:
+        # all scans already accumulated into the coefficient store:
+        # dequant + inverse zigzag + IDCT per block, raster assembly
+        nby, nbx = -(-h // 8), -(-w // 8)
+        qtab = qt[comps[0][3]]
+        plane = np.zeros((nby * 8, nbx * 8))
+        for blk in range(prog_coeffs.shape[0]):
+            q = np.zeros(64, dtype=np.int64)
+            q[_JPEG_ZIGZAG] = prog_coeffs[blk]
+            block = q.reshape(8, 8) * qtab
+            r0, c0 = (blk // nbx) * 8, (blk % nbx) * 8
+            plane[r0 : r0 + 8, c0 : c0 + 8] = _JPEG_C.T @ block @ _JPEG_C + 128.0
+        px = np.clip(np.round(plane[:h, :w]), 0, 255) / 255.0
+        return {
+            "width": w, "height": h, "n_channels": 1, "sample_rate": None,
+            "n_samples": w * h,
+            "mean_level": float(px.mean()), "peak_level": float(px.max()),
+        }
     facs = {cid: (hfac, vfac) for cid, hfac, vfac, _ in comps}
     reader = _JpegBitReader(b, i)
     hmax = max(hf for _, hf, _, _ in comps)
@@ -1073,11 +1279,13 @@ def synthesize_real_payloads(docs: DataFrame) -> DataFrame:
                     ]
                     payload = _encode_png_rgb(rows, wd)
                 elif kind == "jpeg":
-                    # alternate baseline grayscale 1x1 and YCbCr 4:2:0
-                    # color so BOTH sampling layouts live in the corpus
+                    # rotate baseline grayscale 1x1, YCbCr 4:2:0 color,
+                    # and PROGRESSIVE grayscale (SOF2 multi-scan) so all
+                    # three entropy layouts live in the corpus
                     wd, ht = 8 + d % 9, 6 + d % 7
                     yy, xx = np.mgrid[0:ht, 0:wd]
-                    if (d // len(REAL_DECODABLE)) % 2:
+                    variant = (d // len(REAL_DECODABLE)) % 3
+                    if variant == 1:
                         rgb = np.stack(
                             [
                                 (yy * 23 + xx * 11 + d) % 256,
@@ -1089,7 +1297,11 @@ def synthesize_real_payloads(docs: DataFrame) -> DataFrame:
                         payload = _encode_jpeg_color_420(rgb)
                     else:
                         img = ((yy * 23 + xx * 11 + d) % 256).astype(np.uint8)
-                        payload = _encode_jpeg_gray(img)
+                        payload = (
+                            _encode_jpeg_progressive_gray(img)
+                            if variant == 2
+                            else _encode_jpeg_gray(img)
+                        )
                 else:  # gif (16-color global palette, real LZW stream)
                     wd, ht = 4 + d % 6, 3 + d % 5
                     pal = [

@@ -818,31 +818,71 @@ def test_jpeg_flat_image_is_dc_only_exact():
     assert feats["n_channels"] == 1 and feats["n_samples"] == 16 * 24
 
 
-def test_jpeg_honest_gates_progressive_and_subsampled():
+def test_jpeg_honest_gates_after_progressive_support():
     """The residual NotImplementedError gate narrows to what genuinely
-    needs libjpeg: progressive SOF2 and subsampled components."""
-    import struct
-
+    needs libjpeg now that grayscale progressive decodes: progressive
+    COLOR scan schedules, AC successive-approximation refinement, and
+    sampling factors beyond 2x2."""
     import pytest as _pytest
 
     from orca_ztbus_python_processor_spark.operators.multimodal import (
         _decode_jpeg,
+        _encode_jpeg_color_420,
         _encode_jpeg_gray,
+        _encode_jpeg_progressive_gray,
     )
     import numpy as np
 
-    good = _encode_jpeg_gray(np.zeros((8, 8), dtype=np.uint8))
-    # flip SOF0 (0xC0) to SOF2 (0xC2): progressive
-    prog = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
-    with _pytest.raises(NotImplementedError, match="progressive"):
-        _decode_jpeg(prog)
+    # progressive COLOR: flip a 3-component SOF0 to SOF2
+    color = _encode_jpeg_color_420(np.zeros((16, 16, 3), dtype=np.uint8))
+    with _pytest.raises(NotImplementedError, match="progressive COLOR"):
+        _decode_jpeg(color.replace(b"\xff\xc0", b"\xff\xc2", 1))
+    # AC successive-approximation refinement: patch the first AC scan's
+    # AhAl byte (SOS payload [1, 1, 0x00, Ss, Se, AhAl]) to Ah=1
+    prog = bytearray(
+        _encode_jpeg_progressive_gray(np.zeros((8, 8), dtype=np.uint8))
+    )
+    k = prog.find(bytes([0xFF, 0xDA, 0x00, 0x08, 0x01, 0x01, 0x00, 0x01, 0x05]))
+    assert k > 0, "AC band scan header not found"
+    prog[k + 9] = 0x10  # Ah=1, Al=0
+    with _pytest.raises(NotImplementedError, match="refinement"):
+        _decode_jpeg(bytes(prog))
     # 2x2 factors are DECODED since round 7 (4:2:0 support); the gate
     # now starts beyond 2x2 — patch comp 0 to 3x3
+    good = _encode_jpeg_gray(np.zeros((8, 8), dtype=np.uint8))
     i = good.index(b"\xff\xc0")
     sof_payload = bytearray(good)
     sof_payload[i + 2 + 2 + 6 + 1] = 0x33  # comp 0 HV factor
     with _pytest.raises(NotImplementedError, match="beyond 2x2"):
         _decode_jpeg(bytes(sof_payload))
+
+
+def test_jpeg_progressive_decodes_identically_to_baseline():
+    """The progressive encoder/decoder pair uses the same quant and
+    Huffman tables as the baseline pair, so for ANY image the two
+    streams carry identical quantized coefficients — decoded features
+    must be EXACTLY equal (multi-scan accumulation, DC successive
+    approximation, spectral-band EOB-run handling all pinned by one
+    equality)."""
+    import numpy as np
+
+    from orca_ztbus_python_processor_spark.operators.multimodal import (
+        _decode_jpeg,
+        _encode_jpeg_gray,
+        _encode_jpeg_progressive_gray,
+    )
+
+    rng = np.random.default_rng(7)
+    cases = [
+        rng.integers(0, 256, (int(rng.integers(5, 40)), int(rng.integers(5, 40)))).astype(np.uint8)
+        for _ in range(8)
+    ]
+    cases.append(np.tile((np.arange(32, dtype=np.uint8) * 8), (17, 1)))
+    cases.append(np.full((9, 13), 77, dtype=np.uint8))
+    for img in cases:
+        assert _decode_jpeg(_encode_jpeg_gray(img)) == _decode_jpeg(
+            _encode_jpeg_progressive_gray(img)
+        )
 
 
 def test_jpeg420_roundtrip_matches_independent_reconstruction():
