@@ -32,6 +32,7 @@ from orca_ztbus_python_processor_spark.operators.similarity import (
     ann_cosine_topk,
     embedding_near_dup_pairs,
 )
+from orca_ztbus_python_processor_spark.functions.stats import f32
 from orca_ztbus_python_processor_spark.sources.parquet import read_table
 from orca_ztbus_python_processor_spark.workloads.base import Catalog
 
@@ -315,4 +316,134 @@ def winnow_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_shared",
             containment.cast("float").alias("containment"),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# text_neardup_canonical_keep — the END of the dedup pipeline, hash-
+# matched for the first time at text grain: exact char-shingle Jaccard
+# pairs (20-char shingles at stride 10, the contamination_share
+# sampling scheme — string shingles on BOTH engines, so the pair set
+# is SQL-reproducible, unlike the 62-bit rolling-hash verify the LSH
+# path uses) -> connected components -> QUALITY-AWARE canonical
+# selection: each dup cluster keeps its longest document (ties to the
+# smaller doc_id) instead of the naive min-id. Output is cluster
+# grain: members, the kept doc, and the char mass dropped — the
+# curation accounting a dedup pass must report. This is the exact
+# ground-truth twin (pair stage is a shingle self-join — quadratic in
+# per-shingle doc frequency); the scale path remains
+# minhash_near_dup_pairs -> text_dedup_retention, same framing as
+# embedding_dup_components (exact, oracle) vs _blocked (IVF, scale).
+# The DuckDB oracle resolves components with a recursive CTE.
+# --------------------------------------------------------------------------
+KEEP_SHINGLE_K = 20
+KEEP_SHINGLE_STRIDE = 10
+KEEP_JACCARD_T = 0.5
+
+
+@CATALOG.query(
+    "text_neardup_canonical_keep",
+    oracle=f"""
+    WITH RECURSIVE sh AS (
+        SELECT DISTINCT doc_id, substr(text, CAST(i AS BIGINT),
+                                       {KEEP_SHINGLE_K}) AS s
+        FROM (
+            SELECT doc_id, text,
+                   unnest(generate_series(1,
+                          greatest(length(text) - {KEEP_SHINGLE_K - 1}, 1),
+                          {KEEP_SHINGLE_STRIDE})) AS i
+            FROM documents
+        )
+    ), cnt AS (
+        SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+    ), inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ni
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ), pairs AS (
+        SELECT id_a, id_b
+        FROM inter
+        JOIN cnt ca ON ca.doc_id = id_a
+        JOIN cnt cb ON cb.doc_id = id_b
+        WHERE ni / CAST(ca.n + cb.n - ni AS DOUBLE) >= {KEEP_JACCARD_T}
+    ), sym AS (
+        SELECT id_a AS u, id_b AS v FROM pairs
+        UNION
+        SELECT id_b AS u, id_a AS v FROM pairs
+    ), reach AS (
+        SELECT u, u AS r FROM (SELECT DISTINCT u FROM sym) t
+        UNION
+        SELECT s.u, reach.r FROM sym s JOIN reach ON reach.u = s.v
+    ), comp AS (
+        SELECT u AS doc_id, min(r) AS component FROM reach GROUP BY u
+    ), members AS (
+        SELECT c.component, d.doc_id, d.n_chars,
+               row_number() OVER (PARTITION BY c.component
+                                  ORDER BY d.n_chars DESC, d.doc_id ASC)
+                   AS rk
+        FROM comp c JOIN documents d USING (doc_id)
+    )
+    SELECT component,
+           count(*) AS n_members,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           max(CASE WHEN rk = 1 THEN doc_id END) AS keep_doc_id,
+           CAST(max(CASE WHEN rk = 1 THEN n_chars END) AS BIGINT)
+               AS kept_chars,
+           CAST(1.0 - max(CASE WHEN rk = 1 THEN n_chars END)
+                / CAST(sum(n_chars) AS DOUBLE) AS REAL) AS chars_drop_share
+    FROM members GROUP BY component
+    """,
+)
+def text_neardup_canonical_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from orca_ztbus_python_processor_spark.operators.dedup import (  # noqa: PLC0415
+        connected_components,
+    )
+
+    shingle_arr = (
+        f"array_distinct(transform(sequence(1,"
+        f" greatest(length(text) - {KEEP_SHINGLE_K - 1}, 1),"
+        f" {KEEP_SHINGLE_STRIDE}),"
+        f" i -> substring(text, i, {KEEP_SHINGLE_K})))"
+    )
+    docs = _docs(spark, sf_dir)
+    sh = docs.select("doc_id", F.explode(F.expr(shingle_arr)).alias("s"))
+    cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.select(F.col("doc_id").alias("id_a"), "s")
+    b = sh.select(F.col("doc_id").alias("id_b"), "s")
+    inter = (
+        a.join(b, "s")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("ni"))
+    )
+    ca = cnt.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na"))
+    cb = cnt.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb"))
+    pairs = (
+        inter.join(ca, "id_a")
+        .join(cb, "id_b")
+        .where(
+            F.col("ni")
+            / (F.col("na") + F.col("nb") - F.col("ni")).cast("double")
+            >= KEEP_JACCARD_T
+        )
+        .select("id_a", "id_b")
+    )
+    comp = connected_components(pairs)
+    members = comp.join(
+        docs.select(F.col("doc_id").alias("node"), "n_chars"), "node"
+    )
+    # quality-aware keeper: max over (n_chars, -doc_id) makes ties
+    # deterministic toward the SMALLER doc_id, as one struct-max agg
+    best = F.max(
+        F.struct(F.col("n_chars").alias("_c"), (-F.col("node")).alias("_nid"))
+    )
+    return members.groupBy("component").agg(
+        F.count("*").alias("n_members"),
+        F.sum("n_chars").alias("total_chars"),
+        (-best.getField("_nid")).alias("keep_doc_id"),
+        best.getField("_c").cast("long").alias("kept_chars"),
+        f32(
+            1.0
+            - best.getField("_c") / F.sum("n_chars").cast("double")
+        ).alias("chars_drop_share"),
     )

@@ -1229,3 +1229,15 @@ def test_source_qq_drift_rides_rank_machinery(spark, catalog):
     assert _unpartitioned_windows(df) == 0
     plan = _plan(spark, df)
     assert "percentile(" not in plan, plan
+
+
+def test_neardup_keep_no_cartesian_no_python(spark, catalog):
+    """text_neardup_canonical_keep: the pair stage is a shingle
+    equi-join (never CartesianProduct), the keeper is a struct-max
+    aggregation (no window over raw docs), and nothing drops to
+    row-at-a-time Python."""
+    plan = _plan(
+        spark, catalog.queries["text_neardup_canonical_keep"](spark, SMOKE_SF_DIR)
+    )
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan

@@ -274,3 +274,64 @@ def test_quantile_sketch_rank_guarantee(spark):
             r["q"], true_rank, target, bound,
         )
         assert np.float32(r["estimate"]) in vals
+
+
+# ---- wave 6 -----------------------------------------------------------------
+
+
+def test_neardup_canonical_keep_matches_union_find(spark):
+    """Independent reference: char-shingle Jaccard pairs + union-find +
+    longest-doc keeper in pure Python, against the full Spark pipeline
+    (exact pair stage -> distributed CC -> struct-max keeper)."""
+    rows = CAT.queries["text_neardup_canonical_keep"](spark, SMOKE_SF_DIR).collect()
+    docs = pd.read_parquet(f"{SMOKE_SF_DIR}/documents.parquet")
+    K, S, T = 20, 10, 0.5
+    sets = {}
+    for r in docs.itertuples():
+        t = r.text
+        sets[r.doc_id] = {
+            t[i : i + K] for i in range(0, max(len(t) - (K - 1), 1), S)
+        }
+    ids = sorted(sets)
+    parent = {i: i for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for i_idx, a in enumerate(ids):
+        for b in ids[i_idx + 1 :]:
+            inter = len(sets[a] & sets[b])
+            if inter and inter / (len(sets[a]) + len(sets[b]) - inter) >= T:
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    clusters = {}
+    for i in ids:
+        clusters.setdefault(find(i), []).append(i)
+    nchars = docs.set_index("doc_id")["n_chars"].to_dict()
+    expect = {}
+    for root, members in clusters.items():
+        if len(members) < 2:
+            continue
+        comp = min(members)
+        keep = min(members, key=lambda d: (-nchars[d], d))
+        expect[comp] = (
+            len(members),
+            sum(nchars[d] for d in members),
+            keep,
+            nchars[keep],
+        )
+    got = {
+        r["component"]: (
+            r["n_members"], r["total_chars"], r["keep_doc_id"], r["kept_chars"]
+        )
+        for r in rows
+    }
+    assert got == expect
+    for r in rows:
+        assert r["chars_drop_share"] == np.float32(
+            1.0 - r["kept_chars"] / r["total_chars"]
+        )
