@@ -531,6 +531,12 @@ def _jpeg_category(v: int) -> int:
     return int(v).bit_length() if v > 0 else int(-v).bit_length() if v < 0 else 0
 
 
+def _jpeg_quantize_block(block: np.ndarray, qtab: np.ndarray) -> np.ndarray:
+    """FDCT + quantize one level-shifted 8x8 block -> 64 zigzag coeffs."""
+    q = np.round((_JPEG_C @ block @ _JPEG_C.T) / qtab).astype(np.int64)
+    return q.flatten()[_JPEG_ZIGZAG]
+
+
 def _jpeg_write_block(
     bw: "_JpegBitWriter",
     block: np.ndarray,
@@ -541,8 +547,7 @@ def _jpeg_write_block(
 ) -> int:
     """FDCT + quantize + entropy-code one 8x8 block (level-shifted
     input); returns the new DC predictor."""
-    q = np.round((_JPEG_C @ block @ _JPEG_C.T) / qtab).astype(np.int64)
-    zz = q.flatten()[_JPEG_ZIGZAG]
+    zz = _jpeg_quantize_block(block, qtab)
     diff = int(zz[0]) - pred
     pred = int(zz[0])
     s = _jpeg_category(diff)
@@ -767,6 +772,165 @@ def _encode_jpeg_progressive_gray(pix: np.ndarray) -> bytes:
     return b"\xff\xd8" + _jpeg_tables_preamble() + sof + out + b"\xff\xd9"
 
 
+def _jpeg_420_quantized_blocks(rgb: np.ndarray):
+    """Shared coefficient pipeline for the 4:2:0 encoders: pad, BT.601
+    transform, 2x2 box-subsample chroma, FDCT+quantize every block.
+    Returns ``(h, w, mcux, mcuy, comp_zz)`` with ``comp_zz[cid]`` a
+    (block_rows, block_cols, 64) int64 array of zigzag coefficients on
+    that component's own MCU-padded block grid (luma 2*mcuy x 2*mcux,
+    chroma mcuy x mcux)."""
+    rgb = np.asarray(rgb, dtype=np.uint8)
+    h, w, _ = rgb.shape
+    y, cb, cr = _jpeg_rgb_to_ycbcr(rgb)
+    ph, pw = -(-h // 16) * 16, -(-w // 16) * 16
+    y = np.pad(y, ((0, ph - h), (0, pw - w)), mode="edge")
+    sub = []
+    for c in (cb, cr):
+        c = np.pad(c, ((0, ph - h), (0, pw - w)), mode="edge")
+        sub.append(
+            (c[0::2, 0::2] + c[0::2, 1::2] + c[1::2, 0::2] + c[1::2, 1::2]) / 4.0
+        )
+    qtab = _JPEG_QUANT_LUMA.reshape(8, 8)
+    mcuy, mcux = ph // 16, pw // 16
+
+    def grid(plane: np.ndarray) -> np.ndarray:
+        br, bc = plane.shape[0] // 8, plane.shape[1] // 8
+        out = np.zeros((br, bc, 64), dtype=np.int64)
+        for r in range(br):
+            for c in range(bc):
+                out[r, c] = _jpeg_quantize_block(
+                    plane[r * 8 : r * 8 + 8, c * 8 : c * 8 + 8] - 128.0, qtab
+                )
+        return out
+
+    comp_zz = {1: grid(y), 2: grid(sub[0]), 3: grid(sub[1])}
+    return h, w, mcux, mcuy, comp_zz
+
+
+def _jpeg_dc_first_write(
+    bw: "_JpegBitWriter", dc: int, pred: int, dc_codes: dict, al: int
+) -> int:
+    """DC first-pass symbol for one block (point transform ``>> al``,
+    DPCM against the shifted predictor); returns the new predictor."""
+    v = dc >> al
+    diff = v - pred
+    s = _jpeg_category(diff)
+    c, ln = dc_codes[s]
+    bw.write(c, ln)
+    if s:
+        bw.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+    return v
+
+
+def _jpeg_ac_band_write(
+    bw: "_JpegBitWriter", zz: np.ndarray, ss: int, se: int, ac_codes: dict
+) -> None:
+    """One block's AC spectral band (Ah=Al=0), EOB per block."""
+    band = [int(zz[k]) for k in range(ss, se + 1)]
+    last = -1
+    for idx in range(len(band) - 1, -1, -1):
+        if band[idx]:
+            last = idx
+            break
+    run = 0
+    for idx in range(last + 1):
+        v = band[idx]
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            c, ln = ac_codes[0xF0]  # ZRL
+            bw.write(c, ln)
+            run -= 16
+        s = _jpeg_category(v)
+        c, ln = ac_codes[(run << 4) | s]
+        bw.write(c, ln)
+        bw.write(v if v >= 0 else v + (1 << s) - 1, s)
+        run = 0
+    if last < len(band) - 1:
+        c, ln = ac_codes[0x00]  # EOB (EOBRUN = 1)
+        bw.write(c, ln)
+
+
+def _encode_jpeg_progressive_color_420(rgb: np.ndarray) -> bytes:
+    """Progressive (SOF2) YCbCr 4:2:0 COLOR JPEG — the full T.81
+    progressive scan discipline:
+
+      scan 1: DC first pass, INTERLEAVED over MCUs (all three
+              components, per-component DPCM), Al=1;
+      scan 2: DC refinement, interleaved, Ah=1 -> Al=0;
+      scans 3-8: AC spectral bands 1..5 and 6..63 per component,
+              NON-INTERLEAVED (T.81 requires single-component AC
+              scans), each walking the component's OWN ceil-dims block
+              grid — which excludes MCU padding blocks that carry no
+              frame pixels.
+
+    Same coefficient pipeline as ``_encode_jpeg_color_420``, so the
+    cropped reconstruction is bit-identical to the baseline stream of
+    the same image (equality-pinned in tests)."""
+    h, w, mcux, mcuy, comp_zz = _jpeg_420_quantized_blocks(rgb)
+    dc_codes = _jpeg_huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _jpeg_huff_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+
+    def mcu_blocks():
+        """(cid, block_row, block_col) in interleaved MCU order."""
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for by in range(2):
+                    for bx in range(2):
+                        yield 1, my * 2 + by, mx * 2 + bx
+                yield 2, my, mx
+                yield 3, my, mx
+
+    # scan 1: interleaved DC first pass at Al=1
+    bw = _JpegBitWriter()
+    preds = {1: 0, 2: 0, 3: 0}
+    for cid, r, c in mcu_blocks():
+        preds[cid] = _jpeg_dc_first_write(
+            bw, int(comp_zz[cid][r, c, 0]), preds[cid], dc_codes, 1
+        )
+    bw.flush()
+    out = _jpeg_seg(
+        0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 0, 0x01])
+    ) + bytes(bw.buf)
+
+    # scan 2: interleaved DC refinement (Ah=1 -> Al=0), one raw bit
+    bw = _JpegBitWriter()
+    for cid, r, c in mcu_blocks():
+        bw.write(int(comp_zz[cid][r, c, 0]) & 1, 1)
+    bw.flush()
+    out += _jpeg_seg(
+        0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 0, 0x10])
+    ) + bytes(bw.buf)
+
+    # scans 3-8: per-component non-interleaved AC bands over the
+    # component's ceil-dims grid (no MCU padding blocks)
+    ch, cw = -(-h // 2), -(-w // 2)  # chroma plane dims at 4:2:0
+    comp_dims = {
+        1: (-(-h // 8), -(-w // 8)),
+        2: (-(-ch // 8), -(-cw // 8)),
+        3: (-(-ch // 8), -(-cw // 8)),
+    }
+    for cid in (1, 2, 3):
+        nby, nbx = comp_dims[cid]
+        for ss, se in ((1, 5), (6, 63)):
+            bw = _JpegBitWriter()
+            for r in range(nby):
+                for c in range(nbx):
+                    _jpeg_ac_band_write(bw, comp_zz[cid][r, c], ss, se, ac_codes)
+            bw.flush()
+            out += _jpeg_seg(
+                0xDA, bytes([1, cid, 0x00, ss, se, 0x00])
+            ) + bytes(bw.buf)
+
+    sof = _jpeg_seg(
+        0xC2,
+        struct.pack(">BHHB", 8, h, w, 3)
+        + bytes([1, 0x22, 0, 2, 0x11, 0, 3, 0x11, 0]),
+    )
+    return b"\xff\xd8" + _jpeg_tables_preamble() + sof + out + b"\xff\xd9"
+
+
 class _JpegBitReader:
     """MSB-first reader over entropy-coded bytes with 0xFF00
     unstuffing; raises on any bare marker (no restart support — the
@@ -811,10 +975,20 @@ def _jpeg_extend(v: int, s: int) -> int:
     return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
 
 
+def _jpeg_next_marker(b: bytes, i: int) -> int:
+    """Scan forward to the next marker (skipping stuffed FF00 pairs and
+    the encoder's byte-align padding)."""
+    while i < len(b) - 1 and (b[i] != 0xFF or b[i + 1] == 0x00):
+        i += 1
+    return i
+
+
 def _jpeg_prog_scan(
     b: bytes,
     i: int,
-    coeffs: np.ndarray,
+    grid: np.ndarray,
+    nby: int,
+    nbx: int,
     dc_map: dict | None,
     ac_map: dict | None,
     ss: int,
@@ -823,8 +997,12 @@ def _jpeg_prog_scan(
     al: int,
 ) -> int:
     """Decode ONE progressive scan (single-component, non-interleaved)
-    over the zigzag coefficient store ``coeffs`` (n_blocks x 64,
-    raster block order); returns the byte offset of the next marker.
+    over the component's zigzag coefficient grid ``grid``
+    (block_rows x block_cols x 64); the scan covers the component's
+    ceil-dims sub-grid ``nby x nbx`` in raster order (MCU padding
+    blocks carry no frame pixels and are never coded in
+    non-interleaved scans, T.81 A.2.2). Returns the byte offset of the
+    next marker.
 
     T.81 G.2: a DC scan (ss == 0) carries either the point-transformed
     DPCM first pass (ah == 0, values shifted left by ``al`` on
@@ -835,17 +1013,17 @@ def _jpeg_prog_scan(
     band with EOB-run coding: symbol (r, 0) with r < 15 means
     2^r - 1 + extra skipped blocks."""
     reader = _JpegBitReader(b, i)
-    n_blocks = coeffs.shape[0]
     if ss == 0:
         pred = 0
-        for blk in range(n_blocks):
-            if ah == 0:
-                s = reader.huff(dc_map)
-                pred += _jpeg_extend(reader.bits(s), s) if s else 0
-                coeffs[blk, 0] = pred << al
-            else:
-                if reader.bits(1):
-                    coeffs[blk, 0] = int(coeffs[blk, 0]) | (1 << al)
+        for r in range(nby):
+            for c in range(nbx):
+                if ah == 0:
+                    s = reader.huff(dc_map)
+                    pred += _jpeg_extend(reader.bits(s), s) if s else 0
+                    grid[r, c, 0] = pred << al
+                else:
+                    if reader.bits(1):
+                        grid[r, c, 0] = int(grid[r, c, 0]) | (1 << al)
     else:
         if ah != 0:
             raise NotImplementedError(
@@ -853,31 +1031,66 @@ def _jpeg_prog_scan(
                 " needs libjpeg/PIL"
             )
         eobrun = 0
-        for blk in range(n_blocks):
-            if eobrun:
-                eobrun -= 1
-                continue
-            k = ss
-            while k <= se:
-                rs = reader.huff(ac_map)
-                r, s = rs >> 4, rs & 0xF
-                if s == 0:
-                    if r == 15:  # ZRL: sixteen zero coefficients
-                        k += 16
-                        continue
-                    eobrun = (1 << r) - 1 + (reader.bits(r) if r else 0)
-                    break
-                k += r
-                if k > se:
-                    raise ValueError("JPEG AC band run overflow")
-                coeffs[blk, k] = _jpeg_extend(reader.bits(s), s) << al
-                k += 1
-    # scan forward to the next marker (skipping stuffed FF00 pairs and
-    # the encoder's byte-align padding)
-    j = reader.i
-    while j < len(b) - 1 and (b[j] != 0xFF or b[j + 1] == 0x00):
-        j += 1
-    return j
+        for r in range(nby):
+            for c in range(nbx):
+                if eobrun:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    rs = reader.huff(ac_map)
+                    rr, s = rs >> 4, rs & 0xF
+                    if s == 0:
+                        if rr == 15:  # ZRL: sixteen zero coefficients
+                            k += 16
+                            continue
+                        eobrun = (1 << rr) - 1 + (reader.bits(rr) if rr else 0)
+                        break
+                    k += rr
+                    if k > se:
+                        raise ValueError("JPEG AC band run overflow")
+                    grid[r, c, k] = _jpeg_extend(reader.bits(s), s) << al
+                    k += 1
+    return _jpeg_next_marker(b, reader.i)
+
+
+def _jpeg_prog_dc_interleaved(
+    b: bytes,
+    i: int,
+    stores: dict,
+    comps: list,
+    mcux: int,
+    mcuy: int,
+    dc_maps: dict,
+    scan: list,
+    ah: int,
+    al: int,
+) -> int:
+    """Decode an INTERLEAVED progressive DC scan (first pass or
+    refinement) — MCU walk identical to baseline, DC-only, with
+    per-component DPCM state; returns the next-marker offset."""
+    reader = _JpegBitReader(b, i)
+    facs = {cid: (hf, vf) for cid, hf, vf, _ in comps}
+    tds = {cid: td for cid, td, _ in scan}
+    preds = {cid: 0 for cid, _, _ in scan}
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for cid, _, _ in scan:
+                hf, vf = facs[cid]
+                grid = stores[cid]
+                for by in range(vf):
+                    for bx in range(hf):
+                        r, c = my * vf + by, mx * hf + bx
+                        if ah == 0:
+                            s = reader.huff(dc_maps[tds[cid]])
+                            preds[cid] += (
+                                _jpeg_extend(reader.bits(s), s) if s else 0
+                            )
+                            grid[r, c, 0] = preds[cid] << al
+                        else:
+                            if reader.bits(1):
+                                grid[r, c, 0] = int(grid[r, c, 0]) | (1 << al)
+    return _jpeg_next_marker(b, reader.i)
 
 
 def _decode_jpeg(b: bytes) -> dict:
@@ -891,11 +1104,12 @@ def _decode_jpeg(b: bytes) -> dict:
     transform. Progressive (SOF2): multi-scan coefficient
     accumulation — spectral selection bands with EOB-run coding plus
     DC successive approximation (first pass + refinement bits) —
-    grayscale streams. The HONEST residual gate narrows to what
-    genuinely needs libjpeg: hierarchical SOFs, progressive COLOR
-    (interleaved-DC/non-interleaved-AC multi-component scans), AC
-    successive-approximation refinement, sampling factors beyond 2x2,
-    16-bit quant tables, restart intervals."""
+    grayscale AND multi-component color streams (interleaved DC
+    scans, non-interleaved per-component AC bands). The HONEST
+    residual gate narrows to what genuinely needs libjpeg:
+    hierarchical SOFs, AC successive-approximation refinement,
+    sampling factors beyond 2x2, 16-bit quant tables, restart
+    intervals."""
     if b[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
     i = 2
@@ -932,11 +1146,6 @@ def _decode_jpeg(b: bytes) -> dict:
         elif marker in (0xC0, 0xC1, 0xC2):
             progressive = marker == 0xC2
             _, h, w, nc = struct.unpack_from(">BHHB", data, 0)
-            if progressive and nc != 1:
-                raise NotImplementedError(
-                    "progressive COLOR JPEG (multi-component scan "
-                    "schedules) needs libjpeg/PIL"
-                )
             comps = []
             for c in range(nc):
                 cid, hv, tq = data[6 + 3 * c : 9 + 3 * c]
@@ -948,8 +1157,18 @@ def _decode_jpeg(b: bytes) -> dict:
                     )
                 comps.append((cid, hfac, vfac, tq))
             if progressive:
-                nby, nbx = -(-h // 8), -(-w // 8)
-                prog_coeffs = np.zeros((nby * nbx, 64), dtype=np.int64)
+                # one zigzag grid per component on its MCU-padded
+                # block lattice, accumulated across all scans
+                p_hmax = max(hf for _, hf, _, _ in comps)
+                p_vmax = max(vf for _, _, vf, _ in comps)
+                p_mcux = -(-w // (8 * p_hmax))
+                p_mcuy = -(-h // (8 * p_vmax))
+                prog_coeffs = {
+                    cid: np.zeros(
+                        (p_mcuy * vf, p_mcux * hf, 64), dtype=np.int64
+                    )
+                    for cid, hf, vf, _ in comps
+                }
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
@@ -977,38 +1196,38 @@ def _decode_jpeg(b: bytes) -> dict:
             i += seglen
             if not progressive:
                 break  # baseline: single interleaved scan, decoded below
-            _, td, ta = scan[0]
             ss, se = data[1 + 2 * ns], data[2 + 2 * ns]
             ahal = data[3 + 2 * ns]
-            i = _jpeg_prog_scan(
-                b, i, prog_coeffs,
-                dc_maps.get(td), ac_maps.get(ta),
-                ss, se, ahal >> 4, ahal & 0xF,
-            )
+            ah, al = ahal >> 4, ahal & 0xF
+            if ns > 1:
+                if ss != 0:
+                    raise ValueError(
+                        "interleaved progressive AC scan is illegal (T.81)"
+                    )
+                i = _jpeg_prog_dc_interleaved(
+                    b, i, prog_coeffs, comps, p_mcux, p_mcuy,
+                    dc_maps, scan, ah, al,
+                )
+            else:
+                cid, td, ta = scan[0]
+                hf, vf = next(
+                    (hfc, vfc) for c2, hfc, vfc, _ in comps if c2 == cid
+                )
+                # non-interleaved scans cover the component's own
+                # ceil-dims grid, not the MCU-padded lattice
+                comp_h = -(-h * vf // p_vmax)
+                comp_w = -(-w * hf // p_hmax)
+                i = _jpeg_prog_scan(
+                    b, i, prog_coeffs[cid],
+                    -(-comp_h // 8), -(-comp_w // 8),
+                    dc_maps.get(td), ac_maps.get(ta),
+                    ss, se, ah, al,
+                )
             continue
         i += seglen
     if comps is None or scan is None or h is None:
         raise ValueError("JPEG missing SOF/SOS")
-    if progressive:
-        # all scans already accumulated into the coefficient store:
-        # dequant + inverse zigzag + IDCT per block, raster assembly
-        nby, nbx = -(-h // 8), -(-w // 8)
-        qtab = qt[comps[0][3]]
-        plane = np.zeros((nby * 8, nbx * 8))
-        for blk in range(prog_coeffs.shape[0]):
-            q = np.zeros(64, dtype=np.int64)
-            q[_JPEG_ZIGZAG] = prog_coeffs[blk]
-            block = q.reshape(8, 8) * qtab
-            r0, c0 = (blk // nbx) * 8, (blk % nbx) * 8
-            plane[r0 : r0 + 8, c0 : c0 + 8] = _JPEG_C.T @ block @ _JPEG_C + 128.0
-        px = np.clip(np.round(plane[:h, :w]), 0, 255) / 255.0
-        return {
-            "width": w, "height": h, "n_channels": 1, "sample_rate": None,
-            "n_samples": w * h,
-            "mean_level": float(px.mean()), "peak_level": float(px.max()),
-        }
     facs = {cid: (hfac, vfac) for cid, hfac, vfac, _ in comps}
-    reader = _JpegBitReader(b, i)
     hmax = max(hf for _, hf, _, _ in comps)
     vmax = max(vf for _, _, vf, _ in comps)
     mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
@@ -1018,6 +1237,23 @@ def _decode_jpeg(b: bytes) -> dict:
         cid: np.zeros((mcuy * vf * 8, mcux * hf * 8))
         for cid, hf, vf, _ in comps
     }
+    if progressive:
+        # all scans already accumulated into the coefficient grids:
+        # dequant + inverse zigzag + IDCT per block, then the shared
+        # upsample/crop/transform tail below
+        for cid, _hf, _vf, tq in comps:
+            grid = prog_coeffs[cid]
+            qtab = qt[tq]
+            plane = planes[cid]
+            for r in range(grid.shape[0]):
+                for c in range(grid.shape[1]):
+                    q = np.zeros(64, dtype=np.int64)
+                    q[_JPEG_ZIGZAG] = grid[r, c]
+                    plane[r * 8 : r * 8 + 8, c * 8 : c * 8 + 8] = (
+                        _JPEG_C.T @ (q.reshape(8, 8) * qtab) @ _JPEG_C + 128.0
+                    )
+        return _jpeg_finish(planes, comps, hmax, vmax, h, w)
+    reader = _JpegBitReader(b, i)
     preds = {cid: 0 for cid, _, _, _ in comps}
     qtab8 = {cid: qt[tq] for cid, _, _, tq in comps}
     for my in range(mcuy):
@@ -1051,8 +1287,16 @@ def _decode_jpeg(b: bytes) -> dict:
                         planes[cid][r0 : r0 + 8, c0 : c0 + 8] = (
                             _JPEG_C.T @ block @ _JPEG_C + 128.0
                         )
-    # upsample subsampled planes to full resolution by sample
-    # replication (box upsampling), then crop to the frame
+    return _jpeg_finish(planes, comps, hmax, vmax, h, w)
+
+
+def _jpeg_finish(
+    planes: dict, comps: list, hmax: int, vmax: int, h: int, w: int
+) -> dict:
+    """Shared reconstruction tail for baseline and progressive decode:
+    upsample subsampled planes to full resolution by sample
+    replication (box upsampling), crop to the frame, apply the BT.601
+    inverse for 3-component streams, and summarize."""
     arrs = []
     for cid, hf, vf, _ in comps:
         p = planes[cid]
@@ -1280,12 +1524,13 @@ def synthesize_real_payloads(docs: DataFrame) -> DataFrame:
                     payload = _encode_png_rgb(rows, wd)
                 elif kind == "jpeg":
                     # rotate baseline grayscale 1x1, YCbCr 4:2:0 color,
-                    # and PROGRESSIVE grayscale (SOF2 multi-scan) so all
-                    # three entropy layouts live in the corpus
+                    # PROGRESSIVE grayscale, and PROGRESSIVE 4:2:0 color
+                    # (SOF2 interleaved-DC + non-interleaved AC bands)
+                    # so all four entropy layouts live in the corpus
                     wd, ht = 8 + d % 9, 6 + d % 7
                     yy, xx = np.mgrid[0:ht, 0:wd]
-                    variant = (d // len(REAL_DECODABLE)) % 3
-                    if variant == 1:
+                    variant = (d // len(REAL_DECODABLE)) % 4
+                    if variant in (1, 3):
                         rgb = np.stack(
                             [
                                 (yy * 23 + xx * 11 + d) % 256,
@@ -1294,7 +1539,11 @@ def synthesize_real_payloads(docs: DataFrame) -> DataFrame:
                             ],
                             axis=-1,
                         ).astype(np.uint8)
-                        payload = _encode_jpeg_color_420(rgb)
+                        payload = (
+                            _encode_jpeg_progressive_color_420(rgb)
+                            if variant == 3
+                            else _encode_jpeg_color_420(rgb)
+                        )
                     else:
                         img = ((yy * 23 + xx * 11 + d) % 256).astype(np.uint8)
                         payload = (

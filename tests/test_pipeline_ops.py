@@ -820,23 +820,18 @@ def test_jpeg_flat_image_is_dc_only_exact():
 
 def test_jpeg_honest_gates_after_progressive_support():
     """The residual NotImplementedError gate narrows to what genuinely
-    needs libjpeg now that grayscale progressive decodes: progressive
-    COLOR scan schedules, AC successive-approximation refinement, and
-    sampling factors beyond 2x2."""
+    needs libjpeg now that progressive (grayscale AND color) decodes:
+    AC successive-approximation refinement and sampling factors beyond
+    2x2; an interleaved progressive AC scan is rejected as invalid."""
     import pytest as _pytest
 
     from orca_ztbus_python_processor_spark.operators.multimodal import (
         _decode_jpeg,
-        _encode_jpeg_color_420,
         _encode_jpeg_gray,
         _encode_jpeg_progressive_gray,
     )
     import numpy as np
 
-    # progressive COLOR: flip a 3-component SOF0 to SOF2
-    color = _encode_jpeg_color_420(np.zeros((16, 16, 3), dtype=np.uint8))
-    with _pytest.raises(NotImplementedError, match="progressive COLOR"):
-        _decode_jpeg(color.replace(b"\xff\xc0", b"\xff\xc2", 1))
     # AC successive-approximation refinement: patch the first AC scan's
     # AhAl byte (SOS payload [1, 1, 0x00, Ss, Se, AhAl]) to Ah=1
     prog = bytearray(
@@ -858,8 +853,8 @@ def test_jpeg_honest_gates_after_progressive_support():
 
 
 def test_jpeg_progressive_decodes_identically_to_baseline():
-    """The progressive encoder/decoder pair uses the same quant and
-    Huffman tables as the baseline pair, so for ANY image the two
+    """The progressive encoder/decoder pairs use the same quant and
+    Huffman tables as the baseline pairs, so for ANY image the two
     streams carry identical quantized coefficients — decoded features
     must be EXACTLY equal (multi-scan accumulation, DC successive
     approximation, spectral-band EOB-run handling all pinned by one
@@ -882,6 +877,32 @@ def test_jpeg_progressive_decodes_identically_to_baseline():
     for img in cases:
         assert _decode_jpeg(_encode_jpeg_gray(img)) == _decode_jpeg(
             _encode_jpeg_progressive_gray(img)
+        )
+
+
+def test_jpeg_progressive_color_decodes_identically_to_baseline():
+    """COLOR progressive (interleaved DC scans + non-interleaved
+    per-component AC bands over ceil-dims grids) against the baseline
+    4:2:0 stream of the same image: both ride the same
+    _jpeg_420_quantized_blocks coefficient pipeline, so the cropped
+    reconstruction is bit-identical — including odd dimensions and
+    sub-MCU frames, which pin the padding-block exclusion rule of
+    non-interleaved scans (T.81 A.2.2)."""
+    import numpy as np
+
+    from orca_ztbus_python_processor_spark.operators.multimodal import (
+        _decode_jpeg,
+        _encode_jpeg_color_420,
+        _encode_jpeg_progressive_color_420,
+    )
+
+    rng = np.random.default_rng(11)
+    sizes = [(int(rng.integers(5, 50)), int(rng.integers(5, 50))) for _ in range(8)]
+    sizes += [(16, 16), (17, 9), (8, 24), (5, 5)]
+    for h, w in sizes:
+        rgb = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+        assert _decode_jpeg(_encode_jpeg_color_420(rgb)) == _decode_jpeg(
+            _encode_jpeg_progressive_color_420(rgb)
         )
 
 
