@@ -595,11 +595,15 @@ def _jpeg_tables_preamble() -> bytes:
     return dqt + dht
 
 
-def _encode_jpeg_gray(pix: np.ndarray) -> bytes:
+def _encode_jpeg_gray(pix: np.ndarray, restart_interval: int = 0) -> bytes:
     """Baseline sequential GRAYSCALE JPEG from a (h, w) uint8 array —
     the fixture-side encoder (Annex K tables, quality fixed). Edge
     padding to 8-multiples uses edge replication, the standard choice
-    that keeps boundary DC values representative."""
+    that keeps boundary DC values representative. With
+    ``restart_interval`` > 0, a DRI segment is emitted and every
+    interval MCUs the stream byte-aligns, inserts RSTn (n cycling
+    0..7), and resets the DC predictor — the error-resilience layout
+    real encoders produce for large frames."""
     pix = np.asarray(pix, dtype=np.uint8)
     h, w = pix.shape
     ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
@@ -609,15 +613,28 @@ def _encode_jpeg_gray(pix: np.ndarray) -> bytes:
     bw = _JpegBitWriter()
     pred = 0
     qtab = _JPEG_QUANT_LUMA.reshape(8, 8)
+    n_mcu = 0
     for by in range(0, ph, 8):
         for bx in range(0, pw, 8):
+            if restart_interval and n_mcu and n_mcu % restart_interval == 0:
+                bw.flush()
+                bw.buf += bytes(
+                    [0xFF, 0xD0 + (n_mcu // restart_interval - 1) % 8]
+                )
+                pred = 0
+            n_mcu += 1
             block = padded[by : by + 8, bx : bx + 8] - 128.0
             pred = _jpeg_write_block(bw, block, qtab, dc_codes, ac_codes, pred)
     bw.flush()
     sof = _jpeg_seg(0xC0, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
     sos = _jpeg_seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    dri = (
+        _jpeg_seg(0xDD, struct.pack(">H", restart_interval))
+        if restart_interval
+        else b""
+    )
     return (
-        b"\xff\xd8" + _jpeg_tables_preamble() + sof + sos + bytes(bw.buf)
+        b"\xff\xd8" + _jpeg_tables_preamble() + dri + sof + sos + bytes(bw.buf)
         + b"\xff\xd9"
     )
 
@@ -632,13 +649,15 @@ def _jpeg_rgb_to_ycbcr(rgb: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndar
     return y, cb, cr
 
 
-def _encode_jpeg_color_420(rgb: np.ndarray) -> bytes:
+def _encode_jpeg_color_420(rgb: np.ndarray, restart_interval: int = 0) -> bytes:
     """Baseline sequential YCbCr 4:2:0 JPEG from a (h, w, 3) uint8
     array — the most common real-world JPEG layout (2x2-sampled luma,
     1x1 chroma, interleaved MCUs). Chroma planes are 2x2 box-averaged;
     one quant/Huffman table pair serves all components (legal per
     T.81; quality fixed). Edge padding replicates, luma to 16-multiple
-    MCU bounds and chroma to 8-multiples of its own grid."""
+    MCU bounds and chroma to 8-multiples of its own grid. With
+    ``restart_interval`` > 0, emits DRI + RSTn boundaries with DC
+    predictor resets, as in the grayscale form."""
     rgb = np.asarray(rgb, dtype=np.uint8)
     h, w, _ = rgb.shape
     y, cb, cr = _jpeg_rgb_to_ycbcr(rgb)
@@ -655,8 +674,16 @@ def _encode_jpeg_color_420(rgb: np.ndarray) -> bytes:
     qtab = _JPEG_QUANT_LUMA.reshape(8, 8)
     bw = _JpegBitWriter()
     preds = [0, 0, 0]
+    n_mcu = 0
     for my in range(ph // 16):
         for mx in range(pw // 16):
+            if restart_interval and n_mcu and n_mcu % restart_interval == 0:
+                bw.flush()
+                bw.buf += bytes(
+                    [0xFF, 0xD0 + (n_mcu // restart_interval - 1) % 8]
+                )
+                preds = [0, 0, 0]
+            n_mcu += 1
             for by in range(2):  # 4 luma blocks, raster order in MCU
                 for bx in range(2):
                     r0, c0 = my * 16 + by * 8, mx * 16 + bx * 8
@@ -677,8 +704,13 @@ def _encode_jpeg_color_420(rgb: np.ndarray) -> bytes:
         + bytes([1, 0x22, 0, 2, 0x11, 0, 3, 0x11, 0]),
     )
     sos = _jpeg_seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
+    dri = (
+        _jpeg_seg(0xDD, struct.pack(">H", restart_interval))
+        if restart_interval
+        else b""
+    )
     return (
-        b"\xff\xd8" + _jpeg_tables_preamble() + sof + sos + bytes(bw.buf)
+        b"\xff\xd8" + _jpeg_tables_preamble() + dri + sof + sos + bytes(bw.buf)
         + b"\xff\xd9"
     )
 
@@ -933,14 +965,28 @@ def _encode_jpeg_progressive_color_420(rgb: np.ndarray) -> bytes:
 
 class _JpegBitReader:
     """MSB-first reader over entropy-coded bytes with 0xFF00
-    unstuffing; raises on any bare marker (no restart support — the
-    encoder never emits DRI and the decoder gates it)."""
+    unstuffing; raises on any bare marker EXCEPT at an explicit
+    ``restart()`` call, which byte-aligns and consumes the RSTn."""
 
     def __init__(self, b: bytes, i: int) -> None:
         self.b = b
         self.i = i
         self.acc = 0
         self.n = 0
+
+    def restart(self) -> None:
+        """Consume an RSTn boundary: discard partial-byte padding,
+        then eat the two marker bytes (T.81 F.2.1.3.1). A 1-padded
+        byte that became 0xFF is stuffed by the writer — skip the
+        FF00 pair if the previous MCU ended exactly on a byte edge
+        and never pulled it in."""
+        self.acc = 0
+        self.n = 0
+        while self.b[self.i] == 0xFF and self.b[self.i + 1] == 0x00:
+            self.i += 2
+        if self.b[self.i] != 0xFF or not (0xD0 <= self.b[self.i + 1] <= 0xD7):
+            raise ValueError("expected RSTn at restart boundary")
+        self.i += 2
 
     def _fill(self) -> None:
         byte = self.b[self.i]
@@ -1109,7 +1155,7 @@ def _decode_jpeg(b: bytes) -> dict:
     residual gate narrows to what genuinely needs libjpeg:
     hierarchical SOFs, AC successive-approximation refinement,
     sampling factors beyond 2x2, 16-bit quant tables, restart
-    intervals."""
+    intervals inside progressive scans (baseline DRI/RSTn decodes)."""
     if b[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
     i = 2
@@ -1121,6 +1167,7 @@ def _decode_jpeg(b: bytes) -> dict:
     scan = None
     progressive = False
     prog_coeffs = None
+    restart_interval = 0
     while i < len(b) - 1:
         if b[i] != 0xFF:
             raise ValueError("JPEG marker sync lost")
@@ -1184,9 +1231,7 @@ def _decode_jpeg(b: bytes) -> dict:
                 (dc_maps if tc == 0 else ac_maps)[th] = m
                 j += 17 + nv
         elif marker == 0xDD:
-            (interval,) = struct.unpack_from(">H", data, 0)
-            if interval:
-                raise NotImplementedError("JPEG restart intervals")
+            (restart_interval,) = struct.unpack_from(">H", data, 0)
         elif marker == 0xDA:
             ns = data[0]
             scan = []
@@ -1196,6 +1241,10 @@ def _decode_jpeg(b: bytes) -> dict:
             i += seglen
             if not progressive:
                 break  # baseline: single interleaved scan, decoded below
+            if restart_interval:
+                raise NotImplementedError(
+                    "restart intervals in progressive scans need libjpeg"
+                )
             ss, se = data[1 + 2 * ns], data[2 + 2 * ns]
             ahal = data[3 + 2 * ns]
             ah, al = ahal >> 4, ahal & 0xF
@@ -1256,8 +1305,14 @@ def _decode_jpeg(b: bytes) -> dict:
     reader = _JpegBitReader(b, i)
     preds = {cid: 0 for cid, _, _, _ in comps}
     qtab8 = {cid: qt[tq] for cid, _, _, tq in comps}
+    n_mcu = 0
     for my in range(mcuy):
         for mx in range(mcux):
+            # restart boundary: byte-align past RSTn, reset DC DPCM
+            if restart_interval and n_mcu and n_mcu % restart_interval == 0:
+                reader.restart()
+                preds = {cid: 0 for cid, _, _, _ in comps}
+            n_mcu += 1
             for cid, td, ta in scan:
                 hf, vf = facs[cid]
                 for by in range(vf):
@@ -1524,13 +1579,14 @@ def synthesize_real_payloads(docs: DataFrame) -> DataFrame:
                     payload = _encode_png_rgb(rows, wd)
                 elif kind == "jpeg":
                     # rotate baseline grayscale 1x1, YCbCr 4:2:0 color,
-                    # PROGRESSIVE grayscale, and PROGRESSIVE 4:2:0 color
-                    # (SOF2 interleaved-DC + non-interleaved AC bands)
-                    # so all four entropy layouts live in the corpus
+                    # PROGRESSIVE grayscale, PROGRESSIVE 4:2:0 color
+                    # (SOF2 interleaved-DC + non-interleaved AC bands),
+                    # and RESTART-INTERVAL color (DRI + RSTn boundaries)
+                    # so all five entropy layouts live in the corpus
                     wd, ht = 8 + d % 9, 6 + d % 7
                     yy, xx = np.mgrid[0:ht, 0:wd]
-                    variant = (d // len(REAL_DECODABLE)) % 4
-                    if variant in (1, 3):
+                    variant = (d // len(REAL_DECODABLE)) % 5
+                    if variant in (1, 3, 4):
                         rgb = np.stack(
                             [
                                 (yy * 23 + xx * 11 + d) % 256,
@@ -1539,11 +1595,14 @@ def synthesize_real_payloads(docs: DataFrame) -> DataFrame:
                             ],
                             axis=-1,
                         ).astype(np.uint8)
-                        payload = (
-                            _encode_jpeg_progressive_color_420(rgb)
-                            if variant == 3
-                            else _encode_jpeg_color_420(rgb)
-                        )
+                        if variant == 3:
+                            payload = _encode_jpeg_progressive_color_420(rgb)
+                        elif variant == 4:
+                            payload = _encode_jpeg_color_420(
+                                rgb, restart_interval=2
+                            )
+                        else:
+                            payload = _encode_jpeg_color_420(rgb)
                     else:
                         img = ((yy * 23 + xx * 11 + d) % 256).astype(np.uint8)
                         payload = (

@@ -965,3 +965,53 @@ def test_jpeg420_roundtrip_matches_independent_reconstruction():
         assert feats["peak_level"] == float(px.max())
         # lossy but bounded vs the original
         assert abs(feats["mean_level"] - rgb.mean() / 255.0) < 0.08
+
+
+def test_jpeg_restart_intervals_decode_identically():
+    """DRI/RSTn streams must reconstruct bit-identically to the
+    unrestarted stream of the same image — byte-alignment, stuffed
+    pad bytes at boundaries, RSTn cycling, and DC-predictor resets all
+    pinned by exact equality across interval sizes and both layouts."""
+    import numpy as np
+
+    from orca_ztbus_python_processor_spark.operators.multimodal import (
+        _decode_jpeg,
+        _encode_jpeg_color_420,
+        _encode_jpeg_gray,
+    )
+
+    rng = np.random.default_rng(13)
+    for _ in range(6):
+        h, w = int(rng.integers(5, 60)), int(rng.integers(5, 60))
+        img = rng.integers(0, 256, (h, w)).astype(np.uint8)
+        base = _decode_jpeg(_encode_jpeg_gray(img))
+        for ri in (1, 2, 7):
+            assert _decode_jpeg(_encode_jpeg_gray(img, restart_interval=ri)) == base
+        rgb = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+        cbase = _decode_jpeg(_encode_jpeg_color_420(rgb))
+        for ri in (1, 3):
+            assert (
+                _decode_jpeg(_encode_jpeg_color_420(rgb, restart_interval=ri))
+                == cbase
+            )
+
+
+def test_jpeg_progressive_restart_still_gated():
+    """Restart intervals INSIDE progressive scans remain honestly
+    gated (the progressive encoders never emit DRI)."""
+    import pytest as _pytest
+    import numpy as np
+
+    from orca_ztbus_python_processor_spark.operators.multimodal import (
+        _decode_jpeg,
+        _encode_jpeg_progressive_gray,
+        _jpeg_seg,
+    )
+    import struct
+
+    prog = _encode_jpeg_progressive_gray(np.zeros((8, 8), dtype=np.uint8))
+    # inject a DRI segment right after the tables preamble
+    k = prog.index(b"\xff\xc2")
+    patched = prog[:k] + _jpeg_seg(0xDD, struct.pack(">H", 2)) + prog[k:]
+    with _pytest.raises(NotImplementedError, match="progressive scans"):
+        _decode_jpeg(patched)
