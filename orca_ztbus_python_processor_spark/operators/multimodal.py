@@ -715,7 +715,9 @@ def _encode_jpeg_color_420(rgb: np.ndarray, restart_interval: int = 0) -> bytes:
     )
 
 
-def _encode_jpeg_progressive_gray(pix: np.ndarray) -> bytes:
+def _encode_jpeg_progressive_gray(
+    pix: np.ndarray, ac_successive: bool = False
+) -> bytes:
     """Progressive (SOF2) GRAYSCALE JPEG from a (h, w) uint8 array —
     the fixture-side encoder exercising the real multi-scan layout:
 
@@ -769,36 +771,23 @@ def _encode_jpeg_progressive_gray(pix: np.ndarray) -> bytes:
     bw.flush()
     out += sos(0, 0, 1, 0) + bytes(bw.buf)
 
-    # scans 3-4: AC spectral bands, EOB per block (EOBRUN of 1)
+    # scans 3-4: AC spectral band FIRST passes (at Al=1 when AC
+    # successive approximation is on), EOB per block (EOBRUN of 1)
+    ac_al = 1 if ac_successive else 0
     for ss, se in ((1, 5), (6, 63)):
         bw = _JpegBitWriter()
         for zz in blocks:
-            band = [int(zz[k]) for k in range(ss, se + 1)]
-            last = -1
-            for idx in range(len(band) - 1, -1, -1):
-                if band[idx]:
-                    last = idx
-                    break
-            run = 0
-            for idx in range(last + 1):
-                v = band[idx]
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    c, ln = ac_codes[0xF0]  # ZRL
-                    bw.write(c, ln)
-                    run -= 16
-                s = _jpeg_category(v)
-                c, ln = ac_codes[(run << 4) | s]
-                bw.write(c, ln)
-                bw.write(v if v >= 0 else v + (1 << s) - 1, s)
-                run = 0
-            if last < len(band) - 1:
-                c, ln = ac_codes[0x00]  # EOB (EOBRUN = 1)
-                bw.write(c, ln)
+            _jpeg_ac_band_write(bw, zz, ss, se, ac_codes, al=ac_al)
         bw.flush()
-        out += sos(ss, se, 0, 0) + bytes(bw.buf)
+        out += sos(ss, se, 0, ac_al) + bytes(bw.buf)
+    if ac_successive:
+        # scans 5-6: AC refinement passes (Ah=1 -> Al=0)
+        for ss, se in ((1, 5), (6, 63)):
+            bw = _JpegBitWriter()
+            for zz in blocks:
+                _jpeg_ac_refine_write(bw, zz, ss, se, 0, ac_codes)
+            bw.flush()
+            out += sos(ss, se, 1, 0) + bytes(bw.buf)
 
     sof = _jpeg_seg(0xC2, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
     return b"\xff\xd8" + _jpeg_tables_preamble() + sof + out + b"\xff\xd9"
@@ -855,10 +844,22 @@ def _jpeg_dc_first_write(
 
 
 def _jpeg_ac_band_write(
-    bw: "_JpegBitWriter", zz: np.ndarray, ss: int, se: int, ac_codes: dict
+    bw: "_JpegBitWriter",
+    zz: np.ndarray,
+    ss: int,
+    se: int,
+    ac_codes: dict,
+    al: int = 0,
 ) -> None:
-    """One block's AC spectral band (Ah=Al=0), EOB per block."""
-    band = [int(zz[k]) for k in range(ss, se + 1)]
+    """One block's AC spectral band FIRST pass (Ah=0), EOB per block;
+    ``al`` applies the T.81 point transform (magnitude ``>> al``,
+    sign preserved, truncation toward zero)."""
+
+    def pt(v: int) -> int:
+        m = abs(v) >> al
+        return m if v >= 0 else -m
+
+    band = [pt(int(zz[k])) for k in range(ss, se + 1)]
     last = -1
     for idx in range(len(band) - 1, -1, -1):
         if band[idx]:
@@ -884,7 +885,69 @@ def _jpeg_ac_band_write(
         bw.write(c, ln)
 
 
-def _encode_jpeg_progressive_color_420(rgb: np.ndarray) -> bytes:
+def _jpeg_ac_refine_write(
+    bw: "_JpegBitWriter",
+    zz: np.ndarray,
+    ss: int,
+    se: int,
+    al: int,
+    ac_codes: dict,
+) -> None:
+    """One block's AC successive-approximation REFINEMENT scan
+    (Ah = al + 1 -> Al = al), per-block EOB flush — the encoder dual of
+    the decoder's correction-bit walk (T.81 G.1.2.3 / libjpeg
+    encode_mcu_AC_refine): newly-significant coefficients (magnitude
+    exactly 1 at this precision) emit (run, 1) + sign; coefficients
+    already significant at the coarser precision contribute buffered
+    correction bits flushed after the NEXT symbol, matching the order
+    the decoder crosses them; everything after the last new
+    coefficient folds into the EOB run."""
+    mags = [abs(int(zz[k])) >> al for k in range(ss, se + 1)]
+    signif = [abs(int(zz[k])) >> (al + 1) for k in range(ss, se + 1)]
+    signs = [int(zz[k]) >= 0 for k in range(ss, se + 1)]
+    eob_idx = -1  # last NEWLY-significant position (band-relative)
+    for idx in range(len(mags) - 1, -1, -1):
+        if mags[idx] == 1 and signif[idx] == 0:
+            eob_idx = idx
+            break
+    pending: list[int] = []
+    run = 0
+    for idx in range(len(mags)):
+        if mags[idx] == 0:
+            run += 1
+            continue
+        # ZRLs only while a newly-significant coefficient is still
+        # ahead; trailing zeros fold into the EOB run
+        while run > 15 and idx <= eob_idx:
+            c, ln = ac_codes[0xF0]
+            bw.write(c, ln)
+            run -= 16
+            for bit in pending:
+                bw.write(bit, 1)
+            pending = []
+        if signif[idx]:
+            # already significant: correction bit, run NOT broken
+            pending.append(mags[idx] & 1)
+            continue
+        # newly significant at this precision: (run, 1) + sign, then
+        # the buffered correction bits of coefficients crossed
+        c, ln = ac_codes[(run << 4) | 1]
+        bw.write(c, ln)
+        bw.write(1 if signs[idx] else 0, 1)
+        for bit in pending:
+            bw.write(bit, 1)
+        pending = []
+        run = 0
+    if run > 0 or pending:
+        c, ln = ac_codes[0x00]  # EOB (EOBRUN = 1), then trailing bits
+        bw.write(c, ln)
+        for bit in pending:
+            bw.write(bit, 1)
+
+
+def _encode_jpeg_progressive_color_420(
+    rgb: np.ndarray, ac_successive: bool = False
+) -> bytes:
     """Progressive (SOF2) YCbCr 4:2:0 COLOR JPEG — the full T.81
     progressive scan discipline:
 
@@ -943,17 +1006,35 @@ def _encode_jpeg_progressive_color_420(rgb: np.ndarray) -> bytes:
         2: (-(-ch // 8), -(-cw // 8)),
         3: (-(-ch // 8), -(-cw // 8)),
     }
+    ac_al = 1 if ac_successive else 0
     for cid in (1, 2, 3):
         nby, nbx = comp_dims[cid]
         for ss, se in ((1, 5), (6, 63)):
             bw = _JpegBitWriter()
             for r in range(nby):
                 for c in range(nbx):
-                    _jpeg_ac_band_write(bw, comp_zz[cid][r, c], ss, se, ac_codes)
+                    _jpeg_ac_band_write(
+                        bw, comp_zz[cid][r, c], ss, se, ac_codes, al=ac_al
+                    )
             bw.flush()
             out += _jpeg_seg(
-                0xDA, bytes([1, cid, 0x00, ss, se, 0x00])
+                0xDA, bytes([1, cid, 0x00, ss, se, ac_al])
             ) + bytes(bw.buf)
+    if ac_successive:
+        # AC refinement passes (Ah=1 -> Al=0), per component per band
+        for cid in (1, 2, 3):
+            nby, nbx = comp_dims[cid]
+            for ss, se in ((1, 5), (6, 63)):
+                bw = _JpegBitWriter()
+                for r in range(nby):
+                    for c in range(nbx):
+                        _jpeg_ac_refine_write(
+                            bw, comp_zz[cid][r, c], ss, se, 0, ac_codes
+                        )
+                bw.flush()
+                out += _jpeg_seg(
+                    0xDA, bytes([1, cid, 0x00, ss, se, 0x10])
+                ) + bytes(bw.buf)
 
     sof = _jpeg_seg(
         0xC2,
@@ -1070,12 +1151,7 @@ def _jpeg_prog_scan(
                 else:
                     if reader.bits(1):
                         grid[r, c, 0] = int(grid[r, c, 0]) | (1 << al)
-    else:
-        if ah != 0:
-            raise NotImplementedError(
-                "progressive JPEG AC successive-approximation refinement"
-                " needs libjpeg/PIL"
-            )
+    elif ah == 0:
         eobrun = 0
         for r in range(nby):
             for c in range(nbx):
@@ -1097,6 +1173,61 @@ def _jpeg_prog_scan(
                         raise ValueError("JPEG AC band run overflow")
                     grid[r, c, k] = _jpeg_extend(reader.bits(s), s) << al
                     k += 1
+    else:
+        # AC successive-approximation REFINEMENT (T.81 G.1.2.3 /
+        # libjpeg decode_mcu_AC_refine): each symbol either makes a
+        # zero-history coefficient newly significant at ±2^Al or opens
+        # an EOB run; while walking, every nonzero-history coefficient
+        # crossed consumes one correction bit that may set its 2^Al
+        # magnitude bit (sign-preserving in two's complement).
+        p1 = 1 << al
+
+        def correct(r: int, c: int, k: int) -> None:
+            v = int(grid[r, c, k])
+            if reader.bits(1) and (v & p1) == 0:
+                grid[r, c, k] = v + (p1 if v > 0 else -p1)
+
+        eobrun = 0
+        for r in range(nby):
+            for c in range(nbx):
+                k = ss
+                if eobrun == 0:
+                    while k <= se:
+                        rs = reader.huff(ac_map)
+                        rr, s = rs >> 4, rs & 0xF
+                        if s == 0 and rr != 15:
+                            eobrun = (1 << rr) + (reader.bits(rr) if rr else 0)
+                            break
+                        if s == 0:  # ZRL: pass 16 zero-history slots
+                            new_val, skips = 0, 15
+                        else:
+                            if s != 1:
+                                raise ValueError(
+                                    "refinement symbol with s > 1"
+                                )
+                            new_val = p1 if reader.bits(1) else -p1
+                            skips = rr
+                        while k <= se:
+                            if grid[r, c, k] != 0:
+                                correct(r, c, k)
+                            else:
+                                if skips == 0:
+                                    break
+                                skips -= 1
+                            k += 1
+                        if new_val:
+                            if k > se:
+                                raise ValueError("refinement placement overflow")
+                            grid[r, c, k] = new_val
+                        k += 1
+                if eobrun:
+                    # remainder of this block rides the EOB run: only
+                    # correction bits for nonzero-history coefficients
+                    while k <= se:
+                        if grid[r, c, k] != 0:
+                            correct(r, c, k)
+                        k += 1
+                    eobrun -= 1
     return _jpeg_next_marker(b, reader.i)
 
 
@@ -1153,9 +1284,10 @@ def _decode_jpeg(b: bytes) -> dict:
     grayscale AND multi-component color streams (interleaved DC
     scans, non-interleaved per-component AC bands). The HONEST
     residual gate narrows to what genuinely needs libjpeg:
-    hierarchical SOFs, AC successive-approximation refinement,
-    sampling factors beyond 2x2, 16-bit quant tables, restart
-    intervals inside progressive scans (baseline DRI/RSTn decodes)."""
+    hierarchical SOFs, sampling factors beyond 2x2, 16-bit quant
+    tables, restart intervals inside progressive scans (baseline
+    DRI/RSTn decodes; AC successive-approximation refinement
+    decodes)."""
     if b[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
     i = 2
@@ -1581,12 +1713,14 @@ def synthesize_real_payloads(docs: DataFrame) -> DataFrame:
                     # rotate baseline grayscale 1x1, YCbCr 4:2:0 color,
                     # PROGRESSIVE grayscale, PROGRESSIVE 4:2:0 color
                     # (SOF2 interleaved-DC + non-interleaved AC bands),
-                    # and RESTART-INTERVAL color (DRI + RSTn boundaries)
-                    # so all five entropy layouts live in the corpus
+                    # RESTART-INTERVAL color (DRI + RSTn boundaries),
+                    # and FULL successive-approximation progressive
+                    # color (AC refinement scans) so all six entropy
+                    # layouts live in the corpus
                     wd, ht = 8 + d % 9, 6 + d % 7
                     yy, xx = np.mgrid[0:ht, 0:wd]
-                    variant = (d // len(REAL_DECODABLE)) % 5
-                    if variant in (1, 3, 4):
+                    variant = (d // len(REAL_DECODABLE)) % 6
+                    if variant in (1, 3, 4, 5):
                         rgb = np.stack(
                             [
                                 (yy * 23 + xx * 11 + d) % 256,
@@ -1600,6 +1734,10 @@ def synthesize_real_payloads(docs: DataFrame) -> DataFrame:
                         elif variant == 4:
                             payload = _encode_jpeg_color_420(
                                 rgb, restart_interval=2
+                            )
+                        elif variant == 5:
+                            payload = _encode_jpeg_progressive_color_420(
+                                rgb, ac_successive=True
                             )
                         else:
                             payload = _encode_jpeg_color_420(rgb)

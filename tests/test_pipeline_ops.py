@@ -820,28 +820,17 @@ def test_jpeg_flat_image_is_dc_only_exact():
 
 def test_jpeg_honest_gates_after_progressive_support():
     """The residual NotImplementedError gate narrows to what genuinely
-    needs libjpeg now that progressive (grayscale AND color) decodes:
-    AC successive-approximation refinement and sampling factors beyond
-    2x2; an interleaved progressive AC scan is rejected as invalid."""
+    needs libjpeg now that progressive (grayscale AND color, with AC
+    successive-approximation refinement) decodes: sampling factors
+    beyond 2x2 and hierarchical SOFs."""
     import pytest as _pytest
 
     from orca_ztbus_python_processor_spark.operators.multimodal import (
         _decode_jpeg,
         _encode_jpeg_gray,
-        _encode_jpeg_progressive_gray,
     )
     import numpy as np
 
-    # AC successive-approximation refinement: patch the first AC scan's
-    # AhAl byte (SOS payload [1, 1, 0x00, Ss, Se, AhAl]) to Ah=1
-    prog = bytearray(
-        _encode_jpeg_progressive_gray(np.zeros((8, 8), dtype=np.uint8))
-    )
-    k = prog.find(bytes([0xFF, 0xDA, 0x00, 0x08, 0x01, 0x01, 0x00, 0x01, 0x05]))
-    assert k > 0, "AC band scan header not found"
-    prog[k + 9] = 0x10  # Ah=1, Al=0
-    with _pytest.raises(NotImplementedError, match="refinement"):
-        _decode_jpeg(bytes(prog))
     # 2x2 factors are DECODED since round 7 (4:2:0 support); the gate
     # now starts beyond 2x2 — patch comp 0 to 3x3
     good = _encode_jpeg_gray(np.zeros((8, 8), dtype=np.uint8))
@@ -850,6 +839,9 @@ def test_jpeg_honest_gates_after_progressive_support():
     sof_payload[i + 2 + 2 + 6 + 1] = 0x33  # comp 0 HV factor
     with _pytest.raises(NotImplementedError, match="beyond 2x2"):
         _decode_jpeg(bytes(sof_payload))
+    # hierarchical SOF (0xC3) stays gated
+    with _pytest.raises(NotImplementedError, match="hierarchical"):
+        _decode_jpeg(good.replace(b"\xff\xc0", b"\xff\xc3", 1))
 
 
 def test_jpeg_progressive_decodes_identically_to_baseline():
@@ -1015,3 +1007,36 @@ def test_jpeg_progressive_restart_still_gated():
     patched = prog[:k] + _jpeg_seg(0xDD, struct.pack(">H", 2)) + prog[k:]
     with _pytest.raises(NotImplementedError, match="progressive scans"):
         _decode_jpeg(patched)
+
+
+def test_jpeg_ac_successive_approximation_decodes_identically():
+    """FULL successive-approximation progressive streams (AC first
+    passes at Al=1 plus AC refinement scans with correction-bit walks
+    and EOB-run folding) must reconstruct bit-identically to the
+    baseline stream — grayscale and 4:2:0 color, random and structured
+    content (the checkerboard stresses ZRL/refinement interplay)."""
+    import numpy as np
+
+    from orca_ztbus_python_processor_spark.operators.multimodal import (
+        _decode_jpeg,
+        _encode_jpeg_color_420,
+        _encode_jpeg_gray,
+        _encode_jpeg_progressive_color_420,
+        _encode_jpeg_progressive_gray,
+    )
+
+    rng = np.random.default_rng(17)
+    for _ in range(6):
+        h, w = int(rng.integers(5, 50)), int(rng.integers(5, 50))
+        img = rng.integers(0, 256, (h, w)).astype(np.uint8)
+        assert _decode_jpeg(
+            _encode_jpeg_progressive_gray(img, ac_successive=True)
+        ) == _decode_jpeg(_encode_jpeg_gray(img))
+        rgb = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+        assert _decode_jpeg(
+            _encode_jpeg_progressive_color_420(rgb, ac_successive=True)
+        ) == _decode_jpeg(_encode_jpeg_color_420(rgb))
+    board = (np.indices((24, 24)).sum(0) % 2 * 255).astype(np.uint8)
+    assert _decode_jpeg(
+        _encode_jpeg_progressive_gray(board, ac_successive=True)
+    ) == _decode_jpeg(_encode_jpeg_gray(board))
