@@ -715,8 +715,17 @@ def _encode_jpeg_color_420(rgb: np.ndarray, restart_interval: int = 0) -> bytes:
     )
 
 
+def _jpeg_rst(bw: "_JpegBitWriter", n_boundary: int) -> None:
+    """Byte-align and emit the RSTn marker for the given 0-based
+    boundary index (n cycles 0..7)."""
+    bw.flush()
+    bw.buf += bytes([0xFF, 0xD0 + n_boundary % 8])
+
+
 def _encode_jpeg_progressive_gray(
-    pix: np.ndarray, ac_successive: bool = False
+    pix: np.ndarray,
+    ac_successive: bool = False,
+    restart_interval: int = 0,
 ) -> bytes:
     """Progressive (SOF2) GRAYSCALE JPEG from a (h, w) uint8 array —
     the fixture-side encoder exercising the real multi-scan layout:
@@ -748,11 +757,17 @@ def _encode_jpeg_progressive_gray(
     def sos(ss: int, se: int, ah: int, al: int) -> bytes:
         return _jpeg_seg(0xDA, bytes([1, 1, 0x00, ss, se, (ah << 4) | al]))
 
+    def at_boundary(n: int) -> bool:
+        return bool(restart_interval and n and n % restart_interval == 0)
+
     # scan 1: DC first pass at Al=1 — DPCM over v >> 1 (arithmetic
     # shift, the T.81 point transform; exact for negatives)
     bw = _JpegBitWriter()
     pred = 0
-    for zz in blocks:
+    for n, zz in enumerate(blocks):
+        if at_boundary(n):
+            _jpeg_rst(bw, n // restart_interval - 1)
+            pred = 0
         v = int(zz[0]) >> 1
         diff = v - pred
         pred = v
@@ -766,7 +781,9 @@ def _encode_jpeg_progressive_gray(
 
     # scan 2: DC refinement — bit 0 of each block's DC, one raw bit
     bw = _JpegBitWriter()
-    for zz in blocks:
+    for n, zz in enumerate(blocks):
+        if at_boundary(n):
+            _jpeg_rst(bw, n // restart_interval - 1)
         bw.write(int(zz[0]) & 1, 1)
     bw.flush()
     out += sos(0, 0, 1, 0) + bytes(bw.buf)
@@ -776,7 +793,9 @@ def _encode_jpeg_progressive_gray(
     ac_al = 1 if ac_successive else 0
     for ss, se in ((1, 5), (6, 63)):
         bw = _JpegBitWriter()
-        for zz in blocks:
+        for n, zz in enumerate(blocks):
+            if at_boundary(n):
+                _jpeg_rst(bw, n // restart_interval - 1)
             _jpeg_ac_band_write(bw, zz, ss, se, ac_codes, al=ac_al)
         bw.flush()
         out += sos(ss, se, 0, ac_al) + bytes(bw.buf)
@@ -784,13 +803,20 @@ def _encode_jpeg_progressive_gray(
         # scans 5-6: AC refinement passes (Ah=1 -> Al=0)
         for ss, se in ((1, 5), (6, 63)):
             bw = _JpegBitWriter()
-            for zz in blocks:
+            for n, zz in enumerate(blocks):
+                if at_boundary(n):
+                    _jpeg_rst(bw, n // restart_interval - 1)
                 _jpeg_ac_refine_write(bw, zz, ss, se, 0, ac_codes)
             bw.flush()
             out += sos(ss, se, 1, 0) + bytes(bw.buf)
 
     sof = _jpeg_seg(0xC2, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
-    return b"\xff\xd8" + _jpeg_tables_preamble() + sof + out + b"\xff\xd9"
+    dri = (
+        _jpeg_seg(0xDD, struct.pack(">H", restart_interval))
+        if restart_interval
+        else b""
+    )
+    return b"\xff\xd8" + _jpeg_tables_preamble() + dri + sof + out + b"\xff\xd9"
 
 
 def _jpeg_420_quantized_blocks(rgb: np.ndarray):
@@ -946,7 +972,9 @@ def _jpeg_ac_refine_write(
 
 
 def _encode_jpeg_progressive_color_420(
-    rgb: np.ndarray, ac_successive: bool = False
+    rgb: np.ndarray,
+    ac_successive: bool = False,
+    restart_interval: int = 0,
 ) -> bytes:
     """Progressive (SOF2) YCbCr 4:2:0 COLOR JPEG — the full T.81
     progressive scan discipline:
@@ -967,23 +995,33 @@ def _encode_jpeg_progressive_color_420(
     dc_codes = _jpeg_huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
     ac_codes = _jpeg_huff_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
 
-    def mcu_blocks():
-        """(cid, block_row, block_col) in interleaved MCU order."""
+    def mcus():
+        """(mcu_index, [(cid, block_row, block_col), ...]) in MCU order."""
+        n = 0
         for my in range(mcuy):
             for mx in range(mcux):
-                for by in range(2):
-                    for bx in range(2):
-                        yield 1, my * 2 + by, mx * 2 + bx
-                yield 2, my, mx
-                yield 3, my, mx
+                members = [
+                    (1, my * 2 + by, mx * 2 + bx)
+                    for by in range(2)
+                    for bx in range(2)
+                ] + [(2, my, mx), (3, my, mx)]
+                yield n, members
+                n += 1
+
+    def at_boundary(n: int) -> bool:
+        return bool(restart_interval and n and n % restart_interval == 0)
 
     # scan 1: interleaved DC first pass at Al=1
     bw = _JpegBitWriter()
     preds = {1: 0, 2: 0, 3: 0}
-    for cid, r, c in mcu_blocks():
-        preds[cid] = _jpeg_dc_first_write(
-            bw, int(comp_zz[cid][r, c, 0]), preds[cid], dc_codes, 1
-        )
+    for n, members in mcus():
+        if at_boundary(n):
+            _jpeg_rst(bw, n // restart_interval - 1)
+            preds = {1: 0, 2: 0, 3: 0}
+        for cid, r, c in members:
+            preds[cid] = _jpeg_dc_first_write(
+                bw, int(comp_zz[cid][r, c, 0]), preds[cid], dc_codes, 1
+            )
     bw.flush()
     out = _jpeg_seg(
         0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 0, 0x01])
@@ -991,8 +1029,11 @@ def _encode_jpeg_progressive_color_420(
 
     # scan 2: interleaved DC refinement (Ah=1 -> Al=0), one raw bit
     bw = _JpegBitWriter()
-    for cid, r, c in mcu_blocks():
-        bw.write(int(comp_zz[cid][r, c, 0]) & 1, 1)
+    for n, members in mcus():
+        if at_boundary(n):
+            _jpeg_rst(bw, n // restart_interval - 1)
+        for cid, r, c in members:
+            bw.write(int(comp_zz[cid][r, c, 0]) & 1, 1)
     bw.flush()
     out += _jpeg_seg(
         0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 0, 0x10])
@@ -1011,11 +1052,13 @@ def _encode_jpeg_progressive_color_420(
         nby, nbx = comp_dims[cid]
         for ss, se in ((1, 5), (6, 63)):
             bw = _JpegBitWriter()
-            for r in range(nby):
-                for c in range(nbx):
-                    _jpeg_ac_band_write(
-                        bw, comp_zz[cid][r, c], ss, se, ac_codes, al=ac_al
-                    )
+            for n in range(nby * nbx):
+                if at_boundary(n):
+                    _jpeg_rst(bw, n // restart_interval - 1)
+                _jpeg_ac_band_write(
+                    bw, comp_zz[cid][n // nbx, n % nbx], ss, se,
+                    ac_codes, al=ac_al,
+                )
             bw.flush()
             out += _jpeg_seg(
                 0xDA, bytes([1, cid, 0x00, ss, se, ac_al])
@@ -1026,11 +1069,13 @@ def _encode_jpeg_progressive_color_420(
             nby, nbx = comp_dims[cid]
             for ss, se in ((1, 5), (6, 63)):
                 bw = _JpegBitWriter()
-                for r in range(nby):
-                    for c in range(nbx):
-                        _jpeg_ac_refine_write(
-                            bw, comp_zz[cid][r, c], ss, se, 0, ac_codes
-                        )
+                for n in range(nby * nbx):
+                    if at_boundary(n):
+                        _jpeg_rst(bw, n // restart_interval - 1)
+                    _jpeg_ac_refine_write(
+                        bw, comp_zz[cid][n // nbx, n % nbx], ss, se,
+                        0, ac_codes,
+                    )
                 bw.flush()
                 out += _jpeg_seg(
                     0xDA, bytes([1, cid, 0x00, ss, se, 0x10])
@@ -1041,7 +1086,12 @@ def _encode_jpeg_progressive_color_420(
         struct.pack(">BHHB", 8, h, w, 3)
         + bytes([1, 0x22, 0, 2, 0x11, 0, 3, 0x11, 0]),
     )
-    return b"\xff\xd8" + _jpeg_tables_preamble() + sof + out + b"\xff\xd9"
+    dri = (
+        _jpeg_seg(0xDD, struct.pack(">H", restart_interval))
+        if restart_interval
+        else b""
+    )
+    return b"\xff\xd8" + _jpeg_tables_preamble() + dri + sof + out + b"\xff\xd9"
 
 
 class _JpegBitReader:
@@ -1122,6 +1172,7 @@ def _jpeg_prog_scan(
     se: int,
     ah: int,
     al: int,
+    restart_interval: int = 0,
 ) -> int:
     """Decode ONE progressive scan (single-component, non-interleaved)
     over the component's zigzag coefficient grid ``grid``
@@ -1140,10 +1191,21 @@ def _jpeg_prog_scan(
     band with EOB-run coding: symbol (r, 0) with r < 15 means
     2^r - 1 + extra skipped blocks."""
     reader = _JpegBitReader(b, i)
+    n_mcu = 0  # one block per MCU in a non-interleaved scan
+
+    def boundary() -> bool:
+        return bool(
+            restart_interval and n_mcu and n_mcu % restart_interval == 0
+        )
+
     if ss == 0:
         pred = 0
         for r in range(nby):
             for c in range(nbx):
+                if boundary():
+                    reader.restart()
+                    pred = 0
+                n_mcu += 1
                 if ah == 0:
                     s = reader.huff(dc_map)
                     pred += _jpeg_extend(reader.bits(s), s) if s else 0
@@ -1155,6 +1217,10 @@ def _jpeg_prog_scan(
         eobrun = 0
         for r in range(nby):
             for c in range(nbx):
+                if boundary():
+                    reader.restart()
+                    eobrun = 0  # EOB runs never cross a restart (T.81)
+                n_mcu += 1
                 if eobrun:
                     eobrun -= 1
                     continue
@@ -1190,6 +1256,10 @@ def _jpeg_prog_scan(
         eobrun = 0
         for r in range(nby):
             for c in range(nbx):
+                if boundary():
+                    reader.restart()
+                    eobrun = 0
+                n_mcu += 1
                 k = ss
                 if eobrun == 0:
                     while k <= se:
@@ -1242,6 +1312,7 @@ def _jpeg_prog_dc_interleaved(
     scan: list,
     ah: int,
     al: int,
+    restart_interval: int = 0,
 ) -> int:
     """Decode an INTERLEAVED progressive DC scan (first pass or
     refinement) — MCU walk identical to baseline, DC-only, with
@@ -1250,8 +1321,13 @@ def _jpeg_prog_dc_interleaved(
     facs = {cid: (hf, vf) for cid, hf, vf, _ in comps}
     tds = {cid: td for cid, td, _ in scan}
     preds = {cid: 0 for cid, _, _ in scan}
+    n_mcu = 0
     for my in range(mcuy):
         for mx in range(mcux):
+            if restart_interval and n_mcu and n_mcu % restart_interval == 0:
+                reader.restart()
+                preds = {cid: 0 for cid, _, _ in scan}
+            n_mcu += 1
             for cid, _, _ in scan:
                 hf, vf = facs[cid]
                 grid = stores[cid]
@@ -1285,9 +1361,9 @@ def _decode_jpeg(b: bytes) -> dict:
     scans, non-interleaved per-component AC bands). The HONEST
     residual gate narrows to what genuinely needs libjpeg:
     hierarchical SOFs, sampling factors beyond 2x2, 16-bit quant
-    tables, restart intervals inside progressive scans (baseline
-    DRI/RSTn decodes; AC successive-approximation refinement
-    decodes)."""
+    tables (DRI/RSTn restart intervals and AC
+    successive-approximation refinement both decode, in baseline and
+    progressive scans alike)."""
     if b[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
     i = 2
@@ -1373,10 +1449,6 @@ def _decode_jpeg(b: bytes) -> dict:
             i += seglen
             if not progressive:
                 break  # baseline: single interleaved scan, decoded below
-            if restart_interval:
-                raise NotImplementedError(
-                    "restart intervals in progressive scans need libjpeg"
-                )
             ss, se = data[1 + 2 * ns], data[2 + 2 * ns]
             ahal = data[3 + 2 * ns]
             ah, al = ahal >> 4, ahal & 0xF
@@ -1387,7 +1459,7 @@ def _decode_jpeg(b: bytes) -> dict:
                     )
                 i = _jpeg_prog_dc_interleaved(
                     b, i, prog_coeffs, comps, p_mcux, p_mcuy,
-                    dc_maps, scan, ah, al,
+                    dc_maps, scan, ah, al, restart_interval,
                 )
             else:
                 cid, td, ta = scan[0]
@@ -1402,7 +1474,7 @@ def _decode_jpeg(b: bytes) -> dict:
                     b, i, prog_coeffs[cid],
                     -(-comp_h // 8), -(-comp_w // 8),
                     dc_maps.get(td), ac_maps.get(ta),
-                    ss, se, ah, al,
+                    ss, se, ah, al, restart_interval,
                 )
             continue
         i += seglen
@@ -1714,13 +1786,14 @@ def synthesize_real_payloads(docs: DataFrame) -> DataFrame:
                     # PROGRESSIVE grayscale, PROGRESSIVE 4:2:0 color
                     # (SOF2 interleaved-DC + non-interleaved AC bands),
                     # RESTART-INTERVAL color (DRI + RSTn boundaries),
-                    # and FULL successive-approximation progressive
-                    # color (AC refinement scans) so all six entropy
+                    # FULL successive-approximation progressive color
+                    # (AC refinement scans), and SA-progressive color
+                    # WITH restart intervals, so all seven entropy
                     # layouts live in the corpus
                     wd, ht = 8 + d % 9, 6 + d % 7
                     yy, xx = np.mgrid[0:ht, 0:wd]
-                    variant = (d // len(REAL_DECODABLE)) % 6
-                    if variant in (1, 3, 4, 5):
+                    variant = (d // len(REAL_DECODABLE)) % 7
+                    if variant in (1, 3, 4, 5, 6):
                         rgb = np.stack(
                             [
                                 (yy * 23 + xx * 11 + d) % 256,
@@ -1738,6 +1811,10 @@ def synthesize_real_payloads(docs: DataFrame) -> DataFrame:
                         elif variant == 5:
                             payload = _encode_jpeg_progressive_color_420(
                                 rgb, ac_successive=True
+                            )
+                        elif variant == 6:
+                            payload = _encode_jpeg_progressive_color_420(
+                                rgb, ac_successive=True, restart_interval=2
                             )
                         else:
                             payload = _encode_jpeg_color_420(rgb)

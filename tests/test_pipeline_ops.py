@@ -988,25 +988,40 @@ def test_jpeg_restart_intervals_decode_identically():
             )
 
 
-def test_jpeg_progressive_restart_still_gated():
-    """Restart intervals INSIDE progressive scans remain honestly
-    gated (the progressive encoders never emit DRI)."""
-    import pytest as _pytest
+def test_jpeg_progressive_restart_decodes_identically():
+    """Restart intervals INSIDE progressive scans (RSTn boundaries
+    with DC-DPCM and EOB-run resets in every scan type — DC first,
+    DC refine, AC first, AC refine; interleaved and non-interleaved)
+    reconstruct bit-identically to the unrestarted stream."""
     import numpy as np
 
     from orca_ztbus_python_processor_spark.operators.multimodal import (
         _decode_jpeg,
+        _encode_jpeg_color_420,
+        _encode_jpeg_gray,
+        _encode_jpeg_progressive_color_420,
         _encode_jpeg_progressive_gray,
-        _jpeg_seg,
     )
-    import struct
 
-    prog = _encode_jpeg_progressive_gray(np.zeros((8, 8), dtype=np.uint8))
-    # inject a DRI segment right after the tables preamble
-    k = prog.index(b"\xff\xc2")
-    patched = prog[:k] + _jpeg_seg(0xDD, struct.pack(">H", 2)) + prog[k:]
-    with _pytest.raises(NotImplementedError, match="progressive scans"):
-        _decode_jpeg(patched)
+    rng = np.random.default_rng(23)
+    for _ in range(4):
+        h, w = int(rng.integers(5, 50)), int(rng.integers(5, 50))
+        img = rng.integers(0, 256, (h, w)).astype(np.uint8)
+        base = _decode_jpeg(_encode_jpeg_gray(img))
+        for sa in (False, True):
+            for ri in (1, 3):
+                assert _decode_jpeg(
+                    _encode_jpeg_progressive_gray(
+                        img, ac_successive=sa, restart_interval=ri
+                    )
+                ) == base
+        rgb = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+        cbase = _decode_jpeg(_encode_jpeg_color_420(rgb))
+        assert _decode_jpeg(
+            _encode_jpeg_progressive_color_420(
+                rgb, ac_successive=True, restart_interval=2
+            )
+        ) == cbase
 
 
 def test_jpeg_ac_successive_approximation_decodes_identically():
