@@ -187,9 +187,16 @@ def exact_weighted_quantiles(
     )
     cw_local = F.sum("w").over(W.partitionBy("pid").orderBy("v"))
     cw = s.join(odf, "pid").withColumn("cw", F.col("off") + cw_local)
+    # Selection tolerance (ADVICE r6, second half): with fractional
+    # weights the window-accumulated cw can round a few ulps below a
+    # target computed from differently-ordered driver sums, and an
+    # exact `cw >= target` would then drop the quantile row entirely.
+    # The epsilon is far below one integer weight unit, so exact
+    # integer-weight selections are untouched.
+    eps = 1e-9 * max(total_w, 1.0)
     return (
         cw.join(tdf, "pid")
-        .where(F.col("cw") >= F.col("target"))
+        .where(F.col("cw") >= F.col("target") - F.lit(eps))
         .groupBy("q")
         .agg(
             f32(F.min("v")).alias("wq"),

@@ -547,7 +547,20 @@ def _jpeg_write_block(
 ) -> int:
     """FDCT + quantize + entropy-code one 8x8 block (level-shifted
     input); returns the new DC predictor."""
-    zz = _jpeg_quantize_block(block, qtab)
+    return _jpeg_write_zz(
+        bw, _jpeg_quantize_block(block, qtab), dc_codes, ac_codes, pred
+    )
+
+
+def _jpeg_write_zz(
+    bw: "_JpegBitWriter",
+    zz: np.ndarray,
+    dc_codes: dict,
+    ac_codes: dict,
+    pred: int,
+) -> int:
+    """Baseline-entropy-code one block's pre-quantized zigzag
+    coefficients; returns the new DC predictor."""
     diff = int(zz[0]) - pred
     pred = int(zz[0])
     s = _jpeg_category(diff)
@@ -617,10 +630,7 @@ def _encode_jpeg_gray(pix: np.ndarray, restart_interval: int = 0) -> bytes:
     for by in range(0, ph, 8):
         for bx in range(0, pw, 8):
             if restart_interval and n_mcu and n_mcu % restart_interval == 0:
-                bw.flush()
-                bw.buf += bytes(
-                    [0xFF, 0xD0 + (n_mcu // restart_interval - 1) % 8]
-                )
+                _jpeg_rst(bw, n_mcu // restart_interval - 1)
                 pred = 0
             n_mcu += 1
             block = padded[by : by + 8, bx : bx + 8] - 128.0
@@ -658,44 +668,30 @@ def _encode_jpeg_color_420(rgb: np.ndarray, restart_interval: int = 0) -> bytes:
     MCU bounds and chroma to 8-multiples of its own grid. With
     ``restart_interval`` > 0, emits DRI + RSTn boundaries with DC
     predictor resets, as in the grayscale form."""
-    rgb = np.asarray(rgb, dtype=np.uint8)
-    h, w, _ = rgb.shape
-    y, cb, cr = _jpeg_rgb_to_ycbcr(rgb)
-    ph, pw = -(-h // 16) * 16, -(-w // 16) * 16
-    y = np.pad(y, ((0, ph - h), (0, pw - w)), mode="edge")
-    # chroma at half resolution: box average of each 2x2 (on the padded
-    # grid so the subsampled plane is already an 8-multiple)
-    sub = []
-    for c in (cb, cr):
-        c = np.pad(c, ((0, ph - h), (0, pw - w)), mode="edge")
-        sub.append((c[0::2, 0::2] + c[0::2, 1::2] + c[1::2, 0::2] + c[1::2, 1::2]) / 4.0)
+    # shared coefficient pipeline with the progressive encoder — the
+    # "progressive decodes bit-identically to baseline" test contract
+    # depends on both writers consuming the SAME quantized blocks
+    h, w, mcux, mcuy, comp_zz = _jpeg_420_quantized_blocks(rgb)
     dc_codes = _jpeg_huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
     ac_codes = _jpeg_huff_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
-    qtab = _JPEG_QUANT_LUMA.reshape(8, 8)
     bw = _JpegBitWriter()
-    preds = [0, 0, 0]
+    preds = {1: 0, 2: 0, 3: 0}
     n_mcu = 0
-    for my in range(ph // 16):
-        for mx in range(pw // 16):
+    for my in range(mcuy):
+        for mx in range(mcux):
             if restart_interval and n_mcu and n_mcu % restart_interval == 0:
-                bw.flush()
-                bw.buf += bytes(
-                    [0xFF, 0xD0 + (n_mcu // restart_interval - 1) % 8]
-                )
-                preds = [0, 0, 0]
+                _jpeg_rst(bw, n_mcu // restart_interval - 1)
+                preds = {1: 0, 2: 0, 3: 0}
             n_mcu += 1
             for by in range(2):  # 4 luma blocks, raster order in MCU
                 for bx in range(2):
-                    r0, c0 = my * 16 + by * 8, mx * 16 + bx * 8
-                    preds[0] = _jpeg_write_block(
-                        bw, y[r0 : r0 + 8, c0 : c0 + 8] - 128.0,
-                        qtab, dc_codes, ac_codes, preds[0],
+                    preds[1] = _jpeg_write_zz(
+                        bw, comp_zz[1][my * 2 + by, mx * 2 + bx],
+                        dc_codes, ac_codes, preds[1],
                     )
-            for ci, plane in enumerate(sub):  # 1 Cb + 1 Cr block
-                r0, c0 = my * 8, mx * 8
-                preds[ci + 1] = _jpeg_write_block(
-                    bw, plane[r0 : r0 + 8, c0 : c0 + 8] - 128.0,
-                    qtab, dc_codes, ac_codes, preds[ci + 1],
+            for cid in (2, 3):  # 1 Cb + 1 Cr block
+                preds[cid] = _jpeg_write_zz(
+                    bw, comp_zz[cid][my, mx], dc_codes, ac_codes, preds[cid]
                 )
     bw.flush()
     sof = _jpeg_seg(
@@ -1483,6 +1479,20 @@ def _decode_jpeg(b: bytes) -> dict:
     facs = {cid: (hfac, vfac) for cid, hfac, vfac, _ in comps}
     hmax = max(hf for _, hf, _, _ in comps)
     vmax = max(vf for _, _, vf, _ in comps)
+    if (
+        not progressive
+        and len(scan) == 1
+        and len(comps) == 1
+        and (hmax, vmax) != (1, 1)
+    ):
+        # T.81 A.2.2: a single-component scan is NON-interleaved — one
+        # block per MCU over the component's ceil-dims grid — even when
+        # the SOF declares sampling factors > 1 (real encoders emit
+        # e.g. HV=0x22 for grayscale extracted from 4:2:0 color).
+        # Normalize to an effective 1x1 layout at full resolution.
+        comps = [(comps[0][0], 1, 1, comps[0][3])]
+        facs = {comps[0][0]: (1, 1)}
+        hmax = vmax = 1
     mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
     # each component's plane lives at ITS OWN sampling grid; the MCU
     # contributes hfac x vfac blocks to it in raster order
@@ -1509,6 +1519,10 @@ def _decode_jpeg(b: bytes) -> dict:
     reader = _JpegBitReader(b, i)
     preds = {cid: 0 for cid, _, _, _ in comps}
     qtab8 = {cid: qt[tq] for cid, _, _, tq in comps}
+    if 1 < len(scan) < len(comps):
+        raise NotImplementedError(
+            "partially-interleaved multi-scan baseline JPEG"
+        )
     n_mcu = 0
     for my in range(mcuy):
         for mx in range(mcux):

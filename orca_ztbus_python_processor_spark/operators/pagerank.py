@@ -57,7 +57,12 @@ def pagerank(
     # Self-loops would be emitted twice by the symmetrization below,
     # silently doubling their weight in out_w and the transition table
     # (ADVICE r6); they carry no ranking signal, so drop them rather
-    # than trust the src < dst contract.
+    # than trust the src < dst contract. CONTRACT: a node whose ONLY
+    # edges are self-loops leaves the graph entirely — it gets no rank
+    # row and no share of the teleport mass (isolated vertices are not
+    # part of a co-purchase graph; callers wanting them ranked must
+    # union them in as dangling nodes explicitly). Pinned in
+    # tests/test_pagerank.py.
     edges_ck = (
         edges.select("src", "dst", "weight")
         .where(F.col("src") != F.col("dst"))

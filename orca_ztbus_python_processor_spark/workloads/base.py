@@ -179,9 +179,11 @@ _R6_SAMPLE = frozenset({
 # Queries whose SEMANTICS changed after their last driver verification:
 # they must re-enter the sample window so the driver re-verifies the new
 # definition (round 7: knn_label_accuracy became the fixed-size sampled
-# probe — VERDICT r6 "Next round" #1; its exhaustive form moved to the
-# new knn_label_accuracy_allpairs entry).
-_RESAMPLE_R7 = frozenset({"knn_label_accuracy"})
+# probe — VERDICT r6 "Next round" #1, its exhaustive form moved to the
+# new knn_label_accuracy_allpairs entry; embedding_cosine_histogram
+# gained the zero-norm exclusion and the bucketed-pair share
+# denominator — VERDICT r6 #3 / ADVICE r6).
+_RESAMPLE_R7 = frozenset({"knn_label_accuracy", "embedding_cosine_histogram"})
 
 _DRIVER_VERIFIED = (
     _R1_DRIVER_VERIFIED | _R2_SAMPLE | _R3_SAMPLE | _R4_SAMPLE

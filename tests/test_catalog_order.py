@@ -36,7 +36,10 @@ def test_r6_sample_folded_into_back_group():
     # knn_label_accuracy became the fixed-size sampled probe in round 7
     # (VERDICT r6 #1): its r6 hash row covered the all-pairs semantics,
     # which now live under knn_label_accuracy_allpairs.
-    assert _RESAMPLE_R7 == {"knn_label_accuracy"}
+    # embedding_cosine_histogram gained the zero-norm exclusion and the
+    # bucketed-pair share denominator (VERDICT r6 #3): its r6 hash row
+    # covered the old definition.
+    assert _RESAMPLE_R7 == {"knn_label_accuracy", "embedding_cosine_histogram"}
     assert not (_RESAMPLE_R7 & _DRIVER_VERIFIED)
 
 

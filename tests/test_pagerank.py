@@ -84,3 +84,17 @@ def test_pagerank_ignores_self_loops(spark):
     assert set(clean) == set(loopy)
     for k in clean:
         assert loopy[k] == pytest.approx(clean[k], rel=1e-12)
+
+
+def test_pagerank_self_loop_only_nodes_leave_the_graph(spark):
+    """Contract (documented in operators/pagerank.py): a node whose
+    ONLY edges are self-loops is excluded entirely — no rank row, no
+    teleport share — and the remaining graph's ranks equal the graph
+    without that node."""
+    base = [(0, 1, 2.0), (1, 2, 1.0)]
+    clean = _spark_ranks(spark, base)
+    with_isolate = _spark_ranks(spark, base + [(9, 9, 4.0)])
+    assert 9 not in with_isolate
+    assert set(with_isolate) == set(clean)
+    for k in clean:
+        assert with_isolate[k] == pytest.approx(clean[k], rel=1e-12)

@@ -140,10 +140,10 @@ def test_rolling_corr_matches_pandas(spark):
         )
     ref = np.concatenate(refs)
     got = out["corr_15m"].to_numpy(np.float64)
-    # pandas emits NaN where the engine (and the oracle) emit NULL on
-    # zero variance or a 1-row frame; values must agree elsewhere
+    # pandas emits NaN exactly where the engine (and the oracle) emit
+    # NULL — zero variance or a 1-row frame; values must agree elsewhere
     mask = ~np.isnan(got)
-    assert np.isnan(ref[~mask]).all() or np.nanmax(np.abs(ref[~mask])) >= 0
+    assert np.isnan(ref[~mask]).all()
     assert np.allclose(got[mask], ref[mask], atol=1e-6, equal_nan=False)
 
 
