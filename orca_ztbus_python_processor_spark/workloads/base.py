@@ -176,19 +176,44 @@ _R6_SAMPLE = frozenset({
     "winnow_containment_pairs",
 })
 
-# Queries whose SEMANTICS changed after their last driver verification:
-# they must re-enter the sample window so the driver re-verifies the new
-# definition (round 7: knn_label_accuracy became the fixed-size sampled
-# probe — VERDICT r6 "Next round" #1, its exhaustive form moved to the
-# new knn_label_accuracy_allpairs entry; embedding_cosine_histogram
-# gained the zero-norm exclusion and the bucketed-pair share
-# denominator — VERDICT r6 #3 / ADVICE r6).
-_RESAMPLE_R7 = frozenset({"knn_label_accuracy", "embedding_cosine_histogram"})
+# The 50 queries the driver verified in round 7 (CORRECTNESS_r07.json:
+# 48 hash-match + 2 contractual rows-only, zero failures). 27 were
+# round-7 additions, 2 were the forced re-verifications of the
+# semantics-changed pair (knn_label_accuracy sampled probe,
+# embedding_cosine_histogram zero-norm exclusion — both green, so the
+# round-7 _RESAMPLE_R7 forcing set is retired), the rest round-1/-6
+# re-verifications. All join the back group so round 8's window is
+# filled by round-8 additions only.
+_R7_SAMPLE = frozenset({
+    "activity_bitmap_profile", "basket_affinity_lift",
+    "boilerplate_shingle_share", "chi_square_nation_segment",
+    "copurchase_bfs_distance", "copurchase_degree_histogram",
+    "cube_revenue", "customers_with_orders_by_nation",
+    "customers_without_orders", "custs_without_urgent",
+    "daily_mix_kl_anomaly", "doc_quality_filter_funnel",
+    "embedding_cosine_histogram", "knn_label_accuracy",
+    "knn_label_accuracy_allpairs", "ks_binned_drift",
+    "label_separation_matrix", "last_touch_attribution",
+    "mannwhitney_value_shift", "minute_latency_bands",
+    "nations_with_customers_and_suppliers", "nations_without_suppliers",
+    "ols_trend_by_user", "order_total_reconciliation",
+    "orderkey_sequence_audit", "part_type_stats", "parts_intersect_rf",
+    "pivot_linestatus", "point_lookup_customer", "priority_value_share",
+    "q1_pricing_summary", "q3_top_orders", "q5_region_revenue",
+    "quantile_sketch_profile", "robust_means_profile",
+    "rolling_corr_minute", "rollup_revenue", "running_order_total",
+    "salted_mktsegment_rollup", "seasonal_decompose_profile",
+    "source_qq_drift", "stream_minute_ohlc", "table_checksum_audit",
+    "text_neardup_canonical_keep", "text_zlib_compress_ratio",
+    "top1_latest_order", "topk_orders_per_segment",
+    "uniform_group_sample", "union_price_slices",
+    "unpivot_returnflag_measures",
+})
 
 _DRIVER_VERIFIED = (
     _R1_DRIVER_VERIFIED | _R2_SAMPLE | _R3_SAMPLE | _R4_SAMPLE
-    | _R5_SAMPLE | _R6_SAMPLE
-) - _RESAMPLE_R7
+    | _R5_SAMPLE | _R6_SAMPLE | _R7_SAMPLE
+)
 
 _MERGED: Catalog | None = None
 

@@ -1,11 +1,11 @@
 """Pin the driver-sample ordering of merged_catalog().
 
 The verification driver samples the FIRST 50 catalog entries each round.
-Rounds 1-6 verified all 211 catalog names in _R1_DRIVER_VERIFIED |
-_R2_SAMPLE | ... | _R6_SAMPLE (zero failures), so round 7's sample
+Rounds 1-7 verified all 238 catalog names in _R1_DRIVER_VERIFIED |
+_R2_SAMPLE | ... | _R7_SAMPLE (zero failures), so round 8's sample
 window must be filled by the queries that have never had a driver
 CORRECTNESS row: exactly the entries added this round. A regression
-here (VERDICT.md round 2, "What's wrong" #2; rounds 3-6 likewise)
+here (VERDICT.md round 2, "What's wrong" #2; rounds 3-7 likewise)
 would silently re-verify old queries and starve new ones of driver
 evidence.
 """
@@ -13,7 +13,7 @@ evidence.
 from orca_ztbus_python_processor_spark.workloads.base import (
     _R5_SAMPLE,
     _R6_SAMPLE,
-    _RESAMPLE_R7,
+    _R7_SAMPLE,
     _DRIVER_VERIFIED,
     merged_catalog,
 )
@@ -27,20 +27,20 @@ def test_r5_sample_folded_into_back_group():
 
 
 def test_r6_sample_folded_into_back_group():
-    # CORRECTNESS_r06.json held exactly these 50 names; all must now be
-    # in the verified back group so round-7 additions fill the window —
-    # EXCEPT entries whose semantics changed in round 7, which re-enter
-    # the window for driver re-verification under the new definition.
     assert len(_R6_SAMPLE) == 50
-    assert _R6_SAMPLE - _RESAMPLE_R7 <= _DRIVER_VERIFIED
-    # knn_label_accuracy became the fixed-size sampled probe in round 7
-    # (VERDICT r6 #1): its r6 hash row covered the all-pairs semantics,
-    # which now live under knn_label_accuracy_allpairs.
-    # embedding_cosine_histogram gained the zero-norm exclusion and the
-    # bucketed-pair share denominator (VERDICT r6 #3): its r6 hash row
-    # covered the old definition.
-    assert _RESAMPLE_R7 == {"knn_label_accuracy", "embedding_cosine_histogram"}
-    assert not (_RESAMPLE_R7 & _DRIVER_VERIFIED)
+    assert _R6_SAMPLE <= _DRIVER_VERIFIED
+
+
+def test_r7_sample_folded_into_back_group():
+    # CORRECTNESS_r07.json held exactly these 50 names (48 hash-match +
+    # 2 contractual rows-only, zero failures); all must now be in the
+    # verified back group so round-8 additions fill the window. The two
+    # round-7 forced re-verifications (knn_label_accuracy,
+    # embedding_cosine_histogram) came back green under their new
+    # semantics, so the _RESAMPLE_R7 forcing set is retired.
+    assert len(_R7_SAMPLE) == 50
+    assert _R7_SAMPLE <= _DRIVER_VERIFIED
+    assert {"knn_label_accuracy", "embedding_cosine_histogram"} <= _R7_SAMPLE
 
 
 def test_unverified_queries_fill_the_sample_window():
