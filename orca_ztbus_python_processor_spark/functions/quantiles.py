@@ -150,10 +150,14 @@ def exact_weighted_quantiles(
     s = src.repartitionByRange(nparts, "v").localCheckpoint(eager=False)
     s = s.withColumn("pid", F.spark_partition_id())
 
-    cells = sorted(
-        (r["pid"], r["sw"])
-        for r in s.groupBy("pid").agg(F.sum("w").alias("sw")).collect()
-    )
+    part_stats = s.groupBy("pid").agg(
+        F.sum("w").alias("sw"),
+        F.count("*").alias("n"),
+        F.max(F.abs(F.col("w") - F.round(F.col("w")))).alias("frac"),
+    ).collect()
+    cells = sorted((r["pid"], r["sw"]) for r in part_stats)
+    n_rows = int(sum(r["n"] for r in part_stats))
+    integral_w = all(float(r["frac"] or 0.0) == 0.0 for r in part_stats)
     total_w = float(sum(c for _, c in cells))
     offs, off = [], 0.0
     for pid, c in cells:
@@ -191,9 +195,14 @@ def exact_weighted_quantiles(
     # weights the window-accumulated cw can round a few ulps below a
     # target computed from differently-ordered driver sums, and an
     # exact `cw >= target` would then drop the quantile row entirely.
-    # The epsilon is far below one integer weight unit, so exact
-    # integer-weight selections are untouched.
-    eps = 1e-9 * max(total_w, 1.0)
+    # ADVICE r7 refinement: a FLAT 1e-9 fraction of total weight can
+    # exceed a legitimate weight gap once total_w is large, selecting
+    # the preceding value. So: integer-valued weights (cumulative sums
+    # exact in doubles up to 2^53) get eps = 0 — exact selection; and
+    # fractional weights get an epsilon scaled to the worst-case
+    # ACCUMULATED summation error, n_rows additions each off by at
+    # most one ulp of the running total (<= ulp(total_w)).
+    eps = 0.0 if integral_w else n_rows * math.ulp(max(total_w, 1.0))
     return (
         cw.join(tdf, "pid")
         .where(F.col("cw") >= F.col("target") - F.lit(eps))

