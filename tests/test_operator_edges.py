@@ -113,6 +113,81 @@ def test_approx_quantiles_within_rank_bound(spark):
         assert e["p95_lo"] - eps <= row["p95_approx"] <= e["p95_hi"] + eps, (et, row)
 
 
+def test_approx_distinct_users_daily_within_envelope(spark):
+    """VERDICT r7 #4: the daily HLL++ estimate must sit inside the
+    error envelope of the EXACT per-day distinct count — rsd=0.02 is
+    the requested relative standard deviation, so 5 sigma = 10%, plus
+    the small-cardinality floor where HLL++ switches to near-exact
+    linear counting."""
+    from orca_ztbus_python_processor_spark.workloads.base import merged_catalog
+    from orca_ztbus_python_processor_spark.sources.parquet import read_table
+    import pyspark.sql.functions as F
+
+    from tests.conftest import SMOKE_SF_DIR
+
+    cat = merged_catalog()
+    approx = {
+        str(r["day"]): (r["approx_users"], r["n_events"])
+        for r in cat.queries["approx_distinct_users_daily"](
+            spark, SMOKE_SF_DIR
+        ).collect()
+    }
+    exact = {
+        str(r["day"]): (r["users"], r["n"])
+        for r in read_table(spark, SMOKE_SF_DIR, "events")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.countDistinct("user_id").alias("users"), F.count("*").alias("n"))
+        .collect()
+    }
+    assert approx.keys() == exact.keys()
+    for day, (est, n_ev) in approx.items():
+        users, n = exact[day]
+        assert n_ev == n, day
+        assert abs(est - users) <= max(3, 0.10 * users), (day, est, users)
+
+
+def test_approx_distinct_users_daily_golden_on_seeded_fixture(spark):
+    """Deterministic-output pin (the r7 golden treatment): HLL++ is a
+    deterministic function of its input, so the seeded sf0.001 fixture
+    has ONE correct output — config or hash drift surfaces as a value
+    diff, not just an envelope violation."""
+    from orca_ztbus_python_processor_spark.workloads.base import merged_catalog
+
+    from tests.conftest import SMOKE_SF_DIR
+
+    rows = merged_catalog().queries["approx_distinct_users_daily"](
+        spark, SMOKE_SF_DIR
+    ).collect()
+    got = sorted((str(r["day"]), r["approx_users"], r["n_events"]) for r in rows)
+    assert len(got) == 30
+    # sf0.001 has 15 users; daily actives vary 11-15 and HLL++ is exact
+    # in this linear-counting regime, so the estimates ARE the actives
+    assert set(u for _, u, _ in got) == {11, 12, 13, 14, 15}, got[:5]
+    assert got[0] == ("2024-01-01", 15, 33), got[0]
+    assert sum(n for _, _, n in got) == 1000
+
+
+def test_approx_value_quantiles_golden_on_seeded_fixture(spark):
+    """Value pin for the quantile sketch path: approx_percentile is
+    deterministic, so the seeded fixture output is a constant."""
+    import pytest as _pytest
+
+    from orca_ztbus_python_processor_spark.workloads.base import merged_catalog
+
+    from tests.conftest import SMOKE_SF_DIR
+
+    rows = merged_catalog().queries["approx_value_quantiles"](
+        spark, SMOKE_SF_DIR
+    ).collect()
+    got = {r["event_type"]: r for r in rows}
+    assert {et: r["n"] for et, r in got.items()} == {
+        "click": 210, "view": 188, "purchase": 202, "error": 201,
+        "signup": 199,
+    }
+    assert got["click"]["p50_approx"] == _pytest.approx(33.19, abs=1e-2)
+    assert got["error"]["p95_approx"] == _pytest.approx(124.60, abs=1e-2)
+
+
 def test_straddle_fixture_exercises_fsm_edges(spark):
     """ztbus_brake_straddle_windows only tests the reference FSM's edge
     semantics (processor/main.py:246-293) if the fixture actually
