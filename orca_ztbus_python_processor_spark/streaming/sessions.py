@@ -204,3 +204,91 @@ def twap_intervals_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+TWAP_PARTIAL_SCHEMA = "key long, n_intervals long, sum_dur_us long, sum_val_dur double"
+
+
+def _twap_partial_fn(
+    key: tuple[Any, ...],
+    pdf_iter: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Partial-aggregating interval closer: identical interval
+    semantics to ``_twap_fn`` (each event closes the key's open
+    interval; the final one stays in state), but each micro-batch
+    emits ONE partial-sum row per key — (count, Σdur, Σvalue*dur) over
+    the intervals the batch closed — instead of one row per interval.
+    Sink/emission volume collapses from O(events) to O(keys x
+    batches); downstream summation of partials is exactly the total
+    rollup (count/sum are associative)."""
+    import numpy as np  # noqa: PLC0415
+
+    if state.exists:
+        has_prev, prev_ts, prev_value = state.get
+    else:
+        has_prev, prev_ts, prev_value = False, 0, 0.0
+
+    chunks = [pdf for pdf in pdf_iter if len(pdf)]
+    if chunks:
+        pdf = pd.concat(chunks, ignore_index=True).sort_values(
+            ["_ts_us", "_oid"], kind="mergesort"
+        )
+        ts = pdf["_ts_us"].to_numpy(dtype=np.int64)
+        val = pdf["_value"].to_numpy(dtype=np.float64)
+        if has_prev:
+            ts = np.concatenate(([prev_ts], ts))
+            val = np.concatenate(([prev_value], val))
+        if len(ts) > 1:
+            durs = np.diff(ts)
+            yield pd.DataFrame(
+                {
+                    "key": [key[0]],
+                    "n_intervals": [len(durs)],
+                    "sum_dur_us": [int(durs.sum())],
+                    # float64 partial; the final quotient is f32-cast
+                    # downstream, which absorbs association-order ulps
+                    # exactly as it did for the row-emission form
+                    "sum_val_dur": [float((val[:-1] * durs).sum())],
+                }
+            )
+        has_prev, prev_ts, prev_value = True, int(ts[-1]), float(val[-1])
+
+    state.update((has_prev, prev_ts, prev_value))
+
+
+def twap_partials_stream(
+    events: DataFrame,
+    key_col: str,
+    value_col: str,
+    time_col: str = "ts",
+    watermark: str = "10 minutes",
+    order_col: str | None = "event_id",
+) -> DataFrame:
+    """Per-batch PARTIAL time-weighted sums, keyed by ``key_col`` —
+    the scale form of ``twap_intervals_stream`` (VERDICT r7 #3): the
+    stateful operator already walks every interval, so emitting the
+    per-key partial sums instead of the raw intervals removes the
+    O(events) emission/sink volume (measured at sf1: 985k sink rows →
+    ≤ n_keys per batch) while the final rollup over partials stays an
+    exact associative sum. State is the same single open interval per
+    key."""
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    oid = F.col(order_col) if order_col is not None else F.lit(0)
+    prepared = (
+        events.withWatermark(time_col, watermark)
+        .select(
+            F.col(key_col).alias("key"),
+            F.unix_micros(F.col(time_col)).alias("_ts_us"),
+            F.col(value_col).alias("_value"),
+            oid.alias("_oid"),
+        )
+    )
+    return prepared.groupBy("key").applyInPandasWithState(
+        _twap_partial_fn,
+        outputStructType=TWAP_PARTIAL_SCHEMA,
+        stateStructType=TWAP_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
