@@ -447,3 +447,81 @@ def text_neardup_canonical_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
             - best.getField("_c") / F.sum("n_chars").cast("double")
         ).alias("chars_drop_share"),
     )
+
+
+# --------------------------------------------------------------------------
+# epoch_shuffle_balance — deterministic EPOCH-WISE reshuffle audit: a
+# training run re-shuffles the corpus every epoch by assigning each
+# document shard = portable_hash(doc_id, epoch) % n_shards; this query
+# proves the assignment is balanced (shard-size min/max/CV per epoch)
+# and decorrelated across epochs without materializing any layout. The
+# hash is a Knuth multiplicative mix on BIGINT arithmetic so the
+# DuckDB twin computes the IDENTICAL assignment (engine-native hashes
+# like xxhash64 differ across engines; at production id ranges beyond
+# ~2^32 swap in xxhash64 and drop the oracle pairing — the balance
+# algebra is unchanged). Scale shape: one map-side projection (doc_id
+# only — column pruning leaves the text unread), a (epoch, shard)
+# count with map-side combine, and an epoch-grain rollup over
+# n_epochs x n_shards cells.
+# --------------------------------------------------------------------------
+EPOCH_SHUFFLE_EPOCHS = 4
+EPOCH_SHUFFLE_SHARDS = 16
+_ESH_MIX = 2654435761  # Knuth 2^32 / phi
+_ESH_EPOCH_STEP = 1000003
+
+
+@CATALOG.query(
+    "epoch_shuffle_balance",
+    oracle=f"""
+    WITH assigned AS (
+        SELECT epoch,
+               ((doc_id + epoch * {_ESH_EPOCH_STEP}) * {_ESH_MIX})
+                   % 1048576 % {EPOCH_SHUFFLE_SHARDS} AS shard
+        FROM documents,
+             unnest(generate_series(0, {EPOCH_SHUFFLE_EPOCHS - 1})) AS t(epoch)
+    ), cells AS (
+        SELECT epoch, shard, count(*) AS c
+        FROM assigned GROUP BY epoch, shard
+    )
+    SELECT CAST(epoch AS BIGINT) AS epoch,
+           CAST(sum(c) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_shards_used,
+           CAST(min(c) AS BIGINT) AS min_shard,
+           CAST(max(c) AS BIGINT) AS max_shard,
+           CAST(sqrt(avg(c * c) - avg(c) * avg(c)) / avg(c) AS REAL)
+               AS shard_cv
+    FROM cells
+    GROUP BY epoch
+    """,
+)
+def epoch_shuffle_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    assigned = (
+        _docs(spark, sf_dir)
+        .select("doc_id")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(EPOCH_SHUFFLE_EPOCHS - 1))
+            ).alias("epoch"),
+        )
+        .select(
+            "epoch",
+            (
+                (F.col("doc_id") + F.col("epoch") * _ESH_EPOCH_STEP)
+                * F.lit(_ESH_MIX)
+                % 1048576
+                % EPOCH_SHUFFLE_SHARDS
+            ).alias("shard"),
+        )
+    )
+    cells = assigned.groupBy("epoch", "shard").agg(F.count("*").alias("c"))
+    return cells.groupBy(F.col("epoch").cast("long").alias("epoch")).agg(
+        F.sum("c").alias("n_docs"),
+        F.count("*").alias("n_shards_used"),
+        F.min("c").alias("min_shard"),
+        F.max("c").alias("max_shard"),
+        f32(
+            F.sqrt(F.avg(F.col("c") * F.col("c")) - F.avg("c") * F.avg("c"))
+            / F.avg("c")
+        ).alias("shard_cv"),
+    )

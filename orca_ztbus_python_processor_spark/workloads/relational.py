@@ -2685,3 +2685,130 @@ def orderkey_sequence_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("coverage"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# copurchase_jaccard_similar_parts — item-item similarity by
+# NEIGHBORHOOD Jaccard over the recurrent co-purchase graph (the same
+# >= 2-orders edge set as copurchase_triangle_count): for every part
+# pair that shares at least one co-purchase neighbor, J(a,b) =
+# |N(a) ∩ N(b)| / (|N(a)| + |N(b)| - |N(a) ∩ N(b)|), top-20. The
+# classic "customers who bought X also bought Y" collaborative-filter
+# primitive, computed purely relationally.
+#
+# Scale shape: common-neighbor counts come from ONE wedge self-join of
+# the (undirected) adjacency on the center node — the join that
+# triangle counting already bounds via the recurrent-edge filter; the
+# degree table is node-grain and broadcasts. Jaccard is a ratio of
+# integers (bit-identical across engines — no float tolerance in the
+# ranking), and the top-20 is a TakeOrdered with (a, b) tie-break, so
+# selection is deterministic. At 100 TB the wedge join shuffles on the
+# center node exactly once; hub skew is tamed by the same >= 2-orders
+# edge filter.
+# --------------------------------------------------------------------------
+JACCARD_TOP_K = 20
+
+
+@CATALOG.query(
+    "copurchase_jaccard_similar_parts",
+    oracle=f"""
+    WITH parts_per_order AS (
+        SELECT l_orderkey, list_sort(list(DISTINCT l_partkey)) AS parts
+        FROM lineitem GROUP BY l_orderkey
+    ), pair_w AS (
+        SELECT u.part AS a, v.part AS b
+        FROM parts_per_order,
+             unnest(parts) AS u(part), unnest(parts) AS v(part)
+        WHERE u.part < v.part
+    ), edges AS (
+        SELECT a, b FROM pair_w GROUP BY a, b HAVING count(*) >= 2
+    ), adj AS (
+        SELECT a AS u, b AS v FROM edges
+        UNION ALL
+        SELECT b AS u, a AS v FROM edges
+    ), deg AS (
+        SELECT u AS node, count(*) AS d FROM adj GROUP BY u
+    ), common AS (
+        SELECT x.v AS a, y.v AS b, count(*) AS n_common
+        FROM adj x JOIN adj y ON x.u = y.u AND x.v < y.v
+        GROUP BY x.v, y.v
+    ), scored AS (
+        SELECT c.a AS part_a, c.b AS part_b, c.n_common,
+               da.d AS deg_a, db.d AS deg_b,
+               c.n_common / CAST(da.d + db.d - c.n_common AS DOUBLE)
+                   AS jaccard
+        FROM common c
+        JOIN deg da ON da.node = c.a
+        JOIN deg db ON db.node = c.b
+    )
+    SELECT part_a, part_b, n_common, deg_a, deg_b,
+           CAST(jaccard AS REAL) AS jaccard
+    FROM scored
+    ORDER BY jaccard DESC, part_a, part_b
+    LIMIT {JACCARD_TOP_K}
+    """,
+)
+def copurchase_jaccard_similar_parts(
+    spark: SparkSession, sf_dir: str, broadcast_nodes_limit: int = 2_000_000
+) -> DataFrame:
+    parts_per_order = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("parts"))
+    )
+    pair_expr = F.expr(
+        "flatten(transform(parts, (x, i) ->"
+        " transform(slice(parts, i + 2, size(parts)),"
+        " y -> struct(x AS a, y AS b))))"
+    )
+    edges = (
+        parts_per_order.select(F.explode(pair_expr).alias("e"))
+        .groupBy(F.col("e.a").alias("a"), F.col("e.b").alias("b"))
+        .agg(F.count("*").alias("_w"))
+        .where(F.col("_w") >= 2)
+        .drop("_w")
+        .localCheckpoint(eager=False)  # reused by adjacency + degrees
+    )
+    adj = edges.select(F.col("a").alias("u"), F.col("b").alias("v")).union(
+        edges.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    deg = adj.groupBy(F.col("u").alias("node")).agg(F.count("*").alias("d"))
+    # node-grain degree table: broadcast below the same threshold the
+    # triangle/PageRank guards use, shuffle-join fallback beyond
+    small = deg.count() <= broadcast_nodes_limit
+    x = adj.select(F.col("u"), F.col("v").alias("a"))
+    y = adj.select(F.col("u"), F.col("v").alias("b"))
+    common = (
+        x.join(y, "u")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    deg_a = deg.select(F.col("node").alias("a"), F.col("d").alias("deg_a"))
+    deg_b = deg.select(F.col("node").alias("b"), F.col("d").alias("deg_b"))
+    if small:
+        deg_a, deg_b = F.broadcast(deg_a), F.broadcast(deg_b)
+    scored = (
+        common.join(deg_a, "a")
+        .join(deg_b, "b")
+        .select(
+            F.col("a").alias("part_a"),
+            F.col("b").alias("part_b"),
+            "n_common",
+            "deg_a",
+            "deg_b",
+            (
+                F.col("n_common")
+                / (F.col("deg_a") + F.col("deg_b") - F.col("n_common")).cast(
+                    "double"
+                )
+            ).alias("jaccard"),
+        )
+    )
+    return (
+        scored.orderBy(
+            F.col("jaccard").desc(), F.col("part_a").asc(), F.col("part_b").asc()
+        )
+        .limit(JACCARD_TOP_K)
+        .withColumn("jaccard", f32(F.col("jaccard")))
+    )

@@ -2587,3 +2587,225 @@ def text_zlib_compress_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_redundant"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# benchmark_decontam_13gram — the STANDARD train/test contamination
+# sweep (VERDICT r7 #6; GPT-3 appendix-C / Dolma-style): token
+# 13-grams of every training document are probed against the distinct
+# 13-gram set of a held-out benchmark suite; a single colliding gram
+# flags the document. The held-out suite here is the deterministic
+# doc_id % 97 == 0 slice (a stand-in for MMLU/GSM8K-style eval files —
+# cross-source, so every source gets an audit row). Per-source output:
+# flagged-document counts at the any-hit and >=5%-of-grams thresholds
+# plus the pooled gram hit rate.
+#
+# Scale shape: gram rows are generated map-side (one explode), the
+# benchmark gram set is tiny relative to the corpus (eval suites are
+# MBs against TBs) and BROADCASTS; the only wide exchange is the final
+# source-grain rollup, which is map-side combinable. At 100 TB this is
+# one corpus scan + a broadcast probe — the exact production decontam
+# shape. The 13-gram width is the published convention (long enough
+# that natural collisions are ~0, short enough to catch partial
+# inclusion).
+# --------------------------------------------------------------------------
+DECONTAM_N = 13
+DECONTAM_BENCH_MOD = 97
+DECONTAM_FLAG_SHARE = 0.05
+
+_DECONTAM_TOKENS = "regexp_extract_all(lower(text), '[a-z0-9]+', 0)"
+_DECONTAM_GRAMS = (
+    f"array_distinct(transform(sequence(1, greatest(size({_DECONTAM_TOKENS})"
+    f" - {DECONTAM_N - 1}, 1)),"
+    f" i -> concat_ws(' ', slice({_DECONTAM_TOKENS}, i, {DECONTAM_N}))))"
+)
+
+
+@CATALOG.query(
+    "benchmark_decontam_13gram",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, source,
+               regexp_extract_all(lower(text), '[a-z0-9]+') AS tokens
+        FROM documents
+    ), grams AS (
+        SELECT DISTINCT doc_id, source,
+               array_to_string(tokens[CAST(i AS BIGINT):CAST(i + {DECONTAM_N - 1} AS BIGINT)], ' ') AS g
+        FROM (
+            SELECT doc_id, source, tokens,
+                   unnest(generate_series(1,
+                          greatest(len(tokens) - {DECONTAM_N - 1}, 1))) AS i
+            FROM toks
+        )
+    ), bench AS (
+        SELECT DISTINCT g FROM grams WHERE doc_id % {DECONTAM_BENCH_MOD} = 0
+    ), train AS (
+        SELECT * FROM grams WHERE doc_id % {DECONTAM_BENCH_MOD} <> 0
+    ), per_doc AS (
+        SELECT train.doc_id, train.source,
+               count(*) AS n_grams,
+               CAST(sum(CASE WHEN bench.g IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_hits
+        FROM train LEFT JOIN bench ON train.g = bench.g
+        GROUP BY train.doc_id, train.source
+    )
+    SELECT source,
+           count(*) AS n_train_docs,
+           CAST(sum(CASE WHEN n_hits > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_flagged_any,
+           CAST(sum(CASE WHEN n_hits >= {DECONTAM_FLAG_SHARE} * n_grams
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged_5pct,
+           CAST(sum(n_hits) / CAST(sum(n_grams) AS DOUBLE) AS REAL)
+               AS micro_hit_rate
+    FROM per_doc
+    GROUP BY source
+    """,
+)
+def benchmark_decontam_13gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    grams = docs.select(
+        "doc_id", "source", F.explode(F.expr(_DECONTAM_GRAMS)).alias("g")
+    )
+    bench = (
+        grams.where(F.col("doc_id") % DECONTAM_BENCH_MOD == 0)
+        .select("g")
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    train = grams.where(F.col("doc_id") % DECONTAM_BENCH_MOD != 0)
+    per_doc = (
+        train.join(F.broadcast(bench), "g", "left")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_hits"),
+        )
+    )
+    return per_doc.groupBy("source").agg(
+        F.count("*").alias("n_train_docs"),
+        F.sum((F.col("n_hits") > 0).cast("long")).alias("n_flagged_any"),
+        F.sum(
+            (
+                F.col("n_hits")
+                >= F.lit(DECONTAM_FLAG_SHARE) * F.col("n_grams")
+            ).cast("long")
+        ).alias("n_flagged_5pct"),
+        f32(F.sum("n_hits") / F.sum("n_grams").cast("double")).alias(
+            "micro_hit_rate"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# doc_prefix_template_profile — template/mirror detection by document
+# PREFIX: documents sharing their first 64 characters with any other
+# document in the corpus are "templated" (form letters, scraped
+# mirrors, boilerplate openings). Two aggregations: prefix -> cluster
+# size (one shuffle on the 64-byte prefix — bounded key, no skew
+# beyond true template mass), then a prefix-keyed join back and a
+# source-grain rollup. The complement of exact dedup (which needs the
+# WHOLE text equal) and of boilerplate shingles (which score interior
+# fragments): this catches shared openings cheaply — at 100 TB the
+# shuffle key is 64 bytes/doc, independent of document length.
+# --------------------------------------------------------------------------
+PREFIX_TEMPLATE_LEN = 64
+
+
+@CATALOG.query(
+    "doc_prefix_template_profile",
+    oracle=f"""
+    WITH pre AS (
+        SELECT doc_id, source,
+               substr(text, 1, {PREFIX_TEMPLATE_LEN}) AS prefix
+        FROM documents
+    ), clusters AS (
+        SELECT prefix, count(*) AS cluster_size
+        FROM pre GROUP BY prefix
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(count(DISTINCT pre.prefix) AS BIGINT) AS n_distinct_prefixes,
+           CAST(sum(CASE WHEN cluster_size > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_templated_docs,
+           CAST(sum(CASE WHEN cluster_size > 1 THEN 1 ELSE 0 END)
+                / CAST(count(*) AS DOUBLE) AS REAL) AS templated_share,
+           CAST(max(cluster_size) AS BIGINT) AS max_cluster_size
+    FROM pre JOIN clusters USING (prefix)
+    GROUP BY source
+    """,
+)
+def doc_prefix_template_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pre = _docs(spark, sf_dir).select(
+        "doc_id",
+        "source",
+        F.substring("text", 1, PREFIX_TEMPLATE_LEN).alias("prefix"),
+    )
+    clusters = pre.groupBy("prefix").agg(F.count("*").alias("cluster_size"))
+    joined = pre.join(clusters, "prefix")
+    return joined.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("prefix").alias("n_distinct_prefixes"),
+        F.sum((F.col("cluster_size") > 1).cast("long")).alias(
+            "n_templated_docs"
+        ),
+        f32(
+            F.sum((F.col("cluster_size") > 1).cast("long"))
+            / F.count("*").cast("double")
+        ).alias("templated_share"),
+        F.max("cluster_size").alias("max_cluster_size"),
+    )
+
+
+# --------------------------------------------------------------------------
+# char_bigram_entropy_by_source — character-level 2-gram Shannon
+# entropy per source: the classic cheap signal separating natural text
+# from noise/encoded blobs (low entropy = repetitive/templated, high =
+# random bytes). Bigrams explode map-side (stride 1), ONE
+# (source, bigram) count aggregation with map-side combine, then the
+# per-source entropy falls out of the closed form
+# H = log2(N) - (1/N) * sum(c * log2 c) — no second corpus pass and no
+# per-source distribution materialization beyond the bounded bigram
+# vocabulary (|alphabet|^2 cells).
+# --------------------------------------------------------------------------
+@CATALOG.query(
+    "char_bigram_entropy_by_source",
+    oracle="""
+    WITH bg AS (
+        SELECT source, substr(text, CAST(i AS BIGINT), 2) AS b
+        FROM (
+            SELECT source, text,
+                   unnest(generate_series(1, greatest(length(text) - 1, 1)))
+                       AS i
+            FROM documents
+        )
+    ), counts AS (
+        SELECT source, b, count(*) AS c FROM bg GROUP BY source, b
+    )
+    SELECT source,
+           CAST(sum(c) AS BIGINT) AS n_bigrams,
+           CAST(count(*) AS BIGINT) AS n_distinct_bigrams,
+           CAST(log2(sum(c)) - sum(c * log2(c)) / sum(c) AS REAL)
+               AS entropy_bits
+    FROM counts
+    GROUP BY source
+    """,
+)
+def char_bigram_entropy_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bigram_arr = (
+        "transform(sequence(1, greatest(length(text) - 1, 1)),"
+        " i -> substring(text, i, 2))"
+    )
+    counts = (
+        _docs(spark, sf_dir)
+        .select("source", F.explode(F.expr(bigram_arr)).alias("b"))
+        .groupBy("source", "b")
+        .agg(F.count("*").alias("c"))
+    )
+    return counts.groupBy("source").agg(
+        F.sum("c").alias("n_bigrams"),
+        F.count("*").alias("n_distinct_bigrams"),
+        f32(
+            F.log2(F.sum("c"))
+            - F.sum(F.col("c") * F.log2("c")) / F.sum("c")
+        ).alias("entropy_bits"),
+    )

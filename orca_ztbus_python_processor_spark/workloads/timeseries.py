@@ -3709,3 +3709,220 @@ def minute_latency_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
             f32(F.expr("percentile(value, 0.99)")).alias("p99"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# type_dow_mutual_information — dependence audit between event type and
+# day-of-week as MUTUAL INFORMATION (bits), with the marginal
+# entropies and the normalized MI: the information-theoretic sibling
+# of chi_square_nation_segment. Unlike chi-square, EMPTY cells
+# contribute exactly 0 to MI, so the observed (type, dow) cells from
+# one count aggregation are the complete computation — no full-grid
+# reconstruction needed. Cell counts are a bounded |types| x 7 table;
+# the marginals are broadcast joins over it; the whole query is one
+# corpus scan with map-side combine. dow convention: 0 = Sunday in
+# both engines (Spark dayofweek() - 1 == DuckDB date_part('dow')).
+# --------------------------------------------------------------------------
+@CATALOG.query(
+    "type_dow_mutual_information",
+    oracle="""
+    WITH cells AS (
+        SELECT event_type AS t, CAST(date_part('dow', ts) AS BIGINT) AS d,
+               count(*) AS c
+        FROM events GROUP BY 1, 2
+    ), rt AS (SELECT t, sum(c) AS ct FROM cells GROUP BY t),
+       cd AS (SELECT d, sum(c) AS cd FROM cells GROUP BY d),
+       n AS (SELECT sum(c) AS n FROM cells)
+    SELECT CAST(n.n AS BIGINT) AS n_events,
+           CAST(sum(cells.c / CAST(n.n AS DOUBLE)
+                    * log2(cells.c * CAST(n.n AS DOUBLE)
+                           / (rt.ct * CAST(cd.cd AS DOUBLE)))) AS REAL)
+               AS mi_bits,
+           CAST((SELECT -sum(ct / CAST(n2.n AS DOUBLE)
+                             * log2(ct / CAST(n2.n AS DOUBLE)))
+                 FROM rt, n n2) AS REAL) AS h_type,
+           CAST((SELECT -sum(cd / CAST(n2.n AS DOUBLE)
+                             * log2(cd / CAST(n2.n AS DOUBLE)))
+                 FROM cd, n n2) AS REAL) AS h_dow
+    FROM cells JOIN rt USING (t) JOIN cd USING (d), n
+    GROUP BY n.n
+    """,
+)
+def type_dow_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cells = (
+        _events(spark, sf_dir)
+        .groupBy(
+            F.col("event_type").alias("t"),
+            (F.dayofweek("ts") - 1).cast("long").alias("d"),
+        )
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=False)  # bounded |types| x 7 cell table
+    )
+    rt = cells.groupBy("t").agg(F.sum("c").alias("ct"))
+    cd = cells.groupBy("d").agg(F.sum("c").alias("cd"))
+    n = cells.agg(F.sum("c").alias("n"))
+    joined = (
+        cells.join(F.broadcast(rt), "t")
+        .join(F.broadcast(cd), "d")
+        .crossJoin(F.broadcast(n))
+    )
+    mi = joined.agg(
+        F.first("n").alias("n_events"),
+        f32(
+            F.sum(
+                F.col("c")
+                / F.col("n").cast("double")
+                * F.log2(
+                    F.col("c")
+                    * F.col("n").cast("double")
+                    / (F.col("ct") * F.col("cd").cast("double"))
+                )
+            )
+        ).alias("mi_bits"),
+    )
+    h_type = rt.crossJoin(F.broadcast(n)).agg(
+        f32(
+            -F.sum(
+                F.col("ct")
+                / F.col("n").cast("double")
+                * F.log2(F.col("ct") / F.col("n").cast("double"))
+            )
+        ).alias("h_type")
+    )
+    h_dow = cd.crossJoin(F.broadcast(n)).agg(
+        f32(
+            -F.sum(
+                F.col("cd")
+                / F.col("n").cast("double")
+                * F.log2(F.col("cd") / F.col("n").cast("double"))
+            )
+        ).alias("h_dow")
+    )
+    return mi.crossJoin(F.broadcast(h_type)).crossJoin(F.broadcast(h_dow))
+
+
+# --------------------------------------------------------------------------
+# value_tail_hill_index — Hill estimator of the value distribution's
+# tail index per event type, over the top-100 order statistics:
+# alpha = 1 / mean(ln(v_i / v_(k+1))), the standard heavy-tail
+# diagnostic (alpha < 2 => infinite variance territory) for deciding
+# whether mean-based monitoring is even valid. Selection is a
+# WindowGroupLimit-able rank over (value DESC, event_id) — the
+# deterministic tie-break makes the chosen order-statistic set
+# engine-portable — and the estimator is a conditional avg over the
+# bounded top-(k+1) frame. One shuffle on event_type; the rank prunes
+# per-partition before the final tiny aggregation.
+# --------------------------------------------------------------------------
+HILL_K = 100
+
+
+@CATALOG.query(
+    "value_tail_hill_index",
+    oracle=f"""
+    WITH pos AS (
+        SELECT event_type, event_id, value FROM events WHERE value > 0
+    ), ranked AS (
+        SELECT event_type, value,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY value DESC, event_id) AS rn
+        FROM pos
+    ), top AS (
+        SELECT * FROM ranked WHERE rn <= {HILL_K + 1}
+    )
+    SELECT event_type,
+           CAST((SELECT count(*) FROM pos p
+                 WHERE p.event_type = top.event_type) AS BIGINT)
+               AS n_positive,
+           CAST(min(value) AS REAL) AS x_k1,
+           CAST(1.0 / (sum(CASE WHEN rn <= {HILL_K} THEN ln(value) END)
+                       / {HILL_K}.0 - ln(min(value))) AS REAL)
+               AS hill_alpha
+    FROM top
+    GROUP BY event_type
+    """,
+)
+def value_tail_hill_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pos = _events(spark, sf_dir).where(F.col("value") > 0).select(
+        "event_type", "event_id", "value"
+    )
+    w = W.partitionBy("event_type").orderBy(
+        F.col("value").desc(), F.col("event_id").asc()
+    )
+    ranked = pos.withColumn("rn", F.row_number().over(w))
+    top = ranked.where(F.col("rn") <= HILL_K + 1)
+    counts = pos.groupBy("event_type").agg(
+        F.count("*").alias("n_positive")
+    )
+    est = top.groupBy("event_type").agg(
+        f32(F.min("value")).alias("x_k1"),
+        f32(
+            1.0
+            / (
+                F.sum(
+                    F.when(F.col("rn") <= HILL_K, F.log(F.col("value")))
+                )
+                / float(HILL_K)
+                - F.log(F.min("value"))
+            )
+        ).alias("hill_alpha"),
+    )
+    return est.join(F.broadcast(counts), "event_type").select(
+        "event_type", "n_positive", "x_k1", "hill_alpha"
+    )
+
+
+# --------------------------------------------------------------------------
+# user_diurnal_harmonic — first-harmonic (24 h period) fit of each
+# user's value-weighted activity: the Fourier pair C = Σ v·cos θ,
+# S = Σ v·sin θ with θ = 2π·hour/24 gives the diurnal amplitude share
+# sqrt(C² + S²)/Σv and the peak hour atan2(S, C)·24/2π — a
+# closed-form seasonality detector with NO window function: everything
+# is one map-combinable per-user aggregation (the same co-moment trick
+# as ols_trend_by_user), so the query is a single exchange on user_id
+# at any corpus size. Hours are UTC in both engines.
+# --------------------------------------------------------------------------
+_TWO_PI = 6.283185307179586
+
+
+@CATALOG.query(
+    "user_diurnal_harmonic",
+    oracle=f"""
+    WITH scored AS (
+        SELECT user_id, value,
+               cos({_TWO_PI} * date_part('hour', ts) / 24.0) AS cth,
+               sin({_TWO_PI} * date_part('hour', ts) / 24.0) AS sth
+        FROM events WHERE value > 0
+    )
+    SELECT user_id,
+           count(*) AS n_events,
+           CAST(sqrt(sum(value * cth) * sum(value * cth)
+                     + sum(value * sth) * sum(value * sth))
+                / sum(value) AS REAL) AS amp_share,
+           CAST(((atan2(sum(value * sth), sum(value * cth))
+                  * 24.0 / {_TWO_PI}) % 24.0 + 24.0) % 24.0 AS REAL)
+               AS peak_hour
+    FROM scored
+    GROUP BY user_id
+    """,
+)
+def user_diurnal_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    theta = F.lit(_TWO_PI) * F.hour("ts") / F.lit(24.0)
+    scored = (
+        _events(spark, sf_dir)
+        .where(F.col("value") > 0)
+        .select(
+            "user_id",
+            "value",
+            F.cos(theta).alias("cth"),
+            F.sin(theta).alias("sth"),
+        )
+    )
+    c = F.sum(F.col("value") * F.col("cth"))
+    s = F.sum(F.col("value") * F.col("sth"))
+    return scored.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        f32(F.sqrt(c * c + s * s) / F.sum("value")).alias("amp_share"),
+        f32(
+            ((F.atan2(s, c) * 24.0 / F.lit(_TWO_PI)) % 24.0 + 24.0) % 24.0
+        ).alias("peak_hour"),
+    )

@@ -816,3 +816,80 @@ def label_separation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("centroid_cosine")
     )
+
+
+# --------------------------------------------------------------------------
+# embedding_outlier_mahalanobis — embedding-space outlier audit under a
+# DIAGONAL-covariance Mahalanobis distance: dist(x) = sum_d
+# (x_d - mean_d)^2 / var_d, the standard cheap whitening (the full
+# covariance would need a 64x64 solve; the diagonal form is the usual
+# corpus-hygiene screen for broken/degenerate embeddings). Per-label
+# output: vector counts, mean/max distance, and the count beyond the
+# chi-square(64) p~0.006 cut (dist > 96) — dist is ~chi2(64) when the
+# dims are independent normals, so the fixed cut is scale-free.
+#
+# Scale shape: ONE posexplode to (vec, dim) grain, a 64-row dim-stats
+# aggregate (map-side combinable) that BROADCASTS back onto the
+# exploded rows, then two key-grain rollups (vec, then label). Nothing
+# but the explode scales with the corpus; both engines compute mean
+# and population variance from the same avg/avg-of-squares co-moments
+# so the join keys and sums agree bit-for-bit up to f32 rounding.
+# --------------------------------------------------------------------------
+MAHAL_OUTLIER_CUT = 96.0
+
+
+@CATALOG.query(
+    "embedding_outlier_mahalanobis",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id, CAST(label AS BIGINT) AS label, i AS dim,
+               CAST(embedding[i] AS DOUBLE) AS v
+        FROM embeddings,
+             unnest(generate_series(1, len(embedding))) AS t(i)
+    ), stats AS (
+        SELECT dim, avg(v) AS m, avg(v * v) - avg(v) * avg(v) AS var
+        FROM e GROUP BY dim
+    ), dists AS (
+        SELECT e.vec_id, e.label,
+               sum((e.v - s.m) * (e.v - s.m) / s.var) AS dist
+        FROM e JOIN stats s ON e.dim = s.dim
+        WHERE s.var > 0
+        GROUP BY e.vec_id, e.label
+    )
+    SELECT label,
+           count(*) AS n_vectors,
+           CAST(sum(CASE WHEN dist > {MAHAL_OUTLIER_CUT} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers,
+           CAST(avg(dist) AS REAL) AS mean_dist,
+           CAST(max(dist) AS REAL) AS max_dist
+    FROM dists
+    GROUP BY label
+    """,
+)
+def embedding_outlier_mahalanobis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir).select(
+        "vec_id", "label", F.posexplode("emb").alias("dim0", "v")
+    )
+    stats = (
+        e.groupBy("dim0")
+        .agg(F.avg("v").alias("m"), (F.avg(F.col("v") * F.col("v")) - F.avg("v") * F.avg("v")).alias("var"))
+        .where(F.col("var") > 0)
+    )
+    dists = (
+        e.join(F.broadcast(stats), "dim0")
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sum(
+                (F.col("v") - F.col("m")) * (F.col("v") - F.col("m"))
+                / F.col("var")
+            ).alias("dist")
+        )
+    )
+    return dists.groupBy("label").agg(
+        F.count("*").alias("n_vectors"),
+        F.sum((F.col("dist") > MAHAL_OUTLIER_CUT).cast("long")).alias(
+            "n_outliers"
+        ),
+        f32(F.avg("dist")).alias("mean_dist"),
+        f32(F.max("dist")).alias("max_dist"),
+    )

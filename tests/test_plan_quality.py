@@ -1256,3 +1256,53 @@ def test_neardup_keep_no_cartesian_no_python(spark, catalog):
     )
     assert "CartesianProduct" not in plan, plan
     assert "BatchEvalPython" not in plan, plan
+
+
+# ---- round-8 wave pins ----------------------------------------------------
+
+
+def test_jaccard_parts_takeordered_no_cartesian(spark, catalog):
+    """Neighbor-Jaccard: the top-20 is a TakeOrderedAndProject (no full
+    sort), degree enrichment broadcasts, and the wedge self-join is an
+    equi-join — never CartesianProduct or a smoke-scale SortMergeJoin."""
+    plan = _plan(
+        spark,
+        catalog.queries["copurchase_jaccard_similar_parts"](spark, SMOKE_SF_DIR),
+    )
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_decontam_broadcasts_benchmark_grams(spark, catalog):
+    """The decontam probe must broadcast the benchmark gram set (eval
+    suites are MBs against a TB corpus) — a shuffle join here would
+    re-exchange every training gram."""
+    plan = _plan(
+        spark, catalog.queries["benchmark_decontam_13gram"](spark, SMOKE_SF_DIR)
+    )
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_hill_index_window_group_limit(spark, catalog):
+    """The top-101 order-statistic rank must prune map-side via
+    WindowGroupLimit before the exchange — the full per-type sort never
+    materializes."""
+    plan = _plan(
+        spark, catalog.queries["value_tail_hill_index"](spark, SMOKE_SF_DIR)
+    )
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_diurnal_harmonic_single_exchange_no_window(spark, catalog):
+    """The harmonic fit is pure map-combinable co-moments: exactly one
+    exchange (the user_id hash for the final agg) and zero window
+    functions."""
+    plan = _plan(
+        spark, catalog.queries["user_diurnal_harmonic"](spark, SMOKE_SF_DIR)
+    )
+    assert plan.count("Exchange") <= 2, plan  # hash agg exchange (+AQE read)
+    assert "Window" not in plan, plan
+    assert "partial_" in plan.lower() or "partial" in plan, plan

@@ -1,0 +1,268 @@
+"""Independent numpy/pandas/pure-python references for the round-8
+catalog wave — the DuckDB twins share SQL-level blind spots with the
+Spark implementations (the chi-square lesson of round 6), so every new
+operator also gets a from-scratch reference on the seeded sf0.001
+fixture here.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter, defaultdict
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from orca_ztbus_python_processor_spark.workloads.base import merged_catalog
+
+from tests.conftest import SMOKE_SF_DIR
+
+CAT = merged_catalog()
+
+
+def _docs_pdf() -> pd.DataFrame:
+    return pd.read_parquet(f"{SMOKE_SF_DIR}/documents.parquet")
+
+
+def _events_pdf() -> pd.DataFrame:
+    return pd.read_parquet(f"{SMOKE_SF_DIR}/events.parquet")
+
+
+def test_decontam_matches_pure_python(spark):
+    import re
+
+    docs = _docs_pdf()
+    grams: dict[int, set] = {}
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        toks = re.findall(r"[a-z0-9]+", text.lower())
+        n = max(len(toks) - 12, 1)
+        grams[doc_id] = {" ".join(toks[i : i + 13]) for i in range(n)}
+    bench: set = set()
+    for doc_id, g in grams.items():
+        if doc_id % 97 == 0:
+            bench |= g
+    per_source = defaultdict(lambda: [0, 0, 0, 0, 0])  # docs, any, 5pct, hits, grams
+    for doc_id, source in zip(docs["doc_id"], docs["source"]):
+        if doc_id % 97 == 0:
+            continue
+        g = grams[doc_id]
+        hits = len(g & bench)
+        st = per_source[source]
+        st[0] += 1
+        st[1] += hits > 0
+        st[2] += hits >= 0.05 * len(g)
+        st[3] += hits
+        st[4] += len(g)
+    got = {
+        r["source"]: r
+        for r in CAT.queries["benchmark_decontam_13gram"](
+            spark, SMOKE_SF_DIR
+        ).collect()
+    }
+    assert set(got) == set(per_source)
+    for src, (nd, na, n5, hits, ngrams) in per_source.items():
+        r = got[src]
+        assert (r["n_train_docs"], r["n_flagged_any"], r["n_flagged_5pct"]) == (
+            nd, na, n5,
+        ), src
+        assert r["micro_hit_rate"] == pytest.approx(hits / ngrams, rel=1e-6)
+
+
+def test_prefix_template_matches_pandas(spark):
+    docs = _docs_pdf()
+    docs["prefix"] = docs["text"].str.slice(0, 64)
+    sizes = docs.groupby("prefix")["doc_id"].count()
+    docs["cluster_size"] = docs["prefix"].map(sizes)
+    got = {
+        r["source"]: r
+        for r in CAT.queries["doc_prefix_template_profile"](
+            spark, SMOKE_SF_DIR
+        ).collect()
+    }
+    for src, grp in docs.groupby("source"):
+        r = got[src]
+        assert r["n_docs"] == len(grp)
+        assert r["n_distinct_prefixes"] == grp["prefix"].nunique()
+        assert r["n_templated_docs"] == int((grp["cluster_size"] > 1).sum())
+        assert r["max_cluster_size"] == int(grp["cluster_size"].max())
+
+
+def test_bigram_entropy_matches_counter(spark):
+    docs = _docs_pdf()
+    got = {
+        r["source"]: r
+        for r in CAT.queries["char_bigram_entropy_by_source"](
+            spark, SMOKE_SF_DIR
+        ).collect()
+    }
+    for src, grp in docs.groupby("source"):
+        c: Counter = Counter()
+        for text in grp["text"]:
+            n = max(len(text) - 1, 1)
+            for i in range(n):
+                c[text[i : i + 2]] += 1
+        total = sum(c.values())
+        h = -sum(v / total * math.log2(v / total) for v in c.values())
+        r = got[src]
+        assert r["n_bigrams"] == total
+        assert r["n_distinct_bigrams"] == len(c)
+        assert r["entropy_bits"] == pytest.approx(h, rel=1e-6)
+
+
+def test_mahalanobis_matches_numpy(spark):
+    emb = pd.read_parquet(f"{SMOKE_SF_DIR}/embeddings.parquet")
+    X = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    m = X.mean(axis=0)
+    var = (X * X).mean(axis=0) - m * m
+    dist = (((X - m) ** 2) / var).sum(axis=1)
+    labels = emb["label"].to_numpy()
+    got = {
+        r["label"]: r
+        for r in CAT.queries["embedding_outlier_mahalanobis"](
+            spark, SMOKE_SF_DIR
+        ).collect()
+    }
+    for lab in np.unique(labels):
+        d = dist[labels == lab]
+        r = got[int(lab)]
+        assert r["n_vectors"] == len(d)
+        assert r["n_outliers"] == int((d > 96.0).sum())
+        assert r["mean_dist"] == pytest.approx(float(d.mean()), rel=1e-5)
+        assert r["max_dist"] == pytest.approx(float(d.max()), rel=1e-5)
+
+
+def test_jaccard_parts_matches_pure_python(spark):
+    li = pd.read_parquet(f"{SMOKE_SF_DIR}/lineitem.parquet")
+    pair_count: Counter = Counter()
+    for _, grp in li.groupby("l_orderkey"):
+        parts = sorted(set(grp["l_partkey"]))
+        for i in range(len(parts)):
+            for j in range(i + 1, len(parts)):
+                pair_count[(parts[i], parts[j])] += 1
+    edges = {p for p, c in pair_count.items() if c >= 2}
+    nbrs: dict[int, set] = defaultdict(set)
+    for a, b in edges:
+        nbrs[a].add(b)
+        nbrs[b].add(a)
+    scored = []
+    seen = set()
+    for u, nu in nbrs.items():
+        for a in nu:
+            for b in nu:
+                if a < b and (a, b) not in seen:
+                    seen.add((a, b))
+                    common = len(nbrs[a] & nbrs[b])
+                    if common:
+                        j = common / (len(nbrs[a]) + len(nbrs[b]) - common)
+                        scored.append((-j, a, b, common))
+    scored.sort()
+    expect = scored[:20]
+    rows = CAT.queries["copurchase_jaccard_similar_parts"](
+        spark, SMOKE_SF_DIR
+    ).collect()
+    assert len(rows) == min(20, len(expect))
+    for r, (negj, a, b, common) in zip(rows, expect):
+        assert (r["part_a"], r["part_b"], r["n_common"]) == (a, b, common)
+        assert r["jaccard"] == pytest.approx(-negj, rel=1e-6)
+        assert (r["deg_a"], r["deg_b"]) == (len(nbrs[a]), len(nbrs[b]))
+
+
+def test_epoch_shuffle_matches_python_hash(spark):
+    docs = _docs_pdf()
+    got = {
+        r["epoch"]: r
+        for r in CAT.queries["epoch_shuffle_balance"](spark, SMOKE_SF_DIR).collect()
+    }
+    for epoch in range(4):
+        sizes: Counter = Counter()
+        for doc_id in docs["doc_id"]:
+            shard = ((int(doc_id) + epoch * 1000003) * 2654435761) % 1048576 % 16
+            sizes[shard] += 1
+        r = got[epoch]
+        assert r["n_docs"] == len(docs)
+        assert r["n_shards_used"] == len(sizes)
+        assert (r["min_shard"], r["max_shard"]) == (
+            min(sizes.values()), max(sizes.values()),
+        )
+        c = np.array(list(sizes.values()), dtype=float)
+        cv = math.sqrt((c * c).mean() - c.mean() ** 2) / c.mean()
+        assert r["shard_cv"] == pytest.approx(cv, abs=1e-6)
+
+
+def test_mutual_information_matches_numpy(spark):
+    ev = _events_pdf()
+    ts = pd.to_datetime(ev["ts"], utc=True)
+    dow = ts.dt.dayofweek  # Monday=0
+    dow_sunday0 = (dow + 1) % 7  # Sunday=0 convention of the query
+    tab = pd.crosstab(ev["event_type"], dow_sunday0).to_numpy(dtype=float)
+    n = tab.sum()
+    pt = tab.sum(axis=1) / n
+    pdw = tab.sum(axis=0) / n
+    mi = 0.0
+    for i in range(tab.shape[0]):
+        for j in range(tab.shape[1]):
+            if tab[i, j] > 0:
+                p = tab[i, j] / n
+                mi += p * math.log2(p / (pt[i] * pdw[j]))
+    h_t = -sum(p * math.log2(p) for p in pt if p > 0)
+    h_d = -sum(p * math.log2(p) for p in pdw if p > 0)
+    rows = CAT.queries["type_dow_mutual_information"](spark, SMOKE_SF_DIR).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["n_events"] == int(n)
+    assert r["mi_bits"] == pytest.approx(mi, abs=1e-6)
+    assert r["h_type"] == pytest.approx(h_t, rel=1e-6)
+    assert r["h_dow"] == pytest.approx(h_d, rel=1e-6)
+
+
+def test_hill_index_matches_numpy(spark):
+    ev = _events_pdf()
+    pos = ev[ev["value"] > 0]
+    got = {
+        r["event_type"]: r
+        for r in CAT.queries["value_tail_hill_index"](spark, SMOKE_SF_DIR).collect()
+    }
+    for et, grp in pos.groupby("event_type"):
+        ordered = grp.sort_values(
+            ["value", "event_id"], ascending=[False, True]
+        )
+        top = ordered.head(101)["value"].to_numpy(dtype=float)
+        xk1 = top.min()
+        alpha = 1.0 / (np.log(top[:100]).mean() - math.log(xk1))
+        r = got[et]
+        assert r["n_positive"] == len(grp)
+        assert r["x_k1"] == pytest.approx(xk1, rel=1e-6)
+        assert r["hill_alpha"] == pytest.approx(alpha, rel=1e-5)
+
+
+def test_diurnal_harmonic_matches_numpy(spark):
+    ev = _events_pdf()
+    pos = ev[ev["value"] > 0].copy()
+    ts = pd.to_datetime(pos["ts"], utc=True)
+    theta = 2.0 * math.pi * ts.dt.hour.to_numpy(dtype=float) / 24.0
+    pos["c"] = pos["value"].to_numpy() * np.cos(theta)
+    pos["s"] = pos["value"].to_numpy() * np.sin(theta)
+    got = {
+        r["user_id"]: r
+        for r in CAT.queries["user_diurnal_harmonic"](spark, SMOKE_SF_DIR).collect()
+    }
+    for uid, grp in pos.groupby("user_id"):
+        c, s, v = grp["c"].sum(), grp["s"].sum(), grp["value"].sum()
+        amp = math.sqrt(c * c + s * s) / v
+        peak = (math.atan2(s, c) * 24.0 / (2.0 * math.pi)) % 24.0
+        r = got[uid]
+        assert r["n_events"] == len(grp)
+        assert r["amp_share"] == pytest.approx(amp, rel=1e-5)
+        assert r["peak_hour"] == pytest.approx(peak, abs=1e-4)
+
+
+def test_decontam_benchmark_slice_nonempty(spark):
+    """The held-out suite and the flagged set must both be non-trivial
+    on the fixture, or the decontam query degenerates to a no-op test
+    (the straddle-fixture lesson)."""
+    rows = CAT.queries["benchmark_decontam_13gram"](spark, SMOKE_SF_DIR).collect()
+    assert sum(r["n_train_docs"] for r in rows) > 0
+    assert any(r["n_flagged_any"] > 0 for r in rows), (
+        "no contaminated docs in fixture; the overlap path is untested"
+    )
