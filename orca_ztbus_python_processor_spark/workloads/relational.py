@@ -2812,3 +2812,142 @@ def copurchase_jaccard_similar_parts(
         .limit(JACCARD_TOP_K)
         .withColumn("jaccard", f32(F.col("jaccard")))
     )
+
+
+# --------------------------------------------------------------------------
+# orders_backlog_over_time — open-order backlog as a SWEEP-LINE time
+# series: every order contributes +1 on its order date and -1 on its
+# completion date (max lineitem receipt), deltas aggregate to day
+# grain, and ONE running sum over the bounded day axis yields the
+# backlog curve (this corpus carries ship dates only, so completion =
+# last shipment). The classic inventory/WIP accounting shape, computed
+# without any per-order window: the only window is over the |dates|
+# frame AFTER aggregation (bounded at any corpus size — whitelisted in
+# the global-window lint), and the per-order completion lookup is a
+# map-combinable max-agg joined back order-grain.
+# --------------------------------------------------------------------------
+@CATALOG.query(
+    "orders_backlog_over_time",
+    oracle="""
+    WITH completion AS (
+        SELECT l_orderkey, max(l_shipdate) AS done_date
+        FROM lineitem GROUP BY l_orderkey
+    ), deltas AS (
+        SELECT date_trunc('day', o_orderdate) AS day,
+               1 AS opened, 0 AS closed, 1 AS delta
+        FROM orders
+        UNION ALL
+        SELECT date_trunc('day', done_date) AS day,
+               0, 1, -1
+        FROM orders JOIN completion ON o_orderkey = l_orderkey
+    ), days AS (
+        SELECT day,
+               CAST(sum(opened) AS BIGINT) AS n_opened,
+               CAST(sum(closed) AS BIGINT) AS n_closed,
+               sum(delta) AS net
+        FROM deltas GROUP BY day
+    )
+    SELECT day, n_opened, n_closed,
+           CAST(sum(net) OVER (ORDER BY day) AS BIGINT) AS backlog
+    FROM days
+    """,
+)
+def orders_backlog_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    completion = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.max("l_shipdate").alias("done_date"))
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    opened = orders.select(
+        F.date_trunc("day", F.col("o_orderdate")).alias("day"),
+        F.lit(1).alias("opened"),
+        F.lit(0).alias("closed"),
+        F.lit(1).alias("delta"),
+    )
+    closed = (
+        orders.join(
+            completion, F.col("o_orderkey") == F.col("l_orderkey")
+        ).select(
+            F.date_trunc("day", F.col("done_date")).alias("day"),
+            F.lit(0).alias("opened"),
+            F.lit(1).alias("closed"),
+            F.lit(-1).alias("delta"),
+        )
+    )
+    days = (
+        opened.unionAll(closed)
+        .groupBy("day")
+        .agg(
+            F.sum("opened").alias("n_opened"),
+            F.sum("closed").alias("n_closed"),
+            F.sum("delta").alias("net"),
+        )
+    )
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return days.select(
+        "day",
+        "n_opened",
+        "n_closed",
+        F.sum("net").over(w).cast("long").alias("backlog"),
+    )
+
+
+# --------------------------------------------------------------------------
+# supplier_lead_time_profile — fulfilment lead time (order date ->
+# ship date, this corpus's available pair) rolled up to supplier
+# NATION: counts, mean, max, and the share beyond a 30-day SLA. Two
+# deliberate shape choices: (a) the lineitem-orders FACT-FACT equi-
+# join shuffles both sides on the order key (the q3/q10 class —
+# AQE-coalesced, never broadcast), while supplier and nation BROADCAST
+# as dimensions; (b) percentile-free — per-nation groups are corpus-
+# proportional, so a buffered exact percentile here would be the scale
+# wall the quantiles module documents, and the SLA share is the
+# monitoring quantity that stays one map-combinable conditional sum.
+# (fulfillment_lag_profile is the priority-grain percentile sibling.)
+# --------------------------------------------------------------------------
+@CATALOG.query(
+    "supplier_lead_time_profile",
+    oracle="""
+    SELECT n_name AS nation,
+           count(*) AS n_lineitems,
+           CAST(avg(date_diff('day', o_orderdate, l_shipdate)) AS REAL)
+               AS avg_lead_days,
+           CAST(max(date_diff('day', o_orderdate, l_shipdate)) AS BIGINT)
+               AS max_lead_days,
+           CAST(sum(CASE WHEN date_diff('day', o_orderdate, l_shipdate) > 30
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_over_30d,
+           CAST(sum(CASE WHEN date_diff('day', o_orderdate, l_shipdate) > 30
+                         THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE)
+                AS REAL) AS share_over_30d
+    FROM lineitem
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation ON n_nationkey = s_nationkey
+    GROUP BY n_name
+    """,
+)
+def supplier_lead_time_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    lead = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    joined = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(F.col("s_nationkey"), F.col("n_name"), lead.alias("lead_days"))
+    )
+    return joined.groupBy(F.col("n_name").alias("nation")).agg(
+        F.count("*").alias("n_lineitems"),
+        f32(F.avg("lead_days")).alias("avg_lead_days"),
+        F.max("lead_days").cast("long").alias("max_lead_days"),
+        F.sum((F.col("lead_days") > 30).cast("long")).alias("n_over_30d"),
+        f32(
+            F.sum((F.col("lead_days") > 30).cast("long"))
+            / F.count("*").cast("double")
+        ).alias("share_over_30d"),
+    )

@@ -2809,3 +2809,174 @@ def char_bigram_entropy_by_source(spark: SparkSession, sf_dir: str) -> DataFrame
             - F.sum(F.col("c") * F.log2("c")) / F.sum("c")
         ).alias("entropy_bits"),
     )
+
+
+# --------------------------------------------------------------------------
+# exact_dup_cluster_histogram — the size distribution of exact-dup
+# clusters (how MUCH of the corpus is singletons vs 2-copies vs
+# heavy template mass): the monitoring rollup over dedup_exact's
+# groups. Two map-combinable aggregations — text -> cluster size,
+# size -> (clusters, docs) — so the histogram costs one extra
+# bounded-grain exchange over the dedup pass it audits.
+# --------------------------------------------------------------------------
+@CATALOG.query(
+    "exact_dup_cluster_histogram",
+    oracle="""
+    WITH clusters AS (
+        SELECT count(*) AS cluster_size FROM documents GROUP BY text
+    )
+    SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+           count(*) AS n_clusters,
+           CAST(cluster_size * count(*) AS BIGINT) AS n_docs
+    FROM clusters
+    GROUP BY cluster_size
+    """,
+)
+def exact_dup_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    clusters = (
+        _docs(spark, sf_dir).groupBy("text").agg(F.count("*").alias("cluster_size"))
+    )
+    return (
+        clusters.groupBy(F.col("cluster_size").cast("long").alias("cluster_size"))
+        .agg(F.count("*").alias("n_clusters"))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters")).cast("long").alias("n_docs"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# context_window_fit_profile — curriculum/packing planning input: per
+# source, how many documents fit whole into each standard context
+# budget (512/1k/2k/4k tokens). Token counts are one regexp pass
+# (same [A-Za-z0-9]+ token class as the vocab queries); the budgets
+# are conditional sums inside ONE source-grain aggregation — the
+# entire query is a single corpus scan with map-side combine.
+# --------------------------------------------------------------------------
+@CATALOG.query(
+    "context_window_fit_profile",
+    oracle=f"""
+    WITH t AS (
+        SELECT source,
+               len(regexp_extract_all(text, '{TOKEN_RE}')) AS n_tokens
+        FROM documents
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(avg(n_tokens) AS REAL) AS avg_tokens,
+           CAST(sum(CASE WHEN n_tokens <= 512 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_fit_512,
+           CAST(sum(CASE WHEN n_tokens <= 1024 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_fit_1024,
+           CAST(sum(CASE WHEN n_tokens <= 2048 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_fit_2048,
+           CAST(sum(CASE WHEN n_tokens <= 4096 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_fit_4096
+    FROM t
+    GROUP BY source
+    """,
+)
+def context_window_fit_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _docs(spark, sf_dir).select(
+        "source",
+        F.size(F.expr(f"regexp_extract_all(text, '{TOKEN_RE}', 0)")).alias(
+            "n_tokens"
+        ),
+    )
+    fits = [
+        F.sum((F.col("n_tokens") <= b).cast("long")).alias(f"n_fit_{b}")
+        for b in (512, 1024, 2048, 4096)
+    ]
+    return t.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        f32(F.avg("n_tokens")).alias("avg_tokens"),
+        *fits,
+    )
+
+
+# --------------------------------------------------------------------------
+# incremental_dedup_delta_audit — INCREMENTAL ingest dedup: a new
+# batch (the deterministic doc_id % 10 >= 8 slice) is merged into an
+# existing deduplicated base (the other 80%), and each delta document
+# is classified as dup-vs-base (text already in the base), dup-within-
+# delta (first-seen delta copy keeps; later doc_ids drop), or new
+# unique. This is the production shape of dedup at 100 TB — you never
+# re-dedup the corpus, you probe the delta against the base's hash
+# index: the base side reduces to DISTINCT text (in production, the
+# stored sha index), the probe is one hash join keyed on the text
+# hash, and the within-delta ordering is a min-agg join, all
+# map-combinable.
+# --------------------------------------------------------------------------
+DELTA_MOD = 10
+DELTA_MIN = 8  # doc_id % 10 in {8, 9} -> the delta batch
+
+
+@CATALOG.query(
+    "incremental_dedup_delta_audit",
+    oracle=f"""
+    WITH base AS (
+        SELECT DISTINCT text FROM documents
+        WHERE doc_id % {DELTA_MOD} < {DELTA_MIN}
+    ), delta AS (
+        SELECT doc_id, source, text FROM documents
+        WHERE doc_id % {DELTA_MOD} >= {DELTA_MIN}
+    ), first_in_delta AS (
+        SELECT text, min(doc_id) AS keeper FROM delta GROUP BY text
+    ), classified AS (
+        SELECT d.source,
+               CASE WHEN b.text IS NOT NULL THEN 'dup_vs_base'
+                    WHEN d.doc_id > f.keeper THEN 'dup_within_delta'
+                    ELSE 'new_unique' END AS status
+        FROM delta d
+        LEFT JOIN base b ON d.text = b.text
+        JOIN first_in_delta f ON d.text = f.text
+    )
+    SELECT source,
+           count(*) AS n_delta_docs,
+           CAST(sum(CASE WHEN status = 'dup_vs_base' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dup_vs_base,
+           CAST(sum(CASE WHEN status = 'dup_within_delta' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dup_within_delta,
+           CAST(sum(CASE WHEN status = 'new_unique' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_new_unique
+    FROM classified
+    GROUP BY source
+    """,
+)
+def incremental_dedup_delta_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    base = (
+        docs.where(F.col("doc_id") % DELTA_MOD < DELTA_MIN)
+        .select("text")
+        .distinct()
+        .withColumn("_in_base", F.lit(1))
+    )
+    delta = docs.where(F.col("doc_id") % DELTA_MOD >= DELTA_MIN).select(
+        "doc_id", "source", "text"
+    )
+    first_in_delta = delta.groupBy("text").agg(F.min("doc_id").alias("keeper"))
+    classified = (
+        delta.join(base, "text", "left")
+        .join(first_in_delta, "text")
+        .select(
+            "source",
+            F.when(F.col("_in_base").isNotNull(), "dup_vs_base")
+            .when(F.col("doc_id") > F.col("keeper"), "dup_within_delta")
+            .otherwise("new_unique")
+            .alias("status"),
+        )
+    )
+    return classified.groupBy("source").agg(
+        F.count("*").alias("n_delta_docs"),
+        F.sum((F.col("status") == "dup_vs_base").cast("long")).alias(
+            "n_dup_vs_base"
+        ),
+        F.sum((F.col("status") == "dup_within_delta").cast("long")).alias(
+            "n_dup_within_delta"
+        ),
+        F.sum((F.col("status") == "new_unique").cast("long")).alias(
+            "n_new_unique"
+        ),
+    )

@@ -632,6 +632,7 @@ BOUNDED_GLOBAL_WINDOW_OK = {
     "data_mix_rebalance_profile": "|sources| rows after source-grain agg",
     "orders_skyline_paretofront": "|dates| rows after date-grain agg",
     "ks_binned_drift": "KS_BINS (20) rows after bin-grain agg",
+    "orders_backlog_over_time": "|dates| rows after day-grain agg",
 }
 
 

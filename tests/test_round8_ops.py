@@ -266,3 +266,139 @@ def test_decontam_benchmark_slice_nonempty(spark):
     assert any(r["n_flagged_any"] > 0 for r in rows), (
         "no contaminated docs in fixture; the overlap path is untested"
     )
+
+
+# ---- wave 2 ---------------------------------------------------------------
+
+
+def test_backlog_sweep_matches_pandas(spark):
+    orders = pd.read_parquet(f"{SMOKE_SF_DIR}/orders.parquet")
+    li = pd.read_parquet(f"{SMOKE_SF_DIR}/lineitem.parquet")
+    done = li.groupby("l_orderkey")["l_shipdate"].max()
+    opened = orders["o_orderdate"].dt.floor("D").value_counts().sort_index()
+    closed = (
+        done.loc[done.index.intersection(orders["o_orderkey"])]
+        .dt.floor("D")
+        .value_counts()
+        .sort_index()
+    )
+    days = sorted(set(opened.index) | set(closed.index))
+    got = {
+        pd.Timestamp(r["day"]): r
+        for r in CAT.queries["orders_backlog_over_time"](
+            spark, SMOKE_SF_DIR
+        ).collect()
+    }
+    assert len(got) == len(days)
+    backlog = 0
+    for day in days:
+        o = int(opened.get(day, 0))
+        c = int(closed.get(day, 0))
+        backlog += o - c
+        r = got[pd.Timestamp(day)]
+        assert (r["n_opened"], r["n_closed"], r["backlog"]) == (o, c, backlog), day
+    # the final backlog must be the orders that never fully ship — with
+    # every order having lineitems, exactly 0
+    assert backlog == len(orders) - len(done.index.intersection(orders["o_orderkey"]))
+
+
+def test_lead_time_profile_matches_pandas(spark):
+    orders = pd.read_parquet(f"{SMOKE_SF_DIR}/orders.parquet")
+    li = pd.read_parquet(f"{SMOKE_SF_DIR}/lineitem.parquet")
+    supp = pd.read_parquet(f"{SMOKE_SF_DIR}/supplier.parquet")
+    nation = pd.read_parquet(f"{SMOKE_SF_DIR}/nation.parquet")
+    j = (
+        li.merge(orders, left_on="l_orderkey", right_on="o_orderkey")
+        .merge(supp, left_on="l_suppkey", right_on="s_suppkey")
+        .merge(nation, left_on="s_nationkey", right_on="n_nationkey")
+    )
+    j["lead"] = (
+        j["l_shipdate"].dt.floor("D") - j["o_orderdate"].dt.floor("D")
+    ).dt.days
+    got = {
+        r["nation"]: r
+        for r in CAT.queries["supplier_lead_time_profile"](
+            spark, SMOKE_SF_DIR
+        ).collect()
+    }
+    for nat, grp in j.groupby("n_name"):
+        r = got[nat]
+        assert r["n_lineitems"] == len(grp)
+        assert r["avg_lead_days"] == pytest.approx(grp["lead"].mean(), rel=1e-6)
+        assert r["max_lead_days"] == grp["lead"].max()
+        assert r["n_over_30d"] == int((grp["lead"] > 30).sum())
+
+
+def test_dup_cluster_histogram_exercises_multirow(spark):
+    """sf0.001/sf0.01 corpora are dup-free (histogram = one size-1
+    row); sf0.1 carries real exact dups, so drive the multi-cluster
+    branch there against pandas."""
+    docs = pd.read_parquet("/root/testdata/sf0.1/documents.parquet")
+    sizes = docs.groupby("text")["doc_id"].count().value_counts().sort_index()
+    assert len(sizes) > 1, "sf0.1 fixture lost its exact dups"
+    got = {
+        r["cluster_size"]: r
+        for r in CAT.queries["exact_dup_cluster_histogram"](
+            spark, "/root/testdata/sf0.1"
+        ).collect()
+    }
+    assert set(got) == set(sizes.index)
+    for size, n_clusters in sizes.items():
+        assert got[size]["n_clusters"] == n_clusters
+        assert got[size]["n_docs"] == size * n_clusters
+
+
+def test_context_fit_matches_python(spark):
+    import re
+
+    docs = _docs_pdf()
+    docs["n_tokens"] = docs["text"].map(
+        lambda t: len(re.findall(r"[A-Za-z0-9]+", t))
+    )
+    got = {
+        r["source"]: r
+        for r in CAT.queries["context_window_fit_profile"](
+            spark, SMOKE_SF_DIR
+        ).collect()
+    }
+    for src, grp in docs.groupby("source"):
+        r = got[src]
+        assert r["n_docs"] == len(grp)
+        assert r["avg_tokens"] == pytest.approx(grp["n_tokens"].mean(), rel=1e-6)
+        for b in (512, 1024, 2048, 4096):
+            assert r[f"n_fit_{b}"] == int((grp["n_tokens"] <= b).sum())
+
+
+def test_incremental_dedup_matches_pure_python(spark):
+    docs = pd.read_parquet("/root/testdata/sf0.1/documents.parquet")
+    base_texts = set(docs.loc[docs["doc_id"] % 10 < 8, "text"])
+    delta = docs[docs["doc_id"] % 10 >= 8].sort_values("doc_id")
+    counts = defaultdict(lambda: [0, 0, 0, 0])
+    seen: set = set()
+    for _, row in delta.iterrows():
+        st = counts[row["source"]]
+        st[0] += 1
+        if row["text"] in base_texts:
+            st[1] += 1
+        elif row["text"] in seen:
+            st[2] += 1
+        else:
+            st[3] += 1
+        seen.add(row["text"])
+    got = {
+        r["source"]: r
+        for r in CAT.queries["incremental_dedup_delta_audit"](
+            spark, "/root/testdata/sf0.1"
+        ).collect()
+    }
+    assert set(got) == set(counts)
+    total_dupbase = 0
+    for src, (n, nb, nw, nu) in counts.items():
+        r = got[src]
+        assert (
+            r["n_delta_docs"], r["n_dup_vs_base"],
+            r["n_dup_within_delta"], r["n_new_unique"],
+        ) == (n, nb, nw, nu), src
+        total_dupbase += nb
+    # at sf0.1 the split must actually exercise the dup-vs-base branch
+    assert total_dupbase > 0
