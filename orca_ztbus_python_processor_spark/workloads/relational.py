@@ -2951,3 +2951,264 @@ def supplier_lead_time_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count("*").cast("double")
         ).alias("share_over_30d"),
     )
+
+
+# --------------------------------------------------------------------------
+# copurchase_degree_assortativity — one-number graph topology audit:
+# the Pearson correlation of endpoint degrees over the (symmetrized)
+# recurrent co-purchase edge set. Positive = hubs link to hubs
+# (assortative), negative = hub-and-spoke. All five correlation
+# co-moments come from ONE pass over the degree-enriched directed-both-
+# ways edge list — the same broadcast degree join the triangle census
+# uses — so the query is two bounded exchanges beyond edge
+# construction at any scale; BIGINT sums keep the co-moments exact
+# until the final f32 division.
+# --------------------------------------------------------------------------
+@CATALOG.query(
+    "copurchase_degree_assortativity",
+    oracle="""
+    WITH parts_per_order AS (
+        SELECT l_orderkey, list_sort(list(DISTINCT l_partkey)) AS parts
+        FROM lineitem GROUP BY l_orderkey
+    ), pair_w AS (
+        SELECT u.part AS a, v.part AS b
+        FROM parts_per_order,
+             unnest(parts) AS u(part), unnest(parts) AS v(part)
+        WHERE u.part < v.part
+    ), edges AS (
+        SELECT a, b FROM pair_w GROUP BY a, b HAVING count(*) >= 2
+    ), adj AS (
+        SELECT a AS u, b AS v FROM edges
+        UNION ALL
+        SELECT b AS u, a AS v FROM edges
+    ), deg AS (
+        SELECT u AS node, count(*) AS d FROM adj GROUP BY u
+    ), enriched AS (
+        SELECT da.d AS dx, db.d AS dy
+        FROM adj JOIN deg da ON da.node = adj.u
+                 JOIN deg db ON db.node = adj.v
+    )
+    SELECT count(*) AS n_directed_edges,
+           CAST((SELECT count(*) FROM deg) AS BIGINT) AS n_nodes,
+           CAST((count(*) * sum(dx * dy) - sum(dx) * sum(dy))
+                / (sqrt(count(*) * sum(dx * dx) - sum(dx) * sum(dx))
+                   * sqrt(count(*) * sum(dy * dy) - sum(dy) * sum(dy)))
+                AS REAL) AS assortativity
+    FROM enriched
+    """,
+)
+def copurchase_degree_assortativity(
+    spark: SparkSession, sf_dir: str, broadcast_nodes_limit: int = 2_000_000
+) -> DataFrame:
+    parts_per_order = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("parts"))
+    )
+    pair_expr = F.expr(
+        "flatten(transform(parts, (x, i) ->"
+        " transform(slice(parts, i + 2, size(parts)),"
+        " y -> struct(x AS a, y AS b))))"
+    )
+    edges = (
+        parts_per_order.select(F.explode(pair_expr).alias("e"))
+        .groupBy(F.col("e.a").alias("a"), F.col("e.b").alias("b"))
+        .agg(F.count("*").alias("_w"))
+        .where(F.col("_w") >= 2)
+        .drop("_w")
+        .localCheckpoint(eager=False)  # reused by adjacency + degrees
+    )
+    adj = edges.select(F.col("a").alias("u"), F.col("b").alias("v")).union(
+        edges.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    deg = adj.groupBy(F.col("u").alias("node")).agg(F.count("*").alias("d"))
+    small = deg.count() <= broadcast_nodes_limit
+    deg_u = deg.select(F.col("node").alias("u"), F.col("d").alias("dx"))
+    deg_v = deg.select(F.col("node").alias("v"), F.col("d").alias("dy"))
+    if small:
+        deg_u, deg_v = F.broadcast(deg_u), F.broadcast(deg_v)
+    enriched = adj.join(deg_u, "u").join(deg_v, "v")
+    n_nodes = deg.count()
+    cnt = F.count("*")
+    sxy, sx, sy = F.sum(F.col("dx") * F.col("dy")), F.sum("dx"), F.sum("dy")
+    sxx, syy = F.sum(F.col("dx") * F.col("dx")), F.sum(F.col("dy") * F.col("dy"))
+    return enriched.agg(
+        cnt.alias("n_directed_edges"),
+        F.lit(n_nodes).cast("long").alias("n_nodes"),
+        f32(
+            (cnt * sxy - sx * sy)
+            / (
+                F.sqrt(cnt * sxx - sx * sx)
+                * F.sqrt(cnt * syy - sy * sy)
+            )
+        ).alias("assortativity"),
+    )
+
+
+# --------------------------------------------------------------------------
+# copurchase_kcore_summary — iterative k-core decomposition (the
+# standard "dense backbone" graph reduction): repeatedly peel nodes
+# with degree < k until fixpoint, for k = 2 and 3. Each peel round is
+# one degree aggregation + one semi-join — the level-synchronous shape
+# of the BFS/PageRank family, with localCheckpoint cutting lineage per
+# round and a driver-side scalar count as the fixpoint probe. The
+# fixpoint iteration count is data-dependent, so this is a rows-only
+# catalog entry (no closed-form SQL twin); exactness is pinned against
+# a pure-Python peeling reference in tests/test_round8_ops.py.
+# --------------------------------------------------------------------------
+@CATALOG.query("copurchase_kcore_summary")
+def copurchase_kcore_summary(
+    spark: SparkSession, sf_dir: str, broadcast_nodes_limit: int = 2_000_000
+) -> DataFrame:
+    parts_per_order = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("parts"))
+    )
+    pair_expr = F.expr(
+        "flatten(transform(parts, (x, i) ->"
+        " transform(slice(parts, i + 2, size(parts)),"
+        " y -> struct(x AS a, y AS b))))"
+    )
+    edges0 = (
+        parts_per_order.select(F.explode(pair_expr).alias("e"))
+        .groupBy(F.col("e.a").alias("a"), F.col("e.b").alias("b"))
+        .agg(F.count("*").alias("_w"))
+        .where(F.col("_w") >= 2)
+        .drop("_w")
+        .localCheckpoint(eager=False)
+    )
+    n_nodes0 = (
+        edges0.select(F.col("a").alias("n"))
+        .union(edges0.select(F.col("b")))
+        .distinct()
+        .count()
+    )
+    n_edges0 = edges0.count()
+    # node grain only shrinks during peeling, so one up-front decision
+    # (same threshold duality as triangle/PageRank) covers every round
+    small = n_nodes0 <= broadcast_nodes_limit
+    rows = []
+    for k in (2, 3):
+        edges = edges0
+        while True:
+            deg = (
+                edges.select(F.col("a").alias("node"))
+                .union(edges.select(F.col("b").alias("node")))
+                .groupBy("node")
+                .agg(F.count("*").alias("d"))
+            )
+            keep = deg.where(F.col("d") >= k).select("node")
+            if small:
+                keep = F.broadcast(keep)
+            pruned = (
+                edges.join(keep.withColumnRenamed("node", "a"), "a", "semi")
+                .join(keep.withColumnRenamed("node", "b"), "b", "semi")
+                .localCheckpoint(eager=False)  # cut per-round lineage
+            )
+            n_before, n_after = edges.count(), pruned.count()
+            edges = pruned
+            if n_after == n_before or n_after == 0:
+                break
+        core_nodes = (
+            edges.select(F.col("a").alias("n"))
+            .union(edges.select(F.col("b")))
+            .distinct()
+            .count()
+        )
+        rows.append((k, core_nodes, edges.count()))
+    out = spark.createDataFrame(
+        rows, "k long, core_nodes long, core_edges long"
+    )
+    return out.select(
+        "k",
+        F.lit(n_nodes0).cast("long").alias("n_nodes_total"),
+        F.lit(n_edges0).cast("long").alias("n_edges_total"),
+        "core_nodes",
+        "core_edges",
+    )
+
+
+# --------------------------------------------------------------------------
+# customer_decile_migration — period-over-period SEGMENT MIGRATION
+# matrix: customers are deciled by revenue in the first order-date
+# half and again in the second, and the (decile_h1, decile_h2)
+# transition cells (plus entering/leaving flows as decile 0) form the
+# churn/upsell picture. Both decile passes ride the distributed-rank
+# machinery (functions/ranks.with_global_ntile — range repartition +
+# scalar offsets; NO unpartitioned window at customer grain, per the
+# catalog-wide lint policy), joined FULL OUTER on the customer. The
+# midpoint split is derived from the data (min/max order date), so the
+# query is self-contained; ntile ordering is (revenue DESC, custkey)
+# — a total order, hence engine-portable cells.
+# --------------------------------------------------------------------------
+MIGRATION_DECILES = 10
+
+
+@CATALOG.query(
+    "customer_decile_migration",
+    oracle=f"""
+    WITH bounds AS (
+        SELECT min(o_orderdate) AS lo,
+               min(o_orderdate)
+               + (max(o_orderdate) - min(o_orderdate)) / 2 AS mid
+        FROM orders
+    ), h1 AS (
+        SELECT o_custkey AS c, sum(o_totalprice) AS rev
+        FROM orders, bounds WHERE o_orderdate <= mid GROUP BY o_custkey
+    ), h2 AS (
+        SELECT o_custkey AS c, sum(o_totalprice) AS rev
+        FROM orders, bounds WHERE o_orderdate > mid GROUP BY o_custkey
+    ), d1 AS (
+        SELECT c, ntile({MIGRATION_DECILES})
+                      OVER (ORDER BY rev DESC, c) AS dec1
+        FROM h1
+    ), d2 AS (
+        SELECT c, ntile({MIGRATION_DECILES})
+                      OVER (ORDER BY rev DESC, c) AS dec2
+        FROM h2
+    )
+    SELECT CAST(coalesce(d1.dec1, 0) AS BIGINT) AS decile_h1,
+           CAST(coalesce(d2.dec2, 0) AS BIGINT) AS decile_h2,
+           count(*) AS n_customers
+    FROM d1 FULL OUTER JOIN d2 ON d1.c = d2.c
+    GROUP BY 1, 2
+    """,
+)
+def customer_decile_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from orca_ztbus_python_processor_spark.functions.ranks import (  # noqa: PLC0415
+        with_global_ntile,
+    )
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    lo, hi = orders.agg(
+        F.min("o_orderdate"), F.max("o_orderdate")
+    ).first()
+    mid = lo + (hi - lo) / 2
+    halves = []
+    for cond in (F.col("o_orderdate") <= F.lit(mid), F.col("o_orderdate") > F.lit(mid)):
+        rev = (
+            orders.where(cond)
+            .groupBy(F.col("o_custkey").alias("c"))
+            .agg(F.sum("o_totalprice").alias("rev"))
+        )
+        halves.append(
+            with_global_ntile(
+                rev,
+                MIGRATION_DECILES,
+                [F.col("rev").desc(), F.col("c").asc()],
+                "dec",
+            ).select("c", "dec")
+        )
+    d1 = halves[0].withColumnRenamed("dec", "dec1")
+    d2 = halves[1].withColumnRenamed("dec", "dec2")
+    return (
+        d1.join(d2, "c", "full_outer")
+        .groupBy(
+            F.coalesce(F.col("dec1"), F.lit(0)).cast("long").alias("decile_h1"),
+            F.coalesce(F.col("dec2"), F.lit(0)).cast("long").alias("decile_h2"),
+        )
+        .agg(F.count("*").alias("n_customers"))
+    )

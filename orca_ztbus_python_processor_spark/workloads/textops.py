@@ -2980,3 +2980,56 @@ def incremental_dedup_delta_audit(spark: SparkSession, sf_dir: str) -> DataFrame
             "n_new_unique"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# dedup_quality_bias_audit — does dedup BIAS the surviving corpus? Per
+# source: mean document length (the fixture's quality proxy) of kept
+# vs dropped docs under the exact-dedup keeper (min doc_id per text),
+# plus the drop share. The survivorship-bias check every production
+# dedup pass should ship with — if dropped docs are systematically
+# longer/shorter, the dedup policy is reshaping the data mix. One
+# text-keyed keeper aggregation joined back doc-grain, then a
+# source-grain conditional rollup — all map-combinable.
+# --------------------------------------------------------------------------
+@CATALOG.query(
+    "dedup_quality_bias_audit",
+    oracle="""
+    WITH keeper AS (
+        SELECT text, min(doc_id) AS keep_id FROM documents GROUP BY text
+    ), classified AS (
+        SELECT d.source, d.n_chars,
+               (d.doc_id = k.keep_id) AS kept
+        FROM documents d JOIN keeper k ON d.text = k.text
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN kept THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped,
+           CAST(avg(CASE WHEN kept THEN n_chars END) AS REAL)
+               AS kept_mean_chars,
+           CAST(avg(CASE WHEN NOT kept THEN n_chars END) AS REAL)
+               AS dropped_mean_chars
+    FROM classified
+    GROUP BY source
+    """,
+)
+def dedup_quality_bias_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    keeper = docs.groupBy("text").agg(F.min("doc_id").alias("keep_id"))
+    classified = docs.join(keeper, "text").select(
+        "source",
+        "n_chars",
+        (F.col("doc_id") == F.col("keep_id")).alias("kept"),
+    )
+    return classified.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("kept").cast("long")).alias("n_kept"),
+        F.sum((~F.col("kept")).cast("long")).alias("n_dropped"),
+        f32(F.avg(F.when(F.col("kept"), F.col("n_chars")))).alias(
+            "kept_mean_chars"
+        ),
+        f32(F.avg(F.when(~F.col("kept"), F.col("n_chars")))).alias(
+            "dropped_mean_chars"
+        ),
+    )

@@ -3926,3 +3926,47 @@ def user_diurnal_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((F.atan2(s, c) * 24.0 / F.lit(_TWO_PI)) % 24.0 + 24.0) % 24.0
         ).alias("peak_hour"),
     )
+
+
+# --------------------------------------------------------------------------
+# user_burstiness_fano — burstiness of each user's event arrivals as
+# the FANO FACTOR of per-minute counts (var/mean over the user's
+# OBSERVED minutes): 1 = Poisson-like, >1 = bursty, <1 = regular.
+# Complements user_gap_quantiles (inter-arrival view) with the
+# count-process view. Two stacked map-combinable aggregations —
+# (user, minute) counts, then per-user co-moments with population
+# variance in closed form — both shuffle on user-prefixed keys; no
+# window, no dense minute grid materialization.
+# --------------------------------------------------------------------------
+@CATALOG.query(
+    "user_burstiness_fano",
+    oracle="""
+    WITH mc AS (
+        SELECT user_id, date_trunc('minute', ts) AS m, count(*) AS c
+        FROM events GROUP BY 1, 2
+    )
+    SELECT user_id,
+           CAST(sum(c) AS BIGINT) AS n_events,
+           count(*) AS n_active_minutes,
+           CAST(avg(c) AS REAL) AS mean_per_minute,
+           CAST((avg(c * c) - avg(c) * avg(c)) / avg(c) AS REAL)
+               AS fano_factor
+    FROM mc
+    GROUP BY user_id
+    """,
+)
+def user_burstiness_fano(spark: SparkSession, sf_dir: str) -> DataFrame:
+    mc = (
+        _events(spark, sf_dir)
+        .groupBy("user_id", F.date_trunc("minute", F.col("ts")).alias("m"))
+        .agg(F.count("*").alias("c"))
+    )
+    return mc.groupBy("user_id").agg(
+        F.sum("c").alias("n_events"),
+        F.count("*").alias("n_active_minutes"),
+        f32(F.avg("c")).alias("mean_per_minute"),
+        f32(
+            (F.avg(F.col("c") * F.col("c")) - F.avg("c") * F.avg("c"))
+            / F.avg("c")
+        ).alias("fano_factor"),
+    )

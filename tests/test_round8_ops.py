@@ -402,3 +402,153 @@ def test_incremental_dedup_matches_pure_python(spark):
         total_dupbase += nb
     # at sf0.1 the split must actually exercise the dup-vs-base branch
     assert total_dupbase > 0
+
+
+# ---- wave 3 ---------------------------------------------------------------
+
+
+def _copurchase_edges(sf_dir: str) -> set:
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")
+    pair_count: Counter = Counter()
+    for _, grp in li.groupby("l_orderkey"):
+        parts = sorted(set(grp["l_partkey"]))
+        for i in range(len(parts)):
+            for j in range(i + 1, len(parts)):
+                pair_count[(parts[i], parts[j])] += 1
+    return {p for p, c in pair_count.items() if c >= 2}
+
+
+def test_assortativity_matches_numpy(spark):
+    edges = _copurchase_edges(SMOKE_SF_DIR)
+    deg: Counter = Counter()
+    for a, b in edges:
+        deg[a] += 1
+        deg[b] += 1
+    dx, dy = [], []
+    for a, b in edges:  # symmetrize
+        dx += [deg[a], deg[b]]
+        dy += [deg[b], deg[a]]
+    dx, dy = np.array(dx, dtype=float), np.array(dy, dtype=float)
+    r = np.corrcoef(dx, dy)[0, 1]
+    rows = CAT.queries["copurchase_degree_assortativity"](
+        spark, SMOKE_SF_DIR
+    ).collect()
+    assert len(rows) == 1
+    assert rows[0]["n_directed_edges"] == 2 * len(edges)
+    assert rows[0]["n_nodes"] == len(deg)
+    assert rows[0]["assortativity"] == pytest.approx(r, abs=1e-6)
+
+
+def test_kcore_matches_pure_python_peeling(spark):
+    # sf0.01's graph actually peels (sf0.001 is already a 3-core)
+    sf_dir = "/root/testdata/sf0.01"
+    edges0 = _copurchase_edges(sf_dir)
+
+    def peel(k: int) -> tuple:
+        edges = set(edges0)
+        while True:
+            deg: Counter = Counter()
+            for a, b in edges:
+                deg[a] += 1
+                deg[b] += 1
+            keep = {n for n, d in deg.items() if d >= k}
+            pruned = {(a, b) for a, b in edges if a in keep and b in keep}
+            if pruned == edges:
+                break
+            edges = pruned
+        nodes = {n for e in edges for n in e}
+        return len(nodes), len(edges)
+
+    nodes0 = {n for e in edges0 for n in e}
+    got = {
+        r["k"]: r
+        for r in CAT.queries["copurchase_kcore_summary"](spark, sf_dir).collect()
+    }
+    peeled_any = False
+    for k in (2, 3):
+        cn, ce = peel(k)
+        r = got[k]
+        assert (r["n_nodes_total"], r["n_edges_total"]) == (
+            len(nodes0), len(edges0),
+        )
+        assert (r["core_nodes"], r["core_edges"]) == (cn, ce), k
+        peeled_any = peeled_any or cn < len(nodes0)
+    assert peeled_any, "fixture graph never peels; k-core loop untested"
+
+
+def test_decile_migration_matches_pandas(spark):
+    orders = pd.read_parquet(f"{SMOKE_SF_DIR}/orders.parquet")
+    lo, hi = orders["o_orderdate"].min(), orders["o_orderdate"].max()
+    mid = lo + (hi - lo) / 2
+    cells: Counter = Counter()
+    h = {}
+    for flag, sub in (
+        (1, orders[orders["o_orderdate"] <= mid]),
+        (2, orders[orders["o_orderdate"] > mid]),
+    ):
+        rev = sub.groupby("o_custkey")["o_totalprice"].sum().reset_index()
+        rev = rev.sort_values(
+            ["o_totalprice", "o_custkey"], ascending=[False, True]
+        ).reset_index(drop=True)
+        n, k = len(rev), 10
+        q, rem = divmod(n, k)
+        deciles = {}
+        for i, cust in enumerate(rev["o_custkey"]):
+            if q == 0:
+                deciles[cust] = i + 1
+            elif i < rem * (q + 1):
+                deciles[cust] = i // (q + 1) + 1
+            else:
+                deciles[cust] = rem + (i - rem * (q + 1)) // q + 1
+        h[flag] = deciles
+    for cust in set(h[1]) | set(h[2]):
+        cells[(h[1].get(cust, 0), h[2].get(cust, 0))] += 1
+    got = {
+        (r["decile_h1"], r["decile_h2"]): r["n_customers"]
+        for r in CAT.queries["customer_decile_migration"](
+            spark, SMOKE_SF_DIR
+        ).collect()
+    }
+    assert got == dict(cells)
+
+
+def test_dedup_bias_matches_pandas(spark):
+    docs = pd.read_parquet("/root/testdata/sf0.1/documents.parquet")
+    keep = docs.groupby("text")["doc_id"].min()
+    docs["kept"] = docs["doc_id"] == docs["text"].map(keep)
+    assert (~docs["kept"]).sum() > 0, "sf0.1 fixture lost its exact dups"
+    got = {
+        r["source"]: r
+        for r in CAT.queries["dedup_quality_bias_audit"](
+            spark, "/root/testdata/sf0.1"
+        ).collect()
+    }
+    for src, grp in docs.groupby("source"):
+        r = got[src]
+        assert r["n_kept"] == int(grp["kept"].sum())
+        assert r["n_dropped"] == int((~grp["kept"]).sum())
+        kept_mean = grp.loc[grp["kept"], "n_chars"].mean()
+        assert r["kept_mean_chars"] == pytest.approx(kept_mean, rel=1e-6)
+        dropped = grp.loc[~grp["kept"], "n_chars"]
+        if len(dropped):
+            assert r["dropped_mean_chars"] == pytest.approx(
+                dropped.mean(), rel=1e-6
+            )
+        else:
+            assert r["dropped_mean_chars"] is None
+
+
+def test_fano_matches_pandas(spark):
+    ev = _events_pdf()
+    ev["m"] = pd.to_datetime(ev["ts"]).dt.floor("min")
+    got = {
+        r["user_id"]: r
+        for r in CAT.queries["user_burstiness_fano"](spark, SMOKE_SF_DIR).collect()
+    }
+    for uid, grp in ev.groupby("user_id"):
+        c = grp.groupby("m")["event_id"].count().to_numpy(dtype=float)
+        r = got[uid]
+        assert r["n_events"] == len(grp)
+        assert r["n_active_minutes"] == len(c)
+        fano = ((c * c).mean() - c.mean() ** 2) / c.mean()
+        assert r["fano_factor"] == pytest.approx(fano, abs=1e-6)
