@@ -3089,8 +3089,12 @@ def copurchase_kcore_summary(
     # (same threshold duality as triangle/PageRank) covers every round
     small = n_nodes0 <= broadcast_nodes_limit
     rows = []
+    # the (k+1)-core is a subgraph of the k-core, so each k's peel
+    # STARTS from the previous core instead of the full edge set; the
+    # previous round's post-prune count doubles as the next round's
+    # pre-prune count (one scalar job per round, not two)
+    edges, n_edges = edges0, n_edges0
     for k in (2, 3):
-        edges = edges0
         while True:
             deg = (
                 edges.select(F.col("a").alias("node"))
@@ -3106,9 +3110,10 @@ def copurchase_kcore_summary(
                 .join(keep.withColumnRenamed("node", "b"), "b", "semi")
                 .localCheckpoint(eager=False)  # cut per-round lineage
             )
-            n_before, n_after = edges.count(), pruned.count()
-            edges = pruned
-            if n_after == n_before or n_after == 0:
+            n_after = pruned.count()
+            fixed = n_after == n_edges or n_after == 0
+            edges, n_edges = pruned, n_after
+            if fixed:
                 break
         core_nodes = (
             edges.select(F.col("a").alias("n"))
@@ -3116,7 +3121,7 @@ def copurchase_kcore_summary(
             .distinct()
             .count()
         )
-        rows.append((k, core_nodes, edges.count()))
+        rows.append((k, core_nodes, n_edges))
     out = spark.createDataFrame(
         rows, "k long, core_nodes long, core_edges long"
     )
