@@ -3217,3 +3217,45 @@ def customer_decile_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("n_customers"))
     )
+
+
+# --------------------------------------------------------------------------
+# order_fanout_histogram — join-cardinality audit for the
+# orders⋈lineitem key: the distribution of per-order lineitem fan-out
+# (histogram of rows-per-key), the number that predicts join output
+# volume and flags explosion risk before a query runs. Two stacked
+# map-combinable aggregations (key → fanout, fanout → keys), both
+# bounded-grain after the first — the cheapest useful shape of a join
+# profiler.
+# --------------------------------------------------------------------------
+@CATALOG.query(
+    "order_fanout_histogram",
+    oracle="""
+    WITH fan AS (
+        SELECT l_orderkey, count(*) AS fanout
+        FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT CAST(fanout AS BIGINT) AS fanout,
+           count(*) AS n_orders,
+           CAST(fanout * count(*) AS BIGINT) AS n_lineitems
+    FROM fan
+    GROUP BY fanout
+    """,
+)
+def order_fanout_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fan = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.count("*").alias("fanout"))
+    )
+    return (
+        fan.groupBy(F.col("fanout").cast("long").alias("fanout"))
+        .agg(F.count("*").alias("n_orders"))
+        .select(
+            "fanout",
+            "n_orders",
+            (F.col("fanout") * F.col("n_orders")).cast("long").alias(
+                "n_lineitems"
+            ),
+        )
+    )

@@ -954,3 +954,84 @@ def stream_minute_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     run_to_memory(agged, "q_stream_minute_ohlc", output_mode="append")
     return spark.table("q_stream_minute_ohlc")
+
+
+@CATALOG.query(
+    "stream_minute_latency_bands",
+    oracle="""
+    SELECT date_trunc('minute', ts) AS time_from,
+           date_trunc('minute', ts) + INTERVAL 1 MINUTE AS time_to,
+           count(*) AS n_events,
+           CAST(quantile_cont(value, 0.5) AS REAL) AS p50,
+           CAST(quantile_cont(value, 0.95) AS REAL) AS p95,
+           CAST(quantile_cont(value, 0.99) AS REAL) AS p99
+    FROM events
+    GROUP BY 1, 2
+    HAVING date_trunc('minute', ts) + INTERVAL 1 MINUTE
+           <= (SELECT max(ts) - INTERVAL 10 MINUTE FROM events)
+    """,
+)
+def stream_minute_latency_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``minute_latency_bands``: per-minute
+    p50/p95/p99 value bands as ONE stateful windowed aggregation in
+    append mode. ``percentile`` is a buffering (holistic) aggregate —
+    exactly the trade the quantiles module documents as CORRECT at
+    rate-bounded grain: the buffer is one open minute's events per
+    window cell, never the corpus, and the state stays
+    watermark-bounded like every append twin. The oracle encodes the
+    append contract (exactly the windows the final watermark closed
+    emit), with DuckDB's quantile_cont matching Spark's interpolating
+    percentile on the same closed windows."""
+    agged = (
+        read_events_stream(spark, sf_dir)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window(F.col("ts"), "60 seconds").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            f32(F.percentile("value", 0.5)).alias("p50"),
+            f32(F.percentile("value", 0.95)).alias("p95"),
+            f32(F.percentile("value", 0.99)).alias("p99"),
+        )
+        .select(
+            F.col("w.start").alias("time_from"),
+            F.col("w.end").alias("time_to"),
+            "n_events",
+            "p50",
+            "p95",
+            "p99",
+        )
+    )
+    run_to_memory(agged, "q_stream_minute_latency_bands", output_mode="append")
+    return spark.table("q_stream_minute_latency_bands")
+
+
+@CATALOG.query("stream_distinct_users_hll_minute")
+def stream_distinct_users_hll_minute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sketch composition: per-minute DISTINCT-user estimates
+    via approx_count_distinct inside the windowed aggregate — the
+    streaming dual of approx_distinct_users_daily and the 100 TB shape
+    for cardinality-over-time (exact distinct in a stream would hold
+    every user id per open window in state; the HLL cell is constant
+    size). Append mode, watermark-bounded state. Rows-only contract
+    (HLL estimates are engine-specific); the estimate-vs-exact
+    envelope on the closed windows is pinned in pytest
+    (tests/test_round8_ops.py)."""
+    agged = (
+        read_events_stream(spark, sf_dir)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window(F.col("ts"), "60 seconds").alias("w"))
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            F.count("*").alias("n_events"),
+        )
+        .select(
+            F.col("w.start").alias("time_from"),
+            F.col("w.end").alias("time_to"),
+            "approx_users",
+            "n_events",
+        )
+    )
+    run_to_memory(
+        agged, "q_stream_distinct_users_hll_minute", output_mode="append"
+    )
+    return spark.table("q_stream_distinct_users_hll_minute")

@@ -3033,3 +3033,76 @@ def dedup_quality_bias_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dropped_mean_chars"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# vocab_pareto_coverage — tokenizer-design audit: what share of all
+# token OCCURRENCES do the top-100 / top-1000 vocabulary entries
+# cover? (The Zipf head-mass number that decides vocab size.) Token
+# counts are one map-combinable aggregation; the head is a
+# TakeOrdered(1000) — a bounded frame by construction, so the rank
+# window over it is constant-size at any corpus scale (whitelisted);
+# totals ride a broadcast scalar join.
+# --------------------------------------------------------------------------
+@CATALOG.query(
+    "vocab_pareto_coverage",
+    oracle="""
+    WITH counts AS (
+        SELECT t AS token, count(*) AS c
+        FROM (
+            SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t
+            FROM documents
+        )
+        GROUP BY t
+    ), ranked AS (
+        SELECT c, row_number() OVER (ORDER BY c DESC, token) AS rn
+        FROM counts
+    )
+    SELECT CAST((SELECT sum(c) FROM counts) AS BIGINT) AS n_total_tokens,
+           CAST((SELECT count(*) FROM counts) AS BIGINT) AS vocab_size,
+           CAST(sum(CASE WHEN rn <= 100 THEN c ELSE 0 END)
+                / CAST((SELECT sum(c) FROM counts) AS DOUBLE) AS REAL)
+               AS top100_share,
+           CAST(sum(CASE WHEN rn <= 1000 THEN c ELSE 0 END)
+                / CAST((SELECT sum(c) FROM counts) AS DOUBLE) AS REAL)
+               AS top1000_share
+    FROM ranked
+    """,
+)
+def vocab_pareto_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    counts = (
+        _docs(spark, sf_dir)
+        .select(
+            F.explode(
+                F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+            ).alias("token")
+        )
+        .groupBy("token")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=False)  # vocab-grain; reused 3x below
+    )
+    totals = counts.agg(
+        F.sum("c").alias("n_total_tokens"),
+        F.count("*").alias("vocab_size"),
+    )
+    head = counts.orderBy(F.col("c").desc(), F.col("token").asc()).limit(1000)
+    w = W.orderBy(F.col("c").desc(), F.col("token").asc())
+    head_ranked = head.withColumn("rn", F.row_number().over(w))
+    shares = head_ranked.agg(
+        F.sum(F.when(F.col("rn") <= 100, F.col("c")).otherwise(0)).alias(
+            "top100"
+        ),
+        F.sum(F.when(F.col("rn") <= 1000, F.col("c")).otherwise(0)).alias(
+            "top1000"
+        ),
+    )
+    return shares.crossJoin(F.broadcast(totals)).select(
+        "n_total_tokens",
+        "vocab_size",
+        f32(F.col("top100") / F.col("n_total_tokens").cast("double")).alias(
+            "top100_share"
+        ),
+        f32(F.col("top1000") / F.col("n_total_tokens").cast("double")).alias(
+            "top1000_share"
+        ),
+    )

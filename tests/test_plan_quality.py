@@ -633,6 +633,7 @@ BOUNDED_GLOBAL_WINDOW_OK = {
     "orders_skyline_paretofront": "|dates| rows after date-grain agg",
     "ks_binned_drift": "KS_BINS (20) rows after bin-grain agg",
     "orders_backlog_over_time": "|dates| rows after day-grain agg",
+    "vocab_pareto_coverage": "1000-row frame after TakeOrdered limit",
 }
 
 

@@ -552,3 +552,88 @@ def test_fano_matches_pandas(spark):
         assert r["n_active_minutes"] == len(c)
         fano = ((c * c).mean() - c.mean() ** 2) / c.mean()
         assert r["fano_factor"] == pytest.approx(fano, abs=1e-6)
+
+
+# ---- wave 4 ---------------------------------------------------------------
+
+
+def test_vocab_coverage_matches_counter(spark):
+    import re
+
+    docs = _docs_pdf()
+    c: Counter = Counter()
+    for text in docs["text"]:
+        c.update(re.findall(r"[a-z0-9]+", text.lower()))
+    total = sum(c.values())
+    ordered = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))
+    top100 = sum(v for _, v in ordered[:100])
+    top1000 = sum(v for _, v in ordered[:1000])
+    rows = CAT.queries["vocab_pareto_coverage"](spark, SMOKE_SF_DIR).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["n_total_tokens"] == total
+    assert r["vocab_size"] == len(c)
+    assert r["top100_share"] == pytest.approx(top100 / total, rel=1e-6)
+    assert r["top1000_share"] == pytest.approx(top1000 / total, rel=1e-6)
+
+
+def test_fanout_histogram_matches_pandas(spark):
+    li = pd.read_parquet(f"{SMOKE_SF_DIR}/lineitem.parquet")
+    fan = li.groupby("l_orderkey")["l_partkey"].count()
+    hist = fan.value_counts().sort_index()
+    got = {
+        r["fanout"]: r
+        for r in CAT.queries["order_fanout_histogram"](spark, SMOKE_SF_DIR).collect()
+    }
+    assert set(got) == set(hist.index)
+    for fanout, n_orders in hist.items():
+        assert got[fanout]["n_orders"] == n_orders
+        assert got[fanout]["n_lineitems"] == fanout * n_orders
+
+
+def test_stream_latency_bands_match_pandas_quantiles(spark):
+    """The streaming percentile bands must equal pandas' interpolating
+    quantile on every CLOSED window (the append contract: windows whose
+    end precedes max(ts) - 10 min)."""
+    ev = _events_pdf()
+    ts = pd.to_datetime(ev["ts"])
+    ev = ev.assign(m=ts.dt.floor("min"))
+    horizon = ts.max() - pd.Timedelta(minutes=10)
+    closed = ev[ev["m"] + pd.Timedelta(minutes=1) <= horizon]
+    got = {
+        pd.Timestamp(r["time_from"]): r
+        for r in CAT.queries["stream_minute_latency_bands"](
+            spark, SMOKE_SF_DIR
+        ).collect()
+    }
+    grps = dict(list(closed.groupby("m")))
+    assert set(got) == {pd.Timestamp(m) for m in grps}
+    for m, grp in list(grps.items())[:50]:
+        r = got[pd.Timestamp(m)]
+        assert r["n_events"] == len(grp)
+        assert r["p50"] == pytest.approx(grp["value"].quantile(0.5), rel=1e-6)
+        assert r["p95"] == pytest.approx(grp["value"].quantile(0.95), rel=1e-6)
+        assert r["p99"] == pytest.approx(grp["value"].quantile(0.99), rel=1e-6)
+
+
+def test_stream_hll_minute_within_envelope_of_exact(spark):
+    """Rows-only streaming sketch entry: each closed window's HLL
+    estimate must sit inside the envelope of the exact per-window
+    distinct count (rsd = 0.02 -> 10% at 5 sigma, small-cardinality
+    floor), and the window set must be exactly the closed windows."""
+    ev = _events_pdf()
+    ts = pd.to_datetime(ev["ts"])
+    ev = ev.assign(m=ts.dt.floor("min"))
+    horizon = ts.max() - pd.Timedelta(minutes=10)
+    closed = ev[ev["m"] + pd.Timedelta(minutes=1) <= horizon]
+    exact = closed.groupby("m")["user_id"].nunique()
+    got = {
+        pd.Timestamp(r["time_from"]): r
+        for r in CAT.queries["stream_distinct_users_hll_minute"](
+            spark, SMOKE_SF_DIR
+        ).collect()
+    }
+    assert set(got) == {pd.Timestamp(m) for m in exact.index}
+    for m, users in exact.items():
+        est = got[pd.Timestamp(m)]["approx_users"]
+        assert abs(est - users) <= max(3, 0.10 * users), (m, est, users)
