@@ -3048,17 +3048,23 @@ def copurchase_degree_assortativity(
 # --------------------------------------------------------------------------
 # copurchase_kcore_summary — iterative k-core decomposition (the
 # standard "dense backbone" graph reduction): repeatedly peel nodes
-# with degree < k until fixpoint, for k = 2 and 3. Each peel round is
-# one degree aggregation + one semi-join — the level-synchronous shape
-# of the BFS/PageRank family, with localCheckpoint cutting lineage per
-# round and a driver-side scalar count as the fixpoint probe. The
-# fixpoint iteration count is data-dependent, so this is a rows-only
-# catalog entry (no closed-form SQL twin); exactness is pinned against
-# a pure-Python peeling reference in tests/test_round8_ops.py.
+# with degree < k until fixpoint, for k = 2 and 3. Two-path duality
+# like connected_components: graphs ≤ local_edges_limit edges collect
+# ONCE and peel queue-based in the driver (O(E), no per-round jobs);
+# beyond the limit, level-synchronous distributed peeling — per round
+# one degree aggregation + guarded-broadcast semi-joins, with
+# localCheckpoint cutting lineage and a scalar count as the fixpoint
+# probe (the BFS/PageRank family shape). The fixpoint iteration count
+# is data-dependent, so this is a rows-only catalog entry (no
+# closed-form SQL twin); exactness of BOTH paths is pinned against a
+# pure-Python peeling reference in tests/test_round8_ops.py.
 # --------------------------------------------------------------------------
 @CATALOG.query("copurchase_kcore_summary")
 def copurchase_kcore_summary(
-    spark: SparkSession, sf_dir: str, broadcast_nodes_limit: int = 2_000_000
+    spark: SparkSession,
+    sf_dir: str,
+    broadcast_nodes_limit: int = 2_000_000,
+    local_edges_limit: int = 1_000_000,
 ) -> DataFrame:
     parts_per_order = (
         _t(spark, sf_dir, "lineitem")
@@ -3085,43 +3091,79 @@ def copurchase_kcore_summary(
         .count()
     )
     n_edges0 = edges0.count()
-    # node grain only shrinks during peeling, so one up-front decision
-    # (same threshold duality as triangle/PageRank) covers every round
-    small = n_nodes0 <= broadcast_nodes_limit
     rows = []
-    # the (k+1)-core is a subgraph of the k-core, so each k's peel
-    # STARTS from the previous core instead of the full edge set; the
-    # previous round's post-prune count doubles as the next round's
-    # pre-prune count (one scalar job per round, not two)
-    edges, n_edges = edges0, n_edges0
-    for k in (2, 3):
-        while True:
-            deg = (
-                edges.select(F.col("a").alias("node"))
-                .union(edges.select(F.col("b").alias("node")))
-                .groupBy("node")
-                .agg(F.count("*").alias("d"))
+    if n_edges0 <= local_edges_limit:
+        # Small-graph fast path (the same ≤1M-edge duality
+        # connected_components uses, dedup.py): ONE collect of the
+        # recurrent edge list, then in-driver queue-based peeling —
+        # O(E) total instead of (rounds x jobs) of distributed
+        # fixpoint iterations. Peel counts are identical to the loop
+        # path by construction (pinned against the pure-Python
+        # reference in tests).
+        from collections import defaultdict as _dd  # noqa: PLC0415
+
+        edge_list = [(r["a"], r["b"]) for r in edges0.collect()]
+        for k in (2, 3):
+            nbrs = _dd(set)
+            for a, b in edge_list:
+                nbrs[a].add(b)
+                nbrs[b].add(a)
+            queue = [n for n, s in nbrs.items() if len(s) < k]
+            while queue:
+                n = queue.pop()
+                for m in nbrs.pop(n, ()):  # noqa: B909 — n removed before iteration
+                    s = nbrs.get(m)
+                    if s is not None:
+                        s.discard(n)
+                        if len(s) < k:
+                            queue.append(m)
+            nbrs = {n: s for n, s in nbrs.items() if s}
+            core_edges = sum(len(s) for s in nbrs.values()) // 2
+            rows.append((k, len(nbrs), core_edges))
+            # (k+1)-core ⊆ k-core: restart the next k from the peeled set
+            edge_list = [
+                (a, b) for a, s in nbrs.items() for b in s if a < b
+            ]
+    else:
+        # Distributed level-synchronous peeling (the BFS/PageRank
+        # family shape): per round one degree aggregation + guarded-
+        # broadcast semi-joins, localCheckpoint lineage cuts, scalar
+        # fixpoint probe. Node grain only shrinks during peeling, so
+        # one up-front broadcast decision (same threshold duality as
+        # triangle/PageRank) covers every round; each k starts from
+        # the previous core ((k+1)-core ⊆ k-core), and the previous
+        # round's post-prune count doubles as the next round's
+        # pre-prune count (one scalar job per round, not two).
+        small = n_nodes0 <= broadcast_nodes_limit
+        edges, n_edges = edges0, n_edges0
+        for k in (2, 3):
+            while True:
+                deg = (
+                    edges.select(F.col("a").alias("node"))
+                    .union(edges.select(F.col("b").alias("node")))
+                    .groupBy("node")
+                    .agg(F.count("*").alias("d"))
+                )
+                keep = deg.where(F.col("d") >= k).select("node")
+                if small:
+                    keep = F.broadcast(keep)
+                pruned = (
+                    edges.join(keep.withColumnRenamed("node", "a"), "a", "semi")
+                    .join(keep.withColumnRenamed("node", "b"), "b", "semi")
+                    .localCheckpoint(eager=False)  # cut per-round lineage
+                )
+                n_after = pruned.count()
+                fixed = n_after == n_edges or n_after == 0
+                edges, n_edges = pruned, n_after
+                if fixed:
+                    break
+            core_nodes = (
+                edges.select(F.col("a").alias("n"))
+                .union(edges.select(F.col("b")))
+                .distinct()
+                .count()
             )
-            keep = deg.where(F.col("d") >= k).select("node")
-            if small:
-                keep = F.broadcast(keep)
-            pruned = (
-                edges.join(keep.withColumnRenamed("node", "a"), "a", "semi")
-                .join(keep.withColumnRenamed("node", "b"), "b", "semi")
-                .localCheckpoint(eager=False)  # cut per-round lineage
-            )
-            n_after = pruned.count()
-            fixed = n_after == n_edges or n_after == 0
-            edges, n_edges = pruned, n_after
-            if fixed:
-                break
-        core_nodes = (
-            edges.select(F.col("a").alias("n"))
-            .union(edges.select(F.col("b")))
-            .distinct()
-            .count()
-        )
-        rows.append((k, core_nodes, n_edges))
+            rows.append((k, core_nodes, n_edges))
     out = spark.createDataFrame(
         rows, "k long, core_nodes long, core_edges long"
     )

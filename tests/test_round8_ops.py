@@ -460,20 +460,28 @@ def test_kcore_matches_pure_python_peeling(spark):
         return len(nodes), len(edges)
 
     nodes0 = {n for e in edges0 for n in e}
-    got = {
-        r["k"]: r
-        for r in CAT.queries["copurchase_kcore_summary"](spark, sf_dir).collect()
-    }
-    peeled_any = False
-    for k in (2, 3):
-        cn, ce = peel(k)
-        r = got[k]
-        assert (r["n_nodes_total"], r["n_edges_total"]) == (
-            len(nodes0), len(edges0),
-        )
-        assert (r["core_nodes"], r["core_edges"]) == (cn, ce), k
-        peeled_any = peeled_any or cn < len(nodes0)
-    assert peeled_any, "fixture graph never peels; k-core loop untested"
+    from orca_ztbus_python_processor_spark.workloads.relational import (
+        copurchase_kcore_summary,
+    )
+
+    # both paths of the ≤1M-edge duality: the driver fast path (the
+    # catalog default at this scale) AND the distributed fixpoint loop
+    # (forced via local_edges_limit=0)
+    for kwargs in ({}, {"local_edges_limit": 0}):
+        got = {
+            r["k"]: r
+            for r in copurchase_kcore_summary(spark, sf_dir, **kwargs).collect()
+        }
+        peeled_any = False
+        for k in (2, 3):
+            cn, ce = peel(k)
+            r = got[k]
+            assert (r["n_nodes_total"], r["n_edges_total"]) == (
+                len(nodes0), len(edges0),
+            )
+            assert (r["core_nodes"], r["core_edges"]) == (cn, ce), (k, kwargs)
+            peeled_any = peeled_any or cn < len(nodes0)
+        assert peeled_any, "fixture graph never peels; k-core loop untested"
 
 
 def test_decile_migration_matches_pandas(spark):
