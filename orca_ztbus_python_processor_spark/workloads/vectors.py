@@ -893,3 +893,244 @@ def embedding_outlier_mahalanobis(spark: SparkSession, sf_dir: str) -> DataFrame
         f32(F.avg("dist")).alias("mean_dist"),
         f32(F.max("dist")).alias("max_dist"),
     )
+
+
+# --------------------------------------------------------------------------
+# semantic_decontam_embedding — SEMANTIC train/test contamination sweep,
+# the embedding-space companion to benchmark_decontam_13gram (which
+# catches verbatim/lexical inclusion only; paraphrased eval items slip
+# through a 13-gram filter but cluster tightly in embedding space). The
+# held-out "benchmark suite" is the SAME deterministic slice as the
+# lexical sweep (vec_id % 97 == 0) so the two detectors audit the same
+# split; every remaining (train) vector is scored by its MAX cosine
+# against the benchmark set, then rolled up per source with flag counts
+# at a proximity threshold and a strong-match threshold (0.35 / 0.5 —
+# calibrated to this fixture's geometry, where the planted near-dup
+# relation sits at >= 0.3, vectors.py NEAR_DUP_THRESHOLD).
+#
+# Scale shape: the TRAIN side (the 100 TB side) is hash-sharded by
+# vec_id and STAYS PUT; the benchmark set (eval suites are MBs against
+# TBs) is replicated to every shard via explode — the same cogroup
+# layout as _cosine_bucket_cells but with the roles flipped, because
+# here the big side is the probe side. Each shard task is ONE numpy
+# matmul emitting one (vec_id, max_cos) row per train vector — FLOPs
+# are |train| x |bench| (linear in the corpus), the shuffle never
+# carries a pair row, and nothing is driver-collected. Per-pair cosines
+# are cast to f32 BEFORE the max (bit-portable across engines: f64
+# summation-order noise is far below f32 resolution), matching the
+# oracle's CAST(... AS REAL) then MAX exactly. Zero-norm vectors are
+# excluded on both sides (a zero vector has no direction — same
+# contract as embedding_cosine_histogram).
+# --------------------------------------------------------------------------
+SEM_DECONTAM_MOD = 97  # mirror benchmark_decontam_13gram's held-out slice
+SEM_DECONTAM_TAU = 0.35
+SEM_DECONTAM_TAU_STRONG = 0.5
+SEM_DECONTAM_SHARDS = 16
+
+
+def _semantic_max_cos(emb: DataFrame) -> DataFrame:
+    """(vec_id, max_cos) of every train vector vs the benchmark slice —
+    train sharded by id, benchmark replicated to every shard."""
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+
+    B = SEM_DECONTAM_SHARDS
+    train = emb.where(F.col("vec_id") % SEM_DECONTAM_MOD != 0).select(
+        "vec_id",
+        "emb",
+        F.pmod(F.col("vec_id"), F.lit(B)).cast("int").alias("shard"),
+    )
+    bench = (
+        emb.where(F.col("vec_id") % SEM_DECONTAM_MOD == 0)
+        .select(
+            F.col("emb").alias("be"),
+            F.explode(F.array(*[F.lit(i) for i in range(B)])).alias("shard"),
+        )
+    )
+
+    def shard_max(tpdf: pd.DataFrame, bpdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"vec_id": [], "max_cos": []})
+        if not len(tpdf) or not len(bpdf):
+            return empty
+        ids = tpdf["vec_id"].to_numpy(dtype=np.int64)
+        X = np.array(tpdf["emb"].tolist(), dtype=np.float64)
+        xn = np.linalg.norm(X, axis=1)
+        ids, X, xn = ids[xn > 0.0], X[xn > 0.0], xn[xn > 0.0]
+        Q = np.array(bpdf["be"].tolist(), dtype=np.float64)
+        qn = np.linalg.norm(Q, axis=1)
+        Q, qn = Q[qn > 0.0], qn[qn > 0.0]
+        if not len(ids) or not len(Q):
+            return empty
+        # f32 per-pair boundary FIRST, max second — engine-portable
+        cos = ((X / xn[:, None]) @ (Q / qn[:, None]).T).astype(np.float32)
+        return pd.DataFrame({"vec_id": ids, "max_cos": cos.max(axis=1)})
+
+    return (
+        train.groupBy("shard")
+        .cogroup(bench.groupBy("shard"))
+        .applyInPandas(
+            lambda tp, bp: shard_max(tp, bp),
+            schema="vec_id long, max_cos float",
+        )
+    )
+
+
+@CATALOG.query(
+    "semantic_decontam_embedding",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+        WHERE list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                                      x -> x * x)) > 0
+    ), bench AS (
+        SELECT * FROM e WHERE vec_id % {SEM_DECONTAM_MOD} = 0
+    ), train AS (
+        SELECT * FROM e WHERE vec_id % {SEM_DECONTAM_MOD} <> 0
+    ), scored AS (
+        SELECT train.vec_id,
+               max(CAST(list_cosine_similarity(train.emb, bench.emb)
+                        AS REAL)) AS max_cos
+        FROM train JOIN bench ON true
+        GROUP BY train.vec_id
+    )
+    SELECT d.source,
+           count(*) AS n_train_vecs,
+           CAST(sum(CASE WHEN s.max_cos >= {SEM_DECONTAM_TAU}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+           CAST(sum(CASE WHEN s.max_cos >= {SEM_DECONTAM_TAU_STRONG}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged_strong,
+           CAST(avg(s.max_cos) AS REAL) AS mean_max_cos,
+           CAST(max(s.max_cos) AS REAL) AS peak_cos
+    FROM scored s JOIN documents d ON s.vec_id = d.doc_id
+    GROUP BY d.source
+    """,
+)
+def semantic_decontam_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scored = _semantic_max_cos(_emb(spark, sf_dir))
+    docs = read_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("vec_id"), "source"
+    )
+    return (
+        scored.join(docs, "vec_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_train_vecs"),
+            F.sum(
+                (F.col("max_cos") >= SEM_DECONTAM_TAU).cast("long")
+            ).alias("n_flagged"),
+            F.sum(
+                (F.col("max_cos") >= SEM_DECONTAM_TAU_STRONG).cast("long")
+            ).alias("n_flagged_strong"),
+            f32(F.avg("max_cos")).alias("mean_max_cos"),
+            f32(F.max("max_cos")).alias("peak_cos"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# embedding_batch_centroid_drift — encoder/distribution drift monitor
+# across INGESTION BATCHES: the corpus is cut into 16 contiguous
+# vec_id ranges (a stand-in for arrival order / encoder versions), and
+# each batch's centroid is compared to the global centroid by cosine.
+# A batch whose centroid swings away from global is the standard
+# symptom of an encoder upgrade mid-ingest, a source mix shift, or a
+# normalization bug — caught at batch grain BEFORE the vectors feed
+# dedup/ANN (whose geometry assumptions silently break under drift).
+# Companion per-batch mean L2 norm catches scale (not just direction)
+# drift.
+#
+# Scale shape: ONE posexplode scan -> map-combinable partial sums at
+# (batch, dim) grain — the shuffle carries 16 x dim cells regardless of
+# corpus size; the global centroid derives from the SAME cells (a
+# second tiny agg, no rescan), and the cosine join is 16 x dim rows.
+# The batch id is engine-portable integer arithmetic
+# (floor(16 * vec_id / (max_id + 1)) — exact in doubles far beyond any
+# realistic id), with the max-id scalar carried by the distributed-
+# scalar broadcast pattern, never collect()ed.
+# --------------------------------------------------------------------------
+CENTROID_DRIFT_BATCHES = 16
+
+
+@CATALOG.query(
+    "embedding_batch_centroid_drift",
+    oracle=f"""
+    WITH mx AS (SELECT max(vec_id) AS m FROM embeddings),
+    eb AS (
+        SELECT vec_id,
+               CAST(floor({CENTROID_DRIFT_BATCHES} * vec_id / (mx.m + 1.0))
+                    AS BIGINT) AS batch,
+               CAST(embedding AS DOUBLE[]) AS emb
+        FROM embeddings, mx
+    ), cells AS (
+        SELECT batch, i AS dim, sum(emb[i]) AS s, count(*) AS n
+        FROM eb, unnest(generate_series(1, len(emb))) AS t(i)
+        GROUP BY batch, i
+    ), g AS (
+        SELECT dim, sum(s) / sum(n) AS gx FROM cells GROUP BY dim
+    ), b AS (
+        SELECT batch, dim, s / n AS bx FROM cells
+    ), cos AS (
+        SELECT b.batch,
+               sum(b.bx * g.gx)
+                   / (sqrt(sum(b.bx * b.bx)) * sqrt(sum(g.gx * g.gx)))
+                   AS c
+        FROM b JOIN g ON b.dim = g.dim
+        GROUP BY b.batch
+    ), norms AS (
+        SELECT batch, count(*) AS n_vecs,
+               avg(sqrt(list_sum(list_transform(emb, x -> x * x))))
+                   AS mean_l2
+        FROM eb GROUP BY batch
+    )
+    SELECT norms.batch, norms.n_vecs,
+           CAST(cos.c AS REAL) AS cos_to_global,
+           CAST(norms.mean_l2 AS REAL) AS mean_l2_norm
+    FROM norms JOIN cos ON norms.batch = cos.batch
+    """,
+)
+def embedding_batch_centroid_drift(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    mx = emb.agg(F.max("vec_id").alias("_m"))
+    eb = emb.crossJoin(F.broadcast(mx)).select(
+        "vec_id",
+        "emb",
+        F.floor(
+            F.lit(CENTROID_DRIFT_BATCHES)
+            * F.col("vec_id")
+            / (F.col("_m") + F.lit(1.0))
+        ).alias("batch"),
+    )
+    cells = (
+        eb.select("batch", F.posexplode("emb").alias("dim", "v"))
+        .groupBy("batch", "dim")
+        .agg(F.sum("v").alias("s"), F.count("*").alias("n"))
+    )
+    g = cells.groupBy("dim").agg(
+        (F.sum("s") / F.sum("n")).alias("gx")
+    )
+    b = cells.select("batch", "dim", (F.col("s") / F.col("n")).alias("bx"))
+    cos = (
+        b.join(F.broadcast(g), "dim")
+        .groupBy("batch")
+        .agg(
+            (
+                F.sum(F.col("bx") * F.col("gx"))
+                / (
+                    F.sqrt(F.sum(F.col("bx") * F.col("bx")))
+                    * F.sqrt(F.sum(F.col("gx") * F.col("gx")))
+                )
+            ).alias("c")
+        )
+    )
+    norms = eb.groupBy("batch").agg(
+        F.count("*").alias("n_vecs"),
+        F.avg(_l2_norm(F.col("emb"))).alias("mean_l2"),
+    )
+    return norms.join(cos, "batch").select(
+        "batch",
+        "n_vecs",
+        f32(F.col("c")).alias("cos_to_global"),
+        f32(F.col("mean_l2")).alias("mean_l2_norm"),
+    )

@@ -645,3 +645,77 @@ def test_stream_hll_minute_within_envelope_of_exact(spark):
     for m, users in exact.items():
         est = got[pd.Timestamp(m)]["approx_users"]
         assert abs(est - users) <= max(3, 0.10 * users), (m, est, users)
+
+
+def test_semantic_decontam_matches_numpy(spark):
+    """Wave-5: max-cos-vs-benchmark per train vector, rolled up by
+    source — from-scratch numpy reference (f32 per-pair boundary, max
+    second, zero-norm exclusion), independent of both engines."""
+    emb = pd.read_parquet(f"{SMOKE_SF_DIR}/embeddings.parquet")
+    docs = _docs_pdf()
+    X = np.array(emb["embedding"].tolist(), dtype=np.float64)
+    ids = emb["vec_id"].to_numpy(dtype=np.int64)
+    nrm = np.linalg.norm(X, axis=1)
+    keep = nrm > 0.0
+    X, ids, nrm = X[keep], ids[keep], nrm[keep]
+    is_bench = ids % 97 == 0
+    B, T = X[is_bench] / nrm[is_bench, None], X[~is_bench] / nrm[~is_bench, None]
+    t_ids = ids[~is_bench]
+    assert is_bench.sum() > 0, "fixture must populate the benchmark slice"
+    max_cos = (T @ B.T).astype(np.float32).max(axis=1)
+    src = docs.set_index("doc_id")["source"]
+    ref = (
+        pd.DataFrame({"vec_id": t_ids, "max_cos": max_cos})
+        .assign(source=lambda d: d["vec_id"].map(src))
+        .groupby("source")
+        .agg(
+            n_train_vecs=("max_cos", "size"),
+            n_flagged=("max_cos", lambda s: int((s >= 0.35).sum())),
+            n_flagged_strong=("max_cos", lambda s: int((s >= 0.5).sum())),
+            mean_max_cos=("max_cos", "mean"),
+            peak_cos=("max_cos", "max"),
+        )
+    )
+    got = {
+        r["source"]: r
+        for r in CAT.queries["semantic_decontam_embedding"](
+            spark, SMOKE_SF_DIR
+        ).collect()
+    }
+    assert set(got) == set(ref.index)
+    for source, row in ref.iterrows():
+        g = got[source]
+        assert g["n_train_vecs"] == row["n_train_vecs"]
+        assert g["n_flagged"] == row["n_flagged"]
+        assert g["n_flagged_strong"] == row["n_flagged_strong"]
+        assert g["mean_max_cos"] == pytest.approx(row["mean_max_cos"], rel=1e-6)
+        assert g["peak_cos"] == pytest.approx(row["peak_cos"], rel=1e-6)
+
+
+def test_centroid_drift_matches_numpy(spark):
+    """Wave-5: per-batch centroid cosine to the global centroid plus
+    mean L2 norm — numpy reference over contiguous vec_id range
+    batches."""
+    emb = pd.read_parquet(f"{SMOKE_SF_DIR}/embeddings.parquet")
+    X = np.array(emb["embedding"].tolist(), dtype=np.float64)
+    ids = emb["vec_id"].to_numpy(dtype=np.int64)
+    batch = np.floor(16 * ids / (ids.max() + 1.0)).astype(np.int64)
+    gc = X.mean(axis=0)
+    got = {
+        r["batch"]: r
+        for r in CAT.queries["embedding_batch_centroid_drift"](
+            spark, SMOKE_SF_DIR
+        ).collect()
+    }
+    assert set(got) == set(np.unique(batch).tolist())
+    assert len(got) > 1, "fixture must span multiple batches"
+    for b in np.unique(batch):
+        sel = X[batch == b]
+        bc = sel.mean(axis=0)
+        cos = bc @ gc / (np.linalg.norm(bc) * np.linalg.norm(gc))
+        g = got[int(b)]
+        assert g["n_vecs"] == int((batch == b).sum())
+        assert g["cos_to_global"] == pytest.approx(cos, rel=1e-6)
+        assert g["mean_l2_norm"] == pytest.approx(
+            np.linalg.norm(sel, axis=1).mean(), rel=1e-6
+        )
