@@ -3301,3 +3301,89 @@ def order_fanout_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# copurchase_label_propagation — community detection by SYNCHRONOUS
+# weighted label propagation (the O(E)-per-round community algorithm
+# that needs no modularity matrix): every node starts as its own
+# community; each round a node adopts the label with the LARGEST
+# incident edge-weight mass among its neighbors (ties broken by
+# smallest label — fully deterministic, unlike classic asynchronous
+# LPA whose result depends on visit order). Four fixed rounds, then a
+# top-20 community census. Complements the graph family's existing
+# axes: connectivity (CC), density (k-core), centrality (PageRank),
+# closure (triangles) — communities are the mesoscale structure none
+# of those expose.
+#
+# Scale shape: per round ONE edge-table join against the node-grain
+# label frame (guarded-broadcast under the same 2M-node limit as
+# PageRank/k-core; shuffle-join fallback beyond) + one map-combinable
+# (node, label) weight rollup + one node-partitioned argmax window —
+# the Pregel bound, with localCheckpoint(eager=False) cutting lineage
+# each round. Synchronous update keeps the result independent of
+# partitioning; rows-only by the driver contract (iterative fixpoint,
+# no SQL twin) with a from-scratch pure-python reference in
+# tests/test_round8_ops.py.
+# --------------------------------------------------------------------------
+LPA_ITERS = 4
+
+
+@CATALOG.query("copurchase_label_propagation")
+def copurchase_label_propagation(
+    spark: SparkSession,
+    sf_dir: str,
+    broadcast_nodes_limit: int = 2_000_000,
+) -> DataFrame:
+    parts_per_order = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("parts"))
+    )
+    pair_expr = F.expr(
+        "flatten(transform(parts, (x, i) ->"
+        " transform(slice(parts, i + 2, size(parts)),"
+        " y -> struct(x AS src, y AS dst))))"
+    )
+    edges = (
+        parts_per_order.select(F.explode(pair_expr).alias("e"))
+        .groupBy(F.col("e.src").alias("src"), F.col("e.dst").alias("dst"))
+        .agg(F.count("*").cast("double").alias("weight"))
+        .localCheckpoint(eager=False)
+    )
+    sym = edges.unionByName(
+        edges.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "weight"
+        )
+    )
+    nodes = sym.groupBy("src").agg(F.count("*").alias("_d"))
+    small = nodes.count() <= broadcast_nodes_limit
+    labels = nodes.select(
+        F.col("src").alias("node"), F.col("src").alias("label")
+    )
+    for _ in range(LPA_ITERS):
+        lab_side = F.broadcast(labels) if small else labels
+        votes = (
+            sym.join(lab_side, sym.dst == lab_side.node)
+            .groupBy(F.col("src"), F.col("label"))
+            .agg(F.sum("weight").alias("w"))
+        )
+        win = W.partitionBy("src").orderBy(F.col("w").desc(), F.col("label"))
+        labels = (
+            votes.withColumn("_rn", F.row_number().over(win))
+            .where(F.col("_rn") == 1)
+            .select(F.col("src").alias("node"), "label")
+            .localCheckpoint(eager=False)
+        )
+    sizes = labels.groupBy("label").agg(F.count("*").alias("size"))
+    return (
+        sizes.orderBy(F.col("size").desc(), F.col("label"))
+        .limit(20)
+        .select(
+            F.row_number()
+            .over(W.orderBy(F.col("size").desc(), F.col("label")))
+            .alias("rank"),
+            F.col("label").alias("community"),
+            F.col("size").cast("long").alias("size"),
+        )
+    )

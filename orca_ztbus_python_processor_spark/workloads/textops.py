@@ -3106,3 +3106,175 @@ def vocab_pareto_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             "top1000_share"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# chunk_dedup_profile — SUB-DOCUMENT dedup census at fixed token-chunk
+# grain (the RefinedWeb/CCNet line-grain pattern adapted to unstructured
+# text): each document is cut into non-overlapping 16-token chunks and
+# a chunk is "duplicated" if its exact text occurs >= 2 times anywhere
+# in the corpus (including within one document). Doc-level exact dedup
+# misses this mass entirely (one changed token defeats it) and
+# boilerplate_shingle_share measures overlapping 8-gram coverage;
+# chunk grain is what a pipeline actually DROPS — per-source
+# dedupable-token share is the actionable number.
+#
+# Scale shape: chunks are generated map-side from ONE stride-16
+# sequence (no overlapping explosion — output rows = tokens/16), the
+# frequency table groups on md5(chunk) so the text itself never
+# shuffles (the dedup_sha256 argument), and the count join back is
+# hash-grain. Two exchanges total, both map-combinable.
+# --------------------------------------------------------------------------
+CHUNK_DEDUP_TOKENS = 16
+
+_CHUNK_TOKENS_EXPR = "regexp_extract_all(lower(text), '[a-z0-9]+', 0)"
+_CHUNKS_EXPR = (
+    f"transform(sequence(1, size({_CHUNK_TOKENS_EXPR}),"
+    f" {CHUNK_DEDUP_TOKENS}),"
+    f" i -> concat_ws(' ', slice({_CHUNK_TOKENS_EXPR}, i,"
+    f" {CHUNK_DEDUP_TOKENS})))"
+)
+
+
+@CATALOG.query(
+    "chunk_dedup_profile",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, source,
+               regexp_extract_all(lower(text), '[a-z0-9]+') AS tokens
+        FROM documents
+    ), chunks AS (
+        SELECT doc_id, source,
+               md5(array_to_string(
+                   tokens[CAST(i AS BIGINT):CAST(i + {CHUNK_DEDUP_TOKENS - 1}
+                                                 AS BIGINT)], ' ')) AS h,
+               least(CAST({CHUNK_DEDUP_TOKENS} AS BIGINT),
+                     len(tokens) - i + 1) AS n_tok
+        FROM (
+            SELECT doc_id, source, tokens,
+                   unnest(generate_series(1, len(tokens),
+                          {CHUNK_DEDUP_TOKENS})) AS i
+            FROM toks WHERE len(tokens) > 0
+        )
+    ), freq AS (
+        SELECT h, count(*) AS f FROM chunks GROUP BY h
+    )
+    SELECT c.source,
+           count(*) AS n_chunks,
+           CAST(sum(CASE WHEN freq.f >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_chunks,
+           CAST(sum(c.n_tok) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN freq.f >= 2 THEN c.n_tok ELSE 0 END)
+                / CAST(sum(c.n_tok) AS DOUBLE) AS REAL) AS dup_token_share
+    FROM chunks c JOIN freq ON c.h = freq.h
+    GROUP BY c.source
+    """,
+)
+def chunk_dedup_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    chunks = (
+        _docs(spark, sf_dir)
+        .where(F.expr(f"size({_CHUNK_TOKENS_EXPR})") > 0)
+        .select(
+            "source", F.explode(F.expr(_CHUNKS_EXPR)).alias("chunk")
+        )
+        .select(
+            "source",
+            F.md5(F.col("chunk")).alias("h"),
+            F.size(F.split(F.col("chunk"), " ")).cast("long").alias("n_tok"),
+        )
+    )
+    freq = chunks.groupBy("h").agg(F.count("*").alias("f"))
+    dup = F.col("f") >= 2
+    return (
+        chunks.join(freq, "h")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum(dup.cast("long")).alias("n_dup_chunks"),
+            F.sum("n_tok").alias("n_tokens"),
+            f32(
+                F.sum(F.when(dup, F.col("n_tok")).otherwise(F.lit(0)))
+                / F.sum("n_tok").cast("double")
+            ).alias("dup_token_share"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# split_leakage_audit — DEDUP-AWARE train/test split integrity: the
+# standard failure mode of hash-of-id splits is that exact duplicates
+# of one text land in DIFFERENT splits (their doc_ids hash apart), so
+# the eval set silently contains training text. The audit joins the
+# md5(doc_id) split convention of train_test_split_profile with the
+# sha256(text) exact-dup relation of dedup_sha256: per split, how many
+# docs share their content hash with another split at all, and
+# specifically with train — n_leaked_from_train over val/test is the
+# number the eval metrics are inflated by.
+#
+# Scale shape: content-hash grain only — per-hash split membership is
+# ONE groupBy over (hash -> 3 split flags) via max(), joined back at
+# hash grain; the text never shuffles and no pair join exists (the
+# cluster relation stays implicit in the flags). Same two-exchange
+# shape as chunk_dedup_profile.
+# --------------------------------------------------------------------------
+@CATALOG.query(
+    "split_leakage_audit",
+    oracle="""
+    WITH assigned AS (
+        SELECT doc_id, sha256(text) AS h,
+               CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'd'
+                    THEN 'train'
+                    WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'f'
+                    THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    ), flags AS (
+        SELECT h,
+               max(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS in_train,
+               max(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS in_val,
+               max(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS in_test
+        FROM assigned GROUP BY h
+    )
+    SELECT a.split,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN f.in_train + f.in_val + f.in_test >= 2
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_cross_split,
+           CAST(sum(CASE WHEN a.split <> 'train' AND f.in_train = 1
+                         THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_leaked_from_train
+    FROM assigned a JOIN flags f ON a.h = f.h
+    GROUP BY a.split
+    """,
+)
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    split = (
+        F.when(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) < "d", "train")
+        .when(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) < "f", "val")
+        .otherwise("test")
+    )
+    assigned = _docs(spark, sf_dir).select(
+        F.sha2(F.col("text"), 256).alias("h"), split.alias("split")
+    )
+    flags = assigned.groupBy("h").agg(
+        F.max((F.col("split") == "train").cast("int")).alias("in_train"),
+        F.max((F.col("split") == "val").cast("int")).alias("in_val"),
+        F.max((F.col("split") == "test").cast("int")).alias("in_test"),
+    )
+    return (
+        assigned.join(flags, "h")
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(
+                (
+                    F.col("in_train") + F.col("in_val") + F.col("in_test")
+                    >= 2
+                ).cast("long")
+            ).alias("n_cross_split"),
+            F.sum(
+                ((F.col("split") != "train") & (F.col("in_train") == 1)).cast(
+                    "long"
+                )
+            ).alias("n_leaked_from_train"),
+        )
+    )

@@ -1134,3 +1134,147 @@ def embedding_batch_centroid_drift(
         f32(F.col("c")).alias("cos_to_global"),
         f32(F.col("mean_l2")).alias("mean_l2_norm"),
     )
+
+
+# --------------------------------------------------------------------------
+# embedding_effective_rank — DIMENSION-COLLAPSE diagnostic: the
+# participation ratio PR = trace(C)^2 / ||C||_F^2 of the (centered)
+# covariance needs NO eigendecomposition — trace(C) = sum of
+# eigenvalues and ||C||_F^2 = sum of squared eigenvalues are both
+# direct covariance functionals — yet PR is exactly the "effective
+# number of dimensions in use" (d if isotropic, ~1 if collapsed to a
+# line). The standard embedding-health probe from the SSL-collapse
+# literature, per label plus the pooled corpus (label -1): a healthy
+# encoder holds PR well above 1 within every class.
+#
+# Scale shape: ONE Arrow-batched pass emits per-partition per-label
+# partial second-moment cells (label, i, j, s2) — d^2 rows per
+# partition regardless of corpus size (the map-side-combine argument
+# applied to a matrix aggregate); diagonal cells carry the first-
+# moment partials and row counts in the same emission. The pooled
+# covariance is assembled FROM the label cells (moments are additive)
+# — no second scan; all downstream joins are d^2-row frames. The
+# centering algebra (C = S2/n - mu mu^T) runs in f64 on both engines
+# with f32 output casts.
+# --------------------------------------------------------------------------
+@CATALOG.query(
+    "embedding_effective_rank",
+    oracle="""
+    WITH e AS (
+        SELECT CAST(label AS BIGINT) AS label,
+               CAST(embedding AS DOUBLE[]) AS emb
+        FROM embeddings
+    ), both_grains AS (
+        SELECT label, emb FROM e
+        UNION ALL
+        SELECT CAST(-1 AS BIGINT) AS label, emb FROM e
+    ), cells AS (
+        SELECT label, i, j,
+               sum(emb[i] * emb[j]) AS s2,
+               sum(emb[i]) AS s1_i,
+               sum(emb[j]) AS s1_j,
+               count(*) AS n
+        FROM both_grains,
+             unnest(generate_series(1, len(emb))) AS ti(i),
+             unnest(generate_series(1, len(emb))) AS tj(j)
+        GROUP BY label, i, j
+    ), cov AS (
+        SELECT label, i, j, n,
+               s2 / n - (s1_i / n) * (s1_j / n) AS c
+        FROM cells
+    )
+    SELECT label,
+           CAST(max(n) AS BIGINT) AS n_vectors,
+           CAST(sum(CASE WHEN i = j THEN c ELSE 0 END) AS REAL) AS trace,
+           CAST(pow(sum(CASE WHEN i = j THEN c ELSE 0 END), 2)
+                / sum(c * c) AS REAL) AS participation_ratio
+    FROM cov
+    GROUP BY label
+    """,
+)
+def embedding_effective_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+
+    emb = _emb(spark, sf_dir).select("label", "emb")
+
+    def gram_partials(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = []
+            for label, grp in pdf.groupby("label"):
+                X = np.array(grp["emb"].tolist(), dtype=np.float64)
+                n, d = X.shape
+                S2 = X.T @ X
+                S1 = X.sum(axis=0)
+                ii, jj = np.meshgrid(np.arange(d), np.arange(d), indexing="ij")
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "label": np.int64(label),
+                            "i": ii.ravel().astype(np.int32),
+                            "j": jj.ravel().astype(np.int32),
+                            "s2": S2.ravel(),
+                            # first moments ride the diagonal cells
+                            "s1": np.where(ii.ravel() == jj.ravel(),
+                                           S1[ii.ravel()], 0.0),
+                            "n": np.where(
+                                (ii.ravel() == 0) & (jj.ravel() == 0), n, 0
+                            ).astype(np.int64),
+                        }
+                    )
+                )
+            yield pd.concat(out, ignore_index=True)
+
+    partials = emb.mapInPandas(
+        gram_partials,
+        schema="label long, i int, j int, s2 double, s1 double, n long",
+    )
+    label_cells = partials.groupBy("label", "i", "j").agg(
+        F.sum("s2").alias("s2"), F.sum("s1").alias("s1"), F.sum("n").alias("n")
+    )
+    # pooled grain from the label cells — moments are additive
+    pooled = label_cells.groupBy("i", "j").agg(
+        F.sum("s2").alias("s2"), F.sum("s1").alias("s1"), F.sum("n").alias("n")
+    ).select(F.lit(-1).cast("long").alias("label"), "i", "j", "s2", "s1", "n")
+    cells = label_cells.unionByName(pooled)
+    # per-label count + per-dim means: n rides the (0,0) cell, means the diag
+    n_of = cells.where((F.col("i") == 0) & (F.col("j") == 0)).select(
+        "label", F.col("n").alias("n_rows")
+    )
+    means = cells.where(F.col("i") == F.col("j")).select(
+        "label", F.col("i").alias("d"), F.col("s1").alias("s1d")
+    )
+    c = (
+        cells.join(F.broadcast(n_of), "label")
+        .join(
+            F.broadcast(means.select("label", F.col("d").alias("i"),
+                                     F.col("s1d").alias("s1_i"))),
+            ["label", "i"],
+        )
+        .join(
+            F.broadcast(means.select("label", F.col("d").alias("j"),
+                                     F.col("s1d").alias("s1_j"))),
+            ["label", "j"],
+        )
+        .select(
+            "label",
+            "i",
+            "j",
+            F.col("n_rows"),
+            (
+                F.col("s2") / F.col("n_rows")
+                - (F.col("s1_i") / F.col("n_rows"))
+                * (F.col("s1_j") / F.col("n_rows"))
+            ).alias("c"),
+        )
+    )
+    tr = F.sum(F.when(F.col("i") == F.col("j"), F.col("c")).otherwise(F.lit(0.0)))
+    return c.groupBy("label").agg(
+        F.max("n_rows").alias("n_vectors"),
+        f32(tr).alias("trace"),
+        f32(F.pow(tr, F.lit(2.0)) / F.sum(F.col("c") * F.col("c"))).alias(
+            "participation_ratio"
+        ),
+    )

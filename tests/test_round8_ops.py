@@ -719,3 +719,170 @@ def test_centroid_drift_matches_numpy(spark):
         assert g["mean_l2_norm"] == pytest.approx(
             np.linalg.norm(sel, axis=1).mean(), rel=1e-6
         )
+
+
+def test_chunk_dedup_matches_python(spark):
+    """Wave-6: stride-16 token-chunk dedup census — from-scratch python
+    chunker + Counter, independent of both engines' md5/array paths."""
+    import re
+
+    docs = _docs_pdf()
+    chunks = []  # (source, chunk_text, n_tok)
+    for _, row in docs.iterrows():
+        toks = re.findall(r"[a-z0-9]+", row["text"].lower())
+        for i in range(0, len(toks), 16):
+            part = toks[i : i + 16]
+            chunks.append((row["source"], " ".join(part), len(part)))
+    freq = Counter(c for _, c, _ in chunks)
+    ref = defaultdict(lambda: [0, 0, 0, 0])  # n, n_dup, tok, dup_tok
+    for src, c, nt in chunks:
+        r = ref[src]
+        r[0] += 1
+        r[2] += nt
+        if freq[c] >= 2:
+            r[1] += 1
+            r[3] += nt
+    got = {
+        r["source"]: r
+        for r in CAT.queries["chunk_dedup_profile"](spark, SMOKE_SF_DIR).collect()
+    }
+    assert set(got) == set(ref)
+    assert sum(r[1] for r in ref.values()) > 0, "fixture must contain dup chunks"
+    for src, (n, nd, nt, ndt) in ref.items():
+        g = got[src]
+        assert (g["n_chunks"], g["n_dup_chunks"], g["n_tokens"]) == (n, nd, nt)
+        assert g["dup_token_share"] == pytest.approx(ndt / nt, rel=1e-6)
+
+
+def test_split_leakage_planted_cross_split_dups(spark, tmp_path):
+    """Wave-6: the sf0.001/sf0.01 fixtures contain no exact dups, so the
+    leakage branch is pinned on a PLANTED corpus: duplicate texts placed
+    on doc_ids whose md5-split assignment is computed from scratch here,
+    guaranteeing cross-split clusters exist."""
+    import hashlib
+
+    def split_of(doc_id: int) -> str:
+        h = hashlib.md5(str(doc_id).encode()).hexdigest()[0]
+        return "train" if h < "d" else ("val" if h < "f" else "test")
+
+    ids = list(range(1, 401))
+    by_split = defaultdict(list)
+    for i in ids:
+        by_split[split_of(i)].append(i)
+    assert all(len(v) >= 3 for v in by_split.values())
+    # text plan: 3 cross-split dup clusters + unique rest
+    texts = {}
+    t_ids, v_ids, s_ids = (by_split[s] for s in ("train", "val", "test"))
+    for a, b in [(t_ids[0], v_ids[0]), (t_ids[1], s_ids[0]),
+                 (v_ids[1], s_ids[1])]:
+        texts[a] = texts[b] = f"dup cluster {min(a, b)}"
+    # one same-split dup cluster (multi but NOT cross)
+    texts[t_ids[2]] = texts[t_ids[3]] = "train only dup"
+    for i in ids:
+        texts.setdefault(i, f"unique text {i}")
+    pdf = pd.DataFrame(
+        {
+            "doc_id": ids,
+            "text": [texts[i] for i in ids],
+            "lang": "en",
+            "source": "srcX",
+            "n_chars": [len(texts[i]) for i in ids],
+        }
+    )
+    pdf.to_parquet(tmp_path / "documents.parquet")
+    got = {
+        r["split"]: r
+        for r in CAT.queries["split_leakage_audit"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    # expected from scratch
+    h2splits = defaultdict(set)
+    for i in ids:
+        h2splits[texts[i]].add(split_of(i))
+    exp = {
+        s: dict(n_docs=0, n_cross_split=0, n_leaked_from_train=0)
+        for s in ("train", "val", "test")
+    }
+    for i in ids:
+        s = split_of(i)
+        exp[s]["n_docs"] += 1
+        if len(h2splits[texts[i]]) >= 2:
+            exp[s]["n_cross_split"] += 1
+        if s != "train" and "train" in h2splits[texts[i]]:
+            exp[s]["n_leaked_from_train"] += 1
+    assert sum(e["n_cross_split"] for e in exp.values()) >= 6
+    assert sum(e["n_leaked_from_train"] for e in exp.values()) >= 2
+    for s, e in exp.items():
+        g = got[s]
+        assert (g["n_docs"], g["n_cross_split"], g["n_leaked_from_train"]) == (
+            e["n_docs"],
+            e["n_cross_split"],
+            e["n_leaked_from_train"],
+        ), s
+
+
+def test_effective_rank_matches_numpy(spark):
+    """Wave-6: participation ratio trace(C)^2/||C||_F^2 of the centered
+    covariance per label and pooled — numpy eigenvalue cross-check
+    included (PR must equal (sum l)^2 / sum l^2 of the spectrum)."""
+    emb = pd.read_parquet(f"{SMOKE_SF_DIR}/embeddings.parquet")
+    X = np.array(emb["embedding"].tolist(), dtype=np.float64)
+    labels = emb["label"].to_numpy()
+    got = {
+        r["label"]: r
+        for r in CAT.queries["embedding_effective_rank"](
+            spark, SMOKE_SF_DIR
+        ).collect()
+    }
+    groups = {int(v): X[labels == v] for v in np.unique(labels)}
+    groups[-1] = X
+    assert set(got) == set(groups)
+    for lab, M in groups.items():
+        C = np.cov(M, rowvar=False, bias=True)
+        tr = np.trace(C)
+        pr = tr**2 / (C * C).sum()
+        ev = np.linalg.eigvalsh(C)
+        assert pr == pytest.approx(ev.sum() ** 2 / (ev**2).sum(), rel=1e-9)
+        g = got[lab]
+        assert g["n_vectors"] == len(M)
+        assert g["trace"] == pytest.approx(tr, rel=1e-6)
+        assert g["participation_ratio"] == pytest.approx(pr, rel=1e-6)
+        assert 1.0 <= g["participation_ratio"] <= M.shape[1]
+
+
+def test_label_propagation_matches_pure_python(spark):
+    """Wave-6: synchronous weighted LPA (4 rounds, max-weight/min-label
+    tie-break) — from-scratch python propagation over the same
+    co-purchase edge build."""
+    li = pd.read_parquet(f"{SMOKE_SF_DIR}/lineitem.parquet")
+    w = Counter()
+    for _, grp in li.groupby("l_orderkey"):
+        parts = sorted(set(grp["l_partkey"]))
+        for ai in range(len(parts)):
+            for bi in range(ai + 1, len(parts)):
+                w[(parts[ai], parts[bi])] += 1
+    nbrs = defaultdict(dict)
+    for (a, b), c in w.items():
+        nbrs[a][b] = nbrs[a].get(b, 0) + c
+        nbrs[b][a] = nbrs[b].get(a, 0) + c
+    label = {n: n for n in nbrs}
+    for _ in range(4):
+        votes = {}
+        for n, nb in nbrs.items():
+            acc = defaultdict(float)
+            for m, wt in nb.items():
+                acc[label[m]] += wt
+            votes[n] = min(
+                acc, key=lambda lb: (-acc[lb], lb)
+            )  # max weight, then min label
+        label = votes
+    sizes = Counter(label.values())
+    ranked = sorted(sizes.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    got = CAT.queries["copurchase_label_propagation"](
+        spark, SMOKE_SF_DIR
+    ).collect()
+    assert len(got) == len(ranked)
+    assert any(s >= 2 for _, s in ranked), "fixture must form a community"
+    for row, (community, size) in zip(sorted(got, key=lambda r: r["rank"]), ranked):
+        assert (row["community"], row["size"]) == (community, size)
