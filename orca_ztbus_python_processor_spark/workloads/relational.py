@@ -3349,14 +3349,23 @@ def copurchase_label_propagation(
         parts_per_order.select(F.explode(pair_expr).alias("e"))
         .groupBy(F.col("e.src").alias("src"), F.col("e.dst").alias("dst"))
         .agg(F.count("*").cast("double").alias("weight"))
-        .localCheckpoint(eager=False)
     )
     sym = edges.unionByName(
         edges.select(
             F.col("dst").alias("src"), F.col("src").alias("dst"), "weight"
         )
     )
-    nodes = sym.groupBy("src").agg(F.count("*").alias("_d"))
+    # Pin the symmetrized edge table PARTITIONED BY src and persist()
+    # (not localCheckpoint — LogicalRDD drops outputPartitioning, which
+    # would re-insert an exchange under every round's aggregation;
+    # InMemoryRelation keeps it). HashPartitioning(src) satisfies the
+    # clustering of BOTH per-round aggs — (src, label) vote rollup and
+    # the src-grain argmax — so each round plans ZERO shuffle
+    # exchanges: broadcast-join the new labels, aggregate in place.
+    # The cache is the graph itself (edge grain), not an exploded
+    # corpus intermediate, and CacheManager dedups reps by plan.
+    symp = sym.repartition("src").persist()
+    nodes = symp.groupBy("src").agg(F.count("*").alias("_d"))
     small = nodes.count() <= broadcast_nodes_limit
     labels = nodes.select(
         F.col("src").alias("node"), F.col("src").alias("label")
@@ -3364,14 +3373,19 @@ def copurchase_label_propagation(
     for _ in range(LPA_ITERS):
         lab_side = F.broadcast(labels) if small else labels
         votes = (
-            sym.join(lab_side, sym.dst == lab_side.node)
+            symp.join(lab_side, symp.dst == lab_side.node)
             .groupBy(F.col("src"), F.col("label"))
             .agg(F.sum("weight").alias("w"))
         )
-        win = W.partitionBy("src").orderBy(F.col("w").desc(), F.col("label"))
+        # argmax via max_by on (w, -label): max weight, then MIN label —
+        # one sortless aggregation instead of a per-round ranking window
         labels = (
-            votes.withColumn("_rn", F.row_number().over(win))
-            .where(F.col("_rn") == 1)
+            votes.groupBy("src")
+            .agg(
+                F.max_by(
+                    "label", F.struct(F.col("w"), (-F.col("label")).alias("nl"))
+                ).alias("label")
+            )
             .select(F.col("src").alias("node"), "label")
             .localCheckpoint(eager=False)
         )
