@@ -1444,6 +1444,67 @@ def merge_upsert_actions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Shared co-purchase graph builders (round-8 review finding #4: this
+# block used to be pasted at every graph query). Pair generation
+# WITHOUT a self-join: one groupBy(order) collects the sorted distinct
+# part set (collect_set partial-aggregates map-side), then the ordered
+# pairs explode from array slices — per-order work is bounded by order
+# width^2 (TPC-H <= 7 lines), and the whole build is TWO exchanges
+# (order grouping, pair counts) instead of the
+# distinct + self-join + groupBy chain's four.
+# --------------------------------------------------------------------------
+_COPURCHASE_PAIR_EXPR = (
+    "flatten(transform(parts, (x, i) ->"
+    " transform(slice(parts, i + 2, size(parts)),"
+    " y -> struct(x AS a, y AS b))))"
+)
+
+
+def _copurchase_parts_per_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("parts"))
+    )
+
+
+def _copurchase_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per unordered co-purchased part pair (a < b) with its
+    order co-occurrence count ``n_co``."""
+    return (
+        _copurchase_parts_per_order(spark, sf_dir)
+        .select(F.explode(F.expr(_COPURCHASE_PAIR_EXPR)).alias("e"))
+        .groupBy(F.col("e.a").alias("a"), F.col("e.b").alias("b"))
+        .agg(F.count("*").alias("n_co"))
+    )
+
+
+def _copurchase_weighted_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``src, dst, weight`` (double) over ALL co-purchased pairs —
+    the PageRank / label-propagation input."""
+    return _copurchase_pair_counts(spark, sf_dir).select(
+        F.col("a").alias("src"),
+        F.col("b").alias("dst"),
+        F.col("n_co").cast("double").alias("weight"),
+    )
+
+
+def _copurchase_recurrent_edges(
+    spark: SparkSession, sf_dir: str, checkpoint: bool = True
+) -> DataFrame:
+    """``a, b`` pairs co-purchased in >= 2 DISTINCT orders — the
+    noise-filtered simple graph the structural queries (triangles,
+    k-core, BFS, Jaccard, assortativity, degree census) run on.
+    ``checkpoint`` pins the edge table when the caller re-reads it."""
+    edges = (
+        _copurchase_pair_counts(spark, sf_dir)
+        .where(F.col("n_co") >= 2)
+        .select("a", "b")
+    )
+    return edges.localCheckpoint(eager=False) if checkpoint else edges
+
+
+# --------------------------------------------------------------------------
 # copurchase_pagerank_topk — co-purchase item centrality: parts that
 # ship together in one order form a weighted undirected graph
 # (weight = co-occurrence count); 5 fixed PageRank iterations
@@ -1461,27 +1522,7 @@ def copurchase_pagerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         pagerank,
     )
 
-    # Pair generation WITHOUT a self-join: one groupBy(order) collects
-    # the sorted distinct part set (collect_set partial-aggregates
-    # map-side), then the ordered pairs explode from array slices —
-    # per-order work is bounded by order width² (TPC-H ≤ 7 lines), and
-    # the whole build is TWO exchanges (order grouping, edge weights)
-    # instead of the distinct + self-join + groupBy chain's four.
-    parts_per_order = (
-        _t(spark, sf_dir, "lineitem")
-        .groupBy("l_orderkey")
-        .agg(F.array_sort(F.collect_set("l_partkey")).alias("parts"))
-    )
-    pair_expr = F.expr(
-        "flatten(transform(parts, (x, i) ->"
-        " transform(slice(parts, i + 2, size(parts)),"
-        " y -> struct(x AS src, y AS dst))))"
-    )
-    edges = (
-        parts_per_order.select(F.explode(pair_expr).alias("e"))
-        .groupBy(F.col("e.src").alias("src"), F.col("e.dst").alias("dst"))
-        .agg(F.count("*").cast("double").alias("weight"))
-    )
+    edges = _copurchase_weighted_edges(spark, sf_dir)
     ranks = pagerank(edges, damping=0.85, iters=5)
     return (
         ranks.orderBy(F.col("rank").desc(), F.col("node"))
@@ -1652,24 +1693,8 @@ def shipments_point_in_time_tier(spark: SparkSession, sf_dir: str) -> DataFrame:
 def copurchase_triangle_count(
     spark: SparkSession, sf_dir: str, broadcast_nodes_limit: int = 2_000_000
 ) -> DataFrame:
-    parts_per_order = (
-        _t(spark, sf_dir, "lineitem")
-        .groupBy("l_orderkey")
-        .agg(F.array_sort(F.collect_set("l_partkey")).alias("parts"))
-    )
-    pair_expr = F.expr(
-        "flatten(transform(parts, (x, i) ->"
-        " transform(slice(parts, i + 2, size(parts)),"
-        " y -> struct(x AS a, y AS b))))"
-    )
-    edges = (
-        parts_per_order.select(F.explode(pair_expr).alias("e"))
-        .groupBy(F.col("e.a").alias("a"), F.col("e.b").alias("b"))
-        .agg(F.count("*").alias("_w"))
-        .where(F.col("_w") >= 2)
-        .drop("_w")
-        .localCheckpoint(eager=False)  # reused by degree + orient + probe
-    )
+    # checkpointed: reused by degree + orient + probe
+    edges = _copurchase_recurrent_edges(spark, sf_dir)
     deg = (
         edges.select(F.col("a").alias("node"))
         .union(edges.select(F.col("b").alias("node")))
@@ -2084,23 +2109,7 @@ def weighted_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def copurchase_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    parts_per_order = (
-        _t(spark, sf_dir, "lineitem")
-        .groupBy("l_orderkey")
-        .agg(F.array_sort(F.collect_set("l_partkey")).alias("parts"))
-    )
-    pair_expr = F.expr(
-        "flatten(transform(parts, (x, i) ->"
-        " transform(slice(parts, i + 2, size(parts)),"
-        " y -> struct(x AS a, y AS b))))"
-    )
-    edges = (
-        parts_per_order.select(F.explode(pair_expr).alias("e"))
-        .groupBy(F.col("e.a").alias("a"), F.col("e.b").alias("b"))
-        .agg(F.count("*").alias("_w"))
-        .where(F.col("_w") >= 2)
-        .drop("_w")
-    )
+    edges = _copurchase_recurrent_edges(spark, sf_dir, checkpoint=False)
     deg = (
         edges.select(F.col("a").alias("node"))
         .union(edges.select(F.col("b").alias("node")))
@@ -2256,20 +2265,15 @@ LIFT_TOP_K = 20
     """,
 )
 def basket_affinity_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    parts_per_order = (
-        _t(spark, sf_dir, "lineitem")
-        .groupBy("l_orderkey")
-        .agg(F.array_sort(F.collect_set("l_partkey")).alias("parts"))
-        .localCheckpoint(eager=False)  # reused: n_orders + pairs + support
+    # stays on the raw parts frame (not _copurchase_pair_counts): the
+    # checkpointed order->parts table is reused THREE ways below
+    # (n_orders scalar, pair counts, single-part support)
+    parts_per_order = _copurchase_parts_per_order(spark, sf_dir).localCheckpoint(
+        eager=False
     )
     n_orders = parts_per_order.count()
-    pair_expr = F.expr(
-        "flatten(transform(parts, (x, i) ->"
-        " transform(slice(parts, i + 2, size(parts)),"
-        " y -> struct(x AS a, y AS b))))"
-    )
     pair_c = (
-        parts_per_order.select(F.explode(pair_expr).alias("e"))
+        parts_per_order.select(F.explode(F.expr(_COPURCHASE_PAIR_EXPR)).alias("e"))
         .groupBy(F.col("e.a").alias("part_a"), F.col("e.b").alias("part_b"))
         .agg(F.count("*").alias("n_both"))
         .where(F.col("n_both") >= LIFT_MIN_PAIRS)
@@ -2531,24 +2535,8 @@ BFS_MAX_HOPS = 4
     """,
 )
 def copurchase_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    parts_per_order = (
-        _t(spark, sf_dir, "lineitem")
-        .groupBy("l_orderkey")
-        .agg(F.array_sort(F.collect_set("l_partkey")).alias("parts"))
-    )
-    pair_expr = F.expr(
-        "flatten(transform(parts, (x, i) ->"
-        " transform(slice(parts, i + 2, size(parts)),"
-        " y -> struct(x AS a, y AS b))))"
-    )
-    edges = (
-        parts_per_order.select(F.explode(pair_expr).alias("e"))
-        .groupBy(F.col("e.a").alias("a"), F.col("e.b").alias("b"))
-        .agg(F.count("*").alias("_w"))
-        .where(F.col("_w") >= 2)
-        .drop("_w")
-        .localCheckpoint(eager=False)  # reused: seed probe + both sym sides
-    )
+    # checkpointed: reused by the seed probe + both sym sides
+    edges = _copurchase_recurrent_edges(spark, sf_dir)
     sym = (
         edges.select(F.col("a").alias("src"), F.col("b").alias("dst"))
         .union(edges.select(F.col("b").alias("src"), F.col("a").alias("dst")))
@@ -2751,24 +2739,8 @@ JACCARD_TOP_K = 20
 def copurchase_jaccard_similar_parts(
     spark: SparkSession, sf_dir: str, broadcast_nodes_limit: int = 2_000_000
 ) -> DataFrame:
-    parts_per_order = (
-        _t(spark, sf_dir, "lineitem")
-        .groupBy("l_orderkey")
-        .agg(F.array_sort(F.collect_set("l_partkey")).alias("parts"))
-    )
-    pair_expr = F.expr(
-        "flatten(transform(parts, (x, i) ->"
-        " transform(slice(parts, i + 2, size(parts)),"
-        " y -> struct(x AS a, y AS b))))"
-    )
-    edges = (
-        parts_per_order.select(F.explode(pair_expr).alias("e"))
-        .groupBy(F.col("e.a").alias("a"), F.col("e.b").alias("b"))
-        .agg(F.count("*").alias("_w"))
-        .where(F.col("_w") >= 2)
-        .drop("_w")
-        .localCheckpoint(eager=False)  # reused by adjacency + degrees
-    )
+    # checkpointed: reused by adjacency + degrees
+    edges = _copurchase_recurrent_edges(spark, sf_dir)
     adj = edges.select(F.col("a").alias("u"), F.col("b").alias("v")).union(
         edges.select(F.col("b").alias("u"), F.col("a").alias("v"))
     )
@@ -3000,24 +2972,8 @@ def supplier_lead_time_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 def copurchase_degree_assortativity(
     spark: SparkSession, sf_dir: str, broadcast_nodes_limit: int = 2_000_000
 ) -> DataFrame:
-    parts_per_order = (
-        _t(spark, sf_dir, "lineitem")
-        .groupBy("l_orderkey")
-        .agg(F.array_sort(F.collect_set("l_partkey")).alias("parts"))
-    )
-    pair_expr = F.expr(
-        "flatten(transform(parts, (x, i) ->"
-        " transform(slice(parts, i + 2, size(parts)),"
-        " y -> struct(x AS a, y AS b))))"
-    )
-    edges = (
-        parts_per_order.select(F.explode(pair_expr).alias("e"))
-        .groupBy(F.col("e.a").alias("a"), F.col("e.b").alias("b"))
-        .agg(F.count("*").alias("_w"))
-        .where(F.col("_w") >= 2)
-        .drop("_w")
-        .localCheckpoint(eager=False)  # reused by adjacency + degrees
-    )
+    # checkpointed: reused by adjacency + degrees
+    edges = _copurchase_recurrent_edges(spark, sf_dir)
     adj = edges.select(F.col("a").alias("u"), F.col("b").alias("v")).union(
         edges.select(F.col("b").alias("u"), F.col("a").alias("v"))
     )
@@ -3066,24 +3022,7 @@ def copurchase_kcore_summary(
     broadcast_nodes_limit: int = 2_000_000,
     local_edges_limit: int = 1_000_000,
 ) -> DataFrame:
-    parts_per_order = (
-        _t(spark, sf_dir, "lineitem")
-        .groupBy("l_orderkey")
-        .agg(F.array_sort(F.collect_set("l_partkey")).alias("parts"))
-    )
-    pair_expr = F.expr(
-        "flatten(transform(parts, (x, i) ->"
-        " transform(slice(parts, i + 2, size(parts)),"
-        " y -> struct(x AS a, y AS b))))"
-    )
-    edges0 = (
-        parts_per_order.select(F.explode(pair_expr).alias("e"))
-        .groupBy(F.col("e.a").alias("a"), F.col("e.b").alias("b"))
-        .agg(F.count("*").alias("_w"))
-        .where(F.col("_w") >= 2)
-        .drop("_w")
-        .localCheckpoint(eager=False)
-    )
+    edges0 = _copurchase_recurrent_edges(spark, sf_dir)
     n_nodes0 = (
         edges0.select(F.col("a").alias("n"))
         .union(edges0.select(F.col("b")))
@@ -3335,21 +3274,7 @@ def copurchase_label_propagation(
     sf_dir: str,
     broadcast_nodes_limit: int = 2_000_000,
 ) -> DataFrame:
-    parts_per_order = (
-        _t(spark, sf_dir, "lineitem")
-        .groupBy("l_orderkey")
-        .agg(F.array_sort(F.collect_set("l_partkey")).alias("parts"))
-    )
-    pair_expr = F.expr(
-        "flatten(transform(parts, (x, i) ->"
-        " transform(slice(parts, i + 2, size(parts)),"
-        " y -> struct(x AS src, y AS dst))))"
-    )
-    edges = (
-        parts_per_order.select(F.explode(pair_expr).alias("e"))
-        .groupBy(F.col("e.src").alias("src"), F.col("e.dst").alias("dst"))
-        .agg(F.count("*").cast("double").alias("weight"))
-    )
+    edges = _copurchase_weighted_edges(spark, sf_dir)
     sym = edges.unionByName(
         edges.select(
             F.col("dst").alias("src"), F.col("src").alias("dst"), "weight"
@@ -3390,7 +3315,7 @@ def copurchase_label_propagation(
             .localCheckpoint(eager=False)
         )
     sizes = labels.groupBy("label").agg(F.count("*").alias("size"))
-    return (
+    result = (
         sizes.orderBy(F.col("size").desc(), F.col("label"))
         .limit(20)
         .select(
@@ -3400,4 +3325,11 @@ def copurchase_label_propagation(
             F.col("label").alias("community"),
             F.col("size").cast("long").alias("size"),
         )
+        # eager-checkpoint the <=20-row census so the edge cache can be
+        # RELEASED before returning — unlike the GC-able checkpoint
+        # RDDs, a CacheManager entry would otherwise pin executor
+        # storage for the rest of the session (round-8 review finding)
+        .localCheckpoint(eager=True)
     )
+    symp.unpersist()
+    return result

@@ -2833,8 +2833,13 @@ def char_bigram_entropy_by_source(spark: SparkSession, sf_dir: str) -> DataFrame
     """,
 )
 def exact_dup_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # group on sha2(text), not text — the module's hash-grain rule
+    # (textops.py:61): the shuffle key is 64 hex chars per doc, never
+    # the document body (round-8 review finding #3)
     clusters = (
-        _docs(spark, sf_dir).groupBy("text").agg(F.count("*").alias("cluster_size"))
+        _docs(spark, sf_dir)
+        .groupBy(F.sha2(F.col("text"), 256).alias("_h"))
+        .agg(F.count("*").alias("cluster_size"))
     )
     return (
         clusters.groupBy(F.col("cluster_size").cast("long").alias("cluster_size"))
@@ -2946,20 +2951,24 @@ DELTA_MIN = 8  # doc_id % 10 in {8, 9} -> the delta batch
     """,
 )
 def incremental_dedup_delta_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs(spark, sf_dir)
+    # all three passes run at sha2(text) grain — the base DISTINCT, the
+    # keeper rollup, and both probe joins ship 64 hex chars per doc,
+    # never the document body (the module's hash-grain rule,
+    # round-8 review finding #3)
+    docs = _docs(spark, sf_dir).withColumn("_h", F.sha2(F.col("text"), 256))
     base = (
         docs.where(F.col("doc_id") % DELTA_MOD < DELTA_MIN)
-        .select("text")
+        .select("_h")
         .distinct()
         .withColumn("_in_base", F.lit(1))
     )
     delta = docs.where(F.col("doc_id") % DELTA_MOD >= DELTA_MIN).select(
-        "doc_id", "source", "text"
+        "doc_id", "source", "_h"
     )
-    first_in_delta = delta.groupBy("text").agg(F.min("doc_id").alias("keeper"))
+    first_in_delta = delta.groupBy("_h").agg(F.min("doc_id").alias("keeper"))
     classified = (
-        delta.join(base, "text", "left")
-        .join(first_in_delta, "text")
+        delta.join(base, "_h", "left")
+        .join(first_in_delta, "_h")
         .select(
             "source",
             F.when(F.col("_in_base").isNotNull(), "dup_vs_base")
@@ -3015,9 +3024,11 @@ def incremental_dedup_delta_audit(spark: SparkSession, sf_dir: str) -> DataFrame
     """,
 )
 def dedup_quality_bias_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs(spark, sf_dir)
-    keeper = docs.groupBy("text").agg(F.min("doc_id").alias("keep_id"))
-    classified = docs.join(keeper, "text").select(
+    # keeper rollup + probe join at sha2(text) grain, not raw text
+    # (the module's hash-grain rule, round-8 review finding #3)
+    docs = _docs(spark, sf_dir).withColumn("_h", F.sha2(F.col("text"), 256))
+    keeper = docs.groupBy("_h").agg(F.min("doc_id").alias("keep_id"))
+    classified = docs.join(keeper, "_h").select(
         "source",
         "n_chars",
         (F.col("doc_id") == F.col("keep_id")).alias("kept"),

@@ -3812,6 +3812,12 @@ def type_dow_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
 # engine-portable — and the estimator is a conditional avg over the
 # bounded top-(k+1) frame. One shuffle on event_type; the rank prunes
 # per-partition before the final tiny aggregation.
+#
+# Validity guard: the estimator is DEFINED over exactly k order
+# statistics above the (k+1)-th; a group with fewer than k+1 positive
+# values cannot supply them, and dividing its partial ln-sum by the
+# constant k would fabricate an alpha (round-8 review finding) — such
+# groups keep their census columns but emit hill_alpha NULL.
 # --------------------------------------------------------------------------
 HILL_K = 100
 
@@ -3834,9 +3840,10 @@ HILL_K = 100
                  WHERE p.event_type = top.event_type) AS BIGINT)
                AS n_positive,
            CAST(min(value) AS REAL) AS x_k1,
-           CAST(1.0 / (sum(CASE WHEN rn <= {HILL_K} THEN ln(value) END)
-                       / {HILL_K}.0 - ln(min(value))) AS REAL)
-               AS hill_alpha
+           CAST(CASE WHEN count(*) = {HILL_K + 1} THEN
+               1.0 / (sum(CASE WHEN rn <= {HILL_K} THEN ln(value) END)
+                      / {HILL_K}.0 - ln(min(value)))
+           END AS REAL) AS hill_alpha
     FROM top
     GROUP BY event_type
     """,
@@ -3856,13 +3863,16 @@ def value_tail_hill_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     est = top.groupBy("event_type").agg(
         f32(F.min("value")).alias("x_k1"),
         f32(
-            1.0
-            / (
-                F.sum(
-                    F.when(F.col("rn") <= HILL_K, F.log(F.col("value")))
-                )
-                / float(HILL_K)
-                - F.log(F.min("value"))
+            F.when(
+                F.count("*") == HILL_K + 1,
+                1.0
+                / (
+                    F.sum(
+                        F.when(F.col("rn") <= HILL_K, F.log(F.col("value")))
+                    )
+                    / float(HILL_K)
+                    - F.log(F.min("value"))
+                ),
             )
         ).alias("hill_alpha"),
     )

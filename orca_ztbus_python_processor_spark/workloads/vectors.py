@@ -928,13 +928,20 @@ SEM_DECONTAM_TAU_STRONG = 0.5
 SEM_DECONTAM_SHARDS = 16
 
 
-def _semantic_max_cos(emb: DataFrame) -> DataFrame:
+def _semantic_max_cos(
+    emb: DataFrame, n_shards: int = SEM_DECONTAM_SHARDS
+) -> DataFrame:
     """(vec_id, max_cos) of every train vector vs the benchmark slice —
-    train sharded by id, benchmark replicated to every shard."""
+    train sharded by id, benchmark replicated to every shard.
+
+    ``n_shards`` bounds per-task memory (each cogroup task holds
+    1/n_shards of the corpus as one pandas frame) and caps the stage's
+    parallelism — grow it with the corpus exactly as
+    ``cosine_topk_sharded`` documents for its own shard knob."""
     import numpy as np  # noqa: PLC0415
     import pandas as pd  # noqa: PLC0415
 
-    B = SEM_DECONTAM_SHARDS
+    B = n_shards
     train = emb.where(F.col("vec_id") % SEM_DECONTAM_MOD != 0).select(
         "vec_id",
         "emb",
@@ -1005,8 +1012,10 @@ def _semantic_max_cos(emb: DataFrame) -> DataFrame:
     GROUP BY d.source
     """,
 )
-def semantic_decontam_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    scored = _semantic_max_cos(_emb(spark, sf_dir))
+def semantic_decontam_embedding(
+    spark: SparkSession, sf_dir: str, n_shards: int = SEM_DECONTAM_SHARDS
+) -> DataFrame:
+    scored = _semantic_max_cos(_emb(spark, sf_dir), n_shards=n_shards)
     docs = read_table(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("vec_id"), "source"
     )
@@ -1156,6 +1165,12 @@ def embedding_batch_centroid_drift(
 # — no second scan; all downstream joins are d^2-row frames. The
 # centering algebra (C = S2/n - mu mu^T) runs in f64 on both engines
 # with f32 output casts.
+#
+# PRECONDITION (enforced executor-side): labels must be non-negative —
+# the pooled grain rides the label = -1 sentinel, and a real -1 label
+# would silently merge with it, fanning the sentinel joins out and
+# corrupting BOTH grains. The Arrow pass raises on the first negative
+# label rather than return wrong statistics.
 # --------------------------------------------------------------------------
 @CATALOG.query(
     "embedding_effective_rank",
@@ -1202,6 +1217,11 @@ def embedding_effective_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             if not len(pdf):
                 continue
+            if (pdf["label"] < 0).any():
+                raise ValueError(
+                    "embedding_effective_rank requires non-negative labels:"
+                    " label -1 is reserved for the pooled grain"
+                )
             out = []
             for label, grp in pdf.groupby("label"):
                 X = np.array(grp["emb"].tolist(), dtype=np.float64)

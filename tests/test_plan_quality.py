@@ -634,7 +634,9 @@ BOUNDED_GLOBAL_WINDOW_OK = {
     "ks_binned_drift": "KS_BINS (20) rows after bin-grain agg",
     "orders_backlog_over_time": "|dates| rows after day-grain agg",
     "vocab_pareto_coverage": "1000-row frame after TakeOrdered limit",
-    "copurchase_label_propagation": "20-row frame after limit(20)",
+    # copurchase_label_propagation ranks a 20-row frame but eager-
+    # checkpoints the result (cache release), so no Window survives in
+    # the returned plan — no whitelist entry needed.
 }
 
 

@@ -886,3 +886,40 @@ def test_label_propagation_matches_pure_python(spark):
     assert any(s >= 2 for _, s in ranked), "fixture must form a community"
     for row, (community, size) in zip(sorted(got, key=lambda r: r["rank"]), ranked):
         assert (row["community"], row["size"]) == (community, size)
+
+
+def test_hill_index_small_group_emits_null_alpha(spark, tmp_path):
+    """Round-8 review fix: a group with fewer than HILL_K+1 positive
+    values cannot supply the k order statistics the estimator is
+    defined over — it must keep its census columns but emit NULL
+    hill_alpha, never a partial-sum-over-constant-k fabrication."""
+    big_n = 150
+    small_n = 40
+    rows = []
+    eid = 0
+    for i in range(big_n):
+        eid += 1
+        rows.append((eid, "2024-01-01T00:00:00", 1, "big", 1.0 + i, "{}"))
+    for i in range(small_n):
+        eid += 1
+        rows.append((eid, "2024-01-01T00:00:00", 1, "small", 1.0 + i, "{}"))
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    pdf["ts"] = pd.to_datetime(pdf["ts"])
+    pdf.to_parquet(tmp_path / "events.parquet")
+    got = {
+        r["event_type"]: r
+        for r in CAT.queries["value_tail_hill_index"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert got["small"]["n_positive"] == small_n
+    assert got["small"]["hill_alpha"] is None
+    assert got["small"]["x_k1"] == pytest.approx(1.0)  # min of its own top set
+    # big group: full k+1 statistics -> numpy reference value
+    vals = np.sort(1.0 + np.arange(big_n))[::-1]
+    xk1 = vals[100]
+    ref = 1.0 / (np.log(vals[:100]).mean() - np.log(xk1))
+    assert got["big"]["n_positive"] == big_n
+    assert got["big"]["hill_alpha"] == pytest.approx(ref, rel=1e-6)
