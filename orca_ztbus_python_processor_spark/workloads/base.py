@@ -210,9 +210,41 @@ _R7_SAMPLE = frozenset({
     "unpivot_returnflag_measures",
 })
 
+# Round-8 driver sample (CORRECTNESS_r08.json): 47 hash-match + 3
+# contractual rows-only (copurchase_kcore_summary,
+# copurchase_label_propagation, stream_distinct_users_hll_minute),
+# zero failures. 29 were round-8 additions, the rest round-1/-7
+# re-verifications. All join the back group so round 9's window is
+# filled by round-9 additions only; no forced-resample set pending.
+_R8_SAMPLE = frozenset({
+    "benchmark_decontam_13gram", "char_bigram_entropy_by_source",
+    "chunk_dedup_profile", "context_window_fit_profile",
+    "copurchase_degree_assortativity", "copurchase_jaccard_similar_parts",
+    "copurchase_kcore_summary", "copurchase_label_propagation",
+    "cube_revenue", "customer_decile_migration",
+    "customers_with_orders_by_nation", "customers_without_orders",
+    "custs_without_urgent", "dedup_quality_bias_audit",
+    "doc_prefix_template_profile", "embedding_batch_centroid_drift",
+    "embedding_effective_rank", "embedding_outlier_mahalanobis",
+    "epoch_shuffle_balance", "exact_dup_cluster_histogram",
+    "incremental_dedup_delta_audit", "nations_with_customers_and_suppliers",
+    "nations_without_suppliers", "order_fanout_histogram",
+    "orders_backlog_over_time", "part_type_stats", "parts_intersect_rf",
+    "pivot_linestatus", "point_lookup_customer", "priority_value_share",
+    "q1_pricing_summary", "q3_top_orders", "q5_region_revenue",
+    "rollup_revenue", "running_order_total", "salted_mktsegment_rollup",
+    "semantic_decontam_embedding", "split_leakage_audit",
+    "stream_distinct_users_hll_minute", "stream_minute_latency_bands",
+    "supplier_lead_time_profile", "top1_latest_order",
+    "topk_orders_per_segment", "type_dow_mutual_information",
+    "union_price_slices", "unpivot_returnflag_measures",
+    "user_burstiness_fano", "user_diurnal_harmonic",
+    "value_tail_hill_index", "vocab_pareto_coverage",
+})
+
 _DRIVER_VERIFIED = (
     _R1_DRIVER_VERIFIED | _R2_SAMPLE | _R3_SAMPLE | _R4_SAMPLE
-    | _R5_SAMPLE | _R6_SAMPLE | _R7_SAMPLE
+    | _R5_SAMPLE | _R6_SAMPLE | _R7_SAMPLE | _R8_SAMPLE
 )
 
 _MERGED: Catalog | None = None

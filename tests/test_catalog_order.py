@@ -14,6 +14,7 @@ from orca_ztbus_python_processor_spark.workloads.base import (
     _R5_SAMPLE,
     _R6_SAMPLE,
     _R7_SAMPLE,
+    _R8_SAMPLE,
     _DRIVER_VERIFIED,
     merged_catalog,
 )
@@ -41,6 +42,14 @@ def test_r7_sample_folded_into_back_group():
     assert len(_R7_SAMPLE) == 50
     assert _R7_SAMPLE <= _DRIVER_VERIFIED
     assert {"knn_label_accuracy", "embedding_cosine_histogram"} <= _R7_SAMPLE
+
+
+def test_r8_sample_folded_into_back_group():
+    # CORRECTNESS_r08.json held exactly these 50 names (47 hash-match +
+    # 3 contractual rows-only, zero failures); all must now be in the
+    # verified back group so round-9 additions fill the window.
+    assert len(_R8_SAMPLE) == 50
+    assert _R8_SAMPLE <= _DRIVER_VERIFIED
 
 
 def test_unverified_queries_fill_the_sample_window():
