@@ -201,8 +201,13 @@ def exact_weighted_quantiles(
     # exact in doubles up to 2^53) get eps = 0 — exact selection; and
     # fractional weights get an epsilon scaled to the worst-case
     # ACCUMULATED summation error, n_rows additions each off by at
-    # most one ulp of the running total (<= ulp(total_w)).
-    eps = 0.0 if integral_w else n_rows * math.ulp(max(total_w, 1.0))
+    # most one ulp of the running total (<= ulp(total_w)). ADVICE r8:
+    # the target side (q * total_w, where total_w comes from driver
+    # partial sums added in a different order) carries its own
+    # comparable accumulation error, so cover BOTH sides of the
+    # comparison with 2x — still orders of magnitude below any
+    # legitimate weight gap.
+    eps = 0.0 if integral_w else 2.0 * n_rows * math.ulp(max(total_w, 1.0))
     return (
         cw.join(tdf, "pid")
         .where(F.col("cw") >= F.col("target") - F.lit(eps))

@@ -1574,11 +1574,27 @@ def _decode_jpeg(b: bytes) -> dict:
         elif marker == 0xDD:
             (restart_interval,) = struct.unpack_from(">H", data, 0)
         elif marker == 0xDA:
+            if comps is None:
+                # ADVICE r8: without this the branch dies on a
+                # NameError (p_vmax unbound) instead of the decoder's
+                # contractual diagnostic.
+                raise ValueError("JPEG SOS before SOF")
             ns = data[0]
             scan = []
             for c in range(ns):
                 cid, tt = data[1 + 2 * c], data[2 + 2 * c]
                 scan.append((cid, tt >> 4, tt & 0xF))
+            scan_cids = [cid for cid, _, _ in scan]
+            frame_cids = {c2 for c2, _, _, _ in comps}
+            if len(set(scan_cids)) != ns or not set(scan_cids) <= frame_cids:
+                # ADVICE r8: ns == len(comps) alone would let a
+                # malformed stream repeating one component id decode
+                # silently into the wrong grids.
+                raise ValueError(
+                    "JPEG scan component ids must be distinct frame "
+                    f"components (scan {scan_cids}, frame "
+                    f"{sorted(frame_cids)})"
+                )
             i += seglen
             if not progressive:
                 scanned_cids.update(cid for cid, _, _ in scan)

@@ -3039,6 +3039,15 @@ def copurchase_kcore_summary(
         # fixpoint iterations. Peel counts are identical to the loop
         # path by construction (pinned against the pure-Python
         # reference in tests).
+        #
+        # Driver-memory budget (ADVICE r8): at the 1M-edge default the
+        # collect pulls ~1M Row objects (~150 B each incl. two Python
+        # ints) ≈ 150 MB transient, and the peel's tupled edge_list +
+        # neighbor sets peak around another ~350 MB — ~0.5 GB total,
+        # sized against the same multi-GB driver heap assumed by the
+        # 2M-node broadcast guard above (a 2M-key broadcast map costs
+        # a comparable few hundred MB). Shrink local_edges_limit
+        # before broadcast_nodes_limit if the driver is smaller.
         from collections import defaultdict as _dd  # noqa: PLC0415
 
         edge_list = [(r["a"], r["b"]) for r in edges0.collect()]

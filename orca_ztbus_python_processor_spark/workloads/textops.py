@@ -2612,6 +2612,16 @@ def text_zlib_compress_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 DECONTAM_N = 13
 DECONTAM_BENCH_MOD = 97
 DECONTAM_FLAG_SHARE = 0.05
+# ADVICE r8 fence: the bench gram set is a 1/97 corpus slice, so it
+# grows with the corpus — unconditional broadcast would eventually
+# blow Spark's broadcast limit. Below this count we broadcast (the
+# production shape: eval suites are MBs against TBs); above it the
+# probe degrades to a plain shuffle join — identical semantics, one
+# extra exchange. 5M grams x ~100 B/gram ~= 500 MB, comfortably under
+# the 8 GB broadcast hard cap and typical executor headroom. Sizing
+# the fence costs one extra count() scan of the 1/97 bench slice —
+# ~1% of the work the 96/97 train scan already pays.
+DECONTAM_BROADCAST_GRAM_LIMIT = 5_000_000
 
 _DECONTAM_TOKENS = "regexp_extract_all(lower(text), '[a-z0-9]+', 0)"
 _DECONTAM_GRAMS = (
@@ -2673,8 +2683,14 @@ def benchmark_decontam_13gram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("_hit", F.lit(1))
     )
     train = grams.where(F.col("doc_id") % DECONTAM_BENCH_MOD != 0)
+    n_bench = bench.count()
+    probe = (
+        F.broadcast(bench)
+        if n_bench <= DECONTAM_BROADCAST_GRAM_LIMIT
+        else bench
+    )
     per_doc = (
-        train.join(F.broadcast(bench), "g", "left")
+        train.join(probe, "g", "left")
         .groupBy("doc_id", "source")
         .agg(
             F.count("*").alias("n_grams"),

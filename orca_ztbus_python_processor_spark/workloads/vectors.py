@@ -926,6 +926,14 @@ SEM_DECONTAM_MOD = 97  # mirror benchmark_decontam_13gram's held-out slice
 SEM_DECONTAM_TAU = 0.35
 SEM_DECONTAM_TAU_STRONG = 0.5
 SEM_DECONTAM_SHARDS = 16
+# ADVICE r8 fence: the benchmark slice is 1/97 of the corpus, so the
+# per-shard replica grows with the corpus. Every shard task holds the
+# WHOLE bench matrix (n_bench x dim f64 = n_bench*dim*8 bytes; 500k x
+# 128-dim ~= 512 MB), and n_shards only divides the TRAIN side, so a
+# bigger shard count cannot relieve it. Above this count the operator
+# refuses (the knn_label_accuracy_allpairs pattern) and points at
+# cosine_topk_sharded's shard-PAIR grid, which shards both sides.
+SEM_DECONTAM_BENCH_LIMIT = 500_000
 
 
 def _semantic_max_cos(
@@ -942,6 +950,16 @@ def _semantic_max_cos(
     import pandas as pd  # noqa: PLC0415
 
     B = n_shards
+    n_bench = emb.where(F.col("vec_id") % SEM_DECONTAM_MOD == 0).count()
+    if n_bench > SEM_DECONTAM_BENCH_LIMIT:
+        raise ValueError(
+            f"semantic decontam benchmark slice has {n_bench} vectors, "
+            f"over the {SEM_DECONTAM_BENCH_LIMIT} per-task replica fence "
+            "(each cogroup task materializes the full bench matrix; "
+            "n_shards divides only the train side). Cap the benchmark "
+            "set, or use cosine_topk_sharded's shard-pair grid which "
+            "shards both sides."
+        )
     train = emb.where(F.col("vec_id") % SEM_DECONTAM_MOD != 0).select(
         "vec_id",
         "emb",
