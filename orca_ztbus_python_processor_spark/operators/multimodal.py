@@ -151,10 +151,15 @@ def _decode_wav(b: bytes) -> dict:
     }
 
 
-def _decode_bmp(b: bytes) -> dict:
+def _decode_bmp(b: bytes, raster: bool = False) -> dict:
     """Uncompressed 24bpp BMP decode from a hand-parsed
     BITMAPFILEHEADER + BITMAPINFOHEADER; levels are mean/peak pixel
-    byte / 255 over the actual pixels (row padding excluded)."""
+    byte / 255 over the actual pixels (row padding excluded).
+
+    ``raster=True`` returns the decoded bitmap instead of the feature
+    summary, as float64 in [0, 1] shape (h, w, 3) in RGB order,
+    top-down (positive-height BMPs store rows bottom-up and are
+    flipped; the pHash stage consumes this)."""
     if b[:2] != b"BM":
         raise ValueError("not a BMP payload")
     (pixel_off,) = struct.unpack_from("<I", b, 10)
@@ -169,6 +174,9 @@ def _decode_bmp(b: bytes) -> dict:
         b, np.uint8, count=stride * height, offset=pixel_off
     ).reshape(height, stride)[:, : w * 3]
     px = rows.astype(np.float64) / 255.0
+    if raster:
+        rgb = px.reshape(height, w, 3)[:, :, ::-1]
+        return rgb[::-1] if h > 0 else rgb
     return {
         "width": w, "height": height, "n_channels": 3, "sample_rate": None,
         "n_samples": w * height,
@@ -177,9 +185,11 @@ def _decode_bmp(b: bytes) -> dict:
     }
 
 
-def _decode_ppm(b: bytes) -> dict:
+def _decode_ppm(b: bytes, raster: bool = False) -> dict:
     """Binary PPM (P6) decode: whitespace/comment-tolerant header parse
-    then raw RGB; levels normalized by the declared maxval."""
+    then raw RGB; levels normalized by the declared maxval.
+
+    ``raster=True`` returns the (h, w, 3) RGB float64 [0, 1] bitmap."""
     if b[:2] != b"P6":
         raise ValueError("not a P6 PPM payload")
     pos, fields = 2, []
@@ -202,6 +212,8 @@ def _decode_ppm(b: bytes) -> dict:
         raise ValueError(f"only 8-bit P6 PPM supported (maxval={maxval})")
     px = np.frombuffer(b, np.uint8, count=w * h * 3, offset=pos).astype(np.float64)
     px /= float(maxval)
+    if raster:
+        return px.reshape(h, w, 3)
     return {
         "width": w, "height": h, "n_channels": 3, "sample_rate": None,
         "n_samples": w * h,
@@ -258,12 +270,15 @@ def _png_unfilter(raw: bytes, height: int, stride: int, bpp: int) -> np.ndarray:
     return out
 
 
-def _decode_png(b: bytes) -> dict:
+def _decode_png(b: bytes, raster: bool = False) -> dict:
     """Stdlib PNG decode — zlib inflate of the IDAT stream plus the
     per-scanline unfilter — for 8-bit greyscale/RGB/grey+alpha/RGBA,
     non-interlaced. Palette, 16-bit, and Adam7-interlaced PNGs raise
     ValueError (honest sub-gates inside the format). Levels are
-    mean/peak sample byte / 255 over all channels."""
+    mean/peak sample byte / 255 over all channels.
+
+    ``raster=True`` returns the float64 [0, 1] bitmap: (h, w) for
+    greyscale, (h, w, 3) RGB otherwise (alpha dropped)."""
     if b[:8] != _PNG_SIG:
         raise ValueError("not a PNG payload")
     pos, idat = 8, bytearray()
@@ -296,6 +311,13 @@ def _decode_png(b: bytes) -> dict:
             f"PNG raster size mismatch ({len(raw)} != {h} * ({stride} + 1))"
         )
     px = _png_unfilter(raw, h, stride, nch).astype(np.float64) / 255.0
+    if raster:
+        shaped = px.reshape(h, w, nch)
+        if nch == 1:
+            return shaped[:, :, 0]
+        if nch == 2:  # grey + alpha -> grey
+            return shaped[:, :, 0]
+        return shaped[:, :, :3]  # RGB / RGBA -> RGB
     return {
         "width": w, "height": h, "n_channels": nch, "sample_rate": None,
         "n_samples": w * h,
@@ -360,7 +382,7 @@ def _gif_lzw_decode(data: bytes, mcs: int, n_expected: int) -> list[int]:
     return out[:n_expected]
 
 
-def _decode_gif(b: bytes) -> dict:
+def _decode_gif(b: bytes, raster: bool = False) -> dict:
     """Stdlib GIF decode — header + global color table + real LZW
     expansion of the first image block — for non-interlaced GIFs using
     the global palette. Interlaced images, local color tables, and
@@ -412,6 +434,8 @@ def _decode_gif(b: bytes) -> dict:
         if idx.size and idx.max() >= gct_n:
             raise ValueError("GIF pixel index outside the global palette")
         px = palette[idx].astype(np.float64) / 255.0
+        if raster:
+            return px.reshape(ih, iw, 3)
         return {
             "width": iw, "height": ih, "n_channels": 3, "sample_rate": None,
             "n_samples": iw * ih,
@@ -1475,7 +1499,7 @@ def _jpeg_base_scan_single(
     return _jpeg_next_marker(b, reader.i)
 
 
-def _decode_jpeg(b: bytes) -> dict:
+def _decode_jpeg(b: bytes, raster: bool = False) -> dict:
     """Baseline-sequential AND progressive (single-component) JPEG
     decode — full entropy + DCT pipeline in numpy/stdlib: marker parse
     (DQT/SOF0/SOF2/DHT/SOS, APPn/COM skipped), canonical-Huffman
@@ -1682,16 +1706,19 @@ def _decode_jpeg(b: bytes) -> dict:
                     _JPEG_C.T @ (q.reshape(8, 8) * qtab) @ _JPEG_C + 128.0
                 )
         planes[cid] = plane
-    return _jpeg_finish(planes, comps, p_hmax, p_vmax, h, w)
+    return _jpeg_finish(planes, comps, p_hmax, p_vmax, h, w, raster=raster)
 
 
 def _jpeg_finish(
-    planes: dict, comps: list, hmax: int, vmax: int, h: int, w: int
+    planes: dict, comps: list, hmax: int, vmax: int, h: int, w: int,
+    raster: bool = False,
 ) -> dict:
     """Shared reconstruction tail for baseline and progressive decode:
     upsample subsampled planes to full resolution by sample
     replication (box upsampling), crop to the frame, apply the BT.601
-    inverse for 3-component streams, and summarize."""
+    inverse for 3-component streams, and summarize (or, with
+    ``raster=True``, return the float64 [0, 1] bitmap — (h, w) grey or
+    (h, w, 3) RGB)."""
     arrs = []
     for cid, hf, vf, _ in comps:
         p = planes[cid]
@@ -1710,6 +1737,8 @@ def _jpeg_finish(
         nch = 3
     else:
         raise NotImplementedError(f"{len(arrs)}-component JPEG")
+    if raster:
+        return px
     return {
         "width": w, "height": h, "n_channels": nch, "sample_rate": None,
         "n_samples": w * h,
@@ -1725,6 +1754,19 @@ _REAL_DECODERS = {
     "gif": _decode_gif,
     "jpeg": _decode_jpeg,
 }
+
+# Image formats whose decoders can hand back the full bitmap (the
+# perceptual-hash stage consumes these; wav is audio and has none).
+IMAGE_RASTER_FORMATS = ("bmp", "ppm", "png", "gif", "jpeg")
+
+
+def decode_image_raster(fmt: str, payload: bytes) -> np.ndarray:
+    """Decode an image payload to its bitmap: float64 in [0, 1],
+    shape (h, w) greyscale or (h, w, 3) RGB (alpha dropped, BMP
+    channel order swapped to RGB, bottom-up BMPs flipped top-down)."""
+    if fmt not in IMAGE_RASTER_FORMATS:
+        raise ValueError(f"no bitmap for format {fmt!r}")
+    return _REAL_DECODERS[fmt](bytes(payload), raster=True)
 
 
 def real_features(media: DataFrame) -> DataFrame:

@@ -525,3 +525,66 @@ def epoch_shuffle_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.avg("c")
         ).alias("shard_cv"),
     )
+
+
+# --------------------------------------------------------------------------
+# image_phash_dedup — PERCEPTUAL image near-dup dedup (pHash), the
+# multimodal analogue of the text MinHash path: real byte-level image
+# decode (BMP/PPM/PNG) -> 64-bit DCT perceptual hash -> 4x16-bit
+# pigeonhole banding -> exact-hamming verify -> connected components
+# -> per-format dedup census. The fixture corpus plants groups of
+# brightness-shifted copies (provably hamming <= 1 — a no-clip
+# brightness change is a pure DC shift through the linear
+# resample+DCT; operators/imagehash.py), so the planted relation is
+# recovered exactly, not statistically.
+#
+# Scale shape: decode + hash are ONE map-only Arrow stage (payload
+# bytes never shuffle; 8 bytes/image leave it); the banding shuffle
+# carries 4 rows/image; bucket expansion rides the shared LSH flood
+# guard; components use the union-find fast path <= 1M edges with the
+# distributed hash-loop fallback. Rows-only by the driver contract
+# (binary decode has no SQL oracle); the hash itself and the planted
+# recall are pinned by an independent pure-python reference in
+# tests/test_round9_ops.py.
+# --------------------------------------------------------------------------
+@CATALOG.query("image_phash_dedup")
+def image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from orca_ztbus_python_processor_spark.operators.dedup import (  # noqa: PLC0415
+        connected_components,
+    )
+    from orca_ztbus_python_processor_spark.operators.imagehash import (  # noqa: PLC0415
+        phash_near_dups,
+        phash_signatures,
+        synthesize_phash_media,
+    )
+
+    media = synthesize_phash_media(_docs(spark, sf_dir))
+    sigs = phash_signatures(media)
+    pairs = phash_near_dups(sigs, max_hamming=3)
+    comp = connected_components(pairs.select("id_a", "id_b"))
+    # every image keeps a cluster id: its component if it paired,
+    # itself if it is a perceptual singleton
+    labeled = (
+        media.select("media_id", "format")
+        .join(comp, media.media_id == comp.node, "left")
+        .select(
+            "media_id",
+            "format",
+            F.coalesce(F.col("component"), F.col("media_id")).alias("cluster"),
+        )
+    )
+    sizes = labeled.groupBy("format", "cluster").agg(
+        F.count("*").alias("cluster_size")
+    )
+    return sizes.groupBy("format").agg(
+        F.sum("cluster_size").alias("n_images"),
+        F.count("*").alias("n_clusters"),
+        F.sum((F.col("cluster_size") > 1).cast("long")).alias(
+            "n_dup_clusters"
+        ),
+        F.max("cluster_size").alias("max_cluster_size"),
+        f32(
+            F.sum(F.col("cluster_size") - 1)
+            / F.sum("cluster_size").cast("double")
+        ).alias("dup_share"),
+    )

@@ -93,3 +93,214 @@ def test_jpeg_unknown_scan_component_raises_valueerror():
     good[i + 5] = 0x42  # scan cid not in frame
     with pytest.raises(ValueError, match="distinct frame"):
         _decode_jpeg(bytes(good))
+
+
+# --------------------------------------------------------------------------
+# pHash perceptual image dedup (VERDICT r8 "Next round" #2)
+# --------------------------------------------------------------------------
+def _ref_phash64(px):
+    """Independent pure-python/numpy pHash reference: nested-loop exact
+    area-average resample (explicit fractional overlap weights) +
+    direct double-sum DCT-II — no shared code path with the operator's
+    cumsum/matmul formulation."""
+    import math
+
+    g = np.asarray(px, dtype=np.float64)
+    if g.ndim == 3:
+        g = 0.299 * g[:, :, 0] + 0.587 * g[:, :, 1] + 0.114 * g[:, :, 2]
+    h, w = g.shape
+    m = 32
+    s = np.zeros((m, m))
+    for i in range(m):
+        y0, y1 = i * h / m, (i + 1) * h / m
+        for j in range(m):
+            x0, x1 = j * w / m, (j + 1) * w / m
+            acc = 0.0
+            for y in range(int(math.floor(y0)), int(math.ceil(y1))):
+                wy = min(y + 1, y1) - max(y, y0)
+                if wy <= 0:
+                    continue
+                for x in range(int(math.floor(x0)), int(math.ceil(x1))):
+                    wx = min(x + 1, x1) - max(x, x0)
+                    if wx <= 0:
+                        continue
+                    acc += g[y, x] * wy * wx
+            s[i, j] = acc / ((y1 - y0) * (x1 - x0))
+    d = np.zeros((8, 8))
+    for u in range(8):
+        au = math.sqrt(1 / 32) if u == 0 else math.sqrt(2 / 32)
+        for v in range(8):
+            av = math.sqrt(1 / 32) if v == 0 else math.sqrt(2 / 32)
+            tot = 0.0
+            for y in range(m):
+                for x in range(m):
+                    tot += (
+                        s[y, x]
+                        * math.cos((2 * y + 1) * u * math.pi / 64)
+                        * math.cos((2 * x + 1) * v * math.pi / 64)
+                    )
+            d[u, v] = au * av * tot
+    low = d.ravel()
+    med = float(np.median(low[1:]))
+    hsh = 0
+    for k in range(64):
+        if low[k] > med:
+            hsh |= 1 << k
+    return hsh - (1 << 64) if hsh >= (1 << 63) else hsh
+
+
+def test_phash_matches_independent_reference():
+    from orca_ztbus_python_processor_spark.operators.imagehash import phash64
+
+    rng = np.random.default_rng(42)
+    cases = [
+        rng.integers(0, 256, (23, 37)).astype(np.float64),      # downsample
+        rng.integers(0, 256, (12, 16)).astype(np.float64),      # upsample
+        rng.integers(0, 256, (32, 32)).astype(np.float64),      # identity
+        rng.integers(0, 256, (40, 9)).astype(np.float64),       # mixed
+        rng.integers(0, 256, (17, 51, 3)).astype(np.float64),   # RGB luma
+    ]
+    for px in cases:
+        assert phash64(px) == _ref_phash64(px)
+
+
+def test_phash_brightness_shift_flips_at_most_dc_bit():
+    """EXACT invariance property (not statistical): resample and DCT
+    are linear, so a no-clip constant shift moves only the DC
+    coefficient — hamming <= 1 for ANY image and ANY shift."""
+    from orca_ztbus_python_processor_spark.operators.imagehash import phash64
+
+    rng = np.random.default_rng(7)
+    for _ in range(20):
+        h, w = int(rng.integers(5, 60)), int(rng.integers(5, 60))
+        img = rng.integers(10, 230, (h, w)).astype(np.float64)
+        base = phash64(img)
+        for shift in (1.0, 9.0, 25.0, -10.0):
+            d = bin((base ^ phash64(img + shift)) & (2**64 - 1)).count("1")
+            assert d <= 1, (h, w, shift, d)
+
+
+def test_phash_banding_recall_complete_vs_bruteforce(spark):
+    """The 4x16-bit pigeonhole banding + exact verify must return
+    EXACTLY the brute-force hamming <= 3 pair set (recall 1.0 by the
+    pigeonhole argument, precision 1.0 by the exact verify)."""
+    from orca_ztbus_python_processor_spark.operators.imagehash import (
+        phash64,
+        phash_near_dups,
+        _phash_base_pixels,
+    )
+
+    rng = np.random.default_rng(3)
+    sigs = []
+    for i in range(120):
+        base = int(rng.integers(0, 25))
+        g = _phash_base_pixels(base, 14 + base % 5, 18 + base % 7).astype(
+            np.float64
+        )
+        if i % 3:
+            g = g + float(rng.integers(1, 5))  # no-clip brightness member
+        sigs.append((i, phash64(g)))
+    sdf = spark.createDataFrame(sigs, "media_id long, phash long")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in phash_near_dups(sdf, max_hamming=3).collect()
+    }
+    want = set()
+    for a in range(len(sigs)):
+        for b in range(a + 1, len(sigs)):
+            d = bin((sigs[a][1] ^ sigs[b][1]) & (2**64 - 1)).count("1")
+            if d <= 3:
+                want.add(
+                    (min(sigs[a][0], sigs[b][0]), max(sigs[a][0], sigs[b][0]))
+                )
+    assert got == want and len(want) > 50
+
+
+def test_image_phash_dedup_recovers_planted_groups(spark):
+    """End-to-end over real encoded payloads: every planted
+    brightness-shift group of 4 comes back as one cluster, no false
+    merges across bases (500 docs -> 125 clusters of exactly 4)."""
+    from orca_ztbus_python_processor_spark.workloads.pipelineops import (
+        image_phash_dedup,
+    )
+
+    rows = image_phash_dedup(spark, SF_DIR).collect()
+    assert sum(r["n_images"] for r in rows) == 500
+    assert sum(r["n_clusters"] for r in rows) == 125
+    for r in rows:
+        assert r["max_cluster_size"] == 4
+        assert r["n_dup_clusters"] == r["n_clusters"]
+        assert abs(r["dup_share"] - 0.75) < 1e-6
+
+
+def test_decode_image_raster_consistent_with_feature_summary():
+    """The new raster path must agree with the pinned feature decoders
+    on mean/peak for every image format (ties the bitmap to the
+    golden-tested summary path), including JPEG reconstruction."""
+    from orca_ztbus_python_processor_spark.operators.multimodal import (
+        _REAL_DECODERS,
+        _encode_jpeg_color_420,
+        _encode_jpeg_gray,
+        decode_image_raster,
+    )
+    from orca_ztbus_python_processor_spark.operators.imagehash import (
+        _encode_bmp_rgb,
+        _phash_base_pixels,
+    )
+    from orca_ztbus_python_processor_spark.operators.multimodal import (
+        _encode_png_rgb,
+    )
+
+    rng = np.random.default_rng(5)
+    grey = _phash_base_pixels(9, 13, 17)
+    rgb = np.repeat(grey[:, :, None], 3, axis=2)
+    payloads = {
+        "bmp": _encode_bmp_rgb(rgb),
+        "ppm": b"P6\n17 13\n255\n" + rgb.tobytes(),
+        "png": _encode_png_rgb([rgb[r].tobytes() for r in range(13)], 17),
+        "jpeg": _encode_jpeg_color_420(
+            rng.integers(0, 256, (11, 15, 3)).astype(np.uint8)
+        ),
+    }
+    for fmt, payload in payloads.items():
+        feats = _REAL_DECODERS[fmt](payload)
+        px = decode_image_raster(fmt, payload)
+        assert px.shape[:2] == (feats["height"], feats["width"])
+        assert abs(float(px.mean()) - feats["mean_level"]) < 1e-12
+        assert abs(float(px.max()) - feats["peak_level"]) < 1e-12
+    # grayscale JPEG raster too
+    img = rng.integers(0, 256, (9, 14)).astype(np.uint8)
+    feats = _REAL_DECODERS["jpeg"](_encode_jpeg_gray(img))
+    px = decode_image_raster("jpeg", _encode_jpeg_gray(img))
+    assert px.ndim == 2 and abs(float(px.mean()) - feats["mean_level"]) < 1e-12
+    # GIF raster (palette expansion) against its feature summary
+    from orca_ztbus_python_processor_spark.operators.multimodal import (
+        _encode_gif,
+    )
+
+    pal = [(i * 16, 255 - i * 16, (i * 48) % 256) for i in range(16)]
+    idx = [(r * 5 + c) % 16 for r in range(6) for c in range(7)]
+    gif = _encode_gif(idx, 7, 6, pal)
+    feats = _REAL_DECODERS["gif"](gif)
+    px = decode_image_raster("gif", gif)
+    assert px.shape == (6, 7, 3)
+    assert abs(float(px.mean()) - feats["mean_level"]) < 1e-12
+    assert np.allclose(px[0, 0] * 255, pal[idx[0]])
+
+
+def test_decode_bmp_raster_is_topdown_rgb():
+    """BMP stores rows bottom-up in BGR; the raster path must hand back
+    top-down RGB (pinned with an asymmetric two-tone image)."""
+    from orca_ztbus_python_processor_spark.operators.imagehash import (
+        _encode_bmp_rgb,
+    )
+    from orca_ztbus_python_processor_spark.operators.multimodal import (
+        decode_image_raster,
+    )
+
+    rgb = np.zeros((2, 2, 3), dtype=np.uint8)
+    rgb[0, :, 0] = 255  # top row pure red
+    rgb[1, :, 2] = 255  # bottom row pure blue
+    px = decode_image_raster("bmp", _encode_bmp_rgb(rgb))
+    assert np.allclose(px[0], [[1, 0, 0], [1, 0, 0]])
+    assert np.allclose(px[1], [[0, 0, 1], [0, 0, 1]])
