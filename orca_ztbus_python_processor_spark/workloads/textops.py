@@ -2609,6 +2609,10 @@ def text_zlib_compress_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 # that natural collisions are ~0, short enough to catch partial
 # inclusion).
 # --------------------------------------------------------------------------
+# 16-token chunk grain shared with chunk_dedup_profile (defined here so
+# decontam_chunk_localization's oracle f-string can reference it)
+CHUNK_DEDUP_TOKENS = 16
+
 DECONTAM_N = 13
 DECONTAM_BENCH_MOD = 97
 DECONTAM_FLAG_SHARE = 0.05
@@ -2709,6 +2713,98 @@ def benchmark_decontam_13gram(spark: SparkSession, sf_dir: str) -> DataFrame:
         f32(F.sum("n_hits") / F.sum("n_grams").cast("double")).alias(
             "micro_hit_rate"
         ),
+    )
+
+
+# --------------------------------------------------------------------------
+# decontam_chunk_localization — SPAN-LOCALIZED benchmark decontam
+# (VERDICT r8 #3): benchmark_decontam_13gram flags whole documents;
+# real decontam pipelines emit WHICH spans overlap the held-out set so
+# the span (not the document) can be excised. This combines the
+# 13-gram detector with chunk_dedup_profile's 16-token chunk grain:
+# every 13-gram START POSITION in a train document maps to the chunk
+# containing it (chunk_idx = (pos - 1) // 16), and the output is one
+# row per CONTAMINATED (doc, chunk) with its bench-hitting gram count
+# — exactly the chunk-level drop list a pipeline applies.
+#
+# Scale shape: gram rows are generated map-side with positions (one
+# posexplode — same row volume as the doc-grain detector), both sides
+# join on md5(gram) so raw text never shuffles (the hash-grain rule
+# from round 8), the bench side rides the SAME count fence /
+# broadcast-or-shuffle fallback as the doc-grain detector, and the
+# output is proportional to contamination mass, not corpus size. The
+# grain convention (greatest(len - 12, 1): short docs contribute one
+# partial gram) matches the doc-grain detector so the two audits agree
+# on what "contaminated" means. The held-out slice here is mod-7 (a
+# LARGER eval suite than the doc-grain detector's 1/97): this fixture
+# corpus has zero cross-split 13-gram mass at the 1/97 slice on the
+# driver's correctness SF, and an always-empty localization output
+# would pin nothing — the mod is the same knob either way.
+# --------------------------------------------------------------------------
+DECONTAM_LOC_MOD = 7
+@CATALOG.query(
+    "decontam_chunk_localization",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, source,
+               regexp_extract_all(lower(text), '[a-z0-9]+') AS tokens
+        FROM documents
+    ), grams AS (
+        SELECT doc_id, source,
+               CAST(floor((i - 1) / {CHUNK_DEDUP_TOKENS}) AS BIGINT)
+                   AS chunk_idx,
+               md5(array_to_string(
+                   tokens[CAST(i AS BIGINT):CAST(i + {DECONTAM_N - 1}
+                                                 AS BIGINT)], ' ')) AS h
+        FROM (
+            SELECT doc_id, source, tokens,
+                   unnest(generate_series(1,
+                          greatest(len(tokens) - {DECONTAM_N - 1}, 1))) AS i
+            FROM toks
+        )
+    ), bench AS (
+        SELECT DISTINCT h FROM grams WHERE doc_id % {DECONTAM_LOC_MOD} = 0
+    )
+    SELECT g.doc_id, g.source, g.chunk_idx,
+           count(*) AS n_hit_grams
+    FROM grams g JOIN bench USING (h)
+    WHERE g.doc_id % {DECONTAM_LOC_MOD} <> 0
+    GROUP BY g.doc_id, g.source, g.chunk_idx
+    """,
+)
+def decontam_chunk_localization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    grams = _docs(spark, sf_dir).select(
+        "doc_id",
+        "source",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, greatest(size({_DECONTAM_TOKENS})"
+                f" - {DECONTAM_N - 1}, 1)),"
+                f" i -> md5(concat_ws(' ', slice({_DECONTAM_TOKENS}, i,"
+                f" {DECONTAM_N}))))"
+            )
+        ).alias("pos", "h"),
+    )
+    bench = (
+        grams.where(F.col("doc_id") % DECONTAM_LOC_MOD == 0)
+        .select("h")
+        .distinct()
+    )
+    n_bench = bench.count()
+    probe = (
+        F.broadcast(bench)
+        if n_bench <= DECONTAM_BROADCAST_GRAM_LIMIT
+        else bench
+    )
+    return (
+        grams.where(F.col("doc_id") % DECONTAM_LOC_MOD != 0)
+        .withColumn(
+            "chunk_idx",
+            F.floor(F.col("pos") / CHUNK_DEDUP_TOKENS).cast("long"),
+        )
+        .join(probe, "h")
+        .groupBy("doc_id", "source", "chunk_idx")
+        .agg(F.count("*").alias("n_hit_grams"))
     )
 
 
@@ -3152,8 +3248,6 @@ def vocab_pareto_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 # shuffles (the dedup_sha256 argument), and the count join back is
 # hash-grain. Two exchanges total, both map-combinable.
 # --------------------------------------------------------------------------
-CHUNK_DEDUP_TOKENS = 16
-
 _CHUNK_TOKENS_EXPR = "regexp_extract_all(lower(text), '[a-z0-9]+', 0)"
 _CHUNKS_EXPR = (
     f"transform(sequence(1, size({_CHUNK_TOKENS_EXPR}),"

@@ -304,3 +304,99 @@ def test_decode_bmp_raster_is_topdown_rgb():
     px = decode_image_raster("bmp", _encode_bmp_rgb(rgb))
     assert np.allclose(px[0], [[1, 0, 0], [1, 0, 0]])
     assert np.allclose(px[1], [[0, 0, 1], [0, 0, 1]])
+
+
+# --------------------------------------------------------------------------
+# decontam_chunk_localization (VERDICT r8 "Next round" #3)
+# --------------------------------------------------------------------------
+def test_decontam_chunk_localization_planted(spark, tmp_path):
+    """Planted-contamination corpus: a held-out (mod-7) benchmark doc
+    carries a known 13-token phrase; train docs embed that phrase at
+    controlled token offsets. The flagged (doc, chunk) rows must be
+    exactly the chunks containing the phrase's gram START positions —
+    pinned against hand-computed chunk indices."""
+    import pandas as pd
+
+    phrase = " ".join(f"needle{k}" for k in range(13))
+    filler = lambda n, tag: " ".join(f"{tag}{k}" for k in range(n))
+    texts = {
+        0: f"benchmark header {phrase} benchmark footer",   # bench (0 % 7 == 0)
+        1: f"{filler(20, 'pad')} {phrase} trailing words",  # hit at pos 21
+        2: f"{phrase} {filler(30, 'tail')}",                # hit at pos 1
+        3: filler(40, 'clean'),                             # clean train doc
+        8: f"{filler(15, 'mid')} {phrase}",                 # hit at pos 16
+    }
+    ids = sorted(texts)
+    pdf = pd.DataFrame(
+        {
+            "doc_id": ids,
+            "text": [texts[i] for i in ids],
+            "lang": "en",
+            "source": "srcX",
+            "n_chars": [len(texts[i]) for i in ids],
+        }
+    )
+    pdf.to_parquet(tmp_path / "documents.parquet")
+
+    from orca_ztbus_python_processor_spark.workloads.textops import (
+        CATALOG as TCAT,
+        CHUNK_DEDUP_TOKENS,
+    )
+
+    got = {
+        (r["doc_id"], r["chunk_idx"]): r["n_hit_grams"]
+        for r in TCAT.queries["decontam_chunk_localization"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    # doc 1: phrase tokens at 21..33 -> ONE 13-gram starting at pos 21
+    # -> chunk (21-1)//16 = 1; doc 2: start pos 1 -> chunk 0; doc 8:
+    # start pos 16 -> chunk 0 ((16-1)//16). doc 3 clean, doc 0 is the
+    # bench doc itself (excluded from the train side).
+    assert CHUNK_DEDUP_TOKENS == 16
+    assert got == {(1, 1): 1, (2, 0): 1, (8, 0): 1}
+
+
+def test_decontam_chunk_localization_agrees_with_doc_grain(spark):
+    """Consistency with the corpus: summing localized chunk hits per
+    doc must reproduce an independent pure-python doc-grain recount on
+    the same mod-7 split (the two detectors share one definition of
+    'contaminated')."""
+    import re
+    from collections import Counter
+
+    import duckdb
+
+    from orca_ztbus_python_processor_spark.workloads.textops import (
+        CATALOG as TCAT,
+        DECONTAM_LOC_MOD,
+        DECONTAM_N,
+    )
+
+    rows = TCAT.queries["decontam_chunk_localization"](spark, SF_DIR).collect()
+    got_per_doc = Counter()
+    for r in rows:
+        got_per_doc[r["doc_id"]] += r["n_hit_grams"]
+
+    docs = duckdb.sql(
+        f"SELECT doc_id, text FROM '{SF_DIR}/documents.parquet'"
+    ).fetchall()
+    grams = {}
+    for doc_id, text in docs:
+        toks = re.findall(r"[a-z0-9]+", text.lower())
+        n = max(len(toks) - DECONTAM_N + 1, 1)
+        grams[doc_id] = [
+            " ".join(toks[i : i + DECONTAM_N]) for i in range(n)
+        ]
+    bench = set()
+    for doc_id, gs in grams.items():
+        if doc_id % DECONTAM_LOC_MOD == 0:
+            bench.update(gs)
+    want_per_doc = Counter()
+    for doc_id, gs in grams.items():
+        if doc_id % DECONTAM_LOC_MOD == 0:
+            continue
+        hits = sum(1 for g in gs if g in bench)
+        if hits:
+            want_per_doc[doc_id] = hits
+    assert got_per_doc == want_per_doc and len(want_per_doc) > 0
