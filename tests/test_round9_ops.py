@@ -400,3 +400,44 @@ def test_decontam_chunk_localization_agrees_with_doc_grain(spark):
         if hits:
             want_per_doc[doc_id] = hits
     assert got_per_doc == want_per_doc and len(want_per_doc) > 0
+
+
+# --------------------------------------------------------------------------
+# Single-scan symmetrized co-purchase edge build (VERDICT r8 #6)
+# --------------------------------------------------------------------------
+def test_sym_weighted_edges_match_two_branch_union(spark):
+    """The one-scan both-directions build must be row-identical to the
+    old pair-count + swap + union construction, and its single wide
+    exchange must leave the result src-partitioned (no further
+    exchange under a src-grain aggregation)."""
+    from pyspark.sql import functions as F
+
+    from orca_ztbus_python_processor_spark.workloads.relational import (
+        _copurchase_sym_weighted_edges,
+        _copurchase_weighted_edges,
+    )
+
+    sym = _copurchase_sym_weighted_edges(spark, SF_DIR)
+    edges = _copurchase_weighted_edges(spark, SF_DIR)
+    old = edges.unionByName(
+        edges.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "weight"
+        )
+    )
+    assert sorted(map(tuple, sym.collect())) == sorted(
+        map(tuple, old.collect())
+    )
+    symp = sym.persist()
+    try:
+        symp.count()
+        plan = (
+            symp.groupBy("src")
+            .agg(F.count("*"))
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        above_cache = plan.split("InMemoryTableScan")[0]
+        assert "Exchange" not in above_cache, above_cache
+    finally:
+        symp.unpersist()
