@@ -1,0 +1,188 @@
+#!/usr/bin/env python
+"""Automated warm-probe of bench-tail slope alarms (VERDICT r8 #4).
+
+Rounds 7 and 8 each burned judge/builder time on the same exercise:
+three per-query sf0.1->sf1 slopes in the committed bench artifact
+exceeded their operator family's documented band, and each turned out
+to be a COLD-CACHE measurement artifact (the bench's min-of-2 within
+one process inherits ~260 queries of memory pressure on its first
+rep), resolved by a hand-run warm probe. This script is that ritual,
+mechanized and committed as an artifact:
+
+1. read the two committed bench artifacts
+   (``.benchmarks/bench_sf0.1.json`` / ``bench_sf1.0.json``),
+2. assign every query its operator family and slope band (the
+   families and bands documented across docs/SCALE.md's "Measured
+   scaling" sections — see ``FAMILY_BANDS`` below),
+3. for each query whose bench slope exceeds its band (and whose sf1
+   wall is big enough to matter), re-measure BOTH scale points warm —
+   one untimed warming run, then min-of-3 timed reps, in one
+   bench-configured session,
+4. write ``.benchmarks/warm_probes.json`` with bench vs warm slopes
+   and a per-query within-band verdict, for SCALE.md to cite instead
+   of hand-measured prose numbers.
+
+Usage: python scripts/warm_probe.py [--sf01 /root/testdata/sf0.1]
+       [--sf1 /tmp/sf1] [--min-wall 0.5] [--reps 3]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import re
+import sys
+import time
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO_ROOT not in sys.path:
+    sys.path.insert(0, REPO_ROOT)
+
+# (family, band, first-match-wins regex). Bands are the sf0.1->sf1
+# slope ceilings documented in docs/SCALE.md for each family:
+# - the allpairs parity twin is quadratic BY DESIGN and runtime-guarded
+#   (never probed — no warm run changes its law);
+# - streaming micro-batch/state-store overhead family: 3.4-6.3x
+#   measured across rounds 7-8 -> band 6.5;
+# - LSH/fingerprint pair-volume law: pairs ∝ docs^1.15-1.20
+#   (three-point validated, .benchmarks/jaccard_pair_counts_3pt.json)
+#   -> slopes to ~8.5 are the measured law;
+# - iterative graph (one exchange per iteration / cache rebuild):
+#   <= 4.2x measured, 4.5 band;
+# - decontamination / sharded-matmul sweeps: bench side constant,
+#   corpus side linear -> 4.0;
+# - everything else (scan/agg/join/window/rollup shapes): amortizing
+#   family, 3.5 band.
+FAMILY_BANDS = [
+    ("quadratic-parity-twin", float("inf"), r"^knn_label_accuracy_allpairs$"),
+    ("streaming", 6.5, r"^stream_"),
+    (
+        "pair-volume-law",
+        8.5,
+        r"minhash|simhash|winnow|ngram_jaccard|near_dup|neardup"
+        r"|doc_fingerprints|boilerplate|chunk_dedup|image_phash",
+    ),
+    (
+        "iterative-graph",
+        4.5,
+        r"^copurchase_(pagerank|label_propagation|kcore|bfs)"
+        r"|triangle|components",
+    ),
+    ("decontam-sweep", 4.0, r"decontam|semantic|leakage"),
+    ("amortizing", 3.5, r"."),
+]
+
+
+def family_of(name: str) -> tuple[str, float]:
+    for fam, band, pat in FAMILY_BANDS:
+        if re.search(pat, name):
+            return fam, band
+    return "amortizing", 3.5  # unreachable: last pattern matches all
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf01", default="/root/testdata/sf0.1")
+    ap.add_argument("--sf1", default="/tmp/sf1")
+    ap.add_argument("--min-wall", type=float, default=0.5)
+    ap.add_argument("--reps", type=int, default=3)
+    args = ap.parse_args()
+
+    bdir = os.path.join(REPO_ROOT, ".benchmarks")
+    with open(os.path.join(bdir, "bench_sf0.1.json")) as f:
+        b01 = json.load(f)["queries"]
+    with open(os.path.join(bdir, "bench_sf1.0.json")) as f:
+        b1 = json.load(f)["queries"]
+
+    flagged = []
+    for name in sorted(set(b01) & set(b1)):
+        fam, band = family_of(name)
+        if band == float("inf") or b1[name] < args.min_wall:
+            continue
+        slope = b1[name] / max(b01[name], 1e-9)
+        if slope > band:
+            flagged.append((name, fam, band, slope))
+    print(f"{len(flagged)} slope alarms over family bands:")
+    for name, fam, band, slope in flagged:
+        print(f"  {name}: {slope:.2f}x > {band} ({fam})")
+    if not flagged:
+        out = {
+            "note": "no bench slope exceeded its family band",
+            "reps": args.reps,
+            "probes": {},
+        }
+        with open(os.path.join(bdir, "warm_probes.json"), "w") as f:
+            json.dump(out, f, indent=1, sort_keys=True)
+        return
+
+    # One bench-configured session for all probes (same tmpfs local
+    # dirs rationale as bench.py).
+    if os.path.isdir("/dev/shm") and "SPARK_LOCAL_DIRS" not in os.environ:
+        shm = "/dev/shm/spark_bench_local"
+        os.makedirs(shm, exist_ok=True)
+        os.environ["SPARK_LOCAL_DIRS"] = shm
+        import tempfile  # noqa: PLC0415
+
+        os.environ.setdefault("TMPDIR", shm)
+        tempfile.tempdir = shm
+    from orca_ztbus_python_processor_spark.session import get_spark  # noqa: E402,PLC0415
+    from orca_ztbus_python_processor_spark.workloads.base import (  # noqa: E402,PLC0415
+        merged_catalog,
+    )
+
+    spark = get_spark("warm_probe")
+    catalog = merged_catalog()
+    # Python-worker warm-up, as bench.py does
+    spark.range(256).repartition(16).mapInPandas(
+        lambda it: it, schema="id long"
+    ).write.format("noop").mode("overwrite").save()
+
+    def min_of_warm(fn, sf_dir: str) -> float:
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm
+        best = float("inf")
+        for _ in range(args.reps):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        return round(best, 4)
+
+    probes = {}
+    for name, fam, band, slope in flagged:
+        fn = catalog.queries[name]
+        w01 = min_of_warm(fn, args.sf01)
+        w1 = min_of_warm(fn, args.sf1)
+        warm_slope = round(w1 / max(w01, 1e-9), 2)
+        probes[name] = {
+            "family": fam,
+            "band": band,
+            "bench_s_sf0.1": b01[name],
+            "bench_s_sf1": b1[name],
+            "bench_slope": round(slope, 2),
+            "warm_s_sf0.1": w01,
+            "warm_s_sf1": w1,
+            "warm_slope": warm_slope,
+            "within_band_warm": warm_slope <= band,
+        }
+        print(json.dumps({"probe": name, **probes[name]}), flush=True)
+
+    out = {
+        "method": (
+            f"min-of-{args.reps} after one untimed warming run per scale "
+            "point, single bench-configured session, tmpfs local dirs"
+        ),
+        "reps": args.reps,
+        "sf_dirs": {"sf0.1": args.sf01, "sf1": args.sf1},
+        "probes": probes,
+    }
+    with open(os.path.join(bdir, "warm_probes.json"), "w") as f:
+        json.dump(out, f, indent=1, sort_keys=True)
+    n_clear = sum(1 for p in probes.values() if p["within_band_warm"])
+    print(
+        f"wrote .benchmarks/warm_probes.json — {n_clear}/{len(probes)} "
+        "alarms cleared warm"
+    )
+
+
+if __name__ == "__main__":
+    main()
