@@ -298,8 +298,14 @@ def minhash_candidate_pairs(
     bands: int = 16,
     seed: int = 42,
     min_est: float | None = None,
+    return_estimate: bool = False,
 ) -> DataFrame:
     """LSH banding: docs whose signatures collide in >=1 band.
+
+    ``return_estimate`` adds the nibble-sketch Jaccard estimate as a
+    ``j_est`` column (max over a pair's colliding bands — the estimate
+    is a pure function of the two signatures, identical in every
+    band row, so max is just dedup). Used by the calibration audit.
 
     ``min_est`` adds the sketch-gate stage of the standard LSH verify
     pipeline: candidate pairs are scored with the UNBIASED signature
@@ -325,7 +331,7 @@ def minhash_candidate_pairs(
         F.array_sort(F.collect_list("m")).alias("ids")
     )
     expanded = _pair_expand(buckets)
-    if min_est is not None:
+    if min_est is not None or return_estimate:
         # Sketch gate, applied in-bucket BEFORE the pair distinct: the
         # nibble sketches (low 4 bits of each minhash, 16 per long) ride
         # along in the bucket member structs — a few extra longs in the
@@ -346,7 +352,18 @@ def minhash_candidate_pairs(
         )
         match_frac = f"1.0 - ({mism}) / CAST({num_hashes} AS DOUBLE)"
         j_est = f"(({match_frac}) - 1.0/16.0) * 16.0/15.0"
-        expanded = expanded.where(F.expr(j_est) >= F.lit(min_est))
+        if min_est is not None:
+            expanded = expanded.where(F.expr(j_est) >= F.lit(min_est))
+        if return_estimate:
+            return (
+                expanded.select(
+                    F.col("m_a.id").alias("id_a"),
+                    F.col("m_b.id").alias("id_b"),
+                    F.expr(j_est).alias("j_est"),
+                )
+                .groupBy("id_a", "id_b")
+                .agg(F.max("j_est").alias("j_est"))
+            )
     return (
         expanded.select(F.col("m_a.id").alias("id_a"), F.col("m_b.id").alias("id_b"))
         .distinct()

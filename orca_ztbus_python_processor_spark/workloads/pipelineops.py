@@ -588,3 +588,90 @@ def image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("cluster_size").cast("double")
         ).alias("dup_share"),
     )
+
+
+# --------------------------------------------------------------------------
+# image_phash_bit_balance — pHash HEALTH audit: per-bit set-share
+# across the image corpus. A healthy perceptual hash has every bit
+# near 50% occupancy (each DCT sign carries ~1 bit of entropy); a
+# skewed bit (share near 0 or 1) contributes nothing to the Hamming
+# metric and silently halves banding selectivity — the exact failure
+# mode a resize/DCT bug (or a degenerate corpus: all-flat thumbnails)
+# produces. The standard companion audit to shipping an LSH family,
+# same role as the MinHash calibration below. Known, pinned
+# degeneracy: bit 0 is the DC-vs-AC-median sign, which is set on
+# essentially every natural image (the classic pHash formulation
+# shares this), so 63 of 64 bits carry the discriminative entropy —
+# the test asserts bit 0 AT 1.0 and every other bit inside
+# (0.15, 0.85) on the fixture corpus.
+#
+# Scale shape: decode+hash is the same map-only Arrow stage as
+# image_phash_dedup; the bit explode is 64 JVM rows per image and the
+# rollup is one 64-cell map-combinable aggregation. Rows-only by the
+# driver contract (binary decode has no SQL oracle); the shares are
+# pinned against a pure-python recount in tests/test_round9_ops.py.
+# --------------------------------------------------------------------------
+@CATALOG.query("image_phash_bit_balance")
+def image_phash_bit_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from orca_ztbus_python_processor_spark.operators.imagehash import (  # noqa: PLC0415
+        phash_signatures,
+        synthesize_phash_media,
+    )
+
+    sigs = phash_signatures(synthesize_phash_media(_docs(spark, sf_dir)))
+    bits = sigs.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("bit_idx"),
+                        F.shiftright("phash", k)
+                        .bitwiseAND(F.lit(1))
+                        .alias("b"),
+                    )
+                    for k in range(64)
+                ]
+            )
+        ).alias("e")
+    ).select("e.bit_idx", "e.b")
+    return bits.groupBy(F.col("bit_idx").cast("long").alias("bit_idx")).agg(
+        F.count("*").alias("n_images"),
+        f32(F.avg("b")).alias("set_share"),
+    )
+
+
+# --------------------------------------------------------------------------
+# minhash_jaccard_calibration — ESTIMATOR CALIBRATION audit: bucket
+# LSH candidate pairs by their signature Jaccard estimate (0.05-wide
+# bins) and score each bin's mean EXACT Jaccard. A well-calibrated
+# sketch puts mean_exact on the bin diagonal within the binomial
+# sigma (sqrt(j(1-j)/64) ~ 0.06); drift off the diagonal is how a
+# broken hash family, a bad nibble-gate correction, or a shingle-k
+# mismatch announces itself before it silently skews every
+# dedup-threshold decision downstream. Real pipelines publish exactly
+# this curve when they tune LSH thresholds.
+#
+# Scale shape: candidates + estimates ride the existing banding
+# machinery (signatures shuffle, never shingle sets); the exact
+# verify is the shuffle-join form on candidate pairs only (pair-law
+# bounded); the bin rollup is ~20 cells. Rows-only by the driver
+# contract (the candidate set is banding-defined, not
+# SQL-expressible); per-bin means are pinned against an independent
+# Python exact-Jaccard recount of the same pairs in
+# tests/test_round9_ops.py.
+# --------------------------------------------------------------------------
+@CATALOG.query("minhash_jaccard_calibration")
+def minhash_jaccard_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    cands = minhash_candidate_pairs(docs, return_estimate=True)
+    exact = jaccard_pairs_shuffled(docs, cands.select("id_a", "id_b"))
+    joined = cands.join(exact, ["id_a", "id_b"])
+    bin_col = F.floor(F.col("j_est") / 0.05).cast("long").alias("est_bin")
+    return (
+        joined.groupBy(bin_col)
+        .agg(
+            F.count("*").alias("n_pairs"),
+            f32(F.avg("j_est")).alias("mean_est"),
+            f32(F.avg("jaccard")).alias("mean_exact"),
+        )
+    )

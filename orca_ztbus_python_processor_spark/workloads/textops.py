@@ -3399,3 +3399,103 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_leaked_from_train"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# rare_token_position_profile — POSITIONAL skew of rare-token mass:
+# where in a document do its low-document-frequency tokens sit?
+# Front-loaded rare mass (titles, bylines, navigation residue) and
+# tail-loaded rare mass (references, comment dumps) are different
+# curation problems from uniformly-spread rare mass (genuinely
+# information-dense text), and rare_token_density alone cannot tell
+# them apart. Per source: occurrence counts, the rare-occurrence
+# share, mean relative position ((pos - 0.5) / len — center-of-mass in
+# (0, 1), defined even for one-token docs) of rare vs all tokens, and
+# the front-half share of rare mass.
+#
+# Scale shape: ONE posexplode (position ride-along is free), docfreq
+# is the vocabulary-grain aggregate rare_token_density already uses,
+# the probe joins on term where both sides cluster, and the source
+# rollup is map-combinable. Rare = df <= RARE_DF_MAX (absolute, not a
+# quantile — the cutoff must not shift with corpus size or the signal
+# would be incomparable across dumps).
+# --------------------------------------------------------------------------
+RARE_DF_MAX = 2
+
+
+@CATALOG.query(
+    "rare_token_position_profile",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, source,
+               regexp_extract_all(lower(text), '[a-z0-9]+') AS tokens
+        FROM documents
+    ), occ AS (
+        SELECT doc_id, source, tokens[CAST(i AS BIGINT)] AS term,
+               (i - 0.5) / len(tokens) AS relpos
+        FROM toks, unnest(generate_series(1, len(tokens))) AS t(i)
+    ), docfreq AS (
+        SELECT term, count(DISTINCT doc_id) AS df FROM occ GROUP BY term
+    )
+    SELECT o.source,
+           count(*) AS n_occurrences,
+           CAST(sum(CASE WHEN d.df <= {RARE_DF_MAX} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_rare,
+           CAST(sum(CASE WHEN d.df <= {RARE_DF_MAX} THEN 1 ELSE 0 END)
+                / CAST(count(*) AS DOUBLE) AS REAL) AS rare_share,
+           CAST(avg(o.relpos) AS REAL) AS mean_pos_all,
+           CAST(avg(CASE WHEN d.df <= {RARE_DF_MAX} THEN o.relpos END)
+                AS REAL) AS mean_pos_rare,
+           CAST(sum(CASE WHEN d.df <= {RARE_DF_MAX} AND o.relpos < 0.5
+                         THEN 1 ELSE 0 END)
+                / CAST(nullif(sum(CASE WHEN d.df <= {RARE_DF_MAX}
+                                       THEN 1 ELSE 0 END), 0) AS DOUBLE)
+                AS REAL) AS rare_front_share
+    FROM occ o JOIN docfreq d USING (term)
+    GROUP BY o.source
+    """,
+)
+def rare_token_position_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    occ = (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            "source",
+            F.expr(
+                f"regexp_extract_all(lower(text), '[a-z0-9]+', 0)"
+            ).alias("tokens"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            F.size("tokens").alias("n_tok"),
+            F.posexplode("tokens").alias("pos", "term"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            "term",
+            ((F.col("pos") + F.lit(0.5)) / F.col("n_tok")).alias("relpos"),
+        )
+    )
+    docfreq = occ.groupBy("term").agg(
+        F.count_distinct("doc_id").alias("df")
+    )
+    rare = F.col("df") <= RARE_DF_MAX
+    return (
+        occ.join(docfreq, "term")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.sum(rare.cast("long")).alias("n_rare"),
+            f32(
+                F.sum(rare.cast("long")) / F.count("*").cast("double")
+            ).alias("rare_share"),
+            f32(F.avg("relpos")).alias("mean_pos_all"),
+            f32(F.avg(F.when(rare, F.col("relpos")))).alias("mean_pos_rare"),
+            f32(
+                F.sum((rare & (F.col("relpos") < 0.5)).cast("long"))
+                / F.nullif(F.sum(rare.cast("long")), F.lit(0)).cast("double")
+            ).alias("rare_front_share"),
+        )
+    )

@@ -3980,3 +3980,157 @@ def user_burstiness_fano(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.avg("c")
         ).alias("fano_factor"),
     )
+
+
+# --------------------------------------------------------------------------
+# kmv_distinct_user_overlap — DISTINCT-SET OVERLAP between event-type
+# audiences via K-Minimum-Values sketches (the theta-sketch set-
+# operation pattern; Beyer et al., SIGMOD'07 — public algorithm). HLL
+# (hll_weekly_rollup) only unions; estimating |A ∩ B| needs a sketch
+# whose summaries COMPOSE under union so inclusion-exclusion applies:
+# keep the K smallest 60-bit hashes per set; if fewer than K distinct
+# values exist the set is fully enumerated (estimate exact), else
+# est = (K-1) / v_K with v_K the K-th smallest hash normalized to
+# [0, 1). The K smallest of A ∪ B all live inside (K smallest of A) ∪
+# (K smallest of B), so the pair stage needs ONLY the per-type
+# summaries — never the raw sets.
+#
+# Scale shape: the one corpus-sized stage is the distinct (type, hash)
+# dedup; the K-smallest selection is a two-level MERGEABLE partial
+# (64 salt cells keep their own K smallest, then K-of-the-union —
+# identical result to a global sort by the subset property), so no
+# task ever sorts an audience; the pair algebra runs on 5 rows of
+# K-long arrays. The hash is md5-derived (not xxhash) so the DuckDB
+# oracle replays the EXACT estimator — estimates hash-match, not just
+# error-bound. Float path: (K-1) * 2^60 / h_K in double then f32, the
+# same literal expression both engines.
+# --------------------------------------------------------------------------
+KMV_K = 256
+_KMV_2POW60 = float(1 << 60)
+_KMV_HASH_SQL = (
+    "CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT)"
+)
+_KMV_HASH_SPARK = (
+    "cast(conv(substr(md5(cast(user_id as string)), 1, 15), 16, 10) as bigint)"
+)
+
+
+@CATALOG.query(
+    "kmv_distinct_user_overlap",
+    oracle=f"""
+    WITH h AS (
+        SELECT DISTINCT event_type, {_KMV_HASH_SQL} AS h FROM events
+    ), ranked AS (
+        SELECT event_type, h,
+               row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM h
+    ), summ AS (
+        SELECT event_type, max(n) AS n,
+               max(CASE WHEN rn = {KMV_K} THEN h END) AS hk
+        FROM ranked GROUP BY event_type
+    ), est AS (
+        SELECT event_type, n,
+               CASE WHEN n < {KMV_K} THEN CAST(n AS DOUBLE)
+                    ELSE ({KMV_K} - 1) * {_KMV_2POW60} / hk END AS e
+        FROM summ
+    ), pairs AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               a.e AS est_a, b.e AS est_b
+        FROM est a JOIN est b ON a.event_type < b.event_type
+    ), uranked AS (
+        SELECT p.type_a, p.type_b, h.h,
+               row_number() OVER (PARTITION BY p.type_a, p.type_b
+                                  ORDER BY h.h) AS rn,
+               count(*) OVER (PARTITION BY p.type_a, p.type_b) AS n
+        FROM pairs p
+        JOIN (SELECT DISTINCT type_a, type_b, u.h
+              FROM pairs, h u
+              WHERE u.event_type IN (type_a, type_b)) h
+          ON h.type_a = p.type_a AND h.type_b = p.type_b
+    ), usumm AS (
+        SELECT type_a, type_b, max(n) AS n,
+               max(CASE WHEN rn = {KMV_K} THEN h END) AS hk
+        FROM uranked GROUP BY type_a, type_b
+    )
+    SELECT p.type_a, p.type_b,
+           CAST(p.est_a AS REAL) AS est_a,
+           CAST(p.est_b AS REAL) AS est_b,
+           CAST(CASE WHEN u.n < {KMV_K} THEN CAST(u.n AS DOUBLE)
+                     ELSE ({KMV_K} - 1) * {_KMV_2POW60} / u.hk
+                END AS REAL) AS est_union,
+           CAST(greatest(p.est_a + p.est_b -
+                CASE WHEN u.n < {KMV_K} THEN CAST(u.n AS DOUBLE)
+                     ELSE ({KMV_K} - 1) * {_KMV_2POW60} / u.hk END,
+                0.0) AS REAL) AS est_intersect
+    FROM pairs p JOIN usumm u USING (type_a, type_b)
+    """,
+)
+def kmv_distinct_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hashed = (
+        _events(spark, sf_dir)
+        .select("event_type", F.expr(_KMV_HASH_SPARK).alias("h"))
+        .distinct()
+    )
+    # two-level mergeable K-smallest: salt cells keep K, merge keeps K
+    partial = hashed.groupBy(
+        "event_type", F.pmod("h", F.lit(64)).alias("_salt")
+    ).agg(
+        F.slice(F.array_sort(F.collect_list("h")), 1, KMV_K).alias("ks"),
+        F.count("*").alias("c"),
+    )
+    summ = partial.groupBy("event_type").agg(
+        F.slice(
+            F.array_sort(F.flatten(F.collect_list("ks"))), 1, KMV_K
+        ).alias("ks"),
+        F.sum("c").alias("n"),
+    )
+    est_of = lambda n, ks: F.when(  # noqa: E731
+        n < KMV_K, n.cast("double")
+    ).otherwise(
+        F.lit(KMV_K - 1) * F.lit(_KMV_2POW60) / F.element_at(ks, KMV_K)
+    )
+    typed = summ.select(
+        "event_type", "ks", "n", est_of(F.col("n"), F.col("ks")).alias("e")
+    )
+    a = typed.select(
+        F.col("event_type").alias("type_a"),
+        F.col("ks").alias("ks_a"),
+        F.col("n").alias("n_a"),
+        F.col("e").alias("est_a"),
+    )
+    b = typed.select(
+        F.col("event_type").alias("type_b"),
+        F.col("ks").alias("ks_b"),
+        F.col("n").alias("n_b"),
+        F.col("e").alias("est_b"),
+    )
+    pairs = a.join(b, F.col("type_a") < F.col("type_b"))
+    merged = F.slice(
+        F.array_sort(
+            F.array_distinct(F.concat(F.col("ks_a"), F.col("ks_b")))
+        ),
+        1,
+        KMV_K,
+    )
+    # union count for the "< K" exact branch: if EITHER side reached K
+    # the union certainly has >= K distinct values, so size(merged) is
+    # only consulted when both sides are fully enumerated — where it
+    # IS the exact union cardinality.
+    union_n = F.when(
+        (F.col("n_a") < KMV_K) & (F.col("n_b") < KMV_K),
+        F.size(F.array_distinct(F.concat(F.col("ks_a"), F.col("ks_b")))),
+    ).otherwise(F.lit(KMV_K))
+    est_union = est_of(union_n, merged)
+    return pairs.select(
+        "type_a",
+        "type_b",
+        f32(F.col("est_a")).alias("est_a"),
+        f32(F.col("est_b")).alias("est_b"),
+        f32(est_union).alias("est_union"),
+        f32(
+            F.greatest(
+                F.col("est_a") + F.col("est_b") - est_union, F.lit(0.0)
+            )
+        ).alias("est_intersect"),
+    )

@@ -441,3 +441,236 @@ def test_sym_weighted_edges_match_two_branch_union(spark):
         assert "Exchange" not in above_cache, above_cache
     finally:
         symp.unpersist()
+
+
+# --------------------------------------------------------------------------
+# Round-9 wave: KMV overlap, token positions, pHash bit balance,
+# MinHash calibration
+# --------------------------------------------------------------------------
+def test_kmv_overlap_matches_pure_python(spark):
+    """Independent KMV recount: hashlib md5 -> 60-bit ints -> K
+    smallest -> (K-1)/v_k estimator -> inclusion-exclusion, pure
+    python — must reproduce every estimate bit-for-bit (the hash is
+    md5-derived precisely so references CAN replay it)."""
+    import hashlib
+
+    import duckdb
+
+    from orca_ztbus_python_processor_spark.workloads.timeseries import (
+        CATALOG as TSCAT,
+        KMV_K,
+    )
+
+    rows = duckdb.sql(
+        f"SELECT DISTINCT event_type, user_id FROM '{SF_DIR}/events.parquet'"
+    ).fetchall()
+    sets: dict[str, set[int]] = {}
+    for t, u in rows:
+        h = int(hashlib.md5(str(u).encode()).hexdigest()[:15], 16)
+        sets.setdefault(t, set()).add(h)
+
+    def est(hs: set[int]) -> float:
+        if len(hs) < KMV_K:
+            return float(len(hs))
+        vk = sorted(hs)[KMV_K - 1]
+        return (KMV_K - 1) * float(1 << 60) / vk
+
+    got = {
+        (r["type_a"], r["type_b"]): r
+        for r in TSCAT.queries["kmv_distinct_user_overlap"](
+            spark, SF_DIR
+        ).collect()
+    }
+    types = sorted(sets)
+    assert len(got) == len(types) * (len(types) - 1) // 2
+    for i, a in enumerate(types):
+        for b in types[i + 1 :]:
+            r = got[(a, b)]
+            ea, eb = est(sets[a]), est(sets[b])
+            eu = est(sets[a] | sets[b])
+            assert r["est_a"] == np.float32(ea)
+            assert r["est_b"] == np.float32(eb)
+            assert r["est_union"] == np.float32(eu)
+            assert r["est_intersect"] == np.float32(max(ea + eb - eu, 0.0))
+
+
+def test_kmv_estimator_branch_is_accurate_at_scale(spark):
+    """At sf0.1 the per-type audiences exceed K=256, so the (K-1)/v_k
+    estimator branch is live — its error against the exact distinct
+    count must sit inside the published KMV bound (~1/sqrt(K-2) ≈ 6.3%
+    at one sigma; assert 4 sigma)."""
+    import duckdb
+
+    from orca_ztbus_python_processor_spark.workloads.timeseries import (
+        CATALOG as TSCAT,
+        KMV_K,
+    )
+
+    sfd = "/root/testdata/sf0.1"
+    exact = dict(
+        duckdb.sql(
+            "SELECT event_type, count(DISTINCT user_id) FROM "
+            f"'{sfd}/events.parquet' GROUP BY 1"
+        ).fetchall()
+    )
+    assert min(exact.values()) > KMV_K  # estimator branch active
+    rows = TSCAT.queries["kmv_distinct_user_overlap"](spark, sfd).collect()
+    tol = 4.0 / (KMV_K - 2) ** 0.5
+    for r in rows:
+        for side, col in (("type_a", "est_a"), ("type_b", "est_b")):
+            rel = abs(r[col] - exact[r[side]]) / exact[r[side]]
+            assert rel < tol, (r[side], r[col], exact[r[side]])
+
+
+def test_rare_token_positions_match_pandas(spark):
+    """Independent recount of the positional profile in plain python
+    (regex tokenize, df count, center-of-mass positions)."""
+    import re
+    from collections import Counter, defaultdict
+
+    import duckdb
+
+    from orca_ztbus_python_processor_spark.workloads.textops import (
+        CATALOG as TCAT,
+        RARE_DF_MAX,
+    )
+
+    docs = duckdb.sql(
+        f"SELECT doc_id, source, text FROM '{SF_DIR}/documents.parquet'"
+    ).fetchall()
+    df_count: Counter = Counter()
+    toks_by_doc = {}
+    for doc_id, source, text in docs:
+        toks = re.findall(r"[a-z0-9]+", text.lower())
+        toks_by_doc[doc_id] = (source, toks)
+        for t in set(toks):
+            df_count[t] += 1
+    agg = defaultdict(lambda: [0, 0, 0.0, 0.0, 0])  # n, n_rare, sum_all, sum_rare, rare_front
+    for doc_id, (source, toks) in toks_by_doc.items():
+        n = len(toks)
+        for i, t in enumerate(toks):
+            relpos = (i + 0.5) / n
+            a = agg[source]
+            a[0] += 1
+            a[2] += relpos
+            if df_count[t] <= RARE_DF_MAX:
+                a[1] += 1
+                a[3] += relpos
+                if relpos < 0.5:
+                    a[4] += 1
+    got = {
+        r["source"]: r
+        for r in TCAT.queries["rare_token_position_profile"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert set(got) == set(agg)
+    for source, (n, n_rare, s_all, s_rare, front) in agg.items():
+        r = got[source]
+        assert r["n_occurrences"] == n and r["n_rare"] == n_rare
+        assert abs(r["mean_pos_all"] - s_all / n) < 1e-6
+        if n_rare:
+            assert abs(r["mean_pos_rare"] - s_rare / n_rare) < 1e-6
+            assert abs(r["rare_front_share"] - front / n_rare) < 1e-6
+
+
+def test_phash_bit_balance_matches_recount(spark):
+    """Recount the per-bit shares from phash64 directly over the same
+    deterministic corpus; pin the KNOWN DC degeneracy (bit 0 is the
+    DC-vs-AC-median sign — essentially always set on natural images,
+    carrying ~0 entropy; the audit exists to surface exactly this) and
+    require every OTHER bit to be usably balanced."""
+    import duckdb
+
+    from orca_ztbus_python_processor_spark.operators.imagehash import (
+        PHASH_GROUP,
+        _phash_base_pixels,
+        phash64,
+    )
+    from orca_ztbus_python_processor_spark.workloads.pipelineops import (
+        CATALOG as PCAT,
+    )
+
+    ids = [
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT doc_id FROM '{SF_DIR}/documents.parquet'"
+        ).fetchall()
+    ]
+    counts = np.zeros(64, dtype=np.int64)
+    for d in ids:
+        base, member = d // PHASH_GROUP, d % PHASH_GROUP
+        ht, wd = 12 + base % 7, 16 + base % 9
+        h = phash64(
+            (_phash_base_pixels(base, ht, wd) + 3 * member).astype(np.float64)
+        )
+        for k in range(64):
+            if (h >> k) & 1:
+                counts[k] += 1
+    got = {
+        r["bit_idx"]: r
+        for r in PCAT.queries["image_phash_bit_balance"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert len(got) == 64
+    for k in range(64):
+        assert got[k]["n_images"] == len(ids)
+        assert abs(got[k]["set_share"] - counts[k] / len(ids)) < 1e-6
+    assert got[0]["set_share"] == 1.0  # the DC bit, by construction
+    for k in range(1, 64):
+        assert 0.15 < got[k]["set_share"] < 0.85, (k, got[k]["set_share"])
+
+
+def test_minhash_calibration_matches_python_exact_recount(spark):
+    """The per-bin mean_exact must equal an independent python
+    char-5-shingle Jaccard recount of the SAME candidate pairs, and
+    mean_exact must be monotone non-decreasing across populated bins
+    (the calibration property)."""
+    import duckdb
+
+    from orca_ztbus_python_processor_spark.operators.dedup import (
+        minhash_candidate_pairs,
+    )
+    from orca_ztbus_python_processor_spark.sources.parquet import read_table
+    from orca_ztbus_python_processor_spark.workloads.pipelineops import (
+        CATALOG as PCAT,
+    )
+
+    texts = dict(
+        duckdb.sql(
+            f"SELECT doc_id, text FROM '{SF_DIR}/documents.parquet'"
+        ).fetchall()
+    )
+
+    def sh(t):
+        return (
+            frozenset({t[:5]})
+            if len(t) < 5
+            else frozenset(t[i : i + 5] for i in range(len(t) - 4))
+        )
+
+    sets = {i: sh(t or "") for i, t in texts.items()}
+    docs = read_table(spark, SF_DIR, "documents")
+    cands = minhash_candidate_pairs(docs, return_estimate=True).collect()
+    from collections import defaultdict
+
+    bins = defaultdict(list)
+    for r in cands:
+        sa, sb = sets[r["id_a"]], sets[r["id_b"]]
+        inter = len(sa & sb)
+        union = len(sa) + len(sb) - inter
+        j = np.float32(inter / union) if union else np.float32(0.0)
+        bins[int(np.floor(r["j_est"] / 0.05))].append(float(j))
+    got = {
+        r["est_bin"]: r
+        for r in PCAT.queries["minhash_jaccard_calibration"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert set(got) == set(bins)
+    for b, js in bins.items():
+        assert got[b]["n_pairs"] == len(js)
+        assert abs(got[b]["mean_exact"] - sum(js) / len(js)) < 2e-6
+    pop = [got[b]["mean_exact"] for b in sorted(got) if got[b]["n_pairs"] >= 4]
+    assert all(x <= y + 0.03 for x, y in zip(pop, pop[1:])), pop
