@@ -858,7 +858,10 @@ def customer_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
 # checking): count orders per priority, in a one-quarter window, that
 # have AT LEAST ONE lineitem shipped more than 60 days after the order
 # date (this corpus carries no commit/receipt dates, so "late" is
-# ship-vs-order lag; the decorrelated-EXISTS plan shape is exactly
+# ship-vs-order lag; the round-9 rework also moved the quarter from
+# 2024 — OUTSIDE the fixture's 1995-2001 span, a vacuously-empty
+# window the 0-row hash-match never caught — to 1996-Q1+, so the
+# count is live; the decorrelated-EXISTS plan shape is exactly
 # q4's). Spark plans the EXISTS as a left-semi join on orderkey — the
 # fact table never fans out on multi-lineitem matches.
 # --------------------------------------------------------------------------
@@ -867,8 +870,8 @@ def customer_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderpriority, count(*) AS order_count
     FROM orders o
-    WHERE o.o_orderdate >= TIMESTAMP '2024-02-01'
-      AND o.o_orderdate < TIMESTAMP '2024-05-01'
+    WHERE o.o_orderdate >= TIMESTAMP '1996-02-01'
+      AND o.o_orderdate < TIMESTAMP '1996-05-01'
       AND EXISTS (
           SELECT 1 FROM lineitem l
           WHERE l.l_orderkey = o.o_orderkey
@@ -878,15 +881,35 @@ def customer_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q4_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = _t(spark, sf_dir, "orders").where(
-        (F.col("o_orderdate") >= "2024-02-01") & (F.col("o_orderdate") < "2024-05-01")
+    # EXISTS as inner-join + distinct, NOT left-semi (round-9 rework —
+    # the warm probe pinned this at 5.3x): a LeftSemi can only build
+    # its RIGHT side, and the right side here is the fact table, so
+    # the left-semi form was a forced SortMergeJoin that sorted and
+    # shuffled every lineitem row. With the quarter-filtered orders on
+    # the RIGHT of an inner join, AQE broadcasts it at runtime
+    # (falling back to SMJ only if a 100 TB quarter outgrows the
+    # threshold — the declarative form keeps both options open), the
+    # fact table never shuffles, and the only exchange is the
+    # partial-combined distinct over MATCHED (order, priority) pairs.
+    # Warm sf1: 2.75 s -> 0.92 s, slope 5.3x -> 1.3x (with the window
+    # now LIVE — the old 2024 window also returned zero rows).
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .where(
+            (F.col("o_orderdate") >= "1996-02-01")
+            & (F.col("o_orderdate") < "1996-05-01")
+        )
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
     )
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
-    late = orders.join(
-        li,
-        (F.col("l_orderkey") == F.col("o_orderkey"))
-        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
-        "left_semi",
+    late = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .where(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        )
+        .select("o_orderkey", "o_orderpriority")
+        .distinct()
     )
     return late.groupBy("o_orderpriority").agg(F.count("*").alias("order_count"))
 

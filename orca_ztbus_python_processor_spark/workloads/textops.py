@@ -908,25 +908,43 @@ def cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def rare_token_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Round-9 rework (the warm probe pinned the old shape at 4.0x):
+    # the occurrence stream now collapses to (doc, term, count) FIRST,
+    # so (a) the corpus is tokenized ONCE — docfreq aggregates FROM
+    # the same exchange (ReusedExchange), where the old two-tree form
+    # ran the regexp explode twice — and (b) every downstream stage
+    # (df count, vocab join, per-doc rollup) moves pair-grain rows
+    # instead of raw occurrences. doc_rarity becomes the
+    # count-weighted mean sum(c*ln)/sum(c) — identical addends to the
+    # oracle's occurrence-grain avg, f32 output absorbs the
+    # summation-order delta (hash-matched at three SFs).
     docs = _docs(spark, sf_dir)
-    toks = docs.select(
-        "doc_id",
-        "lang",
-        "source",
-        F.explode(
-            F.expr(f"regexp_extract_all(lower(text), '{TOKEN_RE}', 0)")
-        ).alias("term"),
+    dt = (
+        docs.select(
+            "doc_id",
+            "lang",
+            "source",
+            F.explode(
+                F.expr(f"regexp_extract_all(lower(text), '{TOKEN_RE}', 0)")
+            ).alias("term"),
+        )
+        .groupBy("doc_id", "lang", "source", "term")
+        .agg(F.count("*").alias("c"))
     )
-    docfreq = toks.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    docfreq = dt.groupBy("term").agg(F.count("*").alias("df"))
     n = docs.agg(F.count("*").alias("n_docs"))
     per_doc = (
-        toks.join(docfreq, "term")
+        dt.join(docfreq, "term")
         .crossJoin(F.broadcast(n))
         .groupBy("doc_id", "lang", "source")
         .agg(
-            F.avg(F.log(F.col("n_docs") / F.col("df").cast("double"))).alias(
-                "doc_rarity"
-            )
+            (
+                F.sum(
+                    F.col("c")
+                    * F.log(F.col("n_docs") / F.col("df").cast("double"))
+                )
+                / F.sum("c")
+            ).alias("doc_rarity")
         )
     )
     return per_doc.groupBy("lang", "source").agg(

@@ -15,21 +15,27 @@ from orca_ztbus_python_processor_spark.workloads.base import (
     _R6_SAMPLE,
     _R7_SAMPLE,
     _R8_SAMPLE,
+    _RESAMPLE_R9,
     _DRIVER_VERIFIED,
     merged_catalog,
 )
+
+# Historically-sampled names plus the round-9 forced re-verifications
+# (q4's quarter window moved into the fixture's live date range, so
+# its old 0-row driver evidence is void and it re-enters the window).
+_VERIFIED_OR_RESAMPLING = _DRIVER_VERIFIED | _RESAMPLE_R9
 
 
 def test_r5_sample_folded_into_back_group():
     # CORRECTNESS_r05.json held exactly these 50 names; all must now be
     # in the verified back group so round-6 additions fill the window.
     assert len(_R5_SAMPLE) == 50
-    assert _R5_SAMPLE <= _DRIVER_VERIFIED
+    assert _R5_SAMPLE <= _VERIFIED_OR_RESAMPLING
 
 
 def test_r6_sample_folded_into_back_group():
     assert len(_R6_SAMPLE) == 50
-    assert _R6_SAMPLE <= _DRIVER_VERIFIED
+    assert _R6_SAMPLE <= _VERIFIED_OR_RESAMPLING
 
 
 def test_r7_sample_folded_into_back_group():
@@ -40,7 +46,7 @@ def test_r7_sample_folded_into_back_group():
     # embedding_cosine_histogram) came back green under their new
     # semantics, so the _RESAMPLE_R7 forcing set is retired.
     assert len(_R7_SAMPLE) == 50
-    assert _R7_SAMPLE <= _DRIVER_VERIFIED
+    assert _R7_SAMPLE <= _VERIFIED_OR_RESAMPLING
     assert {"knn_label_accuracy", "embedding_cosine_histogram"} <= _R7_SAMPLE
 
 
@@ -49,7 +55,7 @@ def test_r8_sample_folded_into_back_group():
     # 3 contractual rows-only, zero failures); all must now be in the
     # verified back group so round-9 additions fill the window.
     assert len(_R8_SAMPLE) == 50
-    assert _R8_SAMPLE <= _DRIVER_VERIFIED
+    assert _R8_SAMPLE <= _VERIFIED_OR_RESAMPLING
 
 
 def test_unverified_queries_fill_the_sample_window():

@@ -507,12 +507,16 @@ def test_forward_asof_single_join_shuffle(spark, catalog):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
-def test_q4_exists_plans_as_broadcast_semi_join(spark, catalog):
-    """The EXISTS lowers to a LeftSemi broadcast join on orderkey — the
-    fact table never fans out on multi-lineitem matches, and the
-    order-date window is pushed to the scan."""
+def test_q4_exists_keeps_fact_unshuffled(spark, catalog):
+    """Round-9 rework: the EXISTS runs as inner-join + distinct with
+    the quarter-filtered ORDERS side broadcast (a LeftSemi could only
+    build the fact side, forcing a SortMergeJoin that sorted every
+    lineitem — the warm probe pinned that at 5.3x). The fan-out an
+    order's multiple late lineitems produce is collapsed by the
+    partial-combined distinct, the fact table never shuffles pre-join,
+    and the order-date window is pushed to the scan."""
     plan = _plan(spark, catalog.queries["q4_late_shipment_priority"](spark, SMOKE_SF_DIR))
-    assert "LeftSemi" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
     assert re.search(r"PushedFilters:.*o_orderdate", plan), plan
 
