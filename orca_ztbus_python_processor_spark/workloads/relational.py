@@ -1688,6 +1688,51 @@ def shipments_point_in_time_tier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _copurchase_oriented(
+    spark: SparkSession, sf_dir: str, broadcast_nodes_limit: int
+) -> tuple:
+    """(edges, deg, oriented) — degree-ordered orientation of the
+    recurrent co-purchase graph, shared by the triangle census and the
+    local clustering histogram (round 9; factored rather than pasted,
+    per the round-8 edge-builder lesson)."""
+    # checkpointed: reused by degree + orient + probe
+    edges = _copurchase_recurrent_edges(spark, sf_dir)
+    deg = (
+        edges.select(F.col("a").alias("node"))
+        .union(edges.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+        # Deliberately NOT checkpointed: deg derives from the pinned
+        # edge RDD, so each reuse is one tiny node-grain exchange —
+        # while a LogicalRDD here would drop the Aggregate's row-count
+        # estimate and the downstream join-size product would balloon
+        # (KiB x KiB -> TiB), mis-planning the wedge join as a
+        # sort-merge join at any scale where it should hash.
+    )
+    # Orientation: lower (degree, id) endpoint becomes src. The degree
+    # table is node-grain (part-grain here, bounded by |distinct
+    # parts|): up to ``broadcast_nodes_limit`` nodes it broadcasts onto
+    # the edges — the same threshold/fallback duality operators.pagerank
+    # models (VERDICT r6 #3). Beyond the limit (billion-node graphs)
+    # the enrich joins fall back to shuffle joins on the node key: one
+    # edge-table exchange each, the standard bound.
+    small = deg.count() <= broadcast_nodes_limit
+    deg_a = deg.select(F.col("node").alias("a"), F.col("d").alias("da"))
+    deg_b = deg.select(F.col("node").alias("b"), F.col("d").alias("db"))
+    if small:
+        deg_a, deg_b = F.broadcast(deg_a), F.broadcast(deg_b)
+    e = edges.join(deg_a, "a").join(deg_b, "b")
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = e.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("src"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
+    ).localCheckpoint(eager=False)  # reused as both wedge sides + probe
+    return edges, deg, oriented
+
+
+
 # --------------------------------------------------------------------------
 # copurchase_triangle_count — distributed triangle counting over the
 # RECURRENT co-purchase part graph (pairs bought together in >= 2
@@ -1750,40 +1795,9 @@ def shipments_point_in_time_tier(spark: SparkSession, sf_dir: str) -> DataFrame:
 def copurchase_triangle_count(
     spark: SparkSession, sf_dir: str, broadcast_nodes_limit: int = 2_000_000
 ) -> DataFrame:
-    # checkpointed: reused by degree + orient + probe
-    edges = _copurchase_recurrent_edges(spark, sf_dir)
-    deg = (
-        edges.select(F.col("a").alias("node"))
-        .union(edges.select(F.col("b").alias("node")))
-        .groupBy("node")
-        .agg(F.count("*").alias("d"))
-        # Deliberately NOT checkpointed: deg derives from the pinned
-        # edge RDD, so each reuse is one tiny node-grain exchange —
-        # while a LogicalRDD here would drop the Aggregate's row-count
-        # estimate and the downstream join-size product would balloon
-        # (KiB x KiB -> TiB), mis-planning the wedge join as a
-        # sort-merge join at any scale where it should hash.
+    edges, _deg, oriented = _copurchase_oriented(
+        spark, sf_dir, broadcast_nodes_limit
     )
-    # Orientation: lower (degree, id) endpoint becomes src. The degree
-    # table is node-grain (part-grain here, bounded by |distinct
-    # parts|): up to ``broadcast_nodes_limit`` nodes it broadcasts onto
-    # the edges — the same threshold/fallback duality operators.pagerank
-    # models (VERDICT r6 #3). Beyond the limit (billion-node graphs)
-    # the enrich joins fall back to shuffle joins on the node key: one
-    # edge-table exchange each, the standard bound.
-    small = deg.count() <= broadcast_nodes_limit
-    deg_a = deg.select(F.col("node").alias("a"), F.col("d").alias("da"))
-    deg_b = deg.select(F.col("node").alias("b"), F.col("d").alias("db"))
-    if small:
-        deg_a, deg_b = F.broadcast(deg_a), F.broadcast(deg_b)
-    e = edges.join(deg_a, "a").join(deg_b, "b")
-    a_first = (F.col("da") < F.col("db")) | (
-        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
-    )
-    oriented = e.select(
-        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("src"),
-        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
-    ).localCheckpoint(eager=False)  # reused as both wedge sides + probe
     o1 = oriented.select(F.col("src"), F.col("dst").alias("v"))
     o2 = oriented.select(F.col("src"), F.col("dst").alias("w"))
     wedges = o1.join(o2, "src").where(F.col("v") < F.col("w"))
@@ -3393,3 +3407,113 @@ def copurchase_label_propagation(
     )
     symp.unpersist()
     return result
+
+
+# --------------------------------------------------------------------------
+# copurchase_local_clustering_histogram — the PER-NODE clustering
+# coefficient distribution c_v = 2*t_v / (d_v * (d_v - 1)), binned.
+# The global closure rate (copurchase_triangle_count) is one number;
+# the distribution separates a graph of uniformly-clustered nodes
+# from one where a clique core carries all the closure — the shape
+# that decides whether community detection (LPA) is even meaningful
+# on this graph. Nodes with d < 2 have no defined coefficient and are
+# excluded (pinned in the test).
+#
+# Scale shape: same degree-ordered orientation as the triangle census
+# (shared helper — the wedge join stays arboricity-bounded); closed
+# triangles explode to 3 node rows each (3 * |triangles|, far below
+# the wedge volume already paid); the coefficient join is node-grain;
+# the histogram is <= 10 cells. Fully SQL-expressible — same algebra
+# in DuckDB.
+# --------------------------------------------------------------------------
+@CATALOG.query(
+    "copurchase_local_clustering_histogram",
+    oracle="""
+    WITH parts_per_order AS (
+        SELECT l_orderkey, list_sort(list(DISTINCT l_partkey)) AS parts
+        FROM lineitem GROUP BY l_orderkey
+    ), pair_w AS (
+        SELECT u.part AS a, v.part AS b
+        FROM parts_per_order,
+             unnest(parts) AS u(part), unnest(parts) AS v(part)
+        WHERE u.part < v.part
+    ), edges AS (
+        SELECT a, b FROM pair_w GROUP BY a, b HAVING count(*) >= 2
+    ), deg AS (
+        SELECT node, count(*) AS d FROM (
+            SELECT a AS node FROM edges UNION ALL SELECT b FROM edges
+        ) GROUP BY node
+    ), oriented AS (
+        SELECT CASE WHEN (da.d, e.a) < (db.d, e.b) THEN e.a ELSE e.b END AS src,
+               CASE WHEN (da.d, e.a) < (db.d, e.b) THEN e.b ELSE e.a END AS dst
+        FROM edges e
+        JOIN deg da ON da.node = e.a
+        JOIN deg db ON db.node = e.b
+    ), wedges AS (
+        SELECT o1.src, o1.dst AS v, o2.dst AS w
+        FROM oriented o1 JOIN oriented o2
+          ON o1.src = o2.src AND o1.dst < o2.dst
+    ), closed AS (
+        SELECT wedges.src, wedges.v, wedges.w
+        FROM wedges JOIN oriented o3
+          ON least(wedges.v, wedges.w) = least(o3.src, o3.dst)
+         AND greatest(wedges.v, wedges.w) = greatest(o3.src, o3.dst)
+    ), tri_nodes AS (
+        SELECT node, count(*) AS t FROM (
+            SELECT src AS node FROM closed
+            UNION ALL SELECT v FROM closed
+            UNION ALL SELECT w FROM closed
+        ) GROUP BY node
+    ), coeff AS (
+        SELECT d.d, 2.0 * coalesce(t.t, 0) / (d.d * (d.d - 1.0)) AS c
+        FROM deg d LEFT JOIN tri_nodes t USING (node)
+        WHERE d.d >= 2
+    )
+    SELECT CAST(least(floor(c * 10), 9) AS BIGINT) AS coeff_bin,
+           count(*) AS n_nodes,
+           CAST(avg(c) AS REAL) AS mean_coeff,
+           CAST(avg(d) AS REAL) AS mean_degree
+    FROM coeff
+    GROUP BY 1
+    """,
+)
+def copurchase_local_clustering_histogram(
+    spark: SparkSession, sf_dir: str, broadcast_nodes_limit: int = 2_000_000
+) -> DataFrame:
+    _edges, deg, oriented = _copurchase_oriented(
+        spark, sf_dir, broadcast_nodes_limit
+    )
+    o1 = oriented.select(F.col("src"), F.col("dst").alias("v"))
+    o2 = oriented.select(F.col("src"), F.col("dst").alias("w"))
+    wedges = o1.join(o2, "src").where(F.col("v") < F.col("w"))
+    probe = oriented.select(
+        F.array_sort(F.array("src", "dst")).alias("_key")
+    )
+    tri_nodes = (
+        wedges.select("src", "v", "w", F.array("v", "w").alias("_key"))
+        .join(probe, "_key")
+        .select(F.explode(F.array("src", "v", "w")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").alias("t"))
+    )
+    coeff = (
+        deg.where(F.col("d") >= 2)
+        .join(tri_nodes, "node", "left")
+        .select(
+            "d",
+            (
+                F.lit(2.0)
+                * F.coalesce(F.col("t"), F.lit(0))
+                / (F.col("d") * (F.col("d") - F.lit(1.0)))
+            ).alias("c"),
+        )
+    )
+    return coeff.groupBy(
+        F.least(F.floor(F.col("c") * 10), F.lit(9))
+        .cast("long")
+        .alias("coeff_bin")
+    ).agg(
+        F.count("*").alias("n_nodes"),
+        f32(F.avg("c")).alias("mean_coeff"),
+        f32(F.avg("d")).alias("mean_degree"),
+    )

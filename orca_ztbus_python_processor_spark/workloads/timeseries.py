@@ -4134,3 +4134,101 @@ def kmv_distinct_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("est_intersect"),
     )
+
+
+# --------------------------------------------------------------------------
+# type_lag_cross_correlation — LAG-SWEEP alignment between two event
+# streams: Pearson correlation of the click-rate and error-rate
+# minute series at every shift in [-5, +5] minutes. The argmax lag is
+# the "which stream leads, and by how much" answer (error bursts
+# trailing click bursts by k minutes show up as the peak at lag k) —
+# the alignment question rolling_corr_minute (same-minute trailing
+# corr) cannot ask. Missing minutes are absent rows on both sides, so
+# each lag correlates only the minutes where BOTH series exist (inner
+# join on the shifted key) — rate gaps don't fabricate zeros.
+#
+# Scale shape: the corpus-sized stage is the ONE minute-grain rollup
+# (map-combinable, bounded by the time span, not row count); the lag
+# sweep is an 11-way explode of that bounded rate table self-joined
+# on the shifted minute (both sides cluster on the join key), and the
+# per-lag co-moment rollup is 11 cells. Adding lags widens the small
+# table, never rescans events.
+# --------------------------------------------------------------------------
+XCORR_MAX_LAG = 5
+
+
+@CATALOG.query(
+    "type_lag_cross_correlation",
+    oracle=f"""
+    WITH rates AS (
+        SELECT date_trunc('minute', ts) AS minute,
+               CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS x,
+               CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS y
+        FROM events GROUP BY 1
+    ), lags AS (
+        SELECT unnest(generate_series(-{XCORR_MAX_LAG},
+                                      {XCORR_MAX_LAG})) AS lag
+    ), aligned AS (
+        SELECT l.lag, a.x, b.y
+        FROM lags l
+        JOIN rates a ON true
+        JOIN rates b
+          ON b.minute = a.minute + to_minutes(CAST(l.lag AS BIGINT))
+    )
+    SELECT lag,
+           count(*) AS n_minutes,
+           CAST(CASE WHEN count(*) * sum(x * x) - sum(x) * sum(x) > 0
+                      AND count(*) * sum(y * y) - sum(y) * sum(y) > 0
+                THEN (count(*) * sum(x * y) - sum(x) * sum(y))
+                     / sqrt(CAST(count(*) * sum(x * x) - sum(x) * sum(x)
+                                 AS DOUBLE)
+                            * CAST(count(*) * sum(y * y) - sum(y) * sum(y)
+                                   AS DOUBLE))
+                END AS REAL) AS xcorr
+    FROM aligned
+    GROUP BY lag
+    """,
+)
+def type_lag_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rates = (
+        _events(spark, sf_dir)
+        .groupBy(F.date_trunc("minute", "ts").alias("minute"))
+        .agg(
+            F.sum((F.col("event_type") == "click").cast("long")).alias("x"),
+            F.sum((F.col("event_type") == "error").cast("long")).alias("y"),
+        )
+    )
+    a = rates.select(
+        "minute",
+        "x",
+        F.explode(
+            F.sequence(F.lit(-XCORR_MAX_LAG), F.lit(XCORR_MAX_LAG))
+        ).alias("lag"),
+    ).withColumn(
+        "b_minute",
+        F.col("minute") + F.make_interval(mins=F.col("lag")),
+    )
+    b = rates.select(F.col("minute").alias("b_minute"), "y")
+    n = F.count("*")
+    sx, sy = F.sum("x"), F.sum("y")
+    sxy = F.sum(F.col("x") * F.col("y"))
+    sx2 = F.sum(F.col("x") * F.col("x"))
+    sy2 = F.sum(F.col("y") * F.col("y"))
+    var_x = n * sx2 - sx * sx
+    var_y = n * sy2 - sy * sy
+    return (
+        a.join(b, "b_minute")
+        .groupBy(F.col("lag").cast("long").alias("lag"))
+        .agg(
+            n.alias("n_minutes"),
+            f32(
+                F.when(
+                    (var_x > 0) & (var_y > 0),
+                    (n * sxy - sx * sy)
+                    / F.sqrt(var_x.cast("double") * var_y.cast("double")),
+                )
+            ).alias("xcorr"),
+        )
+    )

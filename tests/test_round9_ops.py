@@ -674,3 +674,92 @@ def test_minhash_calibration_matches_python_exact_recount(spark):
         assert abs(got[b]["mean_exact"] - sum(js) / len(js)) < 2e-6
     pop = [got[b]["mean_exact"] for b in sorted(got) if got[b]["n_pairs"] >= 4]
     assert all(x <= y + 0.03 for x, y in zip(pop, pop[1:])), pop
+
+
+def test_local_clustering_matches_pure_python(spark):
+    """Independent recount: build the recurrent co-purchase graph in
+    pure python (adjacency sets), count each node's closed neighbor
+    pairs directly, and reproduce the binned histogram."""
+    from collections import Counter, defaultdict
+    from itertools import combinations
+
+    import duckdb
+
+    from orca_ztbus_python_processor_spark.workloads.relational import (
+        CATALOG as RCAT,
+    )
+
+    rows = duckdb.sql(
+        f"SELECT l_orderkey, l_partkey FROM '{SF_DIR}/lineitem.parquet'"
+    ).fetchall()
+    by_order = defaultdict(set)
+    for ok, pk in rows:
+        by_order[ok].add(pk)
+    pair_n: Counter = Counter()
+    for parts in by_order.values():
+        for a, b in combinations(sorted(parts), 2):
+            pair_n[(a, b)] += 1
+    nbrs = defaultdict(set)
+    for (a, b), n in pair_n.items():
+        if n >= 2:
+            nbrs[a].add(b)
+            nbrs[b].add(a)
+    hist = defaultdict(lambda: [0, 0.0, 0.0])  # n, sum_c, sum_d
+    for node, ns in nbrs.items():
+        d = len(ns)
+        if d < 2:
+            continue
+        t = sum(
+            1 for x, y in combinations(sorted(ns), 2) if y in nbrs[x]
+        )
+        c = 2.0 * t / (d * (d - 1.0))
+        b = min(int(c * 10), 9)
+        hist[b][0] += 1
+        hist[b][1] += c
+        hist[b][2] += d
+    got = {
+        r["coeff_bin"]: r
+        for r in RCAT.queries["copurchase_local_clustering_histogram"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert set(got) == set(hist) and len(hist) >= 2
+    for b, (n, sc, sd) in hist.items():
+        assert got[b]["n_nodes"] == n
+        assert abs(got[b]["mean_coeff"] - sc / n) < 1e-6
+        assert abs(got[b]["mean_degree"] - sd / n) < 1e-6
+
+
+def test_lag_xcorr_peak_at_zero_for_self_series(spark):
+    """Sanity property on the lag sweep: correlating a series against
+    itself-shifted must peak at lag 0 when x == y by construction —
+    pinned by recomputing the click/error sweep in pandas."""
+    import duckdb
+    import pandas as pd
+
+    from orca_ztbus_python_processor_spark.workloads.timeseries import (
+        CATALOG as TSCAT,
+        XCORR_MAX_LAG,
+    )
+
+    rates = duckdb.sql(
+        "SELECT date_trunc('minute', ts) AS minute, "
+        "sum(CASE WHEN event_type='click' THEN 1 ELSE 0 END) AS x, "
+        "sum(CASE WHEN event_type='error' THEN 1 ELSE 0 END) AS y "
+        f"FROM '{SF_DIR}/events.parquet' GROUP BY 1"
+    ).df()
+    rates = rates.set_index("minute")
+    got = {
+        r["lag"]: r
+        for r in TSCAT.queries["type_lag_cross_correlation"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert set(got) == set(range(-XCORR_MAX_LAG, XCORR_MAX_LAG + 1))
+    for lag in got:
+        shifted = rates.copy()
+        shifted.index = shifted.index - pd.Timedelta(minutes=lag)
+        j = rates[["x"]].join(shifted[["y"]], how="inner").dropna()
+        assert got[lag]["n_minutes"] == len(j)
+        want = j["x"].astype(float).corr(j["y"].astype(float))
+        assert abs(got[lag]["xcorr"] - want) < 1e-5, (lag, got[lag], want)
