@@ -558,15 +558,36 @@ def image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         synthesize_phash_media,
     )
 
-    media = synthesize_phash_media(_docs(spark, sf_dir))
+    from orca_ztbus_python_processor_spark.operators.imagehash import (  # noqa: PLC0415
+        PHASH_GROUP,
+        _PHASH_FORMATS,
+    )
+
+    docs = _docs(spark, sf_dir)
+    media = synthesize_phash_media(docs)
     sigs = phash_signatures(media)
     pairs = phash_near_dups(sigs, max_hamming=3)
     comp = connected_components(pairs.select("id_a", "id_b"))
     # every image keeps a cluster id: its component if it paired,
-    # itself if it is a perceptual singleton
+    # itself if it is a perceptual singleton. The (id, format) frame
+    # comes from the documents scan, NOT from `media`: format is a
+    # pure function of doc_id (synthesize_phash_media's contract), and
+    # a second consumer of the mapInPandas stage would re-encode every
+    # payload just to project two columns (column pruning cannot push
+    # through mapInPandas; round-9 review finding).
+    fmt = F.element_at(
+        F.array(*[F.lit(f) for f in _PHASH_FORMATS]),
+        (
+            F.floor(F.col("media_id") / PHASH_GROUP)
+            % len(_PHASH_FORMATS)
+            + 1
+        ).cast("int"),
+    )
+    ids = docs.select(F.col("doc_id").alias("media_id")).select(
+        "media_id", fmt.alias("format")
+    )
     labeled = (
-        media.select("media_id", "format")
-        .join(comp, media.media_id == comp.node, "left")
+        ids.join(comp, ids.media_id == comp.node, "left")
         .select(
             "media_id",
             "format",

@@ -861,9 +861,11 @@ def customer_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ship-vs-order lag; the round-9 rework also moved the quarter from
 # 2024 — OUTSIDE the fixture's 1995-2001 span, a vacuously-empty
 # window the 0-row hash-match never caught — to 1996-Q1+, so the
-# count is live; the decorrelated-EXISTS plan shape is exactly
-# q4's). Spark plans the EXISTS as a left-semi join on orderkey — the
-# fact table never fans out on multi-lineitem matches.
+# count is live; the decorrelated-EXISTS semantics are exactly q4's).
+# The EXISTS runs as inner-join + partial-combined distinct with the
+# quarter-filtered orders on the broadcastable build side — NOT a
+# left-semi, which could only build the fact side and forced a
+# SortMergeJoin (see the function body and the round-9 rework note).
 # --------------------------------------------------------------------------
 @CATALOG.query(
     "q4_late_shipment_priority",
@@ -891,8 +893,10 @@ def q4_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     # threshold — the declarative form keeps both options open), the
     # fact table never shuffles, and the only exchange is the
     # partial-combined distinct over MATCHED (order, priority) pairs.
-    # Warm sf1: 2.75 s -> 0.92 s, slope 5.3x -> 1.3x (with the window
-    # now LIVE — the old 2024 window also returned zero rows).
+    # Warm sf1: 2.75 s -> 1.01 s, slope 5.3x -> 2.35x, per the
+    # committed probe artifact (.benchmarks/warm_probes.json) —
+    # measured on the LIVE 1996 window (the old 2024 window also
+    # returned zero rows).
     orders = (
         _t(spark, sf_dir, "orders")
         .where(
@@ -1528,21 +1532,22 @@ def _copurchase_sym_weighted_edges(
     """Symmetrized ``src, dst, weight`` built in ONE scan (VERDICT r8
     #6): both pair directions explode map-side from the per-order
     parts array, then a single ``repartition("src")`` feeds the
-    (src, dst) count — HashPartitioning(src) satisfies the clustering
-    requirement of the (src, dst) aggregation (partition keys are a
-    subset of the group keys), so the count itself plans NO further
-    exchange and the result is already round-ready for label
-    propagation. Replaces the former pair-count + swap + union build
-    (which re-planned the aggregate twice and paid an extra
-    repartition before persisting). Weight parity with the
-    one-direction builder is pinned in tests/test_round9_ops.py."""
+    (src, dst) count, whose partial aggregate map-side-combines
+    incidence rows to pair grain BEFORE its exchange (a bare
+    repartition of the raw explode would ship every (order, pair)
+    incidence — 2 x 1,000 rows for a pair co-bought in 1,000 orders;
+    round-9 review finding); the final repartition("src") then moves
+    only distinct-pair rows, leaving the persisted table round-ready
+    for label propagation. Replaces the former pair-count + swap +
+    union build (which re-planned the aggregate twice). Weight parity
+    with the one-direction builder is pinned in
+    tests/test_round9_ops.py."""
     return (
         _copurchase_parts_per_order(spark, sf_dir)
         .select(F.explode(F.expr(_COPURCHASE_BOTH_DIR_EXPR)).alias("e"))
-        .select("e.src", "e.dst")
-        .repartition("src")
-        .groupBy("src", "dst")
+        .groupBy(F.col("e.src").alias("src"), F.col("e.dst").alias("dst"))
         .agg(F.count("*").cast("double").alias("weight"))
+        .repartition("src")
     )
 
 

@@ -3474,13 +3474,20 @@ RARE_DF_MAX = 2
     """,
 )
 def rare_token_position_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    occ = (
+    # (doc, source, term) grain FIRST (round-9 review finding — the
+    # same pair-grain rework as rare_token_density next door): the
+    # occurrence stream collapses map-combinably to per-doc term
+    # moments (count, Σrelpos, front count), docfreq is a count(*)
+    # off that grain (ReusedExchange with the probe side — the corpus
+    # is tokenized once), and the df join moves pair-grain rows, not
+    # raw occurrences.
+    dt = (
         _docs(spark, sf_dir)
         .select(
             "doc_id",
             "source",
             F.expr(
-                f"regexp_extract_all(lower(text), '[a-z0-9]+', 0)"
+                "regexp_extract_all(lower(text), '[a-z0-9]+', 0)"
             ).alias("tokens"),
         )
         .select(
@@ -3495,25 +3502,39 @@ def rare_token_position_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "term",
             ((F.col("pos") + F.lit(0.5)) / F.col("n_tok")).alias("relpos"),
         )
+        .groupBy("doc_id", "source", "term")
+        .agg(
+            F.count("*").alias("c"),
+            F.sum("relpos").alias("s_pos"),
+            F.sum((F.col("relpos") < 0.5).cast("long")).alias("c_front"),
+        )
     )
-    docfreq = occ.groupBy("term").agg(
-        F.count_distinct("doc_id").alias("df")
-    )
+    docfreq = dt.groupBy("term").agg(F.count("*").alias("df"))
     rare = F.col("df") <= RARE_DF_MAX
     return (
-        occ.join(docfreq, "term")
+        dt.join(docfreq, "term")
         .groupBy("source")
         .agg(
-            F.count("*").alias("n_occurrences"),
-            F.sum(rare.cast("long")).alias("n_rare"),
+            F.sum("c").alias("n_occurrences"),
+            F.sum(F.when(rare, F.col("c")).otherwise(F.lit(0))).alias(
+                "n_rare"
+            ),
             f32(
-                F.sum(rare.cast("long")) / F.count("*").cast("double")
+                F.sum(F.when(rare, F.col("c")).otherwise(F.lit(0)))
+                / F.sum("c").cast("double")
             ).alias("rare_share"),
-            f32(F.avg("relpos")).alias("mean_pos_all"),
-            f32(F.avg(F.when(rare, F.col("relpos")))).alias("mean_pos_rare"),
+            f32(F.sum("s_pos") / F.sum("c").cast("double")).alias(
+                "mean_pos_all"
+            ),
             f32(
-                F.sum((rare & (F.col("relpos") < 0.5)).cast("long"))
-                / F.nullif(F.sum(rare.cast("long")), F.lit(0)).cast("double")
+                F.sum(F.when(rare, F.col("s_pos")))
+                / F.sum(F.when(rare, F.col("c"))).cast("double")
+            ).alias("mean_pos_rare"),
+            f32(
+                F.sum(F.when(rare, F.col("c_front")))
+                / F.nullif(
+                    F.sum(F.when(rare, F.col("c"))), F.lit(0)
+                ).cast("double")
             ).alias("rare_front_share"),
         )
     )

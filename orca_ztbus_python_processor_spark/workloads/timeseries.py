@@ -3997,9 +3997,11 @@ def user_burstiness_fano(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 # Scale shape: the one corpus-sized stage is the distinct (type, hash)
 # dedup; the K-smallest selection is a two-level MERGEABLE partial
-# (64 salt cells keep their own K smallest, then K-of-the-union —
-# identical result to a global sort by the subset property), so no
-# task ever sorts an audience; the pair algebra runs on 5 rows of
+# (64 salt cells keep their own K smallest via a rank filter over a
+# SPILLABLE window sort, then K-of-the-union — identical result to a
+# global sort by the subset property), so no aggregation buffer ever
+# holds more than K hashes and the only per-task growth is the
+# external sorter, which spills; the pair algebra runs on 5 rows of
 # K-long arrays. The hash is md5-derived (not xxhash) so the DuckDB
 # oracle replays the EXACT estimator — estimates hash-match, not just
 # error-bound. Float path: (K-1) * 2^60 / h_K in double then f32, the
@@ -4072,12 +4074,28 @@ def kmv_distinct_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", F.expr(_KMV_HASH_SPARK).alias("h"))
         .distinct()
     )
-    # two-level mergeable K-smallest: salt cells keep K, merge keeps K
-    partial = hashed.groupBy(
-        "event_type", F.pmod("h", F.lit(64)).alias("_salt")
-    ).agg(
-        F.slice(F.array_sort(F.collect_list("h")), 1, KMV_K).alias("ks"),
-        F.count("*").alias("c"),
+    # two-level mergeable K-smallest: salt cells keep K, merge keeps K.
+    # The rank filter runs BEFORE any collect_list, so no aggregation
+    # buffer ever holds more than K hashes (a collect-then-slice form
+    # would hold the whole cell — linear in audience size; round-9
+    # review finding). The cell sort itself is a spillable window
+    # sort (UnsafeExternalSorter), so per-task memory stays bounded
+    # even on a 10B-user audience; cell row counts ride the same
+    # window pass.
+    salted = hashed.select(
+        "event_type", "h", F.pmod("h", F.lit(64)).alias("_salt")
+    )
+    cell = W.partitionBy("event_type", "_salt")
+    ranked = salted.select(
+        "event_type",
+        "_salt",
+        "h",
+        F.row_number().over(cell.orderBy("h")).alias("_rn"),
+        F.count("*").over(cell).alias("_c"),
+    ).where(F.col("_rn") <= KMV_K)
+    partial = ranked.groupBy("event_type", "_salt").agg(
+        F.array_sort(F.collect_list("h")).alias("ks"),
+        F.max("_c").alias("c"),
     )
     summ = partial.groupBy("event_type").agg(
         F.slice(

@@ -26,7 +26,6 @@ import json
 import math
 import os
 import sys
-import time
 
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if REPO_ROOT not in sys.path:
@@ -65,39 +64,22 @@ def main() -> None:
                 "scripts/make_scale_fixture.py (factor 10 / 26)"
             )
 
-    if os.path.isdir("/dev/shm") and "SPARK_LOCAL_DIRS" not in os.environ:
-        shm = "/dev/shm/spark_bench_local"
-        os.makedirs(shm, exist_ok=True)
-        os.environ["SPARK_LOCAL_DIRS"] = shm
-        import tempfile  # noqa: PLC0415
+    from _bench_session import bench_spark, min_of_warm, setup_bench_env  # noqa: E402,PLC0415
 
-        os.environ.setdefault("TMPDIR", shm)
-        tempfile.tempdir = shm
-    from orca_ztbus_python_processor_spark.session import get_spark  # noqa: E402,PLC0415
+    setup_bench_env()
     from orca_ztbus_python_processor_spark.workloads.base import (  # noqa: E402,PLC0415
         merged_catalog,
     )
 
-    spark = get_spark("stream_3pt")
+    spark = bench_spark("stream_3pt")
     catalog = merged_catalog()
-    spark.range(256).repartition(16).mapInPandas(
-        lambda it: it, schema="id long"
-    ).write.format("noop").mode("overwrite").save()
 
     results: dict[str, dict] = {}
     for name in names:
         fn = catalog.queries[name]
         walls = {}
         for label, sf_dir, _scale in POINTS:
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = float("inf")
-            for _ in range(args.reps):
-                t0 = time.perf_counter()
-                fn(spark, sf_dir).write.format("noop").mode(
-                    "overwrite"
-                ).save()
-                best = min(best, time.perf_counter() - t0)
-            walls[label] = round(best, 4)
+            walls[label] = min_of_warm(spark, fn, sf_dir, args.reps)
         s01, s1, s26 = walls["sf0.1"], walls["sf1"], walls["sf26"]
         # log-log least-squares exponent over the three (scale, wall)
         # points: wall ~ scale^beta

@@ -33,7 +33,6 @@ import json
 import os
 import re
 import sys
-import time
 
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if REPO_ROOT not in sys.path:
@@ -63,11 +62,15 @@ FAMILY_BANDS = [
         r"minhash|simhash|winnow|ngram_jaccard|near_dup|neardup"
         r"|doc_fingerprints|boilerplate|chunk_dedup|image_phash",
     ),
+    # the whole co-purchase graph family (iterative fixpoints AND the
+    # wedge-join censuses: triangles, local clustering, assortativity,
+    # neighbor Jaccard, degree histograms) shares the 4.5 band — the
+    # round-9 clustering histogram initially fell through to the
+    # amortizing band, a guaranteed future false alarm (review finding)
     (
         "iterative-graph",
         4.5,
-        r"^copurchase_(pagerank|label_propagation|kcore|bfs)"
-        r"|triangle|components",
+        r"^copurchase_|triangle|components",
     ),
     ("decontam-sweep", 4.0, r"decontam|semantic|leakage"),
     ("amortizing", 3.5, r"."),
@@ -117,41 +120,22 @@ def main() -> None:
         return
 
     # One bench-configured session for all probes (same tmpfs local
-    # dirs rationale as bench.py).
-    if os.path.isdir("/dev/shm") and "SPARK_LOCAL_DIRS" not in os.environ:
-        shm = "/dev/shm/spark_bench_local"
-        os.makedirs(shm, exist_ok=True)
-        os.environ["SPARK_LOCAL_DIRS"] = shm
-        import tempfile  # noqa: PLC0415
+    # dirs rationale as bench.py; shared plumbing in _bench_session).
+    from _bench_session import bench_spark, min_of_warm, setup_bench_env  # noqa: E402,PLC0415
 
-        os.environ.setdefault("TMPDIR", shm)
-        tempfile.tempdir = shm
-    from orca_ztbus_python_processor_spark.session import get_spark  # noqa: E402,PLC0415
+    setup_bench_env()
     from orca_ztbus_python_processor_spark.workloads.base import (  # noqa: E402,PLC0415
         merged_catalog,
     )
 
-    spark = get_spark("warm_probe")
+    spark = bench_spark("warm_probe")
     catalog = merged_catalog()
-    # Python-worker warm-up, as bench.py does
-    spark.range(256).repartition(16).mapInPandas(
-        lambda it: it, schema="id long"
-    ).write.format("noop").mode("overwrite").save()
-
-    def min_of_warm(fn, sf_dir: str) -> float:
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm
-        best = float("inf")
-        for _ in range(args.reps):
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        return round(best, 4)
 
     probes = {}
     for name, fam, band, slope in flagged:
         fn = catalog.queries[name]
-        w01 = min_of_warm(fn, args.sf01)
-        w1 = min_of_warm(fn, args.sf1)
+        w01 = min_of_warm(spark, fn, args.sf01, args.reps)
+        w1 = min_of_warm(spark, fn, args.sf1, args.reps)
         warm_slope = round(w1 / max(w01, 1e-9), 2)
         probes[name] = {
             "family": fam,
