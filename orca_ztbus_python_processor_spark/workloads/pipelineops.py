@@ -696,3 +696,77 @@ def minhash_jaccard_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             f32(F.avg("jaccard")).alias("mean_exact"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# image_decontam_phash — PERCEPTUAL image decontamination, completing
+# the decontam triptych: lexical (benchmark_decontam_13gram), semantic
+# embedding (semantic_decontam_embedding), and now IMAGE space. The
+# held-out "benchmark" image set is the same deterministic 1/97 slice
+# convention (media_id % 97 == 0); a training image is contaminated if
+# its pHash sits within hamming <= 3 of ANY benchmark image — the
+# brightness-shift robustness of the hash is exactly why byte-level
+# image dedup cannot do this job. Candidate pairs ride the SAME
+# 4x16-bit pigeonhole banding as image_phash_dedup (recall-complete
+# for the radius), then cross-split pairs flag the train side.
+#
+# Scale shape: decode+hash map-only as ever; the banding join is the
+# only wide stage and carries 4 rows/image regardless of which side is
+# benchmark — no bench broadcast to fence (contrast the lexical
+# sweep's gram set). Rows-only by the driver contract; planted
+# expectation pinned in tests (every planted group straddling the
+# mod-97 split flags exactly its non-benchmark members).
+# --------------------------------------------------------------------------
+IMG_DECONTAM_MOD = 97
+
+
+@CATALOG.query("image_decontam_phash")
+def image_decontam_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from orca_ztbus_python_processor_spark.operators.imagehash import (  # noqa: PLC0415
+        PHASH_GROUP,
+        _PHASH_FORMATS,
+        phash_near_dups,
+        phash_signatures,
+        synthesize_phash_media,
+    )
+
+    docs = _docs(spark, sf_dir)
+    sigs = phash_signatures(synthesize_phash_media(docs))
+    pairs = phash_near_dups(sigs, max_hamming=3)
+    is_bench_a = F.col("id_a") % IMG_DECONTAM_MOD == 0
+    is_bench_b = F.col("id_b") % IMG_DECONTAM_MOD == 0
+    flagged = (
+        pairs.where(is_bench_a != is_bench_b)
+        .select(
+            F.when(is_bench_a, F.col("id_b"))
+            .otherwise(F.col("id_a"))
+            .alias("media_id")
+        )
+        .distinct()
+        .withColumn("_flag", F.lit(1))
+    )
+    fmt = F.element_at(
+        F.array(*[F.lit(f) for f in _PHASH_FORMATS]),
+        (
+            F.floor(F.col("media_id") / PHASH_GROUP)
+            % len(_PHASH_FORMATS)
+            + 1
+        ).cast("int"),
+    )
+    train = (
+        docs.select(F.col("doc_id").alias("media_id"))
+        .where(F.col("media_id") % IMG_DECONTAM_MOD != 0)
+        .select("media_id", fmt.alias("format"))
+    )
+    return (
+        train.join(flagged, "media_id", "left")
+        .groupBy("format")
+        .agg(
+            F.count("*").alias("n_train_images"),
+            F.sum(F.coalesce(F.col("_flag"), F.lit(0))).alias("n_flagged"),
+            f32(
+                F.sum(F.coalesce(F.col("_flag"), F.lit(0)))
+                / F.count("*").cast("double")
+            ).alias("flagged_share"),
+        )
+    )

@@ -3522,3 +3522,114 @@ def copurchase_local_clustering_histogram(
         f32(F.avg("c")).alias("mean_coeff"),
         f32(F.avg("d")).alias("mean_degree"),
     )
+
+
+# --------------------------------------------------------------------------
+# median_ci_by_priority — distribution-free (order-statistic) 95%
+# confidence interval for the MEDIAN of order value per priority: the
+# classic nonparametric interval [X(l), X(u)] with ranks from the
+# normal approximation to Binomial(n, 1/2):
+#   l = max(floor((n - 1.96*sqrt(n)) / 2), 1)
+#   u = min(ceil((n + 1.96*sqrt(n)) / 2) + 1, n)
+# A pipeline that reports medians without intervals cannot tell drift
+# from noise; this is the statistical-rigor companion to the exact
+# median/quantile family. The rank formulas are pure
+# floor/ceil/sqrt double arithmetic — bit-identical in Spark and
+# DuckDB, so the chosen order statistics (and the hash compare) are
+# exact, not tolerance-based.
+#
+# Scale shape: one row_number window PARTITIONED BY priority (5 keys;
+# the sort is the spillable per-group rank the exact-median family
+# already pays — for corpus-grain single-series CIs the distributed
+# rank-pick in functions/quantiles.py is the fence-free form), then a
+# broadcast of the 5-row (n, l, u) frame back onto the ranked rows;
+# only rows at the 4 picked ranks survive the filter.
+# --------------------------------------------------------------------------
+@CATALOG.query(
+    "median_ci_by_priority",
+    oracle="""
+    WITH ranked AS (
+        SELECT o_orderpriority, o_totalprice,
+               row_number() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY o_totalprice, o_orderkey) AS rn,
+               count(*) OVER (PARTITION BY o_orderpriority) AS n
+        FROM orders
+    ), bounds AS (
+        SELECT o_orderpriority, max(n) AS n,
+               greatest(CAST(floor((max(n) - 1.96 * sqrt(max(n))) / 2)
+                             AS BIGINT), 1) AS l,
+               least(CAST(ceil((max(n) + 1.96 * sqrt(max(n))) / 2)
+                          AS BIGINT) + 1, max(n)) AS u
+        FROM ranked GROUP BY o_orderpriority
+    )
+    SELECT r.o_orderpriority,
+           max(b.n) AS n_orders,
+           CAST(avg(CASE WHEN r.rn IN ((b.n + 1) // 2, (b.n + 2) // 2)
+                         THEN r.o_totalprice END) AS REAL) AS median,
+           CAST(max(CASE WHEN r.rn = b.l THEN r.o_totalprice END)
+                AS REAL) AS ci_lo,
+           CAST(max(CASE WHEN r.rn = b.u THEN r.o_totalprice END)
+                AS REAL) AS ci_hi
+    FROM ranked r JOIN bounds b USING (o_orderpriority)
+    WHERE r.rn IN ((b.n + 1) // 2, (b.n + 2) // 2, b.l, b.u)
+    GROUP BY r.o_orderpriority
+    """,
+)
+def median_ci_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ranked = _t(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        "o_totalprice",
+        F.row_number()
+        .over(
+            W.partitionBy("o_orderpriority").orderBy(
+                "o_totalprice", "o_orderkey"
+            )
+        )
+        .alias("rn"),
+        F.count("*")
+        .over(W.partitionBy("o_orderpriority"))
+        .alias("n"),
+    )
+    l_rank = F.greatest(
+        F.floor((F.col("n") - 1.96 * F.sqrt(F.col("n"))) / 2).cast("long"),
+        F.lit(1),
+    )
+    u_rank = F.least(
+        F.ceil((F.col("n") + 1.96 * F.sqrt(F.col("n"))) / 2).cast("long")
+        + 1,
+        F.col("n"),
+    )
+    m_lo = (F.col("n") + 1) / F.lit(2)
+    picked = ranked.select(
+        "o_orderpriority",
+        "o_totalprice",
+        "rn",
+        "n",
+        l_rank.alias("l"),
+        u_rank.alias("u"),
+        F.floor(m_lo).cast("long").alias("m1"),
+        F.floor((F.col("n") + 2) / F.lit(2)).cast("long").alias("m2"),
+    ).where(
+        (F.col("rn") == F.col("l"))
+        | (F.col("rn") == F.col("u"))
+        | (F.col("rn") == F.col("m1"))
+        | (F.col("rn") == F.col("m2"))
+    )
+    return picked.groupBy("o_orderpriority").agg(
+        F.max("n").alias("n_orders"),
+        f32(
+            F.avg(
+                F.when(
+                    (F.col("rn") == F.col("m1"))
+                    | (F.col("rn") == F.col("m2")),
+                    F.col("o_totalprice"),
+                )
+            )
+        ).alias("median"),
+        f32(
+            F.max(F.when(F.col("rn") == F.col("l"), F.col("o_totalprice")))
+        ).alias("ci_lo"),
+        f32(
+            F.max(F.when(F.col("rn") == F.col("u"), F.col("o_totalprice")))
+        ).alias("ci_hi"),
+    )

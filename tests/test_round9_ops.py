@@ -763,3 +763,101 @@ def test_lag_xcorr_peak_at_zero_for_self_series(spark):
         assert got[lag]["n_minutes"] == len(j)
         want = j["x"].astype(float).corr(j["y"].astype(float))
         assert abs(got[lag]["xcorr"] - want) < 1e-5, (lag, got[lag], want)
+
+
+def test_image_decontam_phash_flags_exactly_bruteforce(spark):
+    """Perceptual image decontam: per-format flagged counts must equal
+    a pure-python brute-force hamming<=3 sweep of every train hash
+    against every benchmark hash (recall-complete banding + exact
+    verify => exact equality, not a bound)."""
+    import duckdb
+
+    from orca_ztbus_python_processor_spark.operators.imagehash import (
+        PHASH_GROUP,
+        _PHASH_FORMATS,
+        _phash_base_pixels,
+        phash64,
+    )
+    from orca_ztbus_python_processor_spark.workloads.pipelineops import (
+        CATALOG as PCAT,
+        IMG_DECONTAM_MOD,
+    )
+
+    ids = [
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT doc_id FROM '{SF_DIR}/documents.parquet'"
+        ).fetchall()
+    ]
+    hashes = {}
+    for d in ids:
+        base, member = d // PHASH_GROUP, d % PHASH_GROUP
+        ht, wd = 12 + base % 7, 16 + base % 9
+        hashes[d] = phash64(
+            (_phash_base_pixels(base, ht, wd) + 3 * member).astype(np.float64)
+        )
+    bench = [d for d in ids if d % IMG_DECONTAM_MOD == 0]
+    want = {f: [0, 0] for f in _PHASH_FORMATS}  # n_train, n_flagged
+    for d in ids:
+        if d % IMG_DECONTAM_MOD == 0:
+            continue
+        fmt = _PHASH_FORMATS[(d // PHASH_GROUP) % len(_PHASH_FORMATS)]
+        want[fmt][0] += 1
+        if any(
+            bin((hashes[d] ^ hashes[b]) & (2**64 - 1)).count("1") <= 3
+            for b in bench
+        ):
+            want[fmt][1] += 1
+    got = {
+        r["format"]: r
+        for r in PCAT.queries["image_decontam_phash"](spark, SF_DIR).collect()
+    }
+    assert set(got) == set(want)
+    total_flagged = sum(v[1] for v in want.values())
+    assert total_flagged >= 15  # planted groups straddle the mod split
+    for f, (n, fl) in want.items():
+        assert got[f]["n_train_images"] == n
+        assert got[f]["n_flagged"] == fl
+        assert abs(got[f]["flagged_share"] - fl / n) < 1e-6
+
+
+def test_median_ci_matches_pure_python_order_stats(spark):
+    """Order-statistic CI recount in plain python: sort each group,
+    pick the l/median/u ranks with the same normal-approx formulas,
+    and require exact equality (the rank arithmetic is IEEE-identical
+    across engines by construction)."""
+    import math
+
+    import duckdb
+
+    from orca_ztbus_python_processor_spark.workloads.relational import (
+        CATALOG as RCAT,
+    )
+
+    rows = duckdb.sql(
+        "SELECT o_orderpriority, o_totalprice, o_orderkey FROM "
+        f"'{SF_DIR}/orders.parquet'"
+    ).fetchall()
+    groups = {}
+    for pri, price, ok in rows:
+        groups.setdefault(pri, []).append((price, ok))
+    got = {
+        r["o_orderpriority"]: r
+        for r in RCAT.queries["median_ci_by_priority"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert set(got) == set(groups)
+    for pri, vals in groups.items():
+        vals.sort()
+        n = len(vals)
+        l = max(int(math.floor((n - 1.96 * math.sqrt(n)) / 2)), 1)
+        u = min(int(math.ceil((n + 1.96 * math.sqrt(n)) / 2)) + 1, n)
+        m1, m2 = (n + 1) // 2, (n + 2) // 2
+        med = (vals[m1 - 1][0] + vals[m2 - 1][0]) / 2.0
+        r = got[pri]
+        assert r["n_orders"] == n
+        assert r["median"] == np.float32(med)
+        assert r["ci_lo"] == np.float32(vals[l - 1][0])
+        assert r["ci_hi"] == np.float32(vals[u - 1][0])
+        assert r["ci_lo"] <= r["median"] <= r["ci_hi"]
