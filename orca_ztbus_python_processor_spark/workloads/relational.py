@@ -894,7 +894,7 @@ def q4_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fact table never shuffles, and the only exchange is the
     # partial-combined distinct over MATCHED (order, priority) pairs.
     # Warm sf1: 2.75 s -> 1.01 s, slope 5.3x -> 2.35x, per the
-    # committed probe artifact (.benchmarks/warm_probes.json) —
+    # committed probe artifact (.benchmarks/warm_probes_r8pair.json) —
     # measured on the LIVE 1996 window (the old 2024 window also
     # returned zero rows).
     orders = (
