@@ -3538,3 +3538,99 @@ def rare_token_position_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rare_front_share"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# zipf_rank_slope — the FITTED Zipf exponent per source: OLS of
+# ln(freq) on ln(rank) over the top-ZIPF_RANKS tokens. The existing
+# zipf_token_profile shows the frequency histogram; this emits the
+# scalar a curation pipeline actually thresholds on (natural text
+# fits slope ~ -1; templated/generated text flattens toward 0,
+# key-value dumps steepen past -1.5) plus the fit r² as the
+# "is it even a power law" guard.
+#
+# Scale shape: one token rollup (vocabulary grain, sublinear in the
+# corpus), per-source rank via a source-partitioned window over the
+# vocab rows, head-truncated to ZIPF_RANKS before the closed-form
+# moment rollup (5 sums per source). No entity-grain window, no
+# second corpus scan.
+# --------------------------------------------------------------------------
+ZIPF_RANKS = 500
+
+
+@CATALOG.query(
+    "zipf_rank_slope",
+    oracle=f"""
+    WITH tf AS (
+        SELECT source, t.term, count(*) AS freq
+        FROM (
+            SELECT source,
+                   unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                       AS term
+            FROM documents
+        ) t
+        GROUP BY source, t.term
+    ), ranked AS (
+        SELECT source, freq,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY freq DESC, term) AS rank
+        FROM tf
+    ), pts AS (
+        SELECT source, ln(CAST(rank AS DOUBLE)) AS x,
+               ln(CAST(freq AS DOUBLE)) AS y
+        FROM ranked WHERE rank <= {ZIPF_RANKS}
+    )
+    SELECT source,
+           count(*) AS n_ranks,
+           CAST((count(*) * sum(x * y) - sum(x) * sum(y))
+                / (count(*) * sum(x * x) - sum(x) * sum(x))
+                AS REAL) AS zipf_slope,
+           CAST(pow(count(*) * sum(x * y) - sum(x) * sum(y), 2)
+                / ((count(*) * sum(x * x) - sum(x) * sum(x))
+                   * (count(*) * sum(y * y) - sum(y) * sum(y)))
+                AS REAL) AS r2
+    FROM pts
+    GROUP BY source
+    """,
+)
+def zipf_rank_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tf = (
+        _docs(spark, sf_dir)
+        .select(
+            "source",
+            F.explode(
+                F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+            ).alias("term"),
+        )
+        .groupBy("source", "term")
+        .agg(F.count("*").alias("freq"))
+    )
+    ranked = tf.select(
+        "source",
+        "freq",
+        F.row_number()
+        .over(
+            W.partitionBy("source").orderBy(
+                F.col("freq").desc(), F.col("term")
+            )
+        )
+        .alias("rank"),
+    ).where(F.col("rank") <= ZIPF_RANKS)
+    pts = ranked.select(
+        "source",
+        F.log(F.col("rank").cast("double")).alias("x"),
+        F.log(F.col("freq").cast("double")).alias("y"),
+    )
+    n = F.count("*")
+    sx, sy = F.sum("x"), F.sum("y")
+    sxy, sx2, sy2 = (
+        F.sum(F.col("x") * F.col("y")),
+        F.sum(F.col("x") * F.col("x")),
+        F.sum(F.col("y") * F.col("y")),
+    )
+    cov, varx, vary = n * sxy - sx * sy, n * sx2 - sx * sx, n * sy2 - sy * sy
+    return pts.groupBy("source").agg(
+        n.alias("n_ranks"),
+        f32(cov / varx).alias("zipf_slope"),
+        f32(F.pow(cov, 2) / (varx * vary)).alias("r2"),
+    )

@@ -861,3 +861,43 @@ def test_median_ci_matches_pure_python_order_stats(spark):
         assert r["ci_lo"] == np.float32(vals[l - 1][0])
         assert r["ci_hi"] == np.float32(vals[u - 1][0])
         assert r["ci_lo"] <= r["median"] <= r["ci_hi"]
+
+
+def test_zipf_slope_matches_numpy_polyfit(spark):
+    """Independent fit: rank-frequency per source recounted in python,
+    slope/r2 via numpy closed form on the same top-500 head."""
+    import re
+    from collections import Counter
+
+    import duckdb
+
+    from orca_ztbus_python_processor_spark.workloads.textops import (
+        CATALOG as TCAT,
+        ZIPF_RANKS,
+    )
+
+    docs = duckdb.sql(
+        f"SELECT source, text FROM '{SF_DIR}/documents.parquet'"
+    ).fetchall()
+    tf = {}
+    for source, text in docs:
+        c = tf.setdefault(source, Counter())
+        c.update(re.findall(r"[a-z0-9]+", text.lower()))
+    got = {
+        r["source"]: r
+        for r in TCAT.queries["zipf_rank_slope"](spark, SF_DIR).collect()
+    }
+    assert set(got) == set(tf)
+    for source, c in tf.items():
+        head = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:ZIPF_RANKS]
+        x = np.log(np.arange(1, len(head) + 1, dtype=np.float64))
+        y = np.log(np.array([f for _, f in head], dtype=np.float64))
+        n = len(head)
+        cov = n * (x * y).sum() - x.sum() * y.sum()
+        varx = n * (x * x).sum() - x.sum() ** 2
+        vary = n * (y * y).sum() - y.sum() ** 2
+        r = got[source]
+        assert r["n_ranks"] == n
+        assert abs(r["zipf_slope"] - cov / varx) < 1e-5
+        assert abs(r["r2"] - cov**2 / (varx * vary)) < 1e-5
+        assert r["zipf_slope"] < 0  # frequencies decay with rank
