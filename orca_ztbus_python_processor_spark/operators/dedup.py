@@ -318,7 +318,10 @@ def minhash_candidate_pairs(
     keeping recall loss below 1e-3 per true pair. The sketch join moves
     only (id, 64-long sig) — no shingle sets.
 
-    Output: ``id_a, id_b`` (id_a < id_b), distinct.
+    Output: ``id_a, id_b`` (id_a < id_b), distinct — plus a ``j_est``
+    column (the pair's signature-sketch Jaccard estimate, max over its
+    colliding bands via groupBy/max instead of distinct) when
+    ``return_estimate`` is set.
     """
     sigs = _doc_signatures(docs, id_col, text_col, k, num_hashes, bands, seed)
     n_sk = (num_hashes + 15) // 16

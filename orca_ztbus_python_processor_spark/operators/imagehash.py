@@ -143,14 +143,25 @@ def phash_signatures(
 
 
 def phash_near_dups(
-    sigs: DataFrame, max_hamming: int = 3, id_col: str = "media_id"
+    sigs: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "media_id",
+    max_members: int | None = 1024,
 ) -> DataFrame:
     """Hamming-ball pairs over pHash signatures: 4 x 16-bit pigeonhole
-    banding (recall-complete for hamming <= 3 — <=3 differing bits
-    leave >=1 chunk intact; raise the chunk count alongside larger
-    radii, as SimHash documents) -> bucket expansion with the shared
-    flood guard -> exact popcount verify. All JVM-side expressions —
-    no Python in the pairing path.
+    banding (<=3 differing bits leave >=1 chunk intact; raise the
+    chunk count alongside larger radii, as SimHash documents) ->
+    bucket expansion with the shared flood guard -> exact popcount
+    verify. All JVM-side expressions — no Python in the pairing path.
+
+    Recall caveat (ADVICE r9): the pigeonhole argument alone is
+    recall-complete for hamming <= 3, but bucket expansion rides
+    ``_pair_expand``'s ``max_members`` flood guard (default 1024):
+    a 16-bit chunk bucket holding more members than the cap falls
+    back to a multi-center star and can drop genuine near-dup pairs.
+    This matters when many near-flat images share a chunk value
+    (mixed-content floods); pass a larger ``max_members`` there.
+    ``image_decontam_phash`` inherits the same cap.
 
     Output: ``id_a, id_b, hamming``.
     """
@@ -177,7 +188,7 @@ def phash_near_dups(
         ).alias("ids")
     )
     return (
-        _pair_expand(buckets)
+        _pair_expand(buckets, max_members=max_members)
         .select(
             F.col("m_a.id").alias("id_a"),
             F.col("m_b.id").alias("id_b"),

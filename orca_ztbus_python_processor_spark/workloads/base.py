@@ -242,16 +242,46 @@ _R8_SAMPLE = frozenset({
     "value_tail_hill_index", "vocab_pareto_coverage",
 })
 
-# Round-9 forced re-verification: q4's quarter window moved from 2024
-# (outside the fixture's 1995-2001 date span — every prior driver row
-# hash-matched a vacuously EMPTY result) to 1996, so its old evidence
-# no longer covers its semantics; push it back into the sample window.
-_RESAMPLE_R9 = frozenset({"q4_late_shipment_priority"})
+# Round-9 driver sample (CORRECTNESS_r09.json): 46 hash-match + 4
+# contractual rows-only (image_phash_dedup, image_phash_bit_balance,
+# image_decontam_phash, minhash_jaccard_calibration — each pinned
+# against an independent pure-Python reference in
+# tests/test_round9_ops.py), zero failures. Includes the forced
+# q4_late_shipment_priority re-verification (live 1996 window, 5 real
+# rows — the round-8 _RESAMPLE_R9 forcing set is therefore retired).
+# All join the back group so round 10's window is filled by round-10
+# additions only.
+_R9_SAMPLE = frozenset({
+    "benford_leading_digit", "bloom_prefiltered_join",
+    "copurchase_local_clustering_histogram",
+    "copurchase_triangle_count", "cube_revenue",
+    "customer_revenue_percentile", "customer_value_deciles",
+    "customers_with_orders_by_nation", "customers_without_orders",
+    "custs_without_urgent", "decontam_chunk_localization",
+    "fulfillment_lag_profile", "grouping_sets_revenue",
+    "image_decontam_phash", "image_phash_bit_balance",
+    "image_phash_dedup", "kmv_distinct_user_overlap",
+    "lineitem_column_census", "median_ci_by_priority",
+    "merge_upsert_actions", "minhash_jaccard_calibration",
+    "nation_balance_full_outer", "nation_supplier_roster",
+    "nations_with_customers_and_suppliers", "nations_without_suppliers",
+    "part_type_stats", "parts_intersect_rf", "pivot_linestatus",
+    "point_lookup_customer", "priority_day_grid_fill",
+    "priority_value_share", "q1_pricing_summary", "q3_top_orders",
+    "q4_late_shipment_priority", "q5_region_revenue",
+    "rare_token_position_profile", "referential_integrity_audit",
+    "region_nation_revenue_share", "relational_division_suppliers",
+    "rollup_revenue", "running_order_total", "salted_mktsegment_rollup",
+    "shipments_point_in_time_tier", "top1_latest_order",
+    "topk_orders_per_segment", "type_lag_cross_correlation",
+    "union_price_slices", "unpivot_returnflag_measures",
+    "user_rfm_segments", "zipf_rank_slope",
+})
 
 _DRIVER_VERIFIED = (
     _R1_DRIVER_VERIFIED | _R2_SAMPLE | _R3_SAMPLE | _R4_SAMPLE
-    | _R5_SAMPLE | _R6_SAMPLE | _R7_SAMPLE | _R8_SAMPLE
-) - _RESAMPLE_R9
+    | _R5_SAMPLE | _R6_SAMPLE | _R7_SAMPLE | _R8_SAMPLE | _R9_SAMPLE
+)
 
 _MERGED: Catalog | None = None
 

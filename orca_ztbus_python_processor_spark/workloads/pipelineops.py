@@ -553,14 +553,11 @@ def image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         connected_components,
     )
     from orca_ztbus_python_processor_spark.operators.imagehash import (  # noqa: PLC0415
+        PHASH_GROUP,
+        _PHASH_FORMATS,
         phash_near_dups,
         phash_signatures,
         synthesize_phash_media,
-    )
-
-    from orca_ztbus_python_processor_spark.operators.imagehash import (  # noqa: PLC0415
-        PHASH_GROUP,
-        _PHASH_FORMATS,
     )
 
     docs = _docs(spark, sf_dir)
@@ -707,8 +704,11 @@ def minhash_jaccard_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
 # its pHash sits within hamming <= 3 of ANY benchmark image — the
 # brightness-shift robustness of the hash is exactly why byte-level
 # image dedup cannot do this job. Candidate pairs ride the SAME
-# 4x16-bit pigeonhole banding as image_phash_dedup (recall-complete
-# for the radius), then cross-split pairs flag the train side.
+# 4x16-bit pigeonhole banding as image_phash_dedup — recall-complete
+# for the radius UP TO phash_near_dups' max_members flood guard
+# (chunk buckets past the cap fall back to a multi-center star; see
+# the operator docstring) — then cross-split pairs flag the train
+# side.
 #
 # Scale shape: decode+hash map-only as ever; the banding join is the
 # only wide stage and carries 4 rows/image regardless of which side is

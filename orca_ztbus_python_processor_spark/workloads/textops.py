@@ -3582,13 +3582,16 @@ ZIPF_RANKS = 500
     )
     SELECT source,
            count(*) AS n_ranks,
-           CAST((count(*) * sum(x * y) - sum(x) * sum(y))
-                / (count(*) * sum(x * x) - sum(x) * sum(x))
-                AS REAL) AS zipf_slope,
-           CAST(pow(count(*) * sum(x * y) - sum(x) * sum(y), 2)
-                / ((count(*) * sum(x * x) - sum(x) * sum(x))
-                   * (count(*) * sum(y * y) - sum(y) * sum(y)))
-                AS REAL) AS r2
+           CAST(CASE WHEN count(*) * sum(x * x) - sum(x) * sum(x) > 0
+                THEN (count(*) * sum(x * y) - sum(x) * sum(y))
+                     / (count(*) * sum(x * x) - sum(x) * sum(x))
+                END AS REAL) AS zipf_slope,
+           CAST(CASE WHEN count(*) * sum(x * x) - sum(x) * sum(x) > 0
+                      AND count(*) * sum(y * y) - sum(y) * sum(y) > 0
+                THEN pow(count(*) * sum(x * y) - sum(x) * sum(y), 2)
+                     / ((count(*) * sum(x * x) - sum(x) * sum(x))
+                        * (count(*) * sum(y * y) - sum(y) * sum(y)))
+                END AS REAL) AS r2
     FROM pts
     GROUP BY source
     """,
@@ -3629,8 +3632,15 @@ def zipf_rank_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("y") * F.col("y")),
     )
     cov, varx, vary = n * sxy - sx * sy, n * sx2 - sx * sx, n * sy2 - sy * sy
+    # Degenerate-source guard (ADVICE r9): a single ranked token gives
+    # varx = 0 and all-equal top frequencies give vary = 0 — an
+    # unguarded division is 0/0 = NaN in Spark doubles while the
+    # oracle's CASE yields NULL. Guard both sides to NULL, the same
+    # treatment as type_lag_cross_correlation's xcorr.
     return pts.groupBy("source").agg(
         n.alias("n_ranks"),
-        f32(cov / varx).alias("zipf_slope"),
-        f32(F.pow(cov, 2) / (varx * vary)).alias("r2"),
+        f32(F.when(varx > 0, cov / varx)).alias("zipf_slope"),
+        f32(
+            F.when((varx > 0) & (vary > 0), F.pow(cov, 2) / (varx * vary))
+        ).alias("r2"),
     )

@@ -60,7 +60,7 @@ FAMILY_BANDS = [
         "pair-volume-law",
         8.5,
         r"minhash|simhash|winnow|ngram_jaccard|near_dup|neardup"
-        r"|doc_fingerprints|boilerplate|chunk_dedup|phash",
+        r"|doc_fingerprints|boilerplate|chunk_dedup|phash|audiofp",
     ),
     # the whole co-purchase graph family (iterative fixpoints AND the
     # wedge-join censuses: triangles, local clustering, assortativity,
@@ -73,15 +73,36 @@ FAMILY_BANDS = [
         r"^copurchase_|triangle|components",
     ),
     ("decontam-sweep", 4.0, r"decontam|semantic|leakage"),
-    ("amortizing", 3.5, r"."),
 ]
+_DEFAULT_FAMILY = ("amortizing", 3.5)
+
+# Names whose cost family cannot be inferred from the name alone
+# because they match MORE THAN ONE pattern above (VERDICT r9 #6 —
+# first-match-wins silently picked whichever family was listed first).
+# Each entry is an explicit, documented choice; family_of() now raises
+# on any ambiguous name that is missing here, and
+# tests/test_warm_probe_families.py sweeps the whole catalog so a new
+# ambiguous name fails CI instead of silently taking the wrong band.
+FAMILY_OVERRIDES = {
+    # decontam by purpose, but the dominant cost is the pHash banding
+    # join (the decontam filter is a cheap predicate on the pairs), so
+    # the pair-volume law is the band that describes its scaling.
+    "image_decontam_phash": "pair-volume-law",
+}
+_BAND_BY_FAMILY = {fam: band for fam, band, _ in FAMILY_BANDS}
 
 
 def family_of(name: str) -> tuple[str, float]:
-    for fam, band, pat in FAMILY_BANDS:
-        if re.search(pat, name):
-            return fam, band
-    return "amortizing", 3.5  # unreachable: last pattern matches all
+    if name in FAMILY_OVERRIDES:
+        fam = FAMILY_OVERRIDES[name]
+        return fam, _BAND_BY_FAMILY[fam]
+    hits = [(fam, band) for fam, band, pat in FAMILY_BANDS if re.search(pat, name)]
+    if len(hits) > 1:
+        raise ValueError(
+            f"query {name!r} matches multiple family patterns "
+            f"{[f for f, _ in hits]}; add it to FAMILY_OVERRIDES"
+        )
+    return hits[0] if hits else _DEFAULT_FAMILY
 
 
 def main() -> None:

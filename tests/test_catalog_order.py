@@ -15,15 +15,16 @@ from orca_ztbus_python_processor_spark.workloads.base import (
     _R6_SAMPLE,
     _R7_SAMPLE,
     _R8_SAMPLE,
-    _RESAMPLE_R9,
+    _R9_SAMPLE,
     _DRIVER_VERIFIED,
     merged_catalog,
 )
 
-# Historically-sampled names plus the round-9 forced re-verifications
-# (q4's quarter window moved into the fixture's live date range, so
-# its old 0-row driver evidence is void and it re-enters the window).
-_VERIFIED_OR_RESAMPLING = _DRIVER_VERIFIED | _RESAMPLE_R9
+# Historically-sampled names. The round-9 forced re-verification of
+# q4_late_shipment_priority came back green on its live 1996 window
+# (CORRECTNESS_r09.json: 5 rows, hash-match), so no forcing set is
+# pending and the verified set is exactly the sampled union.
+_VERIFIED_OR_RESAMPLING = _DRIVER_VERIFIED
 
 
 def test_r5_sample_folded_into_back_group():
@@ -56,6 +57,18 @@ def test_r8_sample_folded_into_back_group():
     # verified back group so round-9 additions fill the window.
     assert len(_R8_SAMPLE) == 50
     assert _R8_SAMPLE <= _VERIFIED_OR_RESAMPLING
+
+
+def test_r9_sample_folded_into_back_group():
+    # CORRECTNESS_r09.json held exactly these 50 names (46 hash-match +
+    # 4 contractual rows-only, zero failures); all must now be in the
+    # verified back group so round-10 additions fill the window. The
+    # round-9 forced re-verification (q4_late_shipment_priority, live
+    # 1996 window) came back green with 5 real rows, so the
+    # _RESAMPLE_R9 forcing set is retired.
+    assert len(_R9_SAMPLE) == 50
+    assert _R9_SAMPLE <= _VERIFIED_OR_RESAMPLING
+    assert "q4_late_shipment_priority" in _R9_SAMPLE
 
 
 def test_unverified_queries_fill_the_sample_window():
