@@ -837,39 +837,100 @@ def zipf_token_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# cross_source_dup_matrix — which source pairs share identical
-# documents (the cross-dump overlap a CommonCrawl-style pipeline
-# measures before deciding dedup order). Content equality via md5 —
-# computed MAP-SIDE so the shuffle carries (source, 16-byte hash), not
-# text; the self-join shuffles on the hash (both sides cluster the
-# same way) and source_a < source_b halves the output without a
-# distinct. Output is at most |sources|^2 rows.
+# cross_source_dup_matrix — which source pairs share content (the
+# cross-dump overlap a CommonCrawl-style pipeline measures before
+# deciding dedup order), at TWO grains per pair: shared 13-token
+# spans (n_shared_spans — partial inclusion, the grain that actually
+# drives dedup-order decisions) and shared identical full documents
+# (n_shared_texts — exact dups are a subset of span overlap, so the
+# pair list is complete at the span grain).
+#
+# Round-10 degenerate-evidence rework: the original doc-grain-only
+# matrix hash-matched an EMPTY result at the driver's sf0.01 from
+# round 3 on (the fixture plants whole-document dups only at sf0.1+,
+# .benchmarks/degenerate_evidence.json) — the q4 class. The fixture's
+# cross-source overlap is span-grain at every scale (22 live pairs at
+# sf0.01), so the span measure makes the twin's evidence real while
+# the text measure keeps the original semantics.
+#
+# Scale shape: hashes computed MAP-SIDE so the self-join shuffles
+# (source, grain, 32-char hash), never text; both sides cluster the
+# same way and source_a < source_b halves the output without a
+# distinct. Output is at most |sources|^2 rows. The distinct
+# (source, span-hash) set is corpus-sized at 100 TB — the KMV sketch
+# (kmv_distinct_user_overlap's estimator) is the documented
+# extreme-scale alternative for the overlap MAGNITUDE; the exact path
+# here is the oracle-matched correctness surface.
 # --------------------------------------------------------------------------
+# 13-token span width — same convention as DECONTAM_N below (pinned
+# equal in tests/test_round10_ops.py).
+CROSS_SOURCE_SPAN_K = 13
+
+_CSD_TOKENS = "regexp_extract_all(lower(text), '[a-z0-9]+', 0)"
+_CSD_GRAMS = (
+    f"array_distinct(transform(sequence(1, greatest(size({_CSD_TOKENS})"
+    f" - {CROSS_SOURCE_SPAN_K - 1}, 1)),"
+    f" i -> concat_ws(' ', slice({_CSD_TOKENS}, i, {CROSS_SOURCE_SPAN_K}))))"
+)
+
+
 @CATALOG.query(
     "cross_source_dup_matrix",
-    oracle="""
-    WITH hashed AS (
-        SELECT DISTINCT source, md5(text) AS h FROM documents
+    oracle=f"""
+    WITH toks AS (
+        SELECT source, regexp_extract_all(lower(text), '[a-z0-9]+') AS tokens
+        FROM documents
+    ), spans AS (
+        SELECT DISTINCT source, 'span' AS grain,
+               md5(array_to_string(
+                   tokens[CAST(i AS BIGINT):CAST(i + {CROSS_SOURCE_SPAN_K - 1} AS BIGINT)],
+                   ' ')) AS h
+        FROM (
+            SELECT source, tokens,
+                   unnest(generate_series(1,
+                          greatest(len(tokens) - {CROSS_SOURCE_SPAN_K - 1}, 1))) AS i
+            FROM toks
+        )
+    ), texts AS (
+        SELECT DISTINCT source, 'text' AS grain, md5(text) AS h FROM documents
+    ), hashed AS (
+        SELECT * FROM spans UNION SELECT * FROM texts
     )
     SELECT a.source AS source_a, b.source AS source_b,
-           count(*) AS n_shared_texts
-    FROM hashed a JOIN hashed b ON a.h = b.h AND a.source < b.source
+           CAST(sum(CASE WHEN a.grain = 'span' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_shared_spans,
+           CAST(sum(CASE WHEN a.grain = 'text' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_shared_texts
+    FROM hashed a
+    JOIN hashed b ON a.grain = b.grain AND a.h = b.h AND a.source < b.source
     GROUP BY 1, 2
     """,
 )
 def cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    hashed = (
-        _docs(spark, sf_dir)
-        .select("source", F.md5(F.col("text")).alias("h"))
-        .distinct()
+    docs = _docs(spark, sf_dir)
+    spans = docs.select(
+        "source",
+        F.lit("span").alias("grain"),
+        F.explode(F.expr(_CSD_GRAMS)).alias("g"),
+    ).select("source", "grain", F.md5(F.col("g")).alias("h"))
+    texts = docs.select(
+        "source", F.lit("text").alias("grain"), F.md5(F.col("text")).alias("h")
     )
-    a = hashed.select(F.col("source").alias("source_a"), "h")
-    b = hashed.select(F.col("source").alias("source_b"), "h")
+    hashed = spans.unionByName(texts).distinct()
+    a = hashed.select(F.col("source").alias("source_a"), "grain", "h")
+    b = hashed.select(F.col("source").alias("source_b"), "grain", "h")
     return (
-        a.join(b, "h")
+        a.join(b, ["grain", "h"])
         .where(F.col("source_a") < F.col("source_b"))
         .groupBy("source_a", "source_b")
-        .agg(F.count("*").alias("n_shared_texts"))
+        .agg(
+            F.sum((F.col("grain") == "span").cast("long")).alias(
+                "n_shared_spans"
+            ),
+            F.sum((F.col("grain") == "text").cast("long")).alias(
+                "n_shared_texts"
+            ),
+        )
     )
 
 
@@ -3124,22 +3185,38 @@ def incremental_dedup_delta_audit(spark: SparkSession, sf_dir: str) -> DataFrame
 # --------------------------------------------------------------------------
 # dedup_quality_bias_audit — does dedup BIAS the surviving corpus? Per
 # source: mean document length (the fixture's quality proxy) of kept
-# vs dropped docs under the exact-dedup keeper (min doc_id per text),
-# plus the drop share. The survivorship-bias check every production
-# dedup pass should ship with — if dropped docs are systematically
+# vs dropped docs under the dedup keeper (min doc_id per key), plus
+# the drop share. The survivorship-bias check every production dedup
+# pass should ship with — if dropped docs are systematically
 # longer/shorter, the dedup policy is reshaping the data mix. One
-# text-keyed keeper aggregation joined back doc-grain, then a
-# source-grain conditional rollup — all map-combinable.
+# keyed keeper aggregation joined back doc-grain, then a source-grain
+# conditional rollup — all map-combinable.
+#
+# Round-10 degenerate-evidence rework: the audited policy is now
+# TEMPLATE-PREFIX dedup (keeper per normalized first-13-token prefix,
+# the doc_prefix_template_profile grain) instead of exact-text dedup.
+# The fixture plants NO exact whole-text dups below sf0.1, so
+# dropped_mean_chars hash-matched an all-NULL column at the driver's
+# sf0.01 (.benchmarks/degenerate_evidence.json) — the dropped branch
+# was never exercised. Prefix-grain drops are live at every scale
+# (23 dropped docs at sf0.01); exact-text dedup itself stays covered
+# by the dedup_exact / exact_dup_cluster_histogram family.
 # --------------------------------------------------------------------------
 @CATALOG.query(
     "dedup_quality_bias_audit",
     oracle="""
-    WITH keeper AS (
-        SELECT text, min(doc_id) AS keep_id FROM documents GROUP BY text
+    WITH keyed AS (
+        SELECT doc_id, source, n_chars,
+               array_to_string(
+                   regexp_extract_all(lower(text), '[a-z0-9]+')[1:13],
+                   ' ') AS pre
+        FROM documents
+    ), keeper AS (
+        SELECT pre, min(doc_id) AS keep_id FROM keyed GROUP BY pre
     ), classified AS (
         SELECT d.source, d.n_chars,
                (d.doc_id = k.keep_id) AS kept
-        FROM documents d JOIN keeper k ON d.text = k.text
+        FROM keyed d JOIN keeper k USING (pre)
     )
     SELECT source,
            count(*) AS n_docs,
@@ -3154,9 +3231,19 @@ def incremental_dedup_delta_audit(spark: SparkSession, sf_dir: str) -> DataFrame
     """,
 )
 def dedup_quality_bias_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # keeper rollup + probe join at sha2(text) grain, not raw text
-    # (the module's hash-grain rule, round-8 review finding #3)
-    docs = _docs(spark, sf_dir).withColumn("_h", F.sha2(F.col("text"), 256))
+    # keeper rollup + probe join at sha2(prefix) grain, not the raw
+    # prefix string (the module's hash-grain rule, round-8 review
+    # finding #3)
+    docs = _docs(spark, sf_dir).withColumn(
+        "_h",
+        F.sha2(
+            F.expr(
+                "concat_ws(' ', slice("
+                "regexp_extract_all(lower(text), '[a-z0-9]+', 0), 1, 13))"
+            ),
+            256,
+        ),
+    )
     keeper = docs.groupBy("_h").agg(F.min("doc_id").alias("keep_id"))
     classified = docs.join(keeper, "_h").select(
         "source",
@@ -3432,13 +3519,22 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the front-half share of rare mass.
 #
 # Scale shape: ONE posexplode (position ride-along is free), docfreq
-# is the vocabulary-grain aggregate rare_token_density already uses,
-# the probe joins on term where both sides cluster, and the source
-# rollup is map-combinable. Rare = df <= RARE_DF_MAX (absolute, not a
-# quantile — the cutoff must not shift with corpus size or the signal
-# would be incomparable across dumps).
+# is the (source, term)-grain aggregate, the rank is a
+# source-partitioned window over vocabulary-grain rows (the
+# zipf_rank_slope shape), the probe joins on (source, term) where both
+# sides cluster, and the source rollup is map-combinable.
+#
+# Rare = the bottom DECILE of the source's df ranking (ties broken by
+# term). Round-10 degenerate-evidence rework: the old absolute cutoff
+# (df <= 2) never fires on the fixture — its smallest document
+# frequency is 25 at EVERY scale — so mean_pos_rare/rare_front_share
+# hash-matched all-NULL columns from round 9
+# (.benchmarks/degenerate_evidence.json). A rank-decile cutoff is
+# non-empty by construction at any corpus size, self-calibrating
+# across dumps, and fully deterministic (integer ranks, no quantile
+# interpolation to keep engine-consistent).
 # --------------------------------------------------------------------------
-RARE_DF_MAX = 2
+RARE_DECILE = 0.1
 
 
 @CATALOG.query(
@@ -3453,23 +3549,34 @@ RARE_DF_MAX = 2
                (i - 0.5) / len(tokens) AS relpos
         FROM toks, unnest(generate_series(1, len(tokens))) AS t(i)
     ), docfreq AS (
-        SELECT term, count(DISTINCT doc_id) AS df FROM occ GROUP BY term
+        SELECT source, term, count(DISTINCT doc_id) AS df
+        FROM occ GROUP BY source, term
+    ), ranked AS (
+        SELECT source, term,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY df, term) AS rk,
+               count(*) OVER (PARTITION BY source) AS vocab
+        FROM docfreq
+    ), rare AS (
+        SELECT source, term,
+               rk <= CAST(ceil({RARE_DECILE} * vocab) AS BIGINT) AS is_rare
+        FROM ranked
     )
     SELECT o.source,
            count(*) AS n_occurrences,
-           CAST(sum(CASE WHEN d.df <= {RARE_DF_MAX} THEN 1 ELSE 0 END)
+           CAST(sum(CASE WHEN r.is_rare THEN 1 ELSE 0 END)
                 AS BIGINT) AS n_rare,
-           CAST(sum(CASE WHEN d.df <= {RARE_DF_MAX} THEN 1 ELSE 0 END)
+           CAST(sum(CASE WHEN r.is_rare THEN 1 ELSE 0 END)
                 / CAST(count(*) AS DOUBLE) AS REAL) AS rare_share,
            CAST(avg(o.relpos) AS REAL) AS mean_pos_all,
-           CAST(avg(CASE WHEN d.df <= {RARE_DF_MAX} THEN o.relpos END)
+           CAST(avg(CASE WHEN r.is_rare THEN o.relpos END)
                 AS REAL) AS mean_pos_rare,
-           CAST(sum(CASE WHEN d.df <= {RARE_DF_MAX} AND o.relpos < 0.5
+           CAST(sum(CASE WHEN r.is_rare AND o.relpos < 0.5
                          THEN 1 ELSE 0 END)
-                / CAST(nullif(sum(CASE WHEN d.df <= {RARE_DF_MAX}
+                / CAST(nullif(sum(CASE WHEN r.is_rare
                                        THEN 1 ELSE 0 END), 0) AS DOUBLE)
                 AS REAL) AS rare_front_share
-    FROM occ o JOIN docfreq d USING (term)
+    FROM occ o JOIN rare r ON o.source = r.source AND o.term = r.term
     GROUP BY o.source
     """,
 )
@@ -3509,10 +3616,25 @@ def rare_token_position_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum((F.col("relpos") < 0.5).cast("long")).alias("c_front"),
         )
     )
-    docfreq = dt.groupBy("term").agg(F.count("*").alias("df"))
-    rare = F.col("df") <= RARE_DF_MAX
+    docfreq = dt.groupBy("source", "term").agg(F.count("*").alias("df"))
+    ranked = docfreq.select(
+        "source",
+        "term",
+        F.row_number()
+        .over(W.partitionBy("source").orderBy("df", "term"))
+        .alias("rk"),
+        F.count("*").over(W.partitionBy("source")).alias("vocab"),
+    )
+    rare_terms = ranked.select(
+        "source",
+        "term",
+        (
+            F.col("rk") <= F.ceil(F.lit(RARE_DECILE) * F.col("vocab"))
+        ).alias("is_rare"),
+    )
+    rare = F.col("is_rare")
     return (
-        dt.join(docfreq, "term")
+        dt.join(rare_terms, ["source", "term"])
         .groupBy("source")
         .agg(
             F.sum("c").alias("n_occurrences"),

@@ -1505,55 +1505,64 @@ def mad_outlier_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# events_asof_next_order — FORWARD as-of join: each event enriched with
-# the user's next order at or after the event timestamp ("time to
-# conversion" attribution — which order did this click lead to?). Twin
-# of events_asof_orders with the time sort reversed
-# (operators/asofjoin.py direction="forward"): still one union + window
-# pass shuffling |events| + |orders| rows exactly once; DuckDB's native
-# ASOF ... ON e.ts <= o.o_orderdate is the oracle.
+# events_asof_next_error — FORWARD as-of join: each event enriched with
+# the user's next ERROR event at or after the event timestamp ("time to
+# next failure" attribution). Exercises operators/asofjoin.py
+# direction="forward": one union + window pass shuffling both inputs
+# exactly once; DuckDB's native ASOF ... ON e.ts <= r.error_ts is the
+# oracle.
+#
+# Round-10 degenerate-evidence rework (replaces the retired
+# events_asof_next_order): the old right side was orders, and the
+# fixture's orders (1995-2001) ALL predate its events (2024), so the
+# forward join matched NOTHING — five rounds of driver hash-matches
+# verified 10,000 all-NULL payload rows and nothing about the forward
+# direction (.benchmarks/degenerate_evidence.json, the q4 class).
+# Joining events to their own error stream is live at every scale:
+# 9,350/10,000 matched at sf0.01 with 650 genuine no-future-error NULL
+# tails, so BOTH the match path and the left-outer NULL path carry
+# evidence. Right side pre-aggregated per (user, ts) so as-of ties are
+# deterministic (same treatment the old query gave orders_that_day).
 # --------------------------------------------------------------------------
 @CATALOG.query(
-    "events_asof_next_order",
+    "events_asof_next_error",
     oracle="""
-    WITH o AS (
-        SELECT o_custkey, o_orderdate,
-               max(o_orderkey) AS next_order_key,
-               CAST(count(*) AS BIGINT) AS orders_that_day
-        FROM orders GROUP BY o_custkey, o_orderdate
+    WITH err AS (
+        SELECT user_id, ts AS error_ts,
+               max(event_id) AS next_error_id,
+               CAST(count(*) AS BIGINT) AS errors_at_ts
+        FROM events WHERE event_type = 'error' GROUP BY user_id, ts
     )
     SELECT e.event_id, e.ts, e.user_id,
            CAST(e.value AS REAL) AS value,
-           o.next_order_key, o.o_orderdate AS next_order_date,
-           o.orders_that_day
-    FROM events e ASOF LEFT JOIN o
-      ON e.user_id = o.o_custkey AND e.ts <= o.o_orderdate
+           r.next_error_id, r.error_ts AS next_error_ts,
+           r.errors_at_ts
+    FROM events e ASOF LEFT JOIN err r
+      ON e.user_id = r.user_id AND e.ts <= r.error_ts
     """,
 )
-def events_asof_next_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+def events_asof_next_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     from orca_ztbus_python_processor_spark.operators.asofjoin import asof_join
 
     ev = _events(spark, sf_dir).select(
         "event_id", "ts", "user_id", f32(F.col("value")).alias("value")
     )
-    orders = (
-        read_table(spark, sf_dir, "orders")
-        .groupBy(
-            F.col("o_custkey").alias("user_id"),
-            F.col("o_orderdate").alias("next_order_date"),
-        )
+    errors = (
+        _events(spark, sf_dir)
+        .where(F.col("event_type") == "error")
+        .groupBy("user_id", F.col("ts").alias("next_error_ts"))
         .agg(
-            F.max("o_orderkey").alias("next_order_key"),
-            F.count("*").alias("orders_that_day"),
+            F.max("event_id").alias("next_error_id"),
+            F.count("*").alias("errors_at_ts"),
         )
     )
     return asof_join(
         ev,
-        orders,
+        errors,
         on="user_id",
         left_time="ts",
-        right_time="next_order_date",
-        payload_cols=["next_order_key", "next_order_date", "orders_that_day"],
+        right_time="next_error_ts",
+        payload_cols=["next_error_id", "next_error_ts", "errors_at_ts"],
         direction="forward",
     )
 

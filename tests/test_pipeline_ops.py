@@ -431,9 +431,11 @@ def test_dup_components_blocked_refines_exact(spark):
 
 
 def test_cross_source_dup_matrix_nontrivial(spark):
-    """sf0.01 has zero exact cross-source duplicates (the driver row is
-    a 0-row pass), so pin the operator against real duplicate structure
-    at sf0.1 where the corpus carries 8 cross-source pairs."""
+    """Pin both grains against real duplicate structure at sf0.1: the
+    span measure (live at every scale since the round-10 rework) AND
+    the exact-text measure, whose 8 planted cross-source whole-doc
+    dups exist only at sf0.1 — so the text branch stays exercised here
+    even though it is 0 at the driver's sf0.01."""
     import duckdb
 
     from orca_ztbus_python_processor_spark.workloads.textops import (
@@ -461,9 +463,17 @@ def test_cross_source_dup_matrix_nontrivial(spark):
         .df()
         .reset_index(drop=True)
     )
-    assert len(got) > 0, "expected non-trivial duplicate structure at sf0.1"
+    assert exp["n_shared_texts"].sum() > 0, "sf0.1 fixture lost its exact dups"
     assert got["n_shared_texts"].sum() == exp["n_shared_texts"].sum()
-    assert got[["source_a", "source_b"]].values.tolist() == exp[["source_a", "source_b"]].values.tolist()
+    # exact-dup pairs are a subset of span pairs (identical text shares
+    # every span), and every exact pair's text count matches
+    by_pair = {
+        (r.source_a, r.source_b): r.n_shared_texts for r in got.itertuples()
+    }
+    for r in exp.itertuples():
+        assert by_pair.get((r.source_a, r.source_b)) == r.n_shared_texts
+    assert (got["n_shared_spans"] > 0).all()
+    assert got["n_shared_spans"].sum() > got["n_shared_texts"].sum()
 
 
 def test_text_dedup_retention_matches_union_find(spark):

@@ -500,8 +500,9 @@ def test_term_postings_top_terms_broadcast(spark, catalog):
 
 def test_forward_asof_single_join_shuffle(spark, catalog):
     """Forward direction keeps the union-window shape: one shuffle for
-    the as-of pass + one for the orders pre-agg; no range-join blowup."""
-    plan = _plan(spark, catalog.queries["events_asof_next_order"](spark, SMOKE_SF_DIR))
+    the as-of pass + one for the error-side pre-agg; no range-join
+    blowup."""
+    plan = _plan(spark, catalog.queries["events_asof_next_error"](spark, SMOKE_SF_DIR))
     assert _n_exchanges(plan) == 2, plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan

@@ -521,10 +521,18 @@ def test_decile_migration_matches_pandas(spark):
 
 
 def test_dedup_bias_matches_pandas(spark):
+    # round-10 rework: the audited policy is template-prefix dedup
+    # (keeper per normalized first-13-token prefix) — the grain with
+    # live drops at every fixture scale
+    import re
+
     docs = pd.read_parquet("/root/testdata/sf0.1/documents.parquet")
-    keep = docs.groupby("text")["doc_id"].min()
-    docs["kept"] = docs["doc_id"] == docs["text"].map(keep)
-    assert (~docs["kept"]).sum() > 0, "sf0.1 fixture lost its exact dups"
+    docs["pre"] = docs["text"].map(
+        lambda t: " ".join(re.findall(r"[a-z0-9]+", t.lower())[:13])
+    )
+    keep = docs.groupby("pre")["doc_id"].min()
+    docs["kept"] = docs["doc_id"] == docs["pre"].map(keep)
+    assert (~docs["kept"]).sum() > 0, "sf0.1 fixture lost its prefix dups"
     got = {
         r["source"]: r
         for r in CAT.queries["dedup_quality_bias_audit"](

@@ -524,7 +524,12 @@ def test_kmv_estimator_branch_is_accurate_at_scale(spark):
 
 def test_rare_token_positions_match_pandas(spark):
     """Independent recount of the positional profile in plain python
-    (regex tokenize, df count, center-of-mass positions)."""
+    (regex tokenize, per-source df count, bottom-decile rank cutoff,
+    center-of-mass positions). Round 10 moved 'rare' from the absolute
+    df <= 2 cutoff — which never fires on the fixture (min df is 25 at
+    every scale), leaving mean_pos_rare/rare_front_share all-NULL —
+    to the bottom decile of the source's df ranking (ties by term)."""
+    import math
     import re
     from collections import Counter, defaultdict
 
@@ -532,19 +537,30 @@ def test_rare_token_positions_match_pandas(spark):
 
     from orca_ztbus_python_processor_spark.workloads.textops import (
         CATALOG as TCAT,
-        RARE_DF_MAX,
+        RARE_DECILE,
     )
 
     docs = duckdb.sql(
         f"SELECT doc_id, source, text FROM '{SF_DIR}/documents.parquet'"
     ).fetchall()
-    df_count: Counter = Counter()
+    df_count: Counter = Counter()  # (source, term) -> doc frequency
     toks_by_doc = {}
     for doc_id, source, text in docs:
         toks = re.findall(r"[a-z0-9]+", text.lower())
         toks_by_doc[doc_id] = (source, toks)
         for t in set(toks):
-            df_count[t] += 1
+            df_count[(source, t)] += 1
+    # bottom-decile rank cutoff within each source's vocabulary
+    vocab_by_source = defaultdict(list)
+    for (source, t), df in df_count.items():
+        vocab_by_source[source].append((df, t))
+    is_rare = {}
+    for source, vocab in vocab_by_source.items():
+        vocab.sort()
+        k = math.ceil(RARE_DECILE * len(vocab))
+        assert k >= 1  # live by construction at any scale
+        for rk, (_, t) in enumerate(vocab, start=1):
+            is_rare[(source, t)] = rk <= k
     agg = defaultdict(lambda: [0, 0, 0.0, 0.0, 0])  # n, n_rare, sum_all, sum_rare, rare_front
     for doc_id, (source, toks) in toks_by_doc.items():
         n = len(toks)
@@ -553,7 +569,7 @@ def test_rare_token_positions_match_pandas(spark):
             a = agg[source]
             a[0] += 1
             a[2] += relpos
-            if df_count[t] <= RARE_DF_MAX:
+            if is_rare[(source, t)]:
                 a[1] += 1
                 a[3] += relpos
                 if relpos < 0.5:
@@ -567,11 +583,11 @@ def test_rare_token_positions_match_pandas(spark):
     assert set(got) == set(agg)
     for source, (n, n_rare, s_all, s_rare, front) in agg.items():
         r = got[source]
+        assert n_rare > 0, f"{source}: rare branch must be exercised"
         assert r["n_occurrences"] == n and r["n_rare"] == n_rare
         assert abs(r["mean_pos_all"] - s_all / n) < 1e-6
-        if n_rare:
-            assert abs(r["mean_pos_rare"] - s_rare / n_rare) < 1e-6
-            assert abs(r["rare_front_share"] - front / n_rare) < 1e-6
+        assert abs(r["mean_pos_rare"] - s_rare / n_rare) < 1e-6
+        assert abs(r["rare_front_share"] - front / n_rare) < 1e-6
 
 
 def test_phash_bit_balance_matches_recount(spark):
