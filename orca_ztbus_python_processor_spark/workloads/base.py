@@ -278,10 +278,28 @@ _R9_SAMPLE = frozenset({
     "user_rfm_segments", "zipf_rank_slope",
 })
 
+# Round-10 forced re-verifications (the q4 treatment): the
+# degenerate-evidence audit reworked the semantics of four twins whose
+# greens were vacuous at the driver's sf0.01 (cross_source_dup_matrix
+# matched an empty join, dedup_quality_bias_audit and
+# rare_token_position_profile matched all-NULL measure columns — see
+# .benchmarks/degenerate_evidence.json), and the winnowing promotion
+# changed doc_fingerprints / winnow_containment_pairs from the byte-
+# grain rolling hash to md5-derived token 3-grams (now oracle-paired).
+# Old driver evidence no longer covers any of them; push all five back
+# into the sample window. (events_asof_next_error, which replaced the
+# retired events_asof_next_order, is a NEW name and enters the window
+# automatically.)
+_RESAMPLE_R10 = frozenset({
+    "cross_source_dup_matrix", "dedup_quality_bias_audit",
+    "rare_token_position_profile", "doc_fingerprints",
+    "winnow_containment_pairs",
+})
+
 _DRIVER_VERIFIED = (
     _R1_DRIVER_VERIFIED | _R2_SAMPLE | _R3_SAMPLE | _R4_SAMPLE
     | _R5_SAMPLE | _R6_SAMPLE | _R7_SAMPLE | _R8_SAMPLE | _R9_SAMPLE
-)
+) - _RESAMPLE_R10
 
 _MERGED: Catalog | None = None
 

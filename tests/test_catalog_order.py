@@ -16,15 +16,16 @@ from orca_ztbus_python_processor_spark.workloads.base import (
     _R7_SAMPLE,
     _R8_SAMPLE,
     _R9_SAMPLE,
+    _RESAMPLE_R10,
     _DRIVER_VERIFIED,
     merged_catalog,
 )
 
-# Historically-sampled names. The round-9 forced re-verification of
-# q4_late_shipment_priority came back green on its live 1996 window
-# (CORRECTNESS_r09.json: 5 rows, hash-match), so no forcing set is
-# pending and the verified set is exactly the sampled union.
-_VERIFIED_OR_RESAMPLING = _DRIVER_VERIFIED
+# Historically-sampled names plus the round-10 forced
+# re-verifications: the degenerate-evidence reworks changed the
+# semantics of five twins (see _RESAMPLE_R10 in base.py), so their old
+# driver evidence is void and they re-enter the sample window.
+_VERIFIED_OR_RESAMPLING = _DRIVER_VERIFIED | _RESAMPLE_R10
 
 
 def test_r5_sample_folded_into_back_group():

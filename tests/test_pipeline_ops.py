@@ -177,28 +177,28 @@ def test_winnow_fingerprint_properties(spark):
 
 
 def test_winnow_per_doc_parity_vs_reference(spark, docs_pdf):
-    """doc_fingerprints is a rows-only contract at the driver (no pure-
-    SQL winnowing oracle), so pin the strong local bound instead:
-    per-doc fingerprint SETS — hence per-doc counts — over the real
-    sf0.001 corpus must equal an independent pure-Python winnowing
-    (exact-integer arithmetic, no numpy, no shared code with the
-    operator beyond the published algorithm constants)."""
-    from orca_ztbus_python_processor_spark.operators.dedup import MERSENNE31
+    """Per-doc fingerprint SETS over the real sf0.001 corpus must equal
+    an independent pure-Python winnowing (hashlib md5, plain ints, no
+    shared code with the operator beyond the published constants).
+    Since round 10 the driver also hash-matches the DuckDB oracle; this
+    test remains the engine-independent third opinion on the exact
+    token-3-gram / window-4 / md5-60-bit spec."""
+    import hashlib
+    import re
 
-    k, window = 8, 4
-    pows = [pow(257, k - 1 - j, MERSENNE31) for j in range(k)]
+    k, window = 3, 4
 
     def py_winnow(text: str) -> set[int]:
-        b = (text or "").encode("utf-8")
-        if not b:
+        ts = re.findall(r"[a-z0-9]+", (text or "").lower())
+        if not ts:
             return set()
-        if len(b) < k:
-            h = [sum(x * p for x, p in zip(b, pows[-len(b):])) % MERSENNE31]
-        else:
-            h = [
-                sum(x * p for x, p in zip(b[i : i + k], pows)) % MERSENNE31
-                for i in range(len(b) - k + 1)
-            ]
+        grams = [
+            " ".join(ts[i : i + k]) for i in range(max(len(ts) - k + 1, 1))
+        ]
+        h = [
+            int(hashlib.md5(g.encode("utf-8")).hexdigest()[:15], 16)
+            for g in grams
+        ]
         if len(h) >= window:
             mins = [min(h[i : i + window]) for i in range(len(h) - window + 1)]
         else:
