@@ -755,6 +755,70 @@ def winnow_fingerprints(
 
 
 # ---------------------------------------------------------------------------
+# Generic Hamming-ball pairing over a 64-bit perceptual hash column
+# ---------------------------------------------------------------------------
+
+def hamming_near_dups(
+    sigs: DataFrame,
+    hash_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    n_chunks: int = 4,
+    max_members: int | None = 1024,
+) -> DataFrame:
+    """Hamming-ball pairs over any 64-bit signature column: ``n_chunks``
+    x 16-bit pigeonhole banding (``max_hamming < n_chunks`` differing
+    bits leave >= 1 chunk intact) -> bucket expansion with the shared
+    ``_pair_expand`` flood guard -> exact ``bit_count(xor)`` verify.
+    All JVM-side expressions — no Python in the pairing path. Shared
+    by pHash (operators/imagehash.py) and the audio fingerprint
+    (operators/audiofp.py); SimHash keeps its own banding (different
+    chunk geometry).
+
+    Recall caveat: the pigeonhole argument is complete for
+    ``max_hamming <= n_chunks - 1``, but buckets past ``max_members``
+    fall back to _pair_expand's multi-center star and can drop genuine
+    pairs in bucket floods — raise the cap where floods are plausible.
+
+    Output: ``id_a, id_b, hamming``.
+    """
+    chunks = sigs.select(
+        F.col(id_col),
+        F.col(hash_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk_idx"),
+                        F.shiftright(hash_col, 16 * c)
+                        .bitwiseAND(F.lit(65535))
+                        .alias("chunk"),
+                    )
+                    for c in range(n_chunks)
+                ]
+            )
+        ).alias("bc"),
+    ).select(id_col, hash_col, "bc.chunk_idx", "bc.chunk")
+    buckets = chunks.groupBy("chunk_idx", "chunk").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(F.col(id_col).alias("id"), F.col(hash_col).alias("h"))
+            )
+        ).alias("ids")
+    )
+    return (
+        _pair_expand(buckets, max_members=max_members)
+        .select(
+            F.col("m_a.id").alias("id_a"),
+            F.col("m_b.id").alias("id_b"),
+            F.bit_count(F.expr("m_a.h ^ m_b.h")).alias("hamming"),
+        )
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
+# ---------------------------------------------------------------------------
 # Connected components (dup-cluster resolution)
 # ---------------------------------------------------------------------------
 

@@ -46,8 +46,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 from orca_ztbus_python_processor_spark.operators.dedup import (
-    _pair_expand,
     _spread,
+    hamming_near_dups,
 )
 from orca_ztbus_python_processor_spark.operators.multimodal import (
     _encode_png_rgb,
@@ -163,39 +163,12 @@ def phash_near_dups(
     (mixed-content floods); pass a larger ``max_members`` there.
     ``image_decontam_phash`` inherits the same cap.
 
-    Output: ``id_a, id_b, hamming``.
+    Output: ``id_a, id_b, hamming``. (Round 10: delegates to the
+    shared ``dedup.hamming_near_dups`` — the identical plan, now also
+    driving the audio fingerprint.)
     """
-    chunks = sigs.select(
-        F.col(id_col),
-        F.col("phash"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(c).alias("chunk_idx"),
-                        F.shiftright("phash", 16 * c)
-                        .bitwiseAND(F.lit(65535))
-                        .alias("chunk"),
-                    )
-                    for c in range(4)
-                ]
-            )
-        ).alias("bc"),
-    ).select(id_col, "phash", "bc.chunk_idx", "bc.chunk")
-    buckets = chunks.groupBy("chunk_idx", "chunk").agg(
-        F.array_sort(
-            F.collect_list(F.struct(F.col(id_col).alias("id"), "phash"))
-        ).alias("ids")
-    )
-    return (
-        _pair_expand(buckets, max_members=max_members)
-        .select(
-            F.col("m_a.id").alias("id_a"),
-            F.col("m_b.id").alias("id_b"),
-            F.bit_count(F.expr("m_a.phash ^ m_b.phash")).alias("hamming"),
-        )
-        .distinct()
-        .where(F.col("hamming") <= max_hamming)
+    return hamming_near_dups(
+        sigs, "phash", id_col, max_hamming=max_hamming, max_members=max_members
     )
 
 

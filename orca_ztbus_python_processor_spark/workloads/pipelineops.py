@@ -830,3 +830,124 @@ def image_decontam_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("flagged_share"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# audio_fp_dedup — PERCEPTUAL audio near-dup dedup, the audio analogue
+# of image_phash_dedup (VERDICT r9 #5 extension symmetry): real WAV
+# byte-level decode (stdlib wave) -> 64-bit spectral band-energy sign
+# fingerprint (operators/audiofp.py) -> the SHARED 4x16-bit pigeonhole
+# banding (dedup.hamming_near_dups, same code as pHash) -> exact
+# hamming verify -> connected components -> per-length-bucket census.
+# The fixture corpus plants groups of power-of-two-gain copies —
+# provably hamming 0, not statistically small: power-of-two scaling
+# commutes exactly with IEEE float rounding through the FFT, so every
+# band-energy comparison is unchanged (the audio analogue of pHash's
+# no-clip-brightness DC-shift proof).
+#
+# Scale shape: decode + fingerprint are ONE map-only Arrow stage (PCM
+# payload bytes never shuffle; 8 bytes/clip leave it); the banding
+# shuffle carries 4 rows/clip; bucket expansion rides the shared LSH
+# flood guard; components use the union-find fast path <= 1M edges
+# with the distributed fallback. Rows-only by the driver contract
+# (binary decode has no SQL oracle); the fingerprint itself, the
+# planted invariance, and the banding recall vs exact hamming are
+# pinned by an independent pure-python reference in
+# tests/test_round10_ops.py.
+# --------------------------------------------------------------------------
+@CATALOG.query("audio_fp_dedup")
+def audio_fp_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from orca_ztbus_python_processor_spark.operators.audiofp import (  # noqa: PLC0415
+        AUDIO_GROUP,
+        audiofp_near_dups,
+        audiofp_signatures,
+        synthesize_audio_media,
+    )
+    from orca_ztbus_python_processor_spark.operators.dedup import (  # noqa: PLC0415
+        connected_components,
+    )
+
+    docs = _docs(spark, sf_dir)
+    media = synthesize_audio_media(docs)
+    sigs = audiofp_signatures(media)
+    pairs = audiofp_near_dups(sigs, max_hamming=3)
+    comp = connected_components(pairs.select("id_a", "id_b"))
+    # every clip keeps a cluster id: its component if it paired, itself
+    # if it is a perceptual singleton. The (id, length-bucket) frame
+    # comes from the documents scan, NOT from `media`: clip length is
+    # a pure function of doc_id (synthesize_audio_media's contract:
+    # 1024 + 64 * (group % 7) samples), and a second consumer of the
+    # mapInPandas stage would re-encode every payload just to project
+    # two columns (column pruning cannot push through mapInPandas).
+    bucket = (F.floor(F.col("media_id") / AUDIO_GROUP) % 7).alias(
+        "len_bucket"
+    )
+    ids = docs.select(F.col("doc_id").alias("media_id")).select(
+        "media_id", bucket
+    )
+    labeled = ids.join(comp, ids.media_id == comp.node, "left").select(
+        "media_id",
+        "len_bucket",
+        F.coalesce(F.col("component"), F.col("media_id")).alias("cluster"),
+    )
+    sizes = labeled.groupBy("len_bucket", "cluster").agg(
+        F.count("*").alias("cluster_size")
+    )
+    return sizes.groupBy("len_bucket").agg(
+        F.sum("cluster_size").alias("n_clips"),
+        F.count("*").alias("n_clusters"),
+        F.sum((F.col("cluster_size") > 1).cast("long")).alias(
+            "n_dup_clusters"
+        ),
+        F.max("cluster_size").alias("max_cluster_size"),
+        f32(
+            F.sum(F.col("cluster_size") - 1)
+            / F.sum("cluster_size").cast("double")
+        ).alias("dup_share"),
+    )
+
+
+# --------------------------------------------------------------------------
+# audio_fp_bit_balance — fingerprint HEALTH audit, the audio analogue
+# of image_phash_bit_balance. The median-threshold construction sets
+# EXACTLY 4 of each frame's 8 bits when the frame's band energies are
+# distinct (ties have measure ~0 on the noise fixture), so the
+# per-clip popcount is exactly 32 and the MEAN set-share across the
+# 64 bit positions is exactly 0.5 — a sharper structural invariant
+# than pHash's. Per-bit shares near 0 or 1 would still expose a band
+# that never wins (e.g. an off-by-one dropping a band's bins), which
+# is what the audit is for.
+#
+# Scale shape: decode+fingerprint is the same map-only Arrow stage as
+# audio_fp_dedup; the bit explode is 64 JVM rows per clip and the
+# rollup is one 64-cell map-combinable aggregation. Rows-only by the
+# driver contract; shares pinned against a pure-python recount in
+# tests/test_round10_ops.py.
+# --------------------------------------------------------------------------
+@CATALOG.query("audio_fp_bit_balance")
+def audio_fp_bit_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from orca_ztbus_python_processor_spark.operators.audiofp import (  # noqa: PLC0415
+        audiofp_signatures,
+        synthesize_audio_media,
+    )
+
+    sigs = audiofp_signatures(synthesize_audio_media(_docs(spark, sf_dir)))
+    bits = sigs.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("bit_idx"),
+                        F.shiftright("afp", k)
+                        .bitwiseAND(F.lit(1))
+                        .alias("b"),
+                    )
+                    for k in range(64)
+                ]
+            )
+        ).alias("e")
+    ).select("e.bit_idx", "e.b")
+    return bits.groupBy(F.col("bit_idx").cast("long").alias("bit_idx")).agg(
+        F.count("*").alias("n_clips"),
+        f32(F.avg("b")).alias("set_share"),
+    )

@@ -60,7 +60,7 @@ FAMILY_BANDS = [
         "pair-volume-law",
         8.5,
         r"minhash|simhash|winnow|ngram_jaccard|near_dup|neardup"
-        r"|doc_fingerprints|boilerplate|chunk_dedup|phash|audiofp",
+        r"|doc_fingerprints|boilerplate|chunk_dedup|phash|audio_fp",
     ),
     # the whole co-purchase graph family (iterative fixpoints AND the
     # wedge-join censuses: triangles, local clustering, assortativity,

@@ -118,3 +118,203 @@ def test_degenerate_evidence_artifact_has_no_unexplained_flags():
     assert set(art["flagged"]) <= set(art["allowlist"])
     for name in art["allowlist"]:
         assert name in art["profiles"]
+
+
+# ---------------------------------------------------------------------------
+# Audio perceptual fingerprint (operators/audiofp.py — VERDICT r9 #5)
+# ---------------------------------------------------------------------------
+
+def _py_audiofp(samples) -> int:
+    """Independent pure-python/numpy reference of the fingerprint spec:
+    8 frames x 8 bands, rFFT power, DC dropped, band energy vs frame
+    median. Shares nothing with the operator but the published
+    constants."""
+    import numpy as np
+
+    x = np.asarray(samples, dtype=float).ravel()
+    fl = len(x) // 8
+    h = 0
+    for f in range(8):
+        fr = x[f * fl : (f + 1) * fl]
+        p = np.abs(np.fft.rfft(fr)) ** 2
+        spec = list(p[1:])
+        bw = len(spec) // 8
+        e = [sum(spec[b * bw : (b + 1) * bw]) for b in range(8)]
+        med = float(np.median(e))
+        for b in range(8):
+            if e[b] > med:
+                h |= 1 << (f * 8 + b)
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def test_audiofp_matches_independent_reference():
+    from orca_ztbus_python_processor_spark.operators.audiofp import (
+        _audio_base_samples,
+        audiofp64,
+    )
+
+    for base in range(25):
+        n = 1024 + 64 * (base % 7)
+        x = _audio_base_samples(base, n)
+        assert audiofp64(x) == _py_audiofp(x), base
+
+
+def test_audiofp_exact_gain_invariance_and_separation():
+    """The provable planted relation: power-of-two gains leave every
+    fingerprint bit unchanged (hamming EXACTLY 0 — IEEE rounding
+    commutes with power-of-two scaling through the FFT), while
+    independent base waveforms separate far beyond the banding radius."""
+    from orca_ztbus_python_processor_spark.operators.audiofp import (
+        _AUDIO_GAINS,
+        _audio_base_samples,
+        audiofp64,
+    )
+
+    fps = []
+    for base in range(40):
+        n = 1024 + 64 * (base % 7)
+        x = _audio_base_samples(base, n)
+        group = [audiofp64(x * g) for g in _AUDIO_GAINS]
+        assert len(set(group)) == 1, f"gain broke invariance for base {base}"
+        fps.append(group[0])
+    mask = (1 << 64) - 1
+    hams = [
+        bin((fps[i] ^ fps[j]) & mask).count("1")
+        for i in range(len(fps))
+        for j in range(i + 1, len(fps))
+    ]
+    assert min(hams) > 3, "cross-group fingerprints inside banding radius"
+
+
+def test_audiofp_wav_roundtrip_exact():
+    """The planted gains survive int16 PCM encode/decode exactly (no
+    clipping by construction: 3500 * 8 = 28000 < 32767)."""
+    import numpy as np
+
+    from orca_ztbus_python_processor_spark.operators.audiofp import (
+        _AUDIO_GAINS,
+        _audio_base_samples,
+        audiofp64,
+        wav_samples,
+    )
+    import io
+    import wave
+
+    base = 5
+    x = _audio_base_samples(base, 1024)
+    fps = set()
+    for g in _AUDIO_GAINS:
+        a = (x * g).astype("<i2")
+        assert int(np.abs(x * g).max()) < 32768
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(8000)
+            w.writeframes(a.tobytes())
+        s = wav_samples(buf.getvalue())
+        assert np.array_equal(s, (x * g).astype(float))
+        fps.add(audiofp64(s))
+    assert len(fps) == 1
+
+
+def test_audiofp_banding_recall_vs_exact_hamming(spark):
+    """The 4x16-bit banding must recover EVERY pair with hamming <= 3
+    that brute force finds over the real fixture corpus (pigeonhole
+    completeness; bucket sizes here are far under the flood cap)."""
+    from orca_ztbus_python_processor_spark.operators.audiofp import (
+        audiofp_near_dups,
+        audiofp_signatures,
+        synthesize_audio_media,
+    )
+    from orca_ztbus_python_processor_spark.sources.parquet import read_table
+
+    docs = read_table(spark, SF_DIR, "documents").select("doc_id")
+    sigs = audiofp_signatures(synthesize_audio_media(docs))
+    rows = sigs.collect()
+    mask = (1 << 64) - 1
+    brute = set()
+    for i in range(len(rows)):
+        for j in range(i + 1, len(rows)):
+            a, b = rows[i], rows[j]
+            if bin((a["afp"] ^ b["afp"]) & mask).count("1") <= 3:
+                brute.add(
+                    (min(a["media_id"], b["media_id"]),
+                     max(a["media_id"], b["media_id"]))
+                )
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in audiofp_near_dups(sigs, max_hamming=3).collect()
+    }
+    assert got == brute
+    assert len(brute) > 0, "fixture lost its planted audio groups"
+    # the planted relation itself: every within-group pair present
+    n_docs = len(rows)
+    for g in range(n_docs // 4):
+        members = [m for m in range(g * 4, g * 4 + 4) if m < n_docs]
+        for i, a in enumerate(members):
+            for b in members[i + 1 :]:
+                assert (a, b) in brute, (a, b)
+
+
+def test_audio_fp_dedup_census(spark):
+    """Planted expectation on the real corpus: every full group of 4
+    collapses to one cluster, so dup_share = 3/4 in every len bucket
+    made of full groups."""
+    from orca_ztbus_python_processor_spark.workloads.pipelineops import (
+        CATALOG as PCAT,
+    )
+
+    rows = {
+        r["len_bucket"]: r
+        for r in PCAT.queries["audio_fp_dedup"](spark, SF_DIR).collect()
+    }
+    assert rows, "no census rows"
+    total_clips = sum(r["n_clips"] for r in rows.values())
+    assert total_clips == 500  # sf0.001 documents table rows
+    for b, r in rows.items():
+        assert r["max_cluster_size"] >= 4 or r["n_clips"] < 4
+        # every cluster is exactly one planted group unless truncated
+        assert r["n_dup_clusters"] == r["n_clusters"] or r["n_clips"] % 4
+
+
+def test_audio_fp_bit_balance_recount(spark):
+    """Exactly 4 of each frame's 8 bits are set when band energies are
+    distinct, so per-clip popcount is 32 and the mean set-share across
+    the 64 positions is exactly 0.5; pin per-bit shares against a
+    pure-python recount."""
+    from orca_ztbus_python_processor_spark.operators.audiofp import (
+        _AUDIO_GAINS,
+        _audio_base_samples,
+    )
+    from orca_ztbus_python_processor_spark.workloads.pipelineops import (
+        CATALOG as PCAT,
+    )
+    import duckdb
+
+    ids = [
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT doc_id FROM '{SF_DIR}/documents.parquet'"
+        ).fetchall()
+    ]
+    counts = [0] * 64
+    for d in ids:
+        base, member = d // 4, d % 4
+        n = 1024 + 64 * (base % 7)
+        fp = _py_audiofp(_audio_base_samples(base, n) * _AUDIO_GAINS[member])
+        u = fp & ((1 << 64) - 1)
+        assert bin(u).count("1") == 32
+        for k in range(64):
+            if (u >> k) & 1:
+                counts[k] += 1
+    got = {
+        r["bit_idx"]: r
+        for r in PCAT.queries["audio_fp_bit_balance"](spark, SF_DIR).collect()
+    }
+    assert len(got) == 64
+    for k in range(64):
+        assert got[k]["n_clips"] == len(ids)
+        assert abs(got[k]["set_share"] - counts[k] / len(ids)) < 1e-6
+    mean_share = sum(r["set_share"] for r in got.values()) / 64
+    assert abs(mean_share - 0.5) < 1e-6
