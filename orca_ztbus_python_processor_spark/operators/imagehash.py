@@ -183,11 +183,30 @@ def _phash_base_pixels(base: int, ht: int, wd: int) -> np.ndarray:
     """Deterministic pseudo-random grey base image in [16, 239] — the
     224-level range leaves headroom for the member brightness shifts
     (<= +9) without clipping, which keeps the planted within-group
-    pHash distance provably <= 1 bit (pure DC shift)."""
+    pHash distance provably <= 1 bit (pure DC shift).
+
+    Round-10 fix: pixels come from a splitmix64 AVALANCHE over
+    (base, y, x). The round-9 generator was linear in (y, x, seed) —
+    every base was a diagonal translate of ONE global texture, so at
+    sf1+ media counts different bases produced genuinely
+    perceptually-close images and the cross-group hamming<=3 pair
+    count exploded superlinearly (280k pairs vs 75k planted at 50k
+    images, .benchmarks/image_pair_counts_3pt.json) — the same flaw
+    class the audio fixture's first draft had. With avalanche mixing
+    the bases are independent white-noise textures and verified pairs
+    equal the planted 1.5 x n at every measured scale."""
     u = np.uint64
     yy, xx = np.mgrid[0:ht, 0:wd].astype(np.uint64)
-    v = (yy * u(131) + xx * u(197) + u(7 * base + 13)) * u(2654435761)
-    return (u(16) + (v >> u(16)) % u(224)).astype(np.uint8)
+    with np.errstate(over="ignore"):
+        z = (
+            yy * u(0x9E3779B97F4A7C15)
+            + xx * u(0xC2B2AE3D27D4EB4F)
+            + u((base * 0xD6E8FEB86659FD93 + 0x9E3779B9) & 0xFFFFFFFFFFFFFFFF)
+        )
+        z = (z ^ (z >> u(30))) * u(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> u(27))) * u(0x94D049BB133111EB)
+        z = z ^ (z >> u(31))
+    return (u(16) + z % u(224)).astype(np.uint8)
 
 
 def _encode_bmp_rgb(px: np.ndarray) -> bytes:

@@ -4078,6 +4078,23 @@ _KMV_HASH_SPARK = (
     """,
 )
 def kmv_distinct_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    typed = _kmv_user_type_summaries(spark, sf_dir)
+    est = _kmv_pair_estimates(typed)
+    return est.select(
+        "type_a",
+        "type_b",
+        f32(F.col("est_a")).alias("est_a"),
+        f32(F.col("est_b")).alias("est_b"),
+        f32(F.col("est_union")).alias("est_union"),
+        f32(F.col("est_intersect")).alias("est_intersect"),
+    )
+
+
+def _kmv_user_type_summaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type KMV summary ``event_type, ks (K smallest 60-bit
+    md5 hashes), n (capped count), e (distinct estimate)`` — the
+    mergeable partial both kmv_distinct_user_overlap and
+    kmv_overlap_calibration consume (extracted round 10)."""
     hashed = (
         _events(spark, sf_dir)
         .select("event_type", F.expr(_KMV_HASH_SPARK).alias("h"))
@@ -4117,8 +4134,19 @@ def kmv_distinct_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).otherwise(
         F.lit(KMV_K - 1) * F.lit(_KMV_2POW60) / F.element_at(ks, KMV_K)
     )
-    typed = summ.select(
+    return summ.select(
         "event_type", "ks", "n", est_of(F.col("n"), F.col("ks")).alias("e")
+    )
+
+
+def _kmv_pair_estimates(typed: DataFrame) -> DataFrame:
+    """Pair algebra over the per-type KMV summaries: ``type_a, type_b,
+    est_a, est_b, est_union, est_intersect`` (raw doubles — callers
+    f32 for output)."""
+    est_of = lambda n, ks: F.when(  # noqa: E731
+        n < KMV_K, n.cast("double")
+    ).otherwise(
+        F.lit(KMV_K - 1) * F.lit(_KMV_2POW60) / F.element_at(ks, KMV_K)
     )
     a = typed.select(
         F.col("event_type").alias("type_a"),
@@ -4152,13 +4180,11 @@ def kmv_distinct_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select(
         "type_a",
         "type_b",
-        f32(F.col("est_a")).alias("est_a"),
-        f32(F.col("est_b")).alias("est_b"),
-        f32(est_union).alias("est_union"),
-        f32(
-            F.greatest(
-                F.col("est_a") + F.col("est_b") - est_union, F.lit(0.0)
-            )
+        "est_a",
+        "est_b",
+        est_union.alias("est_union"),
+        F.greatest(
+            F.col("est_a") + F.col("est_b") - est_union, F.lit(0.0)
         ).alias("est_intersect"),
     )
 
