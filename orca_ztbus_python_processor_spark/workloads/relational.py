@@ -3642,3 +3642,264 @@ def median_ci_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(F.when(F.col("rn") == F.col("u"), F.col("o_totalprice")))
         ).alias("ci_hi"),
     )
+
+
+# --------------------------------------------------------------------------
+# orders_reorder_interval_profile — customer purchase CADENCE: the gap
+# in days between a customer's consecutive orders, profiled per market
+# segment (exact median / p90 / mean / max). The repeat-purchase
+# rhythm a retention model keys on; complements fulfillment_lag_profile
+# (order->ship latency) and user_gap_quantiles (event grain) with the
+# ORDER-grain inter-arrival axis.
+#
+# Scale shape: one customer-partitioned lag window (entity-partitioned,
+# spillable sort), a broadcast dim join for the segment, then a
+# |segments|-cell exact-percentile rollup.
+# --------------------------------------------------------------------------
+@CATALOG.query(
+    "orders_reorder_interval_profile",
+    oracle="""
+    WITH gaps AS (
+        SELECT o_custkey,
+               date_diff('day',
+                         lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                                ORDER BY o_orderdate,
+                                                         o_orderkey),
+                         o_orderdate) AS gap_days
+        FROM orders
+    ), g AS (
+        SELECT c.c_mktsegment, gaps.gap_days
+        FROM gaps JOIN customer c ON c.c_custkey = gaps.o_custkey
+        WHERE gaps.gap_days IS NOT NULL
+    )
+    SELECT c_mktsegment,
+           count(*) AS n_gaps,
+           CAST(quantile_cont(gap_days, 0.5) AS REAL) AS median_gap_days,
+           CAST(quantile_cont(gap_days, 0.9) AS REAL) AS p90_gap_days,
+           CAST(avg(gap_days) AS REAL) AS mean_gap_days,
+           CAST(max(gap_days) AS BIGINT) AS max_gap_days
+    FROM g
+    GROUP BY c_mktsegment
+    """,
+)
+def orders_reorder_interval_profile(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = (
+        _t(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            F.datediff(
+                F.col("o_orderdate"), F.lag("o_orderdate").over(w)
+            ).alias("gap_days"),
+        )
+        .where(F.col("gap_days").isNotNull())
+    )
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    return (
+        gaps.join(F.broadcast(cust), "o_custkey")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_gaps"),
+            f32(F.percentile("gap_days", F.lit(0.5))).alias(
+                "median_gap_days"
+            ),
+            f32(F.percentile("gap_days", F.lit(0.9))).alias("p90_gap_days"),
+            f32(F.avg("gap_days")).alias("mean_gap_days"),
+            F.max("gap_days").cast("long").alias("max_gap_days"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# spearman_qty_discount_by_flag — EXACT Spearman rank correlation of
+# quantity vs discount per return flag, computed WITHOUT any
+# entity-grain ranking: both columns are low-cardinality (50 and 11
+# distinct values), so the average tie-rank of a value is a closed
+# form over the per-value counts — avg_rank(v) = (# rows below v) +
+# (count(v) + 1) / 2 — and Spearman is Pearson over those ranks,
+# weighted by the (flag, qty, discount) cell counts. "Do bigger orders
+# get deeper discounts?" answered rank-robustly (Pearson on raw values
+# is hostage to the price tail; regression_stats_by_flag shows that
+# axis).
+#
+# Scale shape: ONE map-combinable (flag, qty, discount) cell rollup is
+# the only corpus-sized stage; the rank tables are windows over
+# <= 50/11-row DISTINCT-VALUE frames per flag (bounded grain, never
+# entity grain), and the final co-moment rollup is |flags| cells. The
+# same exact statistic via global value ranking would single-task-sort
+# the fact table — this shape is why discrete Spearman scales.
+# --------------------------------------------------------------------------
+@CATALOG.query(
+    "spearman_qty_discount_by_flag",
+    oracle="""
+    WITH cells AS (
+        SELECT l_returnflag AS flag, l_quantity AS q, l_discount AS d,
+               count(*) AS c
+        FROM lineitem GROUP BY 1, 2, 3
+    ), qr AS (
+        SELECT flag, q,
+               sum(cq) OVER (PARTITION BY flag ORDER BY q
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING) AS below,
+               cq
+        FROM (SELECT flag, q, sum(c) AS cq FROM cells GROUP BY 1, 2)
+    ), qrank AS (
+        SELECT flag, q,
+               coalesce(below, 0) + (cq + 1) / 2.0 AS rq
+        FROM qr
+    ), dr AS (
+        SELECT flag, d,
+               sum(cd) OVER (PARTITION BY flag ORDER BY d
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING) AS below,
+               cd
+        FROM (SELECT flag, d, sum(c) AS cd FROM cells GROUP BY 1, 2)
+    ), drank AS (
+        SELECT flag, d,
+               coalesce(below, 0) + (cd + 1) / 2.0 AS rd
+        FROM dr
+    ), m AS (
+        SELECT cells.flag,
+               sum(c) AS n,
+               sum(c * rq) AS sx, sum(c * rd) AS sy,
+               sum(c * rq * rq) AS sxx, sum(c * rd * rd) AS syy,
+               sum(c * rq * rd) AS sxy
+        FROM cells
+        JOIN qrank ON qrank.flag = cells.flag AND qrank.q = cells.q
+        JOIN drank ON drank.flag = cells.flag AND drank.d = cells.d
+        GROUP BY cells.flag
+    )
+    SELECT flag AS l_returnflag,
+           CAST(n AS BIGINT) AS n_rows,
+           CAST(CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+                THEN (n * sxy - sx * sy)
+                     / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+                END AS REAL) AS spearman_rho
+    FROM m
+    """,
+)
+def spearman_qty_discount_by_flag(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    cells = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy(
+            F.col("l_returnflag").alias("flag"),
+            F.col("l_quantity").alias("q"),
+            F.col("l_discount").alias("d"),
+        )
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=False)  # three consumers of one rollup
+    )
+
+    def tie_ranks(col: str, out: str) -> DataFrame:
+        per_val = cells.groupBy("flag", col).agg(F.sum("c").alias("cv"))
+        win = (
+            W.partitionBy("flag")
+            .orderBy(col)
+            .rowsBetween(W.unboundedPreceding, -1)
+        )
+        return per_val.select(
+            "flag",
+            col,
+            (
+                F.coalesce(F.sum("cv").over(win), F.lit(0))
+                + (F.col("cv") + 1) / 2.0
+            ).alias(out),
+        )
+
+    qrank = tie_ranks("q", "rq")
+    drank = tie_ranks("d", "rd")
+    joined = cells.join(F.broadcast(qrank), ["flag", "q"]).join(
+        F.broadcast(drank), ["flag", "d"]
+    )
+    n = F.sum("c")
+    sx, sy = F.sum(F.col("c") * F.col("rq")), F.sum(F.col("c") * F.col("rd"))
+    sxx = F.sum(F.col("c") * F.col("rq") * F.col("rq"))
+    syy = F.sum(F.col("c") * F.col("rd") * F.col("rd"))
+    sxy = F.sum(F.col("c") * F.col("rq") * F.col("rd"))
+    varx, vary = n * sxx - sx * sx, n * syy - sy * sy
+    return (
+        joined.groupBy("flag")
+        .agg(
+            n.cast("long").alias("n_rows"),
+            f32(
+                F.when(
+                    (varx > 0) & (vary > 0),
+                    (n * sxy - sx * sy) / F.sqrt(varx * vary),
+                )
+            ).alias("spearman_rho"),
+        )
+        .withColumnRenamed("flag", "l_returnflag")
+    )
+
+
+# --------------------------------------------------------------------------
+# anova_price_by_brand — one-way ANOVA of part retail price across
+# brands: does brand explain price variance? Emits the full variance
+# decomposition (between/within sum of squares, degrees of freedom,
+# F statistic, eta^2 effect size) — the grouped-difference test that
+# complements chi_square_nation_segment (categorical x categorical)
+# and mannwhitney_value_shift (two-sample rank) with the k-sample
+# continuous axis.
+#
+# Scale shape: ONE map-combinable (brand) moment rollup (n, sum,
+# sum-of-squares per group) is the only corpus-sized stage; grand
+# totals reduce the |brands|-row frame and the F statistic is closed
+# form — no second scan, no window. Output is one row.
+# --------------------------------------------------------------------------
+@CATALOG.query(
+    "anova_price_by_brand",
+    oracle="""
+    WITH g AS (
+        SELECT p_brand, count(*) AS n, sum(p_retailprice) AS s,
+               sum(p_retailprice * p_retailprice) AS ss
+        FROM part GROUP BY p_brand
+    ), t AS (
+        SELECT count(*) AS k, sum(n) AS n, sum(s) AS s, sum(ss) AS ss,
+               sum(s * s / n) AS sg
+        FROM g
+    )
+    SELECT CAST(k AS BIGINT) AS n_groups,
+           CAST(n AS BIGINT) AS n_rows,
+           CAST(sg - s * s / n AS REAL) AS ss_between,
+           CAST(ss - sg AS REAL) AS ss_within,
+           CAST((sg - s * s / n) / (k - 1)
+                / ((ss - sg) / (n - k)) AS REAL) AS f_stat,
+           CAST((sg - s * s / n) / (ss - s * s / n) AS REAL) AS eta_sq
+    FROM t
+    """,
+)
+def anova_price_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = (
+        _t(spark, sf_dir, "part")
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("p_retailprice").alias("s"),
+            F.sum(F.col("p_retailprice") * F.col("p_retailprice")).alias(
+                "ss"
+            ),
+        )
+    )
+    k = F.count("*")
+    n = F.sum("n")
+    s, ss = F.sum("s"), F.sum("ss")
+    sg = F.sum(F.col("s") * F.col("s") / F.col("n"))
+    ss_between = sg - s * s / n
+    ss_within = ss - sg
+    ss_total = ss - s * s / n
+    return g.agg(
+        k.cast("long").alias("n_groups"),
+        n.cast("long").alias("n_rows"),
+        f32(ss_between).alias("ss_between"),
+        f32(ss_within).alias("ss_within"),
+        f32(
+            ss_between / (k - 1) / (ss_within / (n - k))
+        ).alias("f_stat"),
+        f32(ss_between / ss_total).alias("eta_sq"),
+    )

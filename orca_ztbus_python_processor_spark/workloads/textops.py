@@ -2010,6 +2010,139 @@ def source_vocab_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# source_char_trigram_jsd — DISTRIBUTIONAL divergence between source
+# pairs: Jensen-Shannon divergence of their character-trigram
+# distributions, via the entropy identity JSD(P, Q) = H((P+Q)/2) -
+# (H(P) + H(Q)) / 2 (nats, in [0, ln 2]). The distribution-shape
+# complement to source_vocab_overlap_matrix's SET overlap: two sources
+# can share a vocabulary yet weight it differently (template-heavy vs
+# organic), and char trigrams catch tokenizer-invisible differences
+# (casing/punctuation/encoding residue). The domain-mixing signal a
+# data-mix planner reads next to the KL anomaly sweep.
+#
+# Scale shape: the corpus-sized stage is ONE (source, trigram) count
+# (map-combinable); everything downstream runs at |sources| x |tri
+# vocab| grain — trigram vocabulary is alphabet-bounded, so the pair
+# mixture M is built from two equi-joins against a broadcast pair list
+# (NOT an IN-condition nested-loop join) and the entropy rollups are
+# bounded. Output is |sources|^2 / 2 rows.
+# --------------------------------------------------------------------------
+@CATALOG.query(
+    "source_char_trigram_jsd",
+    oracle="""
+    WITH docs3 AS (
+        SELECT source, lower(text) AS txt FROM documents
+        WHERE length(text) >= 3
+    ), tri AS (
+        SELECT source,
+               substr(txt, CAST(i AS BIGINT), 3) AS tri
+        FROM docs3, unnest(generate_series(1, length(txt) - 2)) AS t(i)
+    ), counts AS (
+        SELECT source, tri, count(*) AS c FROM tri GROUP BY source, tri
+    ), tot AS (
+        SELECT source, sum(c) AS t FROM counts GROUP BY source
+    ), shares AS (
+        SELECT counts.source, tri, c / CAST(t AS DOUBLE) AS p
+        FROM counts JOIN tot ON tot.source = counts.source
+    ), hs AS (
+        SELECT source, -sum(p * ln(p)) AS h FROM shares GROUP BY source
+    ), srcs AS (
+        SELECT DISTINCT source FROM shares
+    ), prs AS (
+        SELECT s1.source AS source_a, s2.source AS source_b
+        FROM srcs s1 JOIN srcs s2 ON s1.source < s2.source
+    ), m AS (
+        SELECT source_a, source_b, tri, sum(p) / 2 AS mp
+        FROM (
+            SELECT p.source_a, p.source_b, s.tri, s.p
+            FROM prs p JOIN shares s ON s.source = p.source_a
+            UNION ALL
+            SELECT p.source_a, p.source_b, s.tri, s.p
+            FROM prs p JOIN shares s ON s.source = p.source_b
+        )
+        GROUP BY source_a, source_b, tri
+    ), hm AS (
+        SELECT source_a, source_b,
+               -sum(mp * ln(mp)) AS h, count(*) AS n_tri
+        FROM m GROUP BY source_a, source_b
+    )
+    SELECT hm.source_a, hm.source_b,
+           CAST(hm.n_tri AS BIGINT) AS n_tri_union,
+           CAST(hm.h - (ha.h + hb.h) / 2 AS REAL) AS jsd_nats
+    FROM hm
+    JOIN hs ha ON ha.source = hm.source_a
+    JOIN hs hb ON hb.source = hm.source_b
+    """,
+)
+def source_char_trigram_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tri = (
+        _docs(spark, sf_dir)
+        .select("source", F.lower(F.col("text")).alias("txt"))
+        .where(F.length("txt") >= 3)
+        .select(
+            "source",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(txt) - 2),"
+                    " i -> substring(txt, i, 3))"
+                )
+            ).alias("tri"),
+        )
+    )
+    counts = tri.groupBy("source", "tri").agg(F.count("*").alias("c"))
+    tot = counts.groupBy("source").agg(F.sum("c").alias("t"))
+    shares = (
+        counts.join(F.broadcast(tot), "source")
+        .select("source", "tri", (F.col("c") / F.col("t").cast("double")).alias("p"))
+        .localCheckpoint(eager=False)  # reused by hs and both mixture legs
+    )
+    hs = shares.groupBy("source").agg(
+        (-F.sum(F.col("p") * F.log("p"))).alias("h")
+    )
+    srcs = shares.select("source").distinct()
+    prs = F.broadcast(
+        srcs.select(F.col("source").alias("source_a"))
+        .join(
+            srcs.select(F.col("source").alias("source_b")),
+            F.col("source_a") < F.col("source_b"),
+        )
+    )
+    leg_a = prs.join(
+        shares.withColumnRenamed("source", "source_a"), "source_a"
+    ).select("source_a", "source_b", "tri", "p")
+    leg_b = prs.join(
+        shares.withColumnRenamed("source", "source_b"), "source_b"
+    ).select("source_a", "source_b", "tri", "p")
+    m = (
+        leg_a.unionByName(leg_b)
+        .groupBy("source_a", "source_b", "tri")
+        .agg((F.sum("p") / 2).alias("mp"))
+    )
+    hm = m.groupBy("source_a", "source_b").agg(
+        (-F.sum(F.col("mp") * F.log("mp"))).alias("h"),
+        F.count("*").alias("n_tri_union"),
+    )
+    ha = F.broadcast(
+        hs.select(F.col("source").alias("source_a"), F.col("h").alias("ha"))
+    )
+    hb = F.broadcast(
+        hs.select(F.col("source").alias("source_b"), F.col("h").alias("hb"))
+    )
+    return (
+        hm.join(ha, "source_a")
+        .join(hb, "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_tri_union",
+            f32(
+                F.col("h") - (F.col("ha") + F.col("hb")) / 2
+            ).alias("jsd_nats"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # hapax_legomena_share — per-source hapax profile (tokens occurring
 # exactly once): the vocabulary-freshness signal that separates
 # organic text (hapax share ~40-60% by Zipf) from templated/generated

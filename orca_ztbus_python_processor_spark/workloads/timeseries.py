@@ -1568,6 +1568,190 @@ def events_asof_next_error(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# events_asof_prev_error_tolerance — BACKWARD as-of with a MAX-LOOKBACK
+# TOLERANCE, the knob every production as-of API carries (pandas
+# merge_asof's ``tolerance``, kdb wj windows): each event joins its
+# user's most recent error AT OR BEFORE its timestamp, but a match
+# older than ASOF_TOLERANCE_S is nulled out — "was there a recent
+# failure when this event happened?". The fixture exercises all three
+# branches at sf0.01: 2,040 within tolerance, 7,359 matched-but-stale
+# (nulled), 601 never-matched.
+#
+# Scale shape: identical single union-window pass as events_asof_orders
+# (the tolerance is a post-join row-local predicate — no extra shuffle,
+# no range join); DuckDB's native ASOF + the same CASE is the oracle.
+# --------------------------------------------------------------------------
+ASOF_TOLERANCE_S = 600
+
+
+@CATALOG.query(
+    "events_asof_prev_error_tolerance",
+    oracle=f"""
+    WITH err AS (
+        SELECT user_id, ts AS error_ts,
+               max(event_id) AS prev_error_id
+        FROM events WHERE event_type = 'error' GROUP BY user_id, ts
+    ), joined AS (
+        SELECT e.event_id, e.ts, e.user_id,
+               CAST(e.value AS REAL) AS value,
+               r.prev_error_id, r.error_ts,
+               epoch_us(e.ts) - epoch_us(r.error_ts) AS lag_us
+        FROM events e ASOF LEFT JOIN err r
+          ON e.user_id = r.user_id AND e.ts >= r.error_ts
+    )
+    SELECT event_id, ts, user_id, value,
+           CASE WHEN lag_us <= {ASOF_TOLERANCE_S} * 1000000
+                THEN prev_error_id END AS prev_error_id,
+           CASE WHEN lag_us <= {ASOF_TOLERANCE_S} * 1000000
+                THEN error_ts END AS prev_error_ts,
+           CASE WHEN lag_us <= {ASOF_TOLERANCE_S} * 1000000
+                THEN lag_us END AS error_lag_us
+    FROM joined
+    """,
+)
+def events_asof_prev_error_tolerance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from orca_ztbus_python_processor_spark.operators.asofjoin import asof_join
+
+    ev = _events(spark, sf_dir).select(
+        "event_id", "ts", "user_id", f32(F.col("value")).alias("value")
+    )
+    errors = (
+        _events(spark, sf_dir)
+        .where(F.col("event_type") == "error")
+        .groupBy("user_id", F.col("ts").alias("error_ts"))
+        .agg(F.max("event_id").alias("prev_error_id"))
+    )
+    joined = asof_join(
+        ev,
+        errors,
+        on="user_id",
+        left_time="ts",
+        right_time="error_ts",
+        payload_cols=["prev_error_id", "error_ts"],
+        direction="backward",
+    )
+    lag_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.col("error_ts"))
+    within = lag_us <= ASOF_TOLERANCE_S * 1_000_000
+    return joined.select(
+        "event_id",
+        "ts",
+        "user_id",
+        "value",
+        F.when(within, F.col("prev_error_id")).alias("prev_error_id"),
+        F.when(within, F.col("error_ts")).alias("prev_error_ts"),
+        F.when(within, lag_us).alias("error_lag_us"),
+    )
+
+
+# --------------------------------------------------------------------------
+# session_gap_survival — the empirical SURVIVAL function of same-user
+# inter-event gaps per event type: the share of gaps exceeding each
+# threshold in a fixed grid. This is the curve a session-gap or
+# stream-watermark setting is actually read off (user_gap_quantiles
+# next door gives point quantiles; the survival curve shows the whole
+# tail the 10-minute session gap was chosen from).
+#
+# Scale shape: one (user, type)-partitioned lag window (the
+# user_gap_quantiles scan), then a |types| x |grid| map-combinable
+# conditional rollup — output bounded at |types| * 5 rows.
+# --------------------------------------------------------------------------
+SURVIVAL_GRID_S = (60, 300, 600, 1800, 3600)
+
+
+@CATALOG.query(
+    "session_gap_survival",
+    oracle=f"""
+    WITH gaps AS (
+        SELECT event_type,
+               epoch_us(ts) - lag(epoch_us(ts))
+                   OVER (PARTITION BY user_id, event_type
+                         ORDER BY ts, event_id) AS gap_us
+        FROM events
+    ), g AS (SELECT event_type, gap_us FROM gaps WHERE gap_us IS NOT NULL)
+    SELECT event_type, t.threshold_s,
+           count(*) AS n_gaps,
+           CAST(sum(CASE WHEN gap_us > CAST(t.threshold_s AS BIGINT) * 1000000
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_exceeding,
+           CAST(sum(CASE WHEN gap_us > CAST(t.threshold_s AS BIGINT) * 1000000
+                         THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE)
+                AS REAL) AS survival
+    FROM g CROSS JOIN (
+        SELECT unnest(ARRAY{list(SURVIVAL_GRID_S)}) AS threshold_s
+    ) t
+    GROUP BY event_type, t.threshold_s
+    """,
+)
+def session_gap_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
+    gaps = (
+        _events(spark, sf_dir)
+        .select("event_type", gap.alias("gap_us"))
+        .where(F.col("gap_us").isNotNull())
+    )
+    grid = F.explode(
+        F.array(*[F.lit(t) for t in SURVIVAL_GRID_S])
+    ).alias("threshold_s")
+    exceeds = F.col("gap_us") > F.col("threshold_s").cast("long") * F.lit(
+        1_000_000
+    ).cast("long")
+    return (
+        gaps.select("event_type", "gap_us", grid)
+        .groupBy("event_type", "threshold_s")
+        .agg(
+            F.count("*").alias("n_gaps"),
+            F.sum(exceeds.cast("long")).alias("n_exceeding"),
+            f32(
+                F.sum(exceeds.cast("long")) / F.count("*").cast("double")
+            ).alias("survival"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# user_trailing_hour_value — RANGE-frame window coverage (time-based
+# sliding aggregate): every event annotated with its user's trailing-
+# one-hour event count and value sum — the "activity in the last hour
+# at event time" feature a burst detector or rate limiter computes.
+# rolling_frames_events covers ROWS frames; this is the
+# rangeBetween(-3600s, 0) TIME frame, a genuinely different Spark
+# windowing mode (frame membership by timestamp value, not row
+# offset), mirrored by DuckDB's RANGE INTERVAL frame semantics on the
+# microsecond clock.
+#
+# Scale shape: one user-partitioned window sort (entity-partitioned,
+# spillable); the range frame is a two-pointer pass inside each
+# partition — no self-join, no explode.
+# --------------------------------------------------------------------------
+@CATALOG.query(
+    "user_trailing_hour_value",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           CAST(count(*) OVER w AS BIGINT) AS n_trailing_hour,
+           CAST(sum(value) OVER w AS REAL) AS value_trailing_hour
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    """,
+)
+def user_trailing_hour_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return _events(spark, sf_dir).select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.count("*").over(w).alias("n_trailing_hour"),
+        f32(F.sum("value").over(w)).alias("value_trailing_hour"),
+    )
+
+
+# --------------------------------------------------------------------------
 # user_gap_quantiles — inter-arrival profile per event type: the gap
 # (µs) between consecutive SAME-TYPE events of the same user, rolled up
 # to exact median/p95/mean/max per type. The cadence diagnostic behind
@@ -4186,6 +4370,141 @@ def _kmv_pair_estimates(typed: DataFrame) -> DataFrame:
         F.greatest(
             F.col("est_a") + F.col("est_b") - est_union, F.lit(0.0)
         ).alias("est_intersect"),
+    )
+
+
+# --------------------------------------------------------------------------
+# kmv_overlap_calibration — ESTIMATOR-vs-TRUTH calibration for the KMV
+# sketch, the same audit shape minhash_jaccard_calibration gives LSH:
+# for every event-type pair, the KMV union/intersection estimates
+# (md5-replayed, so DuckDB computes the EXACT same estimator) sit next
+# to the exact distinct-user union/intersection counts, with relative
+# errors. The whole row hash-matches — estimator, truth, and error in
+# one oracle-paired artifact, the number a pipeline reads before it
+# trusts sketch-grade audience overlap at 100 TB (theory: sigma/n ~
+# 1/sqrt(K-2) ~ 6.3% at K=256).
+#
+# Scale shape: the estimator side is the K-bounded mergeable summary
+# (kmv_distinct_user_overlap's partials); the exact side's one
+# corpus-sized stage is the distinct (type, user) dedup — the pair
+# intersection self-join runs on that deduped frame, clustering both
+# sides on user_id, and |types| is bounded so the pair fan-out is
+# ~|types| rows per user. At true 100 TB you run ONLY the estimator;
+# the exact twin is the calibration harness.
+# --------------------------------------------------------------------------
+@CATALOG.query(
+    "kmv_overlap_calibration",
+    oracle=f"""
+    WITH h AS (
+        SELECT DISTINCT event_type, {_KMV_HASH_SQL} AS h FROM events
+    ), ranked AS (
+        SELECT event_type, h,
+               row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM h
+    ), summ AS (
+        SELECT event_type, max(n) AS n,
+               max(CASE WHEN rn = {KMV_K} THEN h END) AS hk
+        FROM ranked GROUP BY event_type
+    ), est AS (
+        SELECT event_type, n,
+               CASE WHEN n < {KMV_K} THEN CAST(n AS DOUBLE)
+                    ELSE ({KMV_K} - 1) * {_KMV_2POW60} / hk END AS e
+        FROM summ
+    ), pairs AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               a.e AS est_a, b.e AS est_b
+        FROM est a JOIN est b ON a.event_type < b.event_type
+    ), uranked AS (
+        SELECT p.type_a, p.type_b, h.h,
+               row_number() OVER (PARTITION BY p.type_a, p.type_b
+                                  ORDER BY h.h) AS rn,
+               count(*) OVER (PARTITION BY p.type_a, p.type_b) AS n
+        FROM pairs p
+        JOIN (SELECT DISTINCT type_a, type_b, u.h
+              FROM pairs, h u
+              WHERE u.event_type IN (type_a, type_b)) h
+          ON h.type_a = p.type_a AND h.type_b = p.type_b
+    ), usumm AS (
+        SELECT type_a, type_b, max(n) AS n,
+               max(CASE WHEN rn = {KMV_K} THEN h END) AS hk
+        FROM uranked GROUP BY type_a, type_b
+    ), ests AS (
+        SELECT p.type_a, p.type_b, p.est_a, p.est_b,
+               CASE WHEN u.n < {KMV_K} THEN CAST(u.n AS DOUBLE)
+                    ELSE ({KMV_K} - 1) * {_KMV_2POW60} / u.hk
+               END AS eu
+        FROM pairs p JOIN usumm u USING (type_a, type_b)
+    ), dx AS (
+        SELECT DISTINCT event_type, user_id FROM events
+    ), cnt AS (
+        SELECT event_type, count(*) AS nd FROM dx GROUP BY event_type
+    ), xint AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               count(*) AS ni
+        FROM dx a JOIN dx b
+          ON a.user_id = b.user_id AND a.event_type < b.event_type
+        GROUP BY 1, 2
+    )
+    SELECT e.type_a, e.type_b,
+           ca.nd + cb.nd - coalesce(x.ni, 0) AS exact_union,
+           CAST(e.eu AS REAL) AS est_union,
+           coalesce(x.ni, 0) AS exact_intersect,
+           CAST(greatest(e.est_a + e.est_b - e.eu, 0.0) AS REAL)
+               AS est_intersect,
+           CAST((e.eu - (ca.nd + cb.nd - coalesce(x.ni, 0)))
+                / (ca.nd + cb.nd - coalesce(x.ni, 0)) AS REAL)
+               AS rel_err_union,
+           CAST(CASE WHEN coalesce(x.ni, 0) > 0
+                THEN (greatest(e.est_a + e.est_b - e.eu, 0.0) - x.ni)
+                     / x.ni END AS REAL) AS rel_err_intersect
+    FROM ests e
+    JOIN cnt ca ON ca.event_type = e.type_a
+    JOIN cnt cb ON cb.event_type = e.type_b
+    LEFT JOIN xint x ON x.type_a = e.type_a AND x.type_b = e.type_b
+    """,
+)
+def kmv_overlap_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    est = _kmv_pair_estimates(_kmv_user_type_summaries(spark, sf_dir))
+    dx = _events(spark, sf_dir).select("event_type", "user_id").distinct()
+    cnt = dx.groupBy("event_type").agg(F.count("*").alias("nd"))
+    a = dx.select(F.col("event_type").alias("type_a"), "user_id")
+    b = dx.select(F.col("event_type").alias("type_b"), "user_id")
+    xint = (
+        a.join(b, "user_id")
+        .where(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").alias("ni"))
+    )
+    joined = (
+        est.join(
+            cnt.select(F.col("event_type").alias("type_a"), F.col("nd").alias("nd_a")),
+            "type_a",
+        )
+        .join(
+            cnt.select(F.col("event_type").alias("type_b"), F.col("nd").alias("nd_b")),
+            "type_b",
+        )
+        .join(xint, ["type_a", "type_b"], "left")
+        .withColumn("ni0", F.coalesce(F.col("ni"), F.lit(0)))
+    )
+    exact_union = F.col("nd_a") + F.col("nd_b") - F.col("ni0")
+    return joined.select(
+        "type_a",
+        "type_b",
+        exact_union.alias("exact_union"),
+        f32(F.col("est_union")).alias("est_union"),
+        F.col("ni0").alias("exact_intersect"),
+        f32(F.col("est_intersect")).alias("est_intersect"),
+        f32(
+            (F.col("est_union") - exact_union) / exact_union.cast("double")
+        ).alias("rel_err_union"),
+        f32(
+            F.when(
+                F.col("ni0") > 0,
+                (F.col("est_intersect") - F.col("ni")) / F.col("ni").cast("double"),
+            )
+        ).alias("rel_err_intersect"),
     )
 
 
