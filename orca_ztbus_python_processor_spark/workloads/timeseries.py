@@ -1691,22 +1691,42 @@ def session_gap_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", gap.alias("gap_us"))
         .where(F.col("gap_us").isNotNull())
     )
-    grid = F.explode(
-        F.array(*[F.lit(t) for t in SURVIVAL_GRID_S])
-    ).alias("threshold_s")
-    exceeds = F.col("gap_us") > F.col("threshold_s").cast("long") * F.lit(
-        1_000_000
-    ).cast("long")
-    return (
-        gaps.select("event_type", "gap_us", grid)
-        .groupBy("event_type", "threshold_s")
-        .agg(
-            F.count("*").alias("n_gaps"),
-            F.sum(exceeds.cast("long")).alias("n_exceeding"),
-            f32(
-                F.sum(exceeds.cast("long")) / F.count("*").cast("double")
-            ).alias("survival"),
-        )
+    # One fused map-combinable agg (a conditional-sum column per grid
+    # threshold), then unpivot the |types|-row frame — exploding the
+    # grid BEFORE aggregation would shuffle 5x the gap rows for the
+    # same answer (round-10 self-review finding).
+    wide = gaps.groupBy("event_type").agg(
+        F.count("*").alias("n_gaps"),
+        *[
+            F.sum(
+                (F.col("gap_us") > t * 1_000_000).cast("long")
+            ).alias(f"_x{t}")
+            for t in SURVIVAL_GRID_S
+        ],
+    )
+    stacked = wide.select(
+        "event_type",
+        "n_gaps",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("threshold_s"),
+                        F.col(f"_x{t}").alias("n_exceeding"),
+                    )
+                    for t in SURVIVAL_GRID_S
+                ]
+            )
+        ).alias("e"),
+    )
+    return stacked.select(
+        "event_type",
+        F.col("e.threshold_s").alias("threshold_s"),
+        "n_gaps",
+        F.col("e.n_exceeding").alias("n_exceeding"),
+        f32(
+            F.col("e.n_exceeding") / F.col("n_gaps").cast("double")
+        ).alias("survival"),
     )
 
 
