@@ -951,3 +951,104 @@ def audio_fp_bit_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_clips"),
         f32(F.avg("b")).alias("set_share"),
     )
+
+
+# --------------------------------------------------------------------------
+# containment_dedup_retention — end-to-end CONTAINMENT-aware dedup:
+# winnowing fingerprints -> containment pairs (>= 0.5 shared/min
+# profile, the winnow_containment_pairs stage) -> KEEP-LONGEST policy
+# (each qualifying pair drops its shorter side; ties drop the larger
+# doc_id) -> per-source retention census. The containment analogue of
+# text_dedup_retention's Jaccard pipeline: Jaccard dedup misses
+# doc-inside-doc pasting (union dominated by the host), and this is
+# the pass that catches it. Fully hash-matched since the round-10
+# winnowing promotion made the fingerprint chain SQL-replayable —
+# an END-TO-END dedup pipeline whose keep/drop decisions the oracle
+# reproduces byte-for-byte.
+#
+# Scale shape: rides the winnow pipeline (token-gram map work +
+# fingerprint equi-join with the >64-doc stop list); the keep/drop
+# pass adds two doc-grain joins for n_chars and one distinct at
+# dropped-doc grain. Output |sources| rows.
+# --------------------------------------------------------------------------
+@CATALOG.query(
+    "containment_dedup_retention",
+    oracle=f"""
+    WITH {_WINNOW_FP_SQL},
+    stop AS (
+        SELECT fingerprint FROM fp GROUP BY fingerprint
+        HAVING count(*) <= 64
+    ), sizes AS (
+        SELECT doc_id, count(*) AS n_fp FROM fp GROUP BY doc_id
+    ), filtered AS (
+        SELECT fp.doc_id, fp.fingerprint FROM fp JOIN stop USING (fingerprint)
+    ), shared AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+        FROM filtered a JOIN filtered b
+          ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ), cpairs AS (
+        SELECT s.id_a, s.id_b
+        FROM shared s
+        JOIN sizes sa ON sa.doc_id = s.id_a
+        JOIN sizes sb ON sb.doc_id = s.id_b
+        WHERE s.n_shared / CAST(least(sa.n_fp, sb.n_fp) AS DOUBLE) >= 0.5
+    ), dropped AS (
+        SELECT DISTINCT CASE
+            WHEN da.n_chars < db.n_chars THEN p.id_a
+            WHEN db.n_chars < da.n_chars THEN p.id_b
+            WHEN p.id_a > p.id_b THEN p.id_a ELSE p.id_b
+        END AS doc_id
+        FROM cpairs p
+        JOIN documents da ON da.doc_id = p.id_a
+        JOIN documents db ON db.doc_id = p.id_b
+    )
+    SELECT d.source,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN dr.doc_id IS NULL THEN 0 ELSE 1 END)
+                AS BIGINT) AS n_dropped,
+           CAST(sum(CASE WHEN dr.doc_id IS NULL THEN 1 ELSE 0 END)
+                / CAST(count(*) AS DOUBLE) AS REAL) AS retention
+    FROM documents d LEFT JOIN dropped dr ON dr.doc_id = d.doc_id
+    GROUP BY d.source
+    """,
+)
+def containment_dedup_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    pairs = winnow_containment_pairs(spark, sf_dir).select("id_a", "id_b")
+    chars = docs.select("doc_id", "n_chars")
+    pa = chars.select(
+        F.col("doc_id").alias("id_a"), F.col("n_chars").alias("chars_a")
+    )
+    pb = chars.select(
+        F.col("doc_id").alias("id_b"), F.col("n_chars").alias("chars_b")
+    )
+    dropped = (
+        pairs.join(pa, "id_a")
+        .join(pb, "id_b")
+        .select(
+            F.when(F.col("chars_a") < F.col("chars_b"), F.col("id_a"))
+            .when(F.col("chars_b") < F.col("chars_a"), F.col("id_b"))
+            .otherwise(F.greatest(F.col("id_a"), F.col("id_b")))
+            .alias("doc_id")
+        )
+        .distinct()
+        .withColumn("_drop", F.lit(1))
+    )
+    return (
+        docs.select("doc_id", "source")
+        .join(dropped, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.coalesce(F.col("_drop"), F.lit(0))).cast("long").alias(
+                "n_dropped"
+            ),
+            f32(
+                F.sum(
+                    F.when(F.col("_drop").isNull(), 1).otherwise(0)
+                ).cast("double")
+                / F.count("*")
+            ).alias("retention"),
+        )
+    )

@@ -3899,3 +3899,258 @@ def zipf_rank_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when((varx > 0) & (vary > 0), F.pow(cov, 2) / (varx * vary))
         ).alias("r2"),
     )
+
+
+# --------------------------------------------------------------------------
+# source_cross_perplexity — the cross-domain LM matrix: train an add-k
+# bigram language model on each source, score every source's token
+# stream under every model, emit cross-entropy + perplexity per
+# (eval, lm) ordered pair (diagonal = in-domain baseline). The
+# domain-affinity measure a data-mix planner uses when deciding which
+# dumps substitute for which (low cross-perplexity = interchangeable);
+# complements source_char_trigram_jsd (static distribution distance)
+# with a MODEL-based, asymmetric one.
+#
+# Smoothing: P_s(w2|w1) = (c2_s + k) / (c1_s(w1) + k*V), k = 0.5,
+# V = global unigram vocabulary. The unseen-mass bookkeeping is pure
+# algebra — no outer join over the (eval, lm, bigram) cube:
+#   sum ln P = N_t * ln(1/V)
+#            + sum_{bigrams seen in s} c_t * ln((c2_s + k) / k)
+#            - sum_{w1 seen in s} c_t(w1) * ln((c1_s + kV) / (kV))
+# so only two INNER equi-joins at bigram-/unigram-TYPE grain carry the
+# matrix, plus a broadcast |sources|^2 grid for pairs with no overlap.
+#
+# Scale shape: one corpus-sized bigram rollup per side (map-
+# combinable, vocabulary-bounded output); everything downstream is
+# type-grain. Output |sources|^2 rows.
+# --------------------------------------------------------------------------
+XPPL_K = 0.5
+
+
+@CATALOG.query(
+    "source_cross_perplexity",
+    oracle=f"""
+    WITH toks AS (
+        SELECT source, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+        FROM documents
+    ), big AS (
+        SELECT source,
+               unnest(list_transform(range(1, len(t)),
+                                     i -> t[i] || ' ' || t[i+1])) AS bigram
+        FROM toks
+    ), bt AS (
+        SELECT source, bigram, count(*) AS c FROM big GROUP BY 1, 2
+    ), ut AS (
+        SELECT source, split_part(bigram, ' ', 1) AS w1, sum(c) AS c1
+        FROM bt GROUP BY 1, 2
+    ), nt AS (
+        SELECT source, sum(c) AS n FROM bt GROUP BY source
+    ), v AS (
+        SELECT count(DISTINCT tok) AS v FROM (
+            SELECT unnest(t) AS tok FROM toks
+        )
+    ), grid AS (
+        SELECT a.source AS source_eval, b.source AS source_lm
+        FROM nt a, nt b
+    ), seen AS (
+        SELECT t.source AS source_eval, s.source AS source_lm,
+               sum(t.c * ln((s.c + {XPPL_K}) / {XPPL_K})) AS a_term
+        FROM bt t JOIN bt s ON t.bigram = s.bigram
+        GROUP BY 1, 2
+    ), uni AS (
+        SELECT tm.source AS source_eval, sm.source AS source_lm,
+               sum(tm.c1 * ln((sm.c1 + {XPPL_K} * v.v)
+                              / ({XPPL_K} * v.v))) AS b_term
+        FROM ut tm JOIN ut sm ON tm.w1 = sm.w1
+        CROSS JOIN v
+        GROUP BY 1, 2
+    )
+    SELECT g.source_eval, g.source_lm,
+           CAST(nt.n AS BIGINT) AS n_bigrams,
+           CAST(-(nt.n * ln(1.0 / v.v) + coalesce(seen.a_term, 0)
+                  - coalesce(uni.b_term, 0)) / nt.n AS REAL)
+               AS cross_entropy,
+           CAST(exp(-(nt.n * ln(1.0 / v.v) + coalesce(seen.a_term, 0)
+                      - coalesce(uni.b_term, 0)) / nt.n) AS REAL)
+               AS perplexity
+    FROM grid g
+    JOIN nt ON nt.source = g.source_eval
+    CROSS JOIN v
+    LEFT JOIN seen ON seen.source_eval = g.source_eval
+                  AND seen.source_lm = g.source_lm
+    LEFT JOIN uni ON uni.source_eval = g.source_eval
+                 AND uni.source_lm = g.source_lm
+    """,
+)
+def source_cross_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = _docs(spark, sf_dir).select(
+        "source",
+        F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)").alias("t"),
+    )
+    big = toks.where(F.size("t") >= 2).select(
+        "source",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 1),"
+                " i -> concat(t[i-1], ' ', t[i]))"
+            )
+        ).alias("bigram"),
+    )
+    bt = (
+        big.groupBy("source", "bigram")
+        .agg(F.count("*").alias("c"))
+        .withColumn("w1", F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)))
+        .localCheckpoint(eager=False)  # five consumers of one rollup
+    )
+    ut = bt.groupBy("source", "w1").agg(F.sum("c").alias("c1"))
+    nt = bt.groupBy("source").agg(F.sum("c").alias("n"))
+    vocab = F.broadcast(
+        toks.select(F.explode("t").alias("tok"))
+        .agg(F.countDistinct("tok").alias("v"))
+    )
+    k = F.lit(XPPL_K)
+    t_side = bt.select(
+        F.col("source").alias("source_eval"), "bigram", "w1", "c"
+    )
+    s_side = bt.select(
+        F.col("source").alias("source_lm"),
+        "bigram",
+        F.col("c").alias("cs"),
+    )
+    seen = (
+        t_side.join(s_side, "bigram")
+        .groupBy("source_eval", "source_lm")
+        .agg(F.sum(F.col("c") * F.log((F.col("cs") + k) / k)).alias("a_term"))
+    )
+    # the eval-side w1 marginals ARE the unigram table (same rollup)
+    tm = ut.select(
+        F.col("source").alias("source_eval"), "w1", F.col("c1").alias("cm")
+    )
+    sm = ut.select(F.col("source").alias("source_lm"), "w1", "c1")
+    uni = (
+        tm.join(sm, "w1")
+        .join(vocab)
+        .groupBy("source_eval", "source_lm")
+        .agg(
+            F.sum(
+                F.col("cm")
+                * F.log((F.col("c1") + k * F.col("v")) / (k * F.col("v")))
+            ).alias("b_term")
+        )
+    )
+    srcs = nt.select("source")
+    grid = F.broadcast(
+        srcs.select(F.col("source").alias("source_eval")).join(
+            srcs.select(F.col("source").alias("source_lm"))
+        )
+    )
+    lnp = (
+        F.col("n") * F.log(F.lit(1.0) / F.col("v"))
+        + F.coalesce(F.col("a_term"), F.lit(0.0))
+        - F.coalesce(F.col("b_term"), F.lit(0.0))
+    )
+    return (
+        grid.join(
+            nt.select(F.col("source").alias("source_eval"), "n"),
+            "source_eval",
+        )
+        .join(vocab)
+        .join(seen, ["source_eval", "source_lm"], "left")
+        .join(uni, ["source_eval", "source_lm"], "left")
+        .select(
+            "source_eval",
+            "source_lm",
+            F.col("n").cast("long").alias("n_bigrams"),
+            f32(-lnp / F.col("n")).alias("cross_entropy"),
+            f32(F.exp(-lnp / F.col("n"))).alias("perplexity"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# bpe_learn_merges — byte-pair-encoding TOKENIZER INDUCTION (Sennrich
+# et al. 2016, public algorithm): learn the first BPE_N_MERGES merge
+# rules from the corpus. Classic BPE runs on the WORD-FREQUENCY
+# dictionary, not the raw corpus: each word becomes a symbol sequence
+# (chars + '</w>'), and each round (1) counts adjacent symbol pairs
+# weighted by word frequency, (2) picks the most frequent pair (ties:
+# lexicographically smallest — fully deterministic), (3) greedily
+# merges that pair left-to-right inside every word. The catalog's
+# tokenizer family (bpe_pretokenize_stats, token counting) covers
+# APPLYING a tokenizer; this is the op that BUILDS one.
+#
+# Scale shape: the ONE corpus-sized stage is the word-frequency rollup
+# (map-combinable); the merge loop runs at VOCABULARY grain —
+# millions of rows at 100 TB, never corpus rows. Per round: one
+# explode + pair rollup over the vocab frame, a 1-ROW driver collect
+# (the argmax merge decision — the same bounded-driver-traffic
+# contract as LPA's convergence probe), and the greedy merge applied
+# as a pure Catalyst aggregate() fold (no Python, no UDF);
+# localCheckpoint(eager=False) truncates per-round lineage. Rows-only
+# by the driver contract (iterative fixpoint); pinned against an
+# independent pure-python BPE in tests/test_round10_ops.py.
+#
+# Output: merge_rank, left, right, merged, pair_freq (BPE_N_MERGES
+# rows, the learned merge table in order).
+# --------------------------------------------------------------------------
+BPE_N_MERGES = 10
+_BPE_EOW = "</w>"
+
+
+def _bpe_merge_expr(left: str, right: str) -> str:
+    """Catalyst fold applying one greedy left-to-right merge of the
+    adjacent pair (left, right) to the ``syms`` array column."""
+    merged = left + right
+    q = lambda s: s.replace("'", "\\'")  # noqa: E731 — tokens are [a-z0-9</>]+
+    return (
+        "aggregate(syms, cast(array() as array<string>), (acc, x) -> "
+        f"CASE WHEN size(acc) > 0 AND element_at(acc, -1) = '{q(left)}' "
+        f"AND x = '{q(right)}' "
+        f"THEN concat(slice(acc, 1, size(acc) - 1), array('{q(merged)}')) "
+        "ELSE concat(acc, array(x)) END)"
+    )
+
+
+@CATALOG.query("bpe_learn_merges")
+def bpe_learn_merges(
+    spark: SparkSession, sf_dir: str, n_merges: int = BPE_N_MERGES
+) -> DataFrame:
+    words = (
+        _docs(spark, sf_dir)
+        .select(
+            F.explode(
+                F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+    vocab = words.select(
+        F.expr(f"concat(split(word, ''), array('{_BPE_EOW}'))").alias("syms"),
+        "freq",
+    ).localCheckpoint(eager=False)
+    merges = []
+    pair_expr = (
+        "transform(sequence(1, size(syms) - 1),"
+        " i -> struct(syms[i-1] AS l, syms[i] AS r))"
+    )
+    for rank in range(1, n_merges + 1):
+        best = (
+            vocab.where(F.size("syms") >= 2)
+            .select(F.explode(F.expr(pair_expr)).alias("p"), "freq")
+            .groupBy("p.l", "p.r")
+            .agg(F.sum("freq").alias("pf"))
+            .orderBy(F.col("pf").desc(), "l", "r")
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        row = best[0]
+        merges.append((rank, row["l"], row["r"], row["l"] + row["r"], row["pf"]))
+        vocab = vocab.select(
+            F.expr(_bpe_merge_expr(row["l"], row["r"])).alias("syms"), "freq"
+        ).localCheckpoint(eager=False)
+    return spark.createDataFrame(
+        merges, "merge_rank int, left string, right string, merged string, pair_freq long"
+    )

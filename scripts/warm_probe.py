@@ -88,6 +88,10 @@ FAMILY_OVERRIDES = {
     # join (the decontam filter is a cheap predicate on the pairs), so
     # the pair-volume law is the band that describes its scaling.
     "image_decontam_phash": "pair-volume-law",
+    # rides the winnowing fingerprint pair machinery end to end (the
+    # keep/drop pass is doc-grain joins on top); no name pattern
+    # matches, so pin the family explicitly.
+    "containment_dedup_retention": "pair-volume-law",
 }
 _BAND_BY_FAMILY = {fam: band for fam, band, _ in FAMILY_BANDS}
 

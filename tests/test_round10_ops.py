@@ -318,3 +318,66 @@ def test_audio_fp_bit_balance_recount(spark):
         assert abs(got[k]["set_share"] - counts[k] / len(ids)) < 1e-6
     mean_share = sum(r["set_share"] for r in got.values()) / 64
     assert abs(mean_share - 0.5) < 1e-6
+
+
+def test_bpe_learn_merges_matches_pure_python(spark):
+    """Full independent BPE (Sennrich-style, plain dicts) over the same
+    corpus must produce the identical ordered merge table — pair
+    choice, tie-breaks, greedy left-to-right application, and weighted
+    pair frequencies."""
+    import re
+    from collections import Counter
+
+    import duckdb
+
+    from orca_ztbus_python_processor_spark.workloads.textops import (
+        BPE_N_MERGES,
+        CATALOG as TCAT,
+    )
+
+    texts = [
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT text FROM '{SF_DIR}/documents.parquet'"
+        ).fetchall()
+    ]
+    wf = Counter()
+    for t in texts:
+        wf.update(re.findall(r"[a-z0-9]+", t.lower()))
+    vocab = {tuple(list(w) + ["</w>"]): f for w, f in wf.items()}
+
+    def learn(n):
+        v = dict(vocab)
+        out = []
+        for rank in range(1, n + 1):
+            pc = Counter()
+            for syms, f in v.items():
+                for i in range(len(syms) - 1):
+                    pc[(syms[i], syms[i + 1])] += f
+            if not pc:
+                break
+            best = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+            (l, r), pf = best
+            out.append((rank, l, r, l + r, pf))
+            nv = {}
+            for syms, f in v.items():
+                acc = []
+                for x in syms:
+                    if acc and acc[-1] == l and x == r:
+                        acc[-1] = l + r
+                    else:
+                        acc.append(x)
+                key = tuple(acc)
+                nv[key] = nv.get(key, 0) + f
+            v = nv
+        return out
+
+    want = learn(BPE_N_MERGES)
+    got = [
+        (r["merge_rank"], r["left"], r["right"], r["merged"], r["pair_freq"])
+        for r in sorted(
+            TCAT.queries["bpe_learn_merges"](spark, SF_DIR).collect(),
+            key=lambda r: r["merge_rank"],
+        )
+    ]
+    assert got == want and len(got) == BPE_N_MERGES
