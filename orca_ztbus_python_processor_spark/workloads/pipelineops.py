@@ -1052,3 +1052,128 @@ def containment_dedup_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("retention"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# audio_decontam_fp — perceptual AUDIO decontamination, completing the
+# decontam QUADRIPTYCH: lexical 13-gram (benchmark_decontam_13gram),
+# semantic embedding (semantic_decontam_embedding), perceptual image
+# (image_decontam_phash), and now AUDIO. Same held-out 1/97 slice
+# convention (media_id % 97 == 0); a training clip is contaminated if
+# its fingerprint sits within hamming <= 3 of ANY benchmark clip —
+# gain-robustness of the fingerprint is exactly why byte-level audio
+# dedup cannot do this job (a re-encoded, re-levelled benchmark clip
+# still matches). Candidate pairs ride the SAME shared banding as
+# audio_fp_dedup; cross-split pairs flag the train side.
+#
+# Scale shape: decode+fingerprint map-only as ever; the banding join
+# is the only wide stage and carries 4 rows/clip regardless of side —
+# no bench broadcast to fence. Rows-only by the driver contract;
+# planted straddle-group expectation pinned in
+# tests/test_round10_ops.py.
+# --------------------------------------------------------------------------
+@CATALOG.query("audio_decontam_fp")
+def audio_decontam_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from orca_ztbus_python_processor_spark.operators.audiofp import (  # noqa: PLC0415
+        AUDIO_GROUP,
+        audiofp_near_dups,
+        audiofp_signatures,
+        synthesize_audio_media,
+    )
+
+    docs = _docs(spark, sf_dir)
+    sigs = audiofp_signatures(synthesize_audio_media(docs))
+    pairs = audiofp_near_dups(sigs, max_hamming=3)
+    is_bench_a = F.col("id_a") % IMG_DECONTAM_MOD == 0
+    is_bench_b = F.col("id_b") % IMG_DECONTAM_MOD == 0
+    flagged = (
+        pairs.where(is_bench_a != is_bench_b)
+        .select(
+            F.when(is_bench_a, F.col("id_b"))
+            .otherwise(F.col("id_a"))
+            .alias("media_id")
+        )
+        .distinct()
+        .withColumn("_flag", F.lit(1))
+    )
+    bucket = (F.floor(F.col("media_id") / AUDIO_GROUP) % 7).alias(
+        "len_bucket"
+    )
+    train = (
+        docs.select(F.col("doc_id").alias("media_id"))
+        .where(F.col("media_id") % IMG_DECONTAM_MOD != 0)
+        .select("media_id", bucket)
+    )
+    return (
+        train.join(flagged, "media_id", "left")
+        .groupBy("len_bucket")
+        .agg(
+            F.count("*").alias("n_train_clips"),
+            F.sum(F.coalesce(F.col("_flag"), F.lit(0))).alias("n_flagged"),
+            f32(
+                F.sum(F.coalesce(F.col("_flag"), F.lit(0)))
+                / F.count("*").cast("double")
+            ).alias("flagged_share"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# media_decode_health — CORRUPT-PAYLOAD tolerance audit: real media
+# pipelines always carry truncated/bit-rotted payloads, and a decode
+# stage that dies on the first bad byte stream is a 100 TB outage.
+# This query synthesizes the real-decodable corpus, CORRUPTS a
+# deterministic 1/MEDIA_CORRUPT_MOD slice (header magic overwritten —
+# every format's cheapest validity check), runs the byte-level
+# decoders under a per-record guard, and reports per-format
+# decode success/failure counts. The guarded path is the operator
+# under test: decode errors become rows, never task failures.
+#
+# Scale shape: one map-only Arrow stage (synthesize + corrupt +
+# guarded decode fused per batch; payloads never shuffle); the rollup
+# is |formats| cells. Rows-only by the driver contract (binary decode
+# has no SQL oracle); exact planted failure counts pinned in
+# tests/test_round10_ops.py. The modulus is COPRIME with the 6-format
+# rotation (gcd(49, 6) = 1) so every format receives corrupted
+# payloads — a 50 slice would only ever hit the even-residue formats
+# (caught on the first smoke run).
+# --------------------------------------------------------------------------
+MEDIA_CORRUPT_MOD = 49
+
+
+@CATALOG.query("media_decode_health")
+def media_decode_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd  # noqa: PLC0415
+
+    from orca_ztbus_python_processor_spark.operators.multimodal import (  # noqa: PLC0415
+        _REAL_DECODERS,
+        synthesize_real_payloads,
+    )
+
+    media = synthesize_real_payloads(_docs(spark, sf_dir))
+
+    def gen(batches):
+        for pdf in batches:
+            fmts, oks = [], []
+            for mid, fmt, payload in zip(
+                pdf["media_id"], pdf["format"], pdf["payload"]
+            ):
+                b = bytes(payload)
+                if int(mid) % MEDIA_CORRUPT_MOD == 0:
+                    # stomp the magic/header: deterministic corruption
+                    b = b"\x00\x00\x00\x00" + b[4:]
+                try:
+                    _REAL_DECODERS[fmt](b)
+                    oks.append(1)
+                except Exception:
+                    oks.append(0)
+                fmts.append(fmt)
+            yield pd.DataFrame({"format": fmts, "ok": oks})
+
+    decoded = media.mapInPandas(gen, schema="format string, ok int")
+    return decoded.groupBy("format").agg(
+        F.count("*").alias("n_payloads"),
+        F.sum("ok").cast("long").alias("n_decoded"),
+        F.sum(1 - F.col("ok")).cast("long").alias("n_failed"),
+        f32(F.avg(F.col("ok").cast("double"))).alias("decode_rate"),
+    )

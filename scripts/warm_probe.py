@@ -92,6 +92,9 @@ FAMILY_OVERRIDES = {
     # keep/drop pass is doc-grain joins on top); no name pattern
     # matches, so pin the family explicitly.
     "containment_dedup_retention": "pair-volume-law",
+    # same rationale as image_decontam_phash: decontam by purpose, but
+    # the cost is the audio-fingerprint banding join.
+    "audio_decontam_fp": "pair-volume-law",
 }
 _BAND_BY_FAMILY = {fam: band for fam, band, _ in FAMILY_BANDS}
 

@@ -381,3 +381,78 @@ def test_bpe_learn_merges_matches_pure_python(spark):
         )
     ]
     assert got == want and len(got) == BPE_N_MERGES
+
+
+def test_audio_decontam_catches_planted_straddle_groups(spark):
+    """Every planted audio group straddling the mod-97 bench split must
+    flag exactly its non-benchmark members (fingerprints within the
+    group are provably identical, so each train member pairs with the
+    group's bench member)."""
+    import duckdb
+
+    from orca_ztbus_python_processor_spark.workloads.pipelineops import (
+        CATALOG as PCAT,
+        IMG_DECONTAM_MOD,
+    )
+
+    ids = [
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT doc_id FROM '{SF_DIR}/documents.parquet'"
+        ).fetchall()
+    ]
+    expected_flagged = set()
+    by_group = {}
+    for d in ids:
+        by_group.setdefault(d // 4, []).append(d)
+    for members in by_group.values():
+        if any(m % IMG_DECONTAM_MOD == 0 for m in members):
+            expected_flagged |= {
+                m for m in members if m % IMG_DECONTAM_MOD != 0
+            }
+    rows = PCAT.queries["audio_decontam_fp"](spark, SF_DIR).collect()
+    n_train = sum(r["n_train_clips"] for r in rows)
+    n_flagged = sum(r["n_flagged"] for r in rows)
+    assert n_train == sum(1 for d in ids if d % IMG_DECONTAM_MOD != 0)
+    assert n_flagged == len(expected_flagged)
+    assert n_flagged > 0, "fixture lost its straddle groups"
+
+
+def test_media_decode_health_planted_corruption_counts(spark):
+    """Exactly the mod-49 slice fails (header magic stomped) and every
+    clean payload decodes — per format, across all six codecs (the
+    modulus is coprime with the format rotation so each one receives
+    corrupt payloads)."""
+    import duckdb
+
+    from orca_ztbus_python_processor_spark.operators.multimodal import (
+        REAL_DECODABLE,
+    )
+    from orca_ztbus_python_processor_spark.workloads.pipelineops import (
+        CATALOG as PCAT,
+        MEDIA_CORRUPT_MOD,
+    )
+
+    ids = [
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT doc_id FROM '{SF_DIR}/documents.parquet'"
+        ).fetchall()
+    ]
+    want_fail = {f: 0 for f in REAL_DECODABLE}
+    want_n = {f: 0 for f in REAL_DECODABLE}
+    for d in ids:
+        f = REAL_DECODABLE[d % len(REAL_DECODABLE)]
+        want_n[f] += 1
+        if d % MEDIA_CORRUPT_MOD == 0:
+            want_fail[f] += 1
+    assert min(want_fail.values()) >= 1, "a format receives no corruption"
+    got = {
+        r["format"]: r
+        for r in PCAT.queries["media_decode_health"](spark, SF_DIR).collect()
+    }
+    assert set(got) == set(REAL_DECODABLE)
+    for f in REAL_DECODABLE:
+        assert got[f]["n_payloads"] == want_n[f]
+        assert got[f]["n_failed"] == want_fail[f], f
+        assert got[f]["n_decoded"] == want_n[f] - want_fail[f]
