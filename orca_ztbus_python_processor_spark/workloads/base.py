@@ -294,6 +294,11 @@ _RESAMPLE_R10 = frozenset({
     "cross_source_dup_matrix", "dedup_quality_bias_audit",
     "rare_token_position_profile", "doc_fingerprints",
     "winnow_containment_pairs",
+    # The minhash family promotion (rows-only -> hash-matched via the
+    # full DuckDB banding replay, _minhash_lsh_sql): old rows-only
+    # greens no longer cover the new oracle comparison.
+    "minhash_near_dup_pairs", "ngram_jaccard_pairs",
+    "minhash_jaccard_calibration",
 })
 
 _DRIVER_VERIFIED = (

@@ -2,9 +2,12 @@
 MinHash-LSH / SimHash near-dup, n-gram Jaccard, LSH ANN, winnowing
 fingerprints, multimodal feature extraction.
 
-These are the genuinely non-SQL-expressible entries (driver records a
-rows-only check); their correctness is covered by brute-force /
-property tests in ``tests/test_pipeline_ops.py``.
+Most entries here started as the genuinely non-SQL-expressible kind
+(driver records a rows-only check) with brute-force / property tests
+in ``tests/test_pipeline_ops.py``; since round 10 the MinHash family
+(`minhash_near_dup_pairs`, `ngram_jaccard_pairs`,
+`minhash_jaccard_calibration`) is fully hash-matched — the DuckDB
+oracle replays the whole banding pipeline (see ``_minhash_lsh_sql``).
 
 Outputs are deliberately unordered: a global orderBy adds a range-
 sampling pass that re-executes the whole upstream pipeline, doubling
@@ -43,13 +46,133 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_table(spark, sf_dir, "documents")
 
 
-@CATALOG.query("minhash_near_dup_pairs")
+def _minhash_lsh_sql() -> str:
+    """DuckDB replay of the ENTIRE MinHash-LSH pipeline
+    (operators/dedup.py: _doc_signatures -> minhash_candidate_pairs ->
+    jaccard_pairs_shuffled), promoting the minhash family from
+    rows-only to hash-matched (VERDICT r9 #3, the KMV/winnowing
+    convention). Every stage is deterministic and SQL-expressible:
+
+    - shingle hashes: poly-257 over the 5-byte windows mod 2^31-1,
+      distinct per doc. The Spark side hashes UTF-8 BYTES; the oracle
+      hashes characters via ascii() — identical on the all-ASCII
+      fixture corpus (asserted in tests/test_round10_ops.py).
+    - signatures: the same 64 Carter-Wegman (a, b) literals that
+      ``_hash_params(64, seed=42)`` produces, min over the doc's
+      distinct shingle hashes.
+    - band hashes: 16 bands x 4 rows, poly-1000003 fold mod 2^31-1
+      (HUGEINT accumulation: sig values are minima so int64 never
+      wraps on the Spark/numpy side, but DuckDB's checked int64 sum
+      would raise on the theoretical worst case).
+    - candidates: pairs sharing >= 1 (band_idx, band_hash). The
+      Spark-side _pair_expand flood guard (star fallback past 1024
+      bucket members) never engages at oracle scale — sf0.01 holds
+      500 docs total.
+    - nibble gate: mism = #{j: sig_a[j]%16 != sig_b[j]%16}; the SQL
+      mirrors the bit-trick's arithmetic exactly (same double ops).
+    - exact verify: distinct 5-char shingle STRINGS (the dual-hash
+      packing in _shingle_hash_sets is collision-free at any
+      realistic corpus, so cardinalities agree).
+    """
+    from orca_ztbus_python_processor_spark.operators.dedup import (  # noqa: PLC0415
+        MERSENNE31,
+        _hash_params,
+    )
+
+    m, k = MERSENNE31, 5
+    perm_rows = ",".join(
+        f"({j},{a},{b})" for j, (a, b) in enumerate(_hash_params(64, 42))
+    )
+    bpow_rows = ",".join(
+        f"({r},{pow(1_000_003, 3 - r, m)})" for r in range(4)
+    )
+    return f"""
+    d AS (
+        SELECT doc_id, text FROM documents WHERE length(text) > 0
+    ), sh AS (
+        SELECT DISTINCT doc_id,
+            CAST(list_sum(list_transform(range(0, least({k}, length(text))),
+                j -> CAST(ascii(substring(text, i + j, 1)) AS BIGINT)
+                     * CAST(power(257, least({k}, length(text)) - 1 - j)
+                            AS BIGINT)
+            )) % {m} AS BIGINT) AS h
+        FROM d, LATERAL unnest(
+            range(1, greatest(length(text) - {k - 1}, 1) + 1)) AS t(i)
+    ), perms(j, a, b) AS (VALUES {perm_rows}),
+    sigs AS (
+        SELECT doc_id, j, min((a * h + b) % {m}) AS sig
+        FROM sh, perms GROUP BY doc_id, j
+    ), bpows(r, p) AS (VALUES {bpow_rows}),
+    bandh AS (
+        SELECT doc_id, CAST(j // 4 AS INT) AS band_idx,
+               CAST(sum(CAST(sig AS HUGEINT) * p) % {m} AS BIGINT)
+                   AS band_hash
+        FROM sigs JOIN bpows ON r = j % 4
+        GROUP BY doc_id, j // 4
+    ), cand AS (
+        SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+        FROM bandh x JOIN bandh y
+          ON x.band_idx = y.band_idx AND x.band_hash = y.band_hash
+         AND x.doc_id < y.doc_id
+    ), est AS (
+        SELECT c.id_a, c.id_b,
+               ((1.0 - sum(CASE WHEN sa.sig % 16 <> sb.sig % 16
+                           THEN 1 ELSE 0 END) / CAST(64 AS DOUBLE))
+                - 1.0/16.0) * 16.0 / 15.0 AS j_est
+        FROM cand c
+        JOIN sigs sa ON sa.doc_id = c.id_a
+        JOIN sigs sb ON sb.doc_id = c.id_b AND sb.j = sa.j
+        GROUP BY c.id_a, c.id_b
+    ), sets AS (
+        SELECT DISTINCT doc_id,
+            CASE WHEN length(text) < {k} THEN text
+                 ELSE substring(text, i, {k}) END AS g
+        FROM d, LATERAL unnest(
+            range(1, greatest(length(text) - {k - 1}, 1) + 1)) AS t(i)
+    ), setsz AS (
+        SELECT doc_id, count(*) AS n FROM sets GROUP BY doc_id
+    ), intr AS (
+        SELECT e.id_a, e.id_b, count(*) AS i
+        FROM est e
+        JOIN sets ga ON ga.doc_id = e.id_a
+        JOIN sets gb ON gb.doc_id = e.id_b AND gb.g = ga.g
+        GROUP BY e.id_a, e.id_b
+    ), jacc AS (
+        SELECT e.id_a, e.id_b, e.j_est,
+            CAST(CASE WHEN (na.n + nb.n - COALESCE(i.i, 0)) > 0
+                 THEN COALESCE(i.i, 0) * 1.0
+                      / (na.n + nb.n - COALESCE(i.i, 0))
+                 ELSE 0.0 END AS REAL) AS jaccard
+        FROM est e
+        JOIN setsz na ON na.doc_id = e.id_a
+        JOIN setsz nb ON nb.doc_id = e.id_b
+        LEFT JOIN intr i ON i.id_a = e.id_a AND i.id_b = e.id_b
+    )"""
+
+
+_MINHASH_LSH_SQL = _minhash_lsh_sql()
+
+
+@CATALOG.query(
+    "minhash_near_dup_pairs",
+    oracle=f"""
+    WITH {_MINHASH_LSH_SQL}
+    SELECT id_a, id_b, jaccard FROM jacc
+    WHERE j_est >= 0.3 AND jaccard >= 0.5
+    """,
+)
 def minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2: MinHash(64) -> 16-band LSH -> exact-Jaccard >= 0.5."""
     return minhash_near_dups(_docs(spark, sf_dir), threshold=0.5)
 
 
-@CATALOG.query("ngram_jaccard_pairs")
+@CATALOG.query(
+    "ngram_jaccard_pairs",
+    oracle=f"""
+    WITH {_MINHASH_LSH_SQL}
+    SELECT id_a, id_b, jaccard FROM jacc WHERE j_est >= 0.2
+    """,
+)
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 5-gram Jaccard scores over sketch-gated LSH candidate pairs
     (the verification stage exposed as its own operator — the
@@ -732,13 +855,24 @@ def image_phash_bit_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Scale shape: candidates + estimates ride the existing banding
 # machinery (signatures shuffle, never shingle sets); the exact
 # verify is the shuffle-join form on candidate pairs only (pair-law
-# bounded); the bin rollup is ~20 cells. Rows-only by the driver
-# contract (the candidate set is banding-defined, not
-# SQL-expressible); per-bin means are pinned against an independent
-# Python exact-Jaccard recount of the same pairs in
-# tests/test_round9_ops.py.
+# bounded); the bin rollup is ~20 cells. Hash-matched since round 10:
+# the full banding pipeline is replayed by the DuckDB oracle
+# (_minhash_lsh_sql), so the candidate set, the nibble j_est, and the
+# exact per-bin means are all oracle-verified; the independent Python
+# exact-Jaccard recount pin in tests/test_round9_ops.py stays as a
+# second witness.
 # --------------------------------------------------------------------------
-@CATALOG.query("minhash_jaccard_calibration")
+@CATALOG.query(
+    "minhash_jaccard_calibration",
+    oracle=f"""
+    WITH {_MINHASH_LSH_SQL}
+    SELECT CAST(floor(j_est / 0.05) AS BIGINT) AS est_bin,
+           count(*) AS n_pairs,
+           CAST(avg(j_est) AS REAL) AS mean_est,
+           CAST(avg(jaccard) AS REAL) AS mean_exact
+    FROM jacc GROUP BY 1
+    """,
+)
 def minhash_jaccard_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     cands = minhash_candidate_pairs(docs, return_estimate=True)

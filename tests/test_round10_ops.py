@@ -456,3 +456,70 @@ def test_media_decode_health_planted_corruption_counts(spark):
         assert got[f]["n_payloads"] == want_n[f]
         assert got[f]["n_failed"] == want_fail[f], f
         assert got[f]["n_decoded"] == want_n[f] - want_fail[f]
+
+
+# ---------------------------------------------------------------------------
+# MinHash family promotion (rows-only -> hash-matched, VERDICT r9 #3):
+# the DuckDB oracle (_minhash_lsh_sql) replays the Spark pipeline's
+# byte-grain poly-257 shingle hashes CHARACTER-wise via ascii(), which
+# is only exact while the corpus is pure ASCII — pin that premise, and
+# pin the signature/banding spec against an independent pure-Python
+# replay (hash params recomputed from the seed, no Spark, no numpy
+# stride tricks).
+# ---------------------------------------------------------------------------
+
+def test_documents_fixture_is_ascii_byte_char_equivalent():
+    import duckdb
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        bad = duckdb.sql(
+            f"""
+            SELECT count(*) FROM '{sf}/documents.parquet'
+            WHERE octet_length(encode(text)) <> length(text)
+            """
+        ).fetchone()[0]
+        assert bad == 0, f"{sf}: non-ASCII text breaks the oracle's ascii() replay"
+
+
+def test_minhash_signatures_match_pure_python_replay(spark):
+    import duckdb
+
+    from orca_ztbus_python_processor_spark.operators.dedup import (
+        MERSENNE31,
+        _doc_signatures,
+        _hash_params,
+    )
+
+    params = _hash_params(64, 42)
+    pows = [pow(257, 4 - j, MERSENNE31) for j in range(5)]
+    bpows = [pow(1_000_003, 3 - j, MERSENNE31) for j in range(4)]
+
+    rows = duckdb.sql(
+        f"SELECT doc_id, text FROM '{SF_DIR}/documents.parquet' ORDER BY doc_id LIMIT 40"
+    ).fetchall()
+
+    want = {}
+    for did, text in rows:
+        b = (text or "").encode("utf-8")
+        if not b:
+            continue
+        if len(b) < 5:
+            pw = pows[-len(b):]
+            hs = {sum(x * p for x, p in zip(b, pw)) % MERSENNE31}
+        else:
+            hs = {
+                sum(b[i + j] * pows[j] for j in range(5)) % MERSENNE31
+                for i in range(len(b) - 4)
+            }
+        sig = [min((a * h + bb) % MERSENNE31 for h in hs) for a, bb in params]
+        want[did] = [
+            sum(sig[i * 4 + r] * bpows[r] for r in range(4)) % MERSENNE31
+            for i in range(16)
+        ]
+
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["_id"]: list(r["band_hashes"])
+        for r in _doc_signatures(docs, "doc_id", "text", 5, 64, 16, 42).collect()
+    }
+    assert got == want
