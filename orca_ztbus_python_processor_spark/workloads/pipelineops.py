@@ -875,7 +875,13 @@ def image_phash_bit_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def minhash_jaccard_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
-    cands = minhash_candidate_pairs(docs, return_estimate=True)
+    # Lazy-checkpoint the candidate pairs: they feed BOTH the exact
+    # verify's pair argument and the estimate join, and without the cut
+    # the whole signature/banding pipeline (two Arrow stages) executes
+    # twice — measured 2x wall and multi-second rep variance at sf0.1.
+    cands = minhash_candidate_pairs(docs, return_estimate=True).localCheckpoint(
+        eager=False
+    )
     exact = jaccard_pairs_shuffled(docs, cands.select("id_a", "id_b"))
     joined = cands.join(exact, ["id_a", "id_b"])
     bin_col = F.floor(F.col("j_est") / 0.05).cast("long").alias("est_bin")

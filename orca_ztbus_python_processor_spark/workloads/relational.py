@@ -3903,3 +3903,127 @@ def anova_price_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("f_stat"),
         f32(ss_between / ss_total).alias("eta_sq"),
     )
+
+
+# --------------------------------------------------------------------------
+# trend_mk_theilsen_by_segment — NONPARAMETRIC monotonic-trend audit of
+# the monthly order volume per market segment: the Mann-Kendall S
+# statistic (sum of pairwise sign comparisons), its tie-corrected
+# normal z-score, and the Theil-Sen robust slope (median of pairwise
+# slopes, orders/month). The rank-robust answer to "is this segment's
+# volume drifting?" — OLS (ols_trend_by_user shows that axis) is
+# hostage to a single outlier month; MK/Theil-Sen tolerate ~29% gross
+# corruption. Everything downstream of the month rollup is pure
+# integer/rational arithmetic plus one exact median and one sqrt
+# (both bit-identical across engines), so the oracle replays it
+# exactly.
+#
+# Scale shape: ONE map-combinable (segment, month) rollup is the only
+# corpus-sized stage; the O(n^2) pair join runs on the BOUNDED
+# month-grain frame (|segments| x ~84 months -> ~3.5k pairs/segment,
+# calendar-bounded — it grows with the time span, never with row
+# count), same policy as the global-window whitelist. The customer
+# dim broadcasts.
+# --------------------------------------------------------------------------
+@CATALOG.query(
+    "trend_mk_theilsen_by_segment",
+    oracle="""
+    WITH monthly AS (
+        SELECT c_mktsegment AS seg,
+               year(o_orderdate) * 12 + month(o_orderdate) AS mx,
+               count(*) AS cnt
+        FROM orders JOIN customer ON c_custkey = o_custkey
+        GROUP BY 1, 2
+    ), pairs AS (
+        SELECT a.seg,
+               CASE WHEN b.cnt > a.cnt THEN 1
+                    WHEN b.cnt < a.cnt THEN -1 ELSE 0 END AS sgn,
+               (b.cnt - a.cnt) * 1.0 / (b.mx - a.mx) AS slope
+        FROM monthly a
+        JOIN monthly b ON a.seg = b.seg AND a.mx < b.mx
+    ), pa AS (
+        SELECT seg, CAST(sum(sgn) AS BIGINT) AS s_stat,
+               quantile_cont(slope, 0.5) AS ts_slope
+        FROM pairs GROUP BY seg
+    ), ns AS (
+        SELECT seg, count(*) AS n FROM monthly GROUP BY seg
+    ), ties AS (
+        SELECT seg,
+               CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term
+        FROM (SELECT seg, cnt, count(*) AS t FROM monthly GROUP BY 1, 2)
+        GROUP BY seg
+    ), v AS (
+        SELECT ns.seg, ns.n, pa.s_stat, pa.ts_slope,
+               (ns.n * (ns.n - 1) * (2 * ns.n + 5) - ties.tie_term)
+                   / 18.0 AS var_s
+        FROM ns JOIN pa ON pa.seg = ns.seg
+        JOIN ties ON ties.seg = ns.seg
+    )
+    SELECT seg AS c_mktsegment, CAST(n AS BIGINT) AS n_months, s_stat,
+           CAST(CASE WHEN var_s > 0 THEN
+                    CASE WHEN s_stat > 0 THEN (s_stat - 1) / sqrt(var_s)
+                         WHEN s_stat < 0 THEN (s_stat + 1) / sqrt(var_s)
+                         ELSE 0.0 END
+                END AS REAL) AS z_mk,
+           CAST(ts_slope AS REAL) AS theil_sen_slope
+    FROM v
+    """,
+)
+def trend_mk_theilsen_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    monthly = (
+        _t(spark, sf_dir, "orders")
+        .join(F.broadcast(cust), "o_custkey")
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"),
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("mx"),
+        )
+        .agg(F.count("*").alias("cnt"))
+        .localCheckpoint(eager=False)  # four consumers of one rollup
+    )
+    a, b = monthly.alias("a"), monthly.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.seg") == F.col("b.seg")) & (F.col("a.mx") < F.col("b.mx")),
+    ).select(
+        F.col("a.seg").alias("seg"),
+        F.when(F.col("b.cnt") > F.col("a.cnt"), 1)
+        .when(F.col("b.cnt") < F.col("a.cnt"), -1)
+        .otherwise(0)
+        .alias("sgn"),
+        (
+            (F.col("b.cnt") - F.col("a.cnt")) * 1.0
+            / (F.col("b.mx") - F.col("a.mx"))
+        ).alias("slope"),
+    )
+    pa = pairs.groupBy("seg").agg(
+        F.sum("sgn").cast("long").alias("s_stat"),
+        F.percentile("slope", F.lit(0.5)).alias("ts_slope"),
+    )
+    ns = monthly.groupBy("seg").agg(F.count("*").alias("n"))
+    t = F.col("t")
+    ties = (
+        monthly.groupBy("seg", "cnt")
+        .agg(F.count("*").alias("t"))
+        .groupBy("seg")
+        .agg(F.sum(t * (t - 1) * (2 * t + 5)).cast("long").alias("tie_term"))
+    )
+    n, s = F.col("n"), F.col("s_stat")
+    var_s = (n * (n - 1) * (2 * n + 5) - F.col("tie_term")) / 18.0
+    joined = ns.join(pa, "seg").join(ties, "seg")
+    return joined.select(
+        F.col("seg").alias("c_mktsegment"),
+        n.cast("long").alias("n_months"),
+        "s_stat",
+        f32(
+            F.when(
+                var_s > 0,
+                F.when(s > 0, (s - 1) / F.sqrt(var_s))
+                .when(s < 0, (s + 1) / F.sqrt(var_s))
+                .otherwise(0.0),
+            )
+        ).alias("z_mk"),
+        f32(F.col("ts_slope")).alias("theil_sen_slope"),
+    )

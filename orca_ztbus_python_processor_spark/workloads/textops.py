@@ -867,10 +867,15 @@ def zipf_token_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 CROSS_SOURCE_SPAN_K = 13
 
 _CSD_TOKENS = "regexp_extract_all(lower(text), '[a-z0-9]+', 0)"
+# Let-bind the token array (operators.dedup._bind): referencing
+# _CSD_TOKENS directly inside the gram lambda lets CollapseProject
+# inline it, re-running the regex tokenizer once PER GRAM (~spans/doc
+# times) instead of once per doc — measured 4.4 s -> ~1 s at sf0.1.
 _CSD_GRAMS = (
-    f"array_distinct(transform(sequence(1, greatest(size({_CSD_TOKENS})"
+    f"element_at(transform(array({_CSD_TOKENS}), ts ->"
+    f" array_distinct(transform(sequence(1, greatest(size(ts)"
     f" - {CROSS_SOURCE_SPAN_K - 1}, 1)),"
-    f" i -> concat_ws(' ', slice({_CSD_TOKENS}, i, {CROSS_SOURCE_SPAN_K}))))"
+    f" i -> concat_ws(' ', slice(ts, i, {CROSS_SOURCE_SPAN_K}))))), 1)"
 )
 
 

@@ -4624,3 +4624,220 @@ def type_lag_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("xcorr"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# fdr_bh_type_hour_enrichment — MULTIPLE-TESTING control for burst
+# detection: every (event_type, hour-of-day) cell is a hypothesis
+# ("this type is enriched/depleted in this hour vs the global hour
+# mix"), scored with the Hoeffding-bound exponent
+# E = 2 * n_type * (share_in_cell - global_hour_share)^2
+# (exp(-E) upper-bounds the two-sided tail, so LARGER E == smaller
+# p), then Benjamini-Hochberg step-up at alpha = 0.05 flags the
+# discoveries. Testing ~200 cells at raw 0.05 expects ~10 false
+# alarms; BH is how an anomaly surface stays trustworthy. The
+# exponent is kept in rational arithmetic (no exp/log on the data
+# path) so Spark and DuckDB produce bit-identical doubles — the only
+# transcendental, ln(m / (alpha * k)), sits on the constant side of
+# the step-up comparison.
+#
+# Scale shape: ONE map-combinable (type, hour) cell rollup is the
+# only corpus-sized stage; the BH sort/window runs over m = |types| *
+# 24 cells (bounded grain). Unpartitioned window over m rows is
+# deliberate — m is test-count grain, never event grain.
+# --------------------------------------------------------------------------
+@CATALOG.query(
+    "fdr_bh_type_hour_enrichment",
+    oracle="""
+    WITH cells AS (
+        SELECT event_type, CAST(hour(ts) AS BIGINT) AS hh,
+               count(*) AS x
+        FROM events GROUP BY 1, 2
+    ), typ AS (
+        SELECT event_type, sum(x) AS nt FROM cells GROUP BY 1
+    ), hr AS (
+        SELECT hh, sum(x) AS nh FROM cells GROUP BY 1
+    ), tot AS (
+        SELECT sum(x) AS n FROM cells
+    ), scored AS (
+        SELECT c.event_type, c.hh, c.x,
+               2.0 * t.nt
+                 * (c.x * 1.0 / t.nt - h.nh * 1.0 / tot.n)
+                 * (c.x * 1.0 / t.nt - h.nh * 1.0 / tot.n) AS e
+        FROM cells c
+        JOIN typ t ON t.event_type = c.event_type
+        JOIN hr h ON h.hh = c.hh
+        CROSS JOIN tot
+    ), ranked AS (
+        SELECT *, row_number() OVER (ORDER BY e DESC, event_type, hh)
+                      AS rk,
+               count(*) OVER () AS m
+        FROM scored
+    ), cut AS (
+        SELECT coalesce(max(CASE WHEN e >= ln(m / (0.05 * rk))
+                            THEN rk END) OVER (), 0) AS kmax,
+               event_type, hh, x, e, rk
+        FROM ranked
+    )
+    SELECT event_type, hh AS hour, CAST(x AS BIGINT) AS n_events,
+           CAST(e AS REAL) AS hoeffding_exponent,
+           CAST(rk AS BIGINT) AS severity_rank,
+           CAST(CASE WHEN rk <= kmax THEN 1 ELSE 0 END AS BIGINT)
+               AS rejected
+    FROM cut
+    """,
+)
+def fdr_bh_type_hour_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cells = (
+        _events(spark, sf_dir)
+        .groupBy("event_type", F.hour("ts").cast("long").alias("hh"))
+        .agg(F.count("*").alias("x"))
+        .localCheckpoint(eager=False)  # three marginals off one rollup
+    )
+    typ = cells.groupBy("event_type").agg(F.sum("x").alias("nt"))
+    hr = cells.groupBy("hh").agg(F.sum("x").alias("nh"))
+    tot = cells.agg(F.sum("x").alias("n"))
+    dev = F.col("x") * 1.0 / F.col("nt") - F.col("nh") * 1.0 / F.col("n")
+    scored = (
+        cells.join(F.broadcast(typ), "event_type")
+        .join(F.broadcast(hr), "hh")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "event_type", "hh", "x",
+            (2.0 * F.col("nt") * dev * dev).alias("e"),
+        )
+    )
+    w = W.orderBy(F.desc("e"), "event_type", "hh")
+    ranked = scored.select(
+        "*",
+        F.row_number().over(w).alias("rk"),
+        F.count("*").over(W.partitionBy()).alias("m"),
+    )
+    passes = F.when(
+        F.col("e") >= F.log(F.col("m") / (0.05 * F.col("rk"))), F.col("rk")
+    )
+    cut = ranked.select(
+        "*",
+        F.coalesce(F.max(passes).over(W.partitionBy()), F.lit(0)).alias("kmax"),
+    )
+    return cut.select(
+        "event_type",
+        F.col("hh").alias("hour"),
+        F.col("x").cast("long").alias("n_events"),
+        f32(F.col("e")).alias("hoeffding_exponent"),
+        F.col("rk").cast("long").alias("severity_rank"),
+        (F.col("rk") <= F.col("kmax")).cast("long").alias("rejected"),
+    )
+
+
+# --------------------------------------------------------------------------
+# conformal_threshold_by_type — SPLIT-CONFORMAL calibration per event
+# type: nonconformity score s = |value - lower-median(value)|, and the
+# finite-sample-valid threshold is the ceil((n + 1) * (1 - alpha))-th
+# smallest score (alpha = 0.1). Guarantees >= 90% coverage on
+# exchangeable future events — the calibration step every
+# production anomaly gate / selective-prediction pipeline runs.
+# Centers and thresholds are EXACT order statistics (no interpolated
+# quantile, no mean): pure sort-position arithmetic is bit-identical
+# across engines, immune to the summation-order ulp drift an
+# avg-based center would inherit.
+#
+# Scale shape: two key-partitioned window passes over events (center
+# rank, then score rank) + a |types|-row broadcast join back; the
+# coverage check is a map-combinable rollup. No driver collect, no
+# unpartitioned window.
+# --------------------------------------------------------------------------
+@CATALOG.query(
+    "conformal_threshold_by_type",
+    oracle="""
+    WITH ev AS (
+        SELECT event_type, event_id, value FROM events
+        WHERE value IS NOT NULL
+    ), vr AS (
+        SELECT event_type, value,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY value, event_id) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM ev
+    ), center AS (
+        SELECT event_type, value AS med
+        FROM vr WHERE rn = CAST(ceil(n / 2.0) AS BIGINT)
+    ), scored AS (
+        SELECT e.event_type, abs(e.value - c.med) AS s
+        FROM ev e JOIN center c ON c.event_type = e.event_type
+    ), sr AS (
+        SELECT event_type, s,
+               row_number() OVER (PARTITION BY event_type ORDER BY s)
+                   AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM scored
+    ), thr AS (
+        SELECT event_type, max(n) AS n,
+               CAST(ceil((max(n) + 1) * 0.9) AS BIGINT) AS k,
+               max(CASE WHEN rn = CAST(ceil((n + 1) * 0.9) AS BIGINT)
+                   THEN s END) AS threshold
+        FROM sr GROUP BY event_type
+    )
+    SELECT t.event_type, CAST(t.n AS BIGINT) AS n_events,
+           CAST(t.k AS BIGINT) AS threshold_rank,
+           CAST(t.threshold AS REAL) AS threshold,
+           CAST(sum(CASE WHEN sc.s <= t.threshold THEN 1 ELSE 0 END)
+                * 1.0 / t.n AS REAL) AS empirical_coverage
+    FROM thr t JOIN scored sc ON sc.event_type = t.event_type
+    GROUP BY t.event_type, t.n, t.k, t.threshold
+    """,
+)
+def conformal_threshold_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        _events(spark, sf_dir)
+        .where(F.col("value").isNotNull())
+        .select("event_type", "event_id", "value")
+    )
+    wv = W.partitionBy("event_type").orderBy("value", "event_id")
+    wn = W.partitionBy("event_type")
+    vr = ev.select(
+        "event_type", "value",
+        F.row_number().over(wv).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+    center = vr.where(
+        F.col("rn") == F.ceil(F.col("n") / 2.0).cast("long")
+    ).select("event_type", F.col("value").alias("med"))
+    scored = ev.join(F.broadcast(center), "event_type").select(
+        "event_type", F.abs(F.col("value") - F.col("med")).alias("s")
+    )
+    ws = W.partitionBy("event_type").orderBy("s")
+    sr = scored.select(
+        "event_type", "s",
+        F.row_number().over(ws).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+    k = F.ceil((F.col("n") + 1) * 0.9).cast("long")
+    thr = (
+        sr.groupBy("event_type")
+        .agg(
+            F.max("n").alias("n"),
+            F.max(F.ceil((F.col("n") + 1) * 0.9).cast("long")).alias("k"),
+            F.max(F.when(F.col("rn") == k, F.col("s"))).alias("threshold"),
+        )
+    )
+    return (
+        scored.join(F.broadcast(thr), "event_type")
+        .groupBy("event_type", "n", "k", "threshold")
+        .agg(
+            f32(
+                # when(...).otherwise(0), not a bare cast: a NULL
+                # threshold (k > n corner) must count as "not covered"
+                # in BOTH engines (DuckDB's CASE yields 0 there).
+                F.sum(F.when(F.col("s") <= F.col("threshold"), 1).otherwise(0))
+                * 1.0 / F.max("n")
+            ).alias("empirical_coverage"),
+        )
+        .select(
+            "event_type",
+            F.col("n").cast("long").alias("n_events"),
+            F.col("k").cast("long").alias("threshold_rank"),
+            f32(F.col("threshold")).alias("threshold"),
+            "empirical_coverage",
+        )
+    )
