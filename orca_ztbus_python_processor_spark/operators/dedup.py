@@ -635,6 +635,14 @@ def simhash_near_dups(
     same pigeonhole bound for hamming <= 7) so buckets shrink — the
     star fallback is the graceful floor, not the design point.
 
+    Token hashes are the first 8 md5 bytes little-endian (round 10,
+    was blake2b): md5 is the one digest both engines share, so the
+    DuckDB oracle can replay the ENTIRE pipeline — token hash, per-bit
+    vote, signature, chunk banding, popcount verify — byte for byte
+    (the KMV/winnowing/minhash promotion convention). Hash quality is
+    equivalent for this purpose; an independent pure-python reference
+    pins the spec in tests/test_round10_ops.py.
+
     Output: ``id_a, id_b, hamming``.
     """
     import hashlib
@@ -653,7 +661,7 @@ def simhash_near_dups(
                 h = np.array(
                     [
                         int.from_bytes(
-                            hashlib.blake2b(t.encode(), digest_size=8).digest(), "little"
+                            hashlib.md5(t.encode()).digest()[:8], "little"
                         )
                         for t in toks
                     ],

@@ -298,7 +298,8 @@ _RESAMPLE_R10 = frozenset({
     # full DuckDB banding replay, _minhash_lsh_sql): old rows-only
     # greens no longer cover the new oracle comparison.
     "minhash_near_dup_pairs", "ngram_jaccard_pairs",
-    "minhash_jaccard_calibration",
+    "minhash_jaccard_calibration", "text_dedup_retention",
+    "simhash_near_dup_pairs",
 })
 
 _DRIVER_VERIFIED = (

@@ -4,10 +4,16 @@ fingerprints, multimodal feature extraction.
 
 Most entries here started as the genuinely non-SQL-expressible kind
 (driver records a rows-only check) with brute-force / property tests
-in ``tests/test_pipeline_ops.py``; since round 10 the MinHash family
+in ``tests/test_pipeline_ops.py``; since round 10 the whole
+deterministic text-dedup surface is hash-matched — the MinHash family
 (`minhash_near_dup_pairs`, `ngram_jaccard_pairs`,
-`minhash_jaccard_calibration`) is fully hash-matched — the DuckDB
-oracle replays the whole banding pipeline (see ``_minhash_lsh_sql``).
+`minhash_jaccard_calibration`), SimHash (`simhash_near_dup_pairs`,
+md5 token hashes), and the end-to-end `text_dedup_retention`
+(equality grouping + banding replay + recursive-CTE components) all
+carry full DuckDB oracles (see ``_minhash_lsh_sql``/``_simhash_sql``).
+What stays rows-only is the genuinely non-replayable floor: iterative
+float algorithms (k-means/PCA/IVF), engine-internal sketches (HLL,
+approx quantiles), and binary media decode.
 
 Outputs are deliberately unordered: a global orderBy adds a range-
 sampling pass that re-executes the whole upstream pipeline, doubling
@@ -46,7 +52,7 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_table(spark, sf_dir, "documents")
 
 
-def _minhash_lsh_sql() -> str:
+def _minhash_lsh_sql(base: str = "documents") -> str:
     """DuckDB replay of the ENTIRE MinHash-LSH pipeline
     (operators/dedup.py: _doc_signatures -> minhash_candidate_pairs ->
     jaccard_pairs_shuffled), promoting the minhash family from
@@ -73,6 +79,11 @@ def _minhash_lsh_sql() -> str:
     - exact verify: distinct 5-char shingle STRINGS (the dual-hash
       packing in _shingle_hash_sets is collision-free at any
       realistic corpus, so cardinalities agree).
+
+    ``base`` names the relation (table or an earlier CTE) holding the
+    (doc_id, text) corpus — ``documents`` for the standalone pair
+    queries, the exact-dedup representative CTE for
+    ``text_dedup_retention``'s end-to-end replay.
     """
     from orca_ztbus_python_processor_spark.operators.dedup import (  # noqa: PLC0415
         MERSENNE31,
@@ -88,7 +99,7 @@ def _minhash_lsh_sql() -> str:
     )
     return f"""
     d AS (
-        SELECT doc_id, text FROM documents WHERE length(text) > 0
+        SELECT doc_id, text FROM {base} WHERE length(text) > 0
     ), sh AS (
         SELECT DISTINCT doc_id,
             CAST(list_sum(list_transform(range(0, least({k}, length(text))),
@@ -186,10 +197,73 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_pairs_shuffled(docs, cands)
 
 
-@CATALOG.query("simhash_near_dup_pairs")
+def _simhash_sql() -> str:
+    """DuckDB replay of operators/dedup.simhash_near_dups (promoted
+    rows-only -> hash-matched in round 10 alongside the minhash
+    family): token hash = first 8 md5 bytes LITTLE-ENDIAN as uint64,
+    per-bit +-1 votes over the doc's DISTINCT whitespace tokens, sign
+    -> signature bit, 4 x 16-bit chunk banding, exact popcount verify
+    at hamming <= 3. Signatures are built unsigned and converted to
+    the two's-complement BIGINT Spark emits via HUGEINT arithmetic.
+    """
+    # h = sum_b md5_byte[b] * 256^b  (b = 0..7, little-endian)
+    hexpr = " + ".join(
+        f"CAST(('0x' || substr(mh, {1 + 2 * b}, 2)) AS UBIGINT)"
+        f" * CAST({256 ** b} AS UBIGINT)"
+        for b in range(8)
+    )
+    bit_rows = ",".join(f"({i},{1 << i})" for i in range(64))
+    return f"""
+    toks AS (
+        SELECT DISTINCT doc_id, tok
+        FROM documents, LATERAL unnest(
+            list_filter(regexp_split_to_array(text, '\\s+'),
+                        s -> s <> '')) AS t(tok)
+    ), th AS (
+        SELECT doc_id, {hexpr} AS h
+        FROM (SELECT doc_id, md5(tok) AS mh FROM toks)
+    ), bt(i, p) AS (VALUES {bit_rows}),
+    votes AS (
+        SELECT doc_id, i, p,
+               sum(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS c
+        FROM th, bt GROUP BY doc_id, i, p
+    ), usig AS (
+        SELECT doc_id,
+               CAST(sum(CASE WHEN c > 0 THEN CAST(p AS UBIGINT)
+                        ELSE 0 END) AS UBIGINT) AS su
+        FROM votes GROUP BY doc_id
+    ), sigs AS (
+        SELECT doc_id, su,
+               CAST(CASE WHEN CAST(su AS HUGEINT)
+                              >= 9223372036854775808
+                    THEN CAST(su AS HUGEINT) - 18446744073709551616
+                    ELSE CAST(su AS HUGEINT) END AS BIGINT) AS sig
+        FROM usig
+    ), chunks AS (
+        SELECT doc_id, sig, c.c AS cidx,
+               (su >> (c.c * 16)) & 65535 AS chunk
+        FROM sigs, (VALUES (0),(1),(2),(3)) AS c(c)
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+        FROM chunks a JOIN chunks b
+          ON a.cidx = b.cidx AND a.chunk = b.chunk
+         AND a.doc_id < b.doc_id
+    )"""
+
+
+@CATALOG.query(
+    "simhash_near_dup_pairs",
+    oracle=f"""
+    WITH {_simhash_sql()}
+    SELECT id_a, id_b, hamming FROM cand WHERE hamming <= 3
+    """,
+)
 def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2: 64-bit SimHash, 4x16-bit banding, hamming <= 3 (the
-    banding-complete threshold)."""
+    banding-complete threshold). Hash-matched since round 10: md5
+    token hashes let the DuckDB oracle replay the whole pipeline
+    (see _simhash_sql)."""
     return simhash_near_dups(_docs(spark, sf_dir))
 
 
@@ -264,7 +338,55 @@ def embedding_dup_components_blocked(spark: SparkSession, sf_dir: str) -> DataFr
     )
 
 
-@CATALOG.query("text_dedup_retention")
+@CATALOG.query(
+    "text_dedup_retention",
+    # End-to-end replay (promoted rows-only -> hash-matched in round
+    # 10): the exact-dup stage groups by TEXT EQUALITY (sha256 grouping
+    # is equality grouping — the oracle doesn't need the hash, only the
+    # partition it induces), the near-dup stage is the full
+    # _minhash_lsh_sql banding replay over the representative set, and
+    # connected components is the recursive-CTE min-label reach used by
+    # embedding_dup_components.
+    oracle=f"""
+    WITH RECURSIVE dd AS (
+        SELECT doc_id, source, text FROM documents
+    ), grp AS (
+        SELECT text AS gtext, min(doc_id) AS rep_id, count(*) AS n
+        FROM dd WHERE length(text) > 0 GROUP BY text
+    ), extra AS (
+        SELECT dd.doc_id, grp.rep_id
+        FROM dd JOIN grp ON grp.gtext = dd.text
+        WHERE grp.n > 1 AND dd.doc_id <> grp.rep_id
+    ), reps AS (
+        SELECT doc_id, text FROM dd
+        WHERE doc_id NOT IN (SELECT doc_id FROM extra)
+    ), {_minhash_lsh_sql(base="reps")}, nd AS (
+        SELECT id_a, id_b FROM jacc
+        WHERE j_est >= 0.3 AND jaccard >= 0.5
+    ), sym AS (
+        SELECT id_a AS u, id_b AS v FROM nd
+        UNION
+        SELECT id_b AS u, id_a AS v FROM nd
+    ), reach AS (
+        SELECT u, u AS r FROM (SELECT DISTINCT u FROM sym) t
+        UNION
+        SELECT s.u, reach.r FROM sym s JOIN reach ON reach.u = s.v
+    ), comp AS (
+        SELECT u AS node, min(r) AS component FROM reach GROUP BY u
+    ), with_rep AS (
+        SELECT dd.doc_id, dd.source,
+               COALESCE(extra.rep_id, dd.doc_id) AS rep_id
+        FROM dd LEFT JOIN extra ON extra.doc_id = dd.doc_id
+    )
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN COALESCE(comp.component, rep_id) = doc_id
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN COALESCE(comp.component, rep_id) = doc_id
+                    THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped
+    FROM with_rep LEFT JOIN comp ON comp.node = with_rep.rep_id
+    GROUP BY source
+    """,
+)
 def text_dedup_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2 end-to-end: the full text near-dup pipeline composed as ONE
     lazy plan — exact-dup sha256 pre-collapse -> MinHash banding
@@ -302,8 +424,12 @@ def text_dedup_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster-bounded default: candidates map-side + one band shuffle,
     verify is a shuffle-hash join (no driver stage), CC shuffles the
     edge table only, and the final rep->cluster join is keyed on rep_id
-    (CC output is unbounded at scale — no broadcast hint). Rows-only by
-    the driver contract (LSH recall is probabilistic).
+    (CC output is unbounded at scale — no broadcast hint). Hash-matched
+    since round 10: the DuckDB oracle replays the ENTIRE pipeline —
+    equality grouping for the sha stage, the _minhash_lsh_sql banding
+    replay over the representative set, recursive-CTE connected
+    components — so even the LSH candidate set is oracle-verified, not
+    just sampled for recall.
 
     Output: ``source, n_docs, n_kept, n_dropped``.
     """

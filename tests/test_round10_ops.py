@@ -523,3 +523,53 @@ def test_minhash_signatures_match_pure_python_replay(spark):
         for r in _doc_signatures(docs, "doc_id", "text", 5, 64, 16, 42).collect()
     }
     assert got == want
+
+
+def test_simhash_md5_spec_matches_pure_python_reference(spark):
+    """The md5 simhash promotion (rows-only -> hash-matched): pin the
+    token-hash/vote/signature/banding spec against an independent
+    pure-python replay (hashlib md5, plain ints — no numpy, no SQL)."""
+    import hashlib
+    from collections import defaultdict
+
+    import duckdb
+
+    from orca_ztbus_python_processor_spark.operators.dedup import simhash_near_dups
+
+    rows = duckdb.sql(
+        f"SELECT doc_id, text FROM '{SF_DIR}/documents.parquet' ORDER BY doc_id LIMIT 60"
+    ).fetchall()
+    sigs, chunks = {}, {}
+    for did, text in rows:
+        toks = set((text or "").split())
+        if not toks:
+            continue
+        counts = [0] * 64
+        for t in toks:
+            h = int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "little")
+            for i in range(64):
+                counts[i] += 1 if (h >> i) & 1 else -1
+        usig = sum(1 << i for i in range(64) if counts[i] > 0)
+        sigs[did] = usig
+        chunks[did] = [(usig >> (c * 16)) & 65535 for c in range(4)]
+    buckets = defaultdict(list)
+    for did, ch in chunks.items():
+        for c, v in enumerate(ch):
+            buckets[(c, v)].append(did)
+    pairs = set()
+    for ids in buckets.values():
+        ids = sorted(ids)
+        for x in range(len(ids)):
+            for y in range(x + 1, len(ids)):
+                pairs.add((ids[x], ids[y]))
+    want = sorted(
+        (a, b, bin(sigs[a] ^ sigs[b]).count("1"))
+        for a, b in pairs
+        if bin(sigs[a] ^ sigs[b]).count("1") <= 3
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in simhash_near_dups(docs).collect()
+    )
+    assert got == want
