@@ -92,6 +92,10 @@ FAMILY_OVERRIDES = {
     # keep/drop pass is doc-grain joins on top); no name pattern
     # matches, so pin the family explicitly.
     "containment_dedup_retention": "pair-volume-law",
+    # same shape: sha pre-collapse + the FULL minhash banding/verify
+    # pipeline + CC — the dominant cost is the pair machinery, so the
+    # three-point pair law is its band (no name pattern matches).
+    "text_dedup_retention": "pair-volume-law",
     # same rationale as image_decontam_phash: decontam by purpose, but
     # the cost is the audio-fingerprint banding join.
     "audio_decontam_fp": "pair-volume-law",
