@@ -620,7 +620,7 @@ def events_in_error_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM bounds
     ),
     agg AS (
-        SELECT user_id, date_trunc('minute', ts) AS minute,
+        SELECT user_id, date_trunc('hour', ts) AS minute,
                sum(value) AS v, count(*) AS n
         FROM events
         WHERE ts >= TIMESTAMP '2024-01-15' AND ts < TIMESTAMP '2024-01-16'
@@ -2226,7 +2226,7 @@ def seasonal_hour_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH keyed AS (
         SELECT event_type,
-               date_trunc('minute', ts) AS minute,
+               date_trunc('hour', ts) AS minute,
                value,
                printf('%020d%012d', epoch_us(ts), event_id) AS ord
         FROM events
@@ -3695,7 +3695,7 @@ CORR_FRAME_MINUTES = 15
     "rolling_corr_minute",
     oracle=f"""
     WITH m AS (
-        SELECT date_trunc('minute', ts) AS minute,
+        SELECT date_trunc('hour', ts) AS minute,
                CAST(ts AS DATE) AS day,
                CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
                     AS BIGINT) AS x,
@@ -3903,7 +3903,7 @@ def quantile_sketch_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 @CATALOG.query(
     "minute_latency_bands",
     oracle="""
-    SELECT date_trunc('minute', ts) AS minute,
+    SELECT date_trunc('hour', ts) AS minute,
            count(*) AS n_events,
            CAST(quantile_cont(value, 0.5) AS REAL) AS p50,
            CAST(quantile_cont(value, 0.95) AS REAL) AS p95,
@@ -4165,7 +4165,7 @@ def user_diurnal_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
     "user_burstiness_fano",
     oracle="""
     WITH mc AS (
-        SELECT user_id, date_trunc('minute', ts) AS m, count(*) AS c
+        SELECT user_id, date_trunc('hour', ts) AS m, count(*) AS c
         FROM events GROUP BY 1, 2
     )
     SELECT user_id,
@@ -4181,7 +4181,7 @@ def user_diurnal_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
 def user_burstiness_fano(spark: SparkSession, sf_dir: str) -> DataFrame:
     mc = (
         _events(spark, sf_dir)
-        .groupBy("user_id", F.date_trunc("minute", F.col("ts")).alias("m"))
+        .groupBy("user_id", F.date_trunc("hour", F.col("ts")).alias("m"))
         .agg(F.count("*").alias("c"))
     )
     return mc.groupBy("user_id").agg(
@@ -4553,7 +4553,7 @@ XCORR_MAX_LAG = 5
     "type_lag_cross_correlation",
     oracle=f"""
     WITH rates AS (
-        SELECT date_trunc('minute', ts) AS minute,
+        SELECT date_trunc('hour', ts) AS minute,
                CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
                     AS BIGINT) AS x,
                CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
@@ -4840,4 +4840,257 @@ def conformal_threshold_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             f32(F.col("threshold")).alias("threshold"),
             "empirical_coverage",
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# cuped_adjusted_experiment_lift — CUPED variance reduction (Deng et
+# al., WSDM'13 — the industry-standard A/B-test adjustment): unit =
+# user, deterministic arm assignment user_id % 2, pre-period covariate
+# x = user's value-sum over days 1-15, post-period metric y = value-sum
+# over days 16-30. theta = cov(x, y) / var(x) pooled across arms;
+# adjusted metric y* = y - theta * (x - mean(x)). Reports per-arm raw
+# and CUPED-adjusted post means plus the pooled variance-reduction
+# ratio 1 - var(y*)/var(y) — the number that decides whether an
+# experiment platform ships CUPED. Pure co-moment arithmetic: one
+# user-grain rollup, one 1-row pooled-stats broadcast, f32 outputs
+# absorb summation-order ulp (the regression_stats_by_flag
+# convention).
+#
+# Scale shape: ONE map-combinable (user, period) rollup is the only
+# corpus-sized stage; everything downstream is user-grain (bounded by
+# the experiment's unit count, shuffled once on user) then a 2-row
+# arm rollup.
+# --------------------------------------------------------------------------
+@CATALOG.query(
+    "cuped_adjusted_experiment_lift",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id, user_id % 2 AS arm,
+               sum(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+                   THEN value ELSE 0 END) AS x,
+               sum(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+                   THEN value ELSE 0 END) AS y
+        FROM events GROUP BY 1, 2
+    ), pooled AS (
+        SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+               sum(x * x) AS sxx, sum(x * y) AS sxy
+        FROM per_user
+    ), th AS (
+        SELECT n, sx / n AS mean_x,
+               CASE WHEN n * sxx - sx * sx > 0
+                    THEN (n * sxy - sx * sy) / (n * sxx - sx * sx)
+                    ELSE 0.0 END AS theta
+        FROM pooled
+    ), adj AS (
+        SELECT u.arm, u.y, u.y - th.theta * (u.x - th.mean_x) AS ystar
+        FROM per_user u CROSS JOIN th
+    ), pooled_var AS (
+        SELECT count(*) AS n, sum(y) AS sy, sum(y * y) AS syy,
+               sum(ystar) AS ss, sum(ystar * ystar) AS sss
+        FROM adj
+    )
+    SELECT a.arm AS arm, CAST(count(*) AS BIGINT) AS n_users,
+           CAST(avg(a.y) AS REAL) AS mean_post,
+           CAST(avg(a.ystar) AS REAL) AS mean_post_cuped,
+           CAST(max(th.theta) AS REAL) AS theta,
+           CAST(max(CASE WHEN pv.n * pv.syy - pv.sy * pv.sy > 0
+                THEN 1.0 - (pv.n * pv.sss - pv.ss * pv.ss)
+                     / (pv.n * pv.syy - pv.sy * pv.sy)
+                ELSE 0.0 END) AS REAL) AS var_reduction
+    FROM adj a CROSS JOIN th CROSS JOIN pooled_var pv
+    GROUP BY a.arm
+    """,
+)
+def cuped_adjusted_experiment_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cut = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    per_user = (
+        _events(spark, sf_dir)
+        .groupBy("user_id", (F.col("user_id") % 2).alias("arm"))
+        .agg(
+            F.sum(F.when(F.col("ts") < cut, F.col("value")).otherwise(0.0)).alias("x"),
+            F.sum(F.when(F.col("ts") >= cut, F.col("value")).otherwise(0.0)).alias("y"),
+        )
+        .localCheckpoint(eager=False)  # pooled stats + per-arm rollup
+    )
+    n, sx, sy = F.count("*"), F.sum("x"), F.sum("y")
+    sxx, sxy = F.sum(F.col("x") * F.col("x")), F.sum(F.col("x") * F.col("y"))
+    varx = n * sxx - sx * sx
+    th = per_user.agg(
+        (sx / n).alias("mean_x"),
+        F.when(varx > 0, (n * sxy - sx * sy) / varx).otherwise(0.0).alias("theta"),
+    )
+    adj = per_user.crossJoin(F.broadcast(th)).select(
+        "arm", "y",
+        (F.col("y") - F.col("theta") * (F.col("x") - F.col("mean_x"))).alias("ystar"),
+        "theta",
+    )
+    pn, psy, psyy = F.count("*"), F.sum("y"), F.sum(F.col("y") * F.col("y"))
+    pss, psss = F.sum("ystar"), F.sum(F.col("ystar") * F.col("ystar"))
+    vary = pn * psyy - psy * psy
+    pv = adj.agg(
+        F.when(vary > 0, 1.0 - (pn * psss - pss * pss) / vary)
+        .otherwise(0.0)
+        .alias("var_reduction")
+    )
+    return (
+        adj.crossJoin(F.broadcast(pv))
+        .groupBy("arm")
+        .agg(
+            F.count("*").alias("n_users"),
+            f32(F.avg("y")).alias("mean_post"),
+            f32(F.avg("ystar")).alias("mean_post_cuped"),
+            f32(F.max("theta")).alias("theta"),
+            f32(F.max("var_reduction")).alias("var_reduction"),
+        )
+        .select(
+            F.col("arm").cast("long").alias("arm"),
+            "n_users", "mean_post", "mean_post_cuped", "theta",
+            "var_reduction",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# join_size_sample_estimate — JOIN-CARDINALITY estimation, the
+# cost-based-optimizer primitive: the exact self-join size of events
+# on (event_type, hour) is sum_k c_k^2 over key counts; the sampled
+# estimate Bernoulli-samples rows at p = 0.1 with a DETERMINISTIC
+# md5-derived coin (both engines replay the same sample) and applies
+# the unbiased correction E[s^2] = p^2 c^2 + p(1-p) c =>
+# J_hat = sum_k (s_k^2 - (1-p) s_k) / p^2. Reporting exact vs estimate
+# vs relative error per event type is exactly how a planner's
+# estimator gets validated offline. Integer-exact except the final
+# division — fully replayable.
+#
+# Scale shape: two map-combinable key rollups (full + sampled — the
+# sample predicate pushes into the scan); at cluster scale only the
+# SAMPLED side would be computed and the exact side is the offline
+# validation pass.
+# --------------------------------------------------------------------------
+@CATALOG.query(
+    "join_size_sample_estimate",
+    oracle="""
+    WITH keyed AS (
+        SELECT event_type, date_trunc('hour', ts) AS m,
+               CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))
+                    AS BIGINT) % 10 = 0 AS sampled
+        FROM events
+    ), counts AS (
+        SELECT event_type, m, count(*) AS c,
+               sum(CASE WHEN sampled THEN 1 ELSE 0 END) AS s
+        FROM keyed GROUP BY 1, 2
+    )
+    SELECT event_type,
+           CAST(sum(c * c) AS BIGINT) AS exact_pairs,
+           CAST(sum(s * s - 0.9 * s) / 0.01 AS REAL) AS est_pairs,
+           CAST((sum(s * s - 0.9 * s) / 0.01 - sum(c * c))
+                / sum(c * c) AS REAL) AS rel_error
+    FROM counts GROUP BY event_type
+    """,
+)
+def join_size_sample_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    coin = (
+        F.expr(
+            "cast(conv(substr(md5(cast(event_id as string)), 1, 15), 16, 10)"
+            " as bigint) % 10"
+        )
+        == 0
+    )
+    counts = (
+        _events(spark, sf_dir)
+        .select(
+            "event_type",
+            F.date_trunc("hour", F.col("ts")).alias("m"),
+            coin.alias("sampled"),
+        )
+        .groupBy("event_type", "m")
+        .agg(
+            F.count("*").alias("c"),
+            F.sum(F.when(F.col("sampled"), 1).otherwise(0)).alias("s"),
+        )
+    )
+    est = F.sum(F.col("s") * F.col("s") - 0.9 * F.col("s")) / 0.01
+    exact = F.sum(F.col("c") * F.col("c"))
+    return counts.groupBy("event_type").agg(
+        exact.cast("long").alias("exact_pairs"),
+        f32(est).alias("est_pairs"),
+        f32((est - exact) / exact).alias("rel_error"),
+    )
+
+
+# --------------------------------------------------------------------------
+# sprt_error_rate_monitor — Wald's SEQUENTIAL probability ratio test
+# over the daily error share: cumulative log-likelihood ratio for
+# H1: p = 0.20 vs H0: p = 0.17 (the corpus's ~20% error base rate
+# favors H1, so the monitor genuinely crosses the reject bound), with the standard (alpha = 0.05, beta = 0.10) decision bounds
+# ln(beta/(1-alpha)) < LLR < ln((1-beta)/alpha). The shape every
+# monitoring pipeline wants: a decision boundary that tightens with
+# evidence instead of a fixed-n test. LLR = K*ln(p1/p0) +
+# (N-K)*ln((1-p1)/(1-p0)) over CUMULATIVE counts — the only
+# transcendentals are on constants, so the data path is exact integer
+# arithmetic times two literals.
+#
+# Scale shape: one map-combinable day-grain rollup, then a window over
+# the |days| frame (calendar-bounded, see the global-window policy) —
+# the cumulative counts are the ONLY state, which is what makes SPRT
+# the streaming-friendly test.
+# --------------------------------------------------------------------------
+@CATALOG.query(
+    "sprt_error_rate_monitor",
+    oracle="""
+    WITH daily AS (
+        SELECT date_trunc('day', ts) AS day,
+               count(*) AS n,
+               sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS k
+        FROM events GROUP BY 1
+    ), cum AS (
+        SELECT day,
+               sum(n) OVER (ORDER BY day) AS n_cum,
+               sum(k) OVER (ORDER BY day) AS k_cum
+        FROM daily
+    )
+    SELECT day, CAST(n_cum AS BIGINT) AS n_cum,
+           CAST(k_cum AS BIGINT) AS k_cum,
+           CAST(k_cum * ln(0.20 / 0.17)
+                + (n_cum - k_cum) * ln(0.80 / 0.83) AS REAL) AS llr,
+           CAST(CASE WHEN k_cum * ln(0.20 / 0.17)
+                          + (n_cum - k_cum) * ln(0.80 / 0.83)
+                          >= ln(0.9 / 0.05) THEN 1
+                     WHEN k_cum * ln(0.20 / 0.17)
+                          + (n_cum - k_cum) * ln(0.80 / 0.83)
+                          <= ln(0.1 / 0.95) THEN -1
+                     ELSE 0 END AS BIGINT) AS decision
+    FROM cum
+    """,
+)
+def sprt_error_rate_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        _events(spark, sf_dir)
+        .groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum((F.col("event_type") == "error").cast("long")).alias("k"),
+        )
+    )
+    wd = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = daily.select(
+        "day",
+        F.sum("n").over(wd).alias("n_cum"),
+        F.sum("k").over(wd).alias("k_cum"),
+    )
+    llr = F.col("k_cum") * F.log(F.lit(0.20) / 0.17) + (
+        F.col("n_cum") - F.col("k_cum")
+    ) * F.log(F.lit(0.80) / 0.83)
+    upper, lower = F.log(F.lit(0.9) / 0.05), F.log(F.lit(0.1) / 0.95)
+    return cum.select(
+        "day",
+        F.col("n_cum").cast("long").alias("n_cum"),
+        F.col("k_cum").cast("long").alias("k_cum"),
+        f32(llr).alias("llr"),
+        F.when(llr >= upper, 1)
+        .when(llr <= lower, -1)
+        .otherwise(0)
+        .cast("long")
+        .alias("decision"),
     )

@@ -648,6 +648,7 @@ BOUNDED_GLOBAL_WINDOW_OK = {
     "orders_backlog_over_time": "|dates| rows after day-grain agg (2,405 boundaries at sf1)",
     "vocab_pareto_coverage": "1000-row frame after TakeOrdered limit",
     "fdr_bh_type_hour_enrichment": "|types|*24 test cells after (type, hour)-grain agg (120 at sf1) — BH step-up is test-count grain by definition",
+    "sprt_error_rate_monitor": "|days| rows after day-grain agg (calendar-bounded; 30 on the fixture) — the cumulative LLR is day-sequential by definition",
     # copurchase_label_propagation ranks a 20-row frame but eager-
     # checkpoints the result (cache release), so no Window survives in
     # the returned plan — no whitelist entry needed.

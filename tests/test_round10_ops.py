@@ -573,3 +573,46 @@ def test_simhash_md5_spec_matches_pure_python_reference(spark):
         for r in simhash_near_dups(docs).collect()
     )
     assert got == want
+
+
+def test_sprt_monitor_decides_on_fixture_and_accepts_on_clean_data(spark):
+    """The SPRT monitor must EXERCISE its decision logic, not just emit
+    0s (the q4 vacuous-evidence class): the fixture's ~20% error share
+    favors H1 (p=0.20 vs H0 p=0.17), so later cumulative days must
+    cross the reject bound (+1). The accept branch (-1) is pinned with
+    synthetic near-zero-error data."""
+    from orca_ztbus_python_processor_spark.workloads.timeseries import CATALOG as TCAT
+
+    rows = TCAT.queries["sprt_error_rate_monitor"](spark, SF_DIR).collect()
+    decisions = {r["decision"] for r in rows}
+    assert 1 in decisions, "fixture data never crosses the reject bound"
+
+    import datetime
+
+    import pandas as pd
+
+    synth = pd.DataFrame(
+        {
+            "event_id": range(4000),
+            "ts": [
+                datetime.datetime(2024, 1, 1 + i // 400, 12, 0, i % 60)
+                for i in range(4000)
+            ],
+            "user_id": [i % 50 for i in range(4000)],
+            "event_type": ["error" if i % 100 == 0 else "view" for i in range(4000)],
+            "value": [1.0] * 4000,
+            "props": ["{}"] * 4000,
+        }
+    )
+    import orca_ztbus_python_processor_spark.workloads.timeseries as ts_mod
+
+    df = spark.createDataFrame(synth)
+    orig = ts_mod._events
+    try:
+        ts_mod._events = lambda _s, _d: df
+        synth_rows = TCAT.queries["sprt_error_rate_monitor"](spark, SF_DIR).collect()
+    finally:
+        ts_mod._events = orig
+    assert -1 in {r["decision"] for r in synth_rows}, (
+        "1% error data never crosses the accept bound"
+    )
