@@ -4027,3 +4027,159 @@ def trend_mk_theilsen_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("z_mk"),
         f32(F.col("ts_slope")).alias("theil_sen_slope"),
     )
+
+
+# --------------------------------------------------------------------------
+# bootstrap_ci_price_by_priority — POISSON BOOTSTRAP confidence
+# interval for the mean order value per priority: each of B = 64
+# resamples weights every order w ~ Poisson(1) (the independent-weight
+# approximation to multinomial resampling that makes the bootstrap
+# embarrassingly parallel — the standard distributed-bootstrap trick),
+# and the 95% CI is the exact [ceil(0.025 B), ceil(0.975 B)] order
+# statistics of the B bootstrap means.
+#
+# Randomness is deterministic and REPLAYABLE: one md5-derived 31-bit
+# hash per ORDER, expanded to B per-replicate uniforms through a
+# Carter-Wegman family u_b = ((a_b h + c_b) mod 2^31-1) / (2^31-1)
+# with literal (a_b, c_b) — the same pairwise-independent family the
+# minhash signatures use, so one md5 per row replaces B of them
+# (measured 14 s -> ~1 s at sf0.1; Spark's string md5 is ~9 us/row).
+# The uniform inverts through the Poisson(1) CDF (literal
+# thresholds) to a weight in 0..7.
+#
+# Scale shape: the row x B explode is map-only whole-stage codegen
+# (integer ops only after the single per-row md5) and
+# partial-aggregates to |priorities| x B cells BEFORE the shuffle, so
+# the exchange moves 320 rows regardless of corpus size; the CI pass
+# is a window over B-row frames keyed by priority. Cost is linear in
+# B (the only knob) — a cluster run raises B, not the per-row work.
+# --------------------------------------------------------------------------
+_BOOT_B = 64
+# Poisson(1) CDF thresholds F(0)..F(6); u >= F(6) -> w = 7 (P ~ 8e-5).
+_POIS_CDF = (
+    "0.36787944117144233", "0.7357588823428847", "0.9196986029286058",
+    "0.9810118431238462", "0.9963401531726563", "0.9994058151824183",
+    "0.9998167774148945",
+)
+_BOOT_M = 2147483647
+_BOOT_PARAMS = [
+    (_rng.randrange(1, _BOOT_M), _rng.randrange(0, _BOOT_M))
+    for _rng in [__import__("random").Random(97)]
+    for _ in range(_BOOT_B)
+]
+
+
+def _pois_w_sql(u: str) -> str:
+    branches = " ".join(
+        f"WHEN {u} < {t} THEN {k}" for k, t in enumerate(_POIS_CDF)
+    )
+    return f"CASE {branches} ELSE 7 END"
+
+
+@CATALOG.query(
+    "bootstrap_ci_price_by_priority",
+    oracle=f"""
+    WITH perms(b, a, c) AS (VALUES {
+        ",".join(f"({j + 1},{a},{c})" for j, (a, c) in enumerate(_BOOT_PARAMS))
+    }),
+    hashed AS (
+        SELECT o_orderpriority AS pri, o_totalprice AS price,
+               CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))
+                    AS BIGINT) % {_BOOT_M} AS h
+        FROM orders
+    ), expl AS (
+        SELECT pri, price, b,
+               ((a * h + c) % {_BOOT_M}) / {_BOOT_M}.0 AS u
+        FROM hashed, perms
+    ), cells AS (
+        SELECT pri, b, sum(w * price) AS swp, sum(w) AS sw
+        FROM (SELECT pri, price, b, {_pois_w_sql("u")} AS w FROM expl)
+        GROUP BY pri, b
+    ), means AS (
+        SELECT pri, b,
+               CASE WHEN sw > 0 THEN swp / sw END AS m,
+               row_number() OVER (PARTITION BY pri ORDER BY
+                   CASE WHEN sw > 0 THEN swp / sw END) AS rn
+        FROM cells
+    ), ci AS (
+        SELECT pri,
+               max(CASE WHEN rn = CAST(ceil(0.025 * {_BOOT_B}) AS BIGINT)
+                   THEN m END) AS lo,
+               max(CASE WHEN rn = CAST(ceil(0.975 * {_BOOT_B}) AS BIGINT)
+                   THEN m END) AS hi
+        FROM means GROUP BY pri
+    ), base AS (
+        SELECT o_orderpriority AS pri, count(*) AS n,
+               avg(o_totalprice) AS mean_price
+        FROM orders GROUP BY 1
+    )
+    SELECT base.pri AS o_orderpriority, CAST(base.n AS BIGINT) AS n_orders,
+           CAST(base.mean_price AS REAL) AS mean_price,
+           CAST(ci.lo AS REAL) AS ci_lo, CAST(ci.hi AS REAL) AS ci_hi,
+           CAST({_BOOT_B} AS BIGINT) AS n_boot
+    FROM base JOIN ci ON ci.pri = base.pri
+    """,
+)
+def bootstrap_ci_price_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("pri"),
+        F.col("o_totalprice").alias("price"),
+    )
+    hashed = orders.select(
+        "pri", "price",
+        F.expr(
+            "cast(conv(substr(md5(cast(o_orderkey as string)), 1, 15),"
+            f" 16, 10) as bigint) % {_BOOT_M}"
+        ).alias("h"),
+    )
+    a_lit = "array(" + ",".join(str(a) for a, _ in _BOOT_PARAMS) + ")"
+    c_lit = "array(" + ",".join(str(c) for _, c in _BOOT_PARAMS) + ")"
+    u = (
+        f"((element_at({a_lit}, b) * h + element_at({c_lit}, b))"
+        f" % {_BOOT_M}) / {_BOOT_M}.0"
+    )
+    # Spread the narrow (pri, price, h) rows to session parallelism
+    # BEFORE the xB explode: the scan arrives in ~file-size/maxPartition
+    # partitions (11 at sf0.1), which would leave 2/3 of the cores idle
+    # through the widest stage. The shuffle moves only the pre-explode
+    # rows. u gets its OWN projection so the Poisson CASE's seven
+    # conditional references hit one computed column — branch-local
+    # repeats defeat codegen's common-subexpression elimination
+    # (conditional branches are exempt), and u referenced 7x is safe
+    # from CollapseProject inlining.
+    sc = spark.sparkContext
+    spread = hashed.repartition(max(2, sc.defaultParallelism))
+    expl = (
+        spread.select(
+            "pri", "price", "h",
+            F.explode(F.sequence(F.lit(1), F.lit(_BOOT_B))).alias("b"),
+        )
+        .select("pri", "price", "b", F.expr(u).alias("u"))
+        .select("pri", "price", "b", F.expr(_pois_w_sql("u")).alias("w"))
+    )
+    cells = expl.groupBy("pri", "b").agg(
+        F.sum(F.col("w") * F.col("price")).alias("swp"),
+        F.sum("w").alias("sw"),
+    )
+    m = F.when(F.col("sw") > 0, F.col("swp") / F.col("sw"))
+    wm = W.partitionBy("pri").orderBy(m.asc())
+    means = cells.select("pri", m.alias("m"), F.row_number().over(wm).alias("rn"))
+    lo_rank = F.lit(-(-25 * _BOOT_B // 1000))  # ceil(0.025 * B)
+    hi_rank = F.lit(-(-975 * _BOOT_B // 1000))  # ceil(0.975 * B)
+    ci = means.groupBy("pri").agg(
+        F.max(F.when(F.col("rn") == lo_rank, F.col("m"))).alias("lo"),
+        F.max(F.when(F.col("rn") == hi_rank, F.col("m"))).alias("hi"),
+    )
+    base = orders.groupBy("pri").agg(
+        F.count("*").alias("n_orders"),
+        F.avg("price").alias("mean_price"),
+    )
+    return base.join(ci, "pri").select(
+        F.col("pri").alias("o_orderpriority"),
+        F.col("n_orders").cast("long").alias("n_orders"),
+        f32(F.col("mean_price")).alias("mean_price"),
+        f32(F.col("lo")).alias("ci_lo"),
+        f32(F.col("hi")).alias("ci_hi"),
+        F.lit(_BOOT_B).cast("long").alias("n_boot"),
+    )
