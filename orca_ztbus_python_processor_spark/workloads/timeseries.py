@@ -620,7 +620,7 @@ def events_in_error_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM bounds
     ),
     agg AS (
-        SELECT user_id, date_trunc('hour', ts) AS minute,
+        SELECT user_id, date_trunc('minute', ts) AS minute,
                sum(value) AS v, count(*) AS n
         FROM events
         WHERE ts >= TIMESTAMP '2024-01-15' AND ts < TIMESTAMP '2024-01-16'
@@ -2226,7 +2226,7 @@ def seasonal_hour_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH keyed AS (
         SELECT event_type,
-               date_trunc('hour', ts) AS minute,
+               date_trunc('minute', ts) AS minute,
                value,
                printf('%020d%012d', epoch_us(ts), event_id) AS ord
         FROM events
@@ -3695,7 +3695,7 @@ CORR_FRAME_MINUTES = 15
     "rolling_corr_minute",
     oracle=f"""
     WITH m AS (
-        SELECT date_trunc('hour', ts) AS minute,
+        SELECT date_trunc('minute', ts) AS minute,
                CAST(ts AS DATE) AS day,
                CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
                     AS BIGINT) AS x,
@@ -3903,7 +3903,7 @@ def quantile_sketch_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 @CATALOG.query(
     "minute_latency_bands",
     oracle="""
-    SELECT date_trunc('hour', ts) AS minute,
+    SELECT date_trunc('minute', ts) AS minute,
            count(*) AS n_events,
            CAST(quantile_cont(value, 0.5) AS REAL) AS p50,
            CAST(quantile_cont(value, 0.95) AS REAL) AS p95,
@@ -4165,7 +4165,7 @@ def user_diurnal_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
     "user_burstiness_fano",
     oracle="""
     WITH mc AS (
-        SELECT user_id, date_trunc('hour', ts) AS m, count(*) AS c
+        SELECT user_id, date_trunc('minute', ts) AS m, count(*) AS c
         FROM events GROUP BY 1, 2
     )
     SELECT user_id,
@@ -4181,7 +4181,7 @@ def user_diurnal_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
 def user_burstiness_fano(spark: SparkSession, sf_dir: str) -> DataFrame:
     mc = (
         _events(spark, sf_dir)
-        .groupBy("user_id", F.date_trunc("hour", F.col("ts")).alias("m"))
+        .groupBy("user_id", F.date_trunc("minute", F.col("ts")).alias("m"))
         .agg(F.count("*").alias("c"))
     )
     return mc.groupBy("user_id").agg(
@@ -4553,7 +4553,7 @@ XCORR_MAX_LAG = 5
     "type_lag_cross_correlation",
     oracle=f"""
     WITH rates AS (
-        SELECT date_trunc('hour', ts) AS minute,
+        SELECT date_trunc('minute', ts) AS minute,
                CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
                     AS BIGINT) AS x,
                CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
