@@ -1443,3 +1443,160 @@ def media_decode_health(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(1 - F.col("ok")).cast("long").alias("n_failed"),
         f32(F.avg(F.col("ok").cast("double"))).alias("decode_rate"),
     )
+
+
+# --------------------------------------------------------------------------
+# priority_sample_weight_estimate — priority sampling (sequential
+# Poisson / order sampling) with the Duffield-Lund-Thorup subset-sum
+# estimator (JACM'07; Ohlsson '98 — public algorithms): per source,
+# each doc draws priority q = w / u with weight w = n_chars and a
+# DETERMINISTIC md5-derived uniform u (the same 60-bit hash recipe as
+# kmv_distinct_user_overlap, timeseries.py:4226); keep the K largest
+# priorities, set tau = the (K+1)-th, and estimate the TOTAL corpus
+# weight from the K-doc sample as sum(max(w_i, tau)) — the
+# variance-optimal weighted-sampling-without-replacement scheme a
+# 100 TB pipeline uses to pick K quality-weighted exemplar docs per
+# source while still reporting an unbiased total. The fixture runs
+# estimate NEXT TO the exact total (the calibration harness shape, as
+# kmv_overlap_calibration): at scale only the sample survives.
+#
+# Oracle replay: u is md5-derived so DuckDB draws the SAME uniforms;
+# the estimator is restructured so the float path is deterministic in
+# BOTH engines — the kept-weight mass sum(w_i >= tau) stays a BIGINT
+# sum (exact), and the float tail is ONE multiply (tau * n_below) and
+# ONE add, so no double-summation-order drift can split the hash.
+# q itself is two exact-rounded IEEE ops on (w, u): w * 2^60 / u.
+#
+# Scale shape: reads only (doc_id, source, n_chars) — the text column
+# never leaves the scan; ONE shuffle on source for the rank, and
+# WindowGroupLimit prunes to K+1 rows per source map-side before the
+# exchange; everything after runs on |sources| * (K+1) rows with
+# broadcast joins. Estimator branch is LIVE at the driver's sf0.01
+# (25 docs/source > K+1 = 17, so tau exists for every source) per the
+# degenerate-evidence policy.
+# --------------------------------------------------------------------------
+PRIORITY_SAMPLE_K = 16
+_PRI_2POW60 = float(1 << 60)  # exactly representable in a double
+_PRI_HASH_SPARK = (
+    "cast(conv(substr(md5(cast(doc_id as string)), 1, 15), 16, 10) as bigint)"
+    " + 1"
+)
+_PRI_HASH_SQL = (
+    "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) + 1"
+)
+
+
+@CATALOG.query(
+    "priority_sample_weight_estimate",
+    oracle=f"""
+    WITH pri AS (
+        SELECT source, doc_id, CAST(n_chars AS BIGINT) AS w,
+               CAST(n_chars AS DOUBLE) * {_PRI_2POW60!r}
+                   / CAST({_PRI_HASH_SQL} AS DOUBLE) AS q
+        FROM documents WHERE n_chars > 0
+    ), ranked AS (
+        SELECT source, doc_id, w, q,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY q DESC, doc_id) AS rn
+        FROM pri
+    ), top AS (
+        SELECT * FROM ranked WHERE rn <= {PRIORITY_SAMPLE_K + 1}
+    ), tau AS (
+        SELECT source,
+               CASE WHEN count(*) = {PRIORITY_SAMPLE_K + 1}
+                    THEN min(q) END AS tau
+        FROM top GROUP BY source
+    ), est AS (
+        SELECT t.source, max(a.tau) AS tau,
+               sum(CASE WHEN a.tau IS NULL OR t.w >= a.tau
+                        THEN t.w END) AS ws,
+               sum(CASE WHEN a.tau IS NOT NULL AND t.w < a.tau
+                        THEN 1 ELSE 0 END) AS n_below
+        FROM top t JOIN tau a USING (source)
+        WHERE t.rn <= {PRIORITY_SAMPLE_K}
+        GROUP BY t.source
+    ), exact AS (
+        SELECT source, count(*) AS n_docs, sum(w) AS total_chars
+        FROM pri GROUP BY source
+    )
+    SELECT e.source,
+           CAST(e.n_docs AS BIGINT) AS n_docs,
+           CAST(e.total_chars AS BIGINT) AS total_chars,
+           CAST(least(e.n_docs, {PRIORITY_SAMPLE_K}) AS BIGINT) AS n_sampled,
+           CAST(s.tau AS REAL) AS tau,
+           CAST(CAST(coalesce(s.ws, 0) AS DOUBLE)
+                + coalesce(s.tau * s.n_below, 0.0) AS REAL)
+               AS est_total_chars,
+           CAST((CAST(coalesce(s.ws, 0) AS DOUBLE)
+                 + coalesce(s.tau * s.n_below, 0.0)
+                 - CAST(e.total_chars AS DOUBLE))
+                / CAST(e.total_chars AS DOUBLE) AS REAL) AS rel_err
+    FROM exact e JOIN est s USING (source)
+    """,
+)
+def priority_sample_weight_estimate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql.window import Window as W  # noqa: PLC0415
+
+    k = PRIORITY_SAMPLE_K
+    pri = (
+        _docs(spark, sf_dir)
+        .where(F.col("n_chars") > 0)
+        .select(
+            "source",
+            "doc_id",
+            F.col("n_chars").cast("long").alias("w"),
+            (
+                F.col("n_chars").cast("double")
+                * F.lit(_PRI_2POW60)
+                / F.expr(_PRI_HASH_SPARK).cast("double")
+            ).alias("q"),
+        )
+    )
+    rank_w = W.partitionBy("source").orderBy(F.col("q").desc(), F.col("doc_id"))
+    top = (
+        pri.withColumn("rn", F.row_number().over(rank_w))
+        .where(F.col("rn") <= k + 1)
+        .localCheckpoint(eager=False)  # |sources| * (K+1) rows
+    )
+    tau = top.groupBy("source").agg(
+        F.when(F.count("*") == k + 1, F.min("q")).alias("tau")
+    )
+    est = (
+        top.where(F.col("rn") <= k)
+        .join(F.broadcast(tau), "source")
+        .groupBy("source")
+        .agg(
+            F.max("tau").alias("tau"),
+            F.sum(
+                F.when(
+                    F.col("tau").isNull() | (F.col("w") >= F.col("tau")),
+                    F.col("w"),
+                )
+            ).alias("ws"),
+            F.sum(
+                F.when(
+                    F.col("tau").isNotNull() & (F.col("w") < F.col("tau")), 1
+                ).otherwise(0)
+            ).alias("n_below"),
+        )
+    )
+    exact = pri.groupBy("source").agg(
+        F.count("*").alias("n_docs"), F.sum("w").alias("total_chars")
+    )
+    est_d = F.coalesce(F.col("ws"), F.lit(0)).cast("double") + F.coalesce(
+        F.col("tau") * F.col("n_below"), F.lit(0.0)
+    )
+    return exact.join(F.broadcast(est), "source").select(
+        "source",
+        "n_docs",
+        "total_chars",
+        F.least(F.col("n_docs"), F.lit(k)).cast("long").alias("n_sampled"),
+        f32(F.col("tau")).alias("tau"),
+        f32(est_d).alias("est_total_chars"),
+        f32(
+            (est_d - F.col("total_chars").cast("double"))
+            / F.col("total_chars").cast("double")
+        ).alias("rel_err"),
+    )

@@ -5094,3 +5094,110 @@ def sprt_error_rate_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("decision"),
     )
+
+
+# --------------------------------------------------------------------------
+# event_chain_entropy_rate — Markov-chain ENTROPY RATE of user event
+# streams per day-of-week: H(next | current) = H(pair) - H(current),
+# the conditional entropy of the empirical first-order chain (Shannon
+# '48; Cover & Thomas ch.4 — public theory). Complements
+# event_transition_matrix (which reports the transition PROBABILITIES;
+# this compresses them to the process-predictability scalar) and
+# type_dow_mutual_information (STATIC type/dow dependence; this
+# measures SEQUENTIAL structure within a day-of-week slice). Low
+# h_cond = deterministic flows (sessions replay one path), h_cond near
+# log2(|types|) = memoryless traffic — the drift alarm for bot/replay
+# contamination in an event pipeline.
+#
+# Entropies come from the count identity H = log2(N) - sum(c*log2 c)/N
+# (the char_bigram_entropy_by_source shape), so every log2 argument is
+# an integer-valued double — both engines evaluate the same points.
+# Scale shape: ONE shuffle on user_id for the lead() window (the
+# transition-matrix exchange), then a map-combinable rollup to the
+# bounded (7 x |types|^2) cell table; all entropy algebra runs on
+# those cells and the 7-row output frame.
+# --------------------------------------------------------------------------
+@CATALOG.query(
+    "event_chain_entropy_rate",
+    oracle="""
+    WITH seq AS (
+        SELECT CAST(date_part('dow', ts) AS BIGINT) AS d,
+               event_type AS from_type,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS to_type
+        FROM events
+    ), cells AS (
+        SELECT d, from_type, to_type, count(*) AS c
+        FROM seq WHERE to_type IS NOT NULL
+        GROUP BY d, from_type, to_type
+    ), fromc AS (
+        SELECT d, from_type, sum(c) AS cf
+        FROM cells GROUP BY d, from_type
+    ), pair_agg AS (
+        SELECT d, sum(c) AS n, count(*) AS n_pairs,
+               count(DISTINCT to_type) AS n_to_types,
+               sum(c * log2(c)) AS s_pair
+        FROM cells GROUP BY d
+    ), from_agg AS (
+        SELECT d, count(*) AS n_from_types, sum(cf * log2(cf)) AS s_from
+        FROM fromc GROUP BY d
+    )
+    SELECT p.d AS dow,
+           CAST(p.n AS BIGINT) AS n_transitions,
+           CAST(p.n_pairs AS BIGINT) AS n_pairs,
+           CAST(f.n_from_types AS BIGINT) AS n_from_types,
+           CAST(p.n_to_types AS BIGINT) AS n_to_types,
+           CAST(log2(p.n) - p.s_pair / p.n AS REAL) AS h_joint,
+           CAST(log2(p.n) - f.s_from / p.n AS REAL) AS h_from,
+           CAST((f.s_from - p.s_pair) / p.n AS REAL) AS h_cond,
+           CAST(CASE WHEN p.n_to_types > 1 THEN
+                    (f.s_from - p.s_pair) / p.n / log2(p.n_to_types)
+                END AS REAL) AS h_cond_norm
+    FROM pair_agg p JOIN from_agg f USING (d)
+    """,
+)
+def event_chain_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    seq_w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    cells = (
+        _events(spark, sf_dir)
+        .select(
+            (F.dayofweek("ts") - 1).cast("long").alias("d"),
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(seq_w).alias("to_type"),
+        )
+        .where(F.col("to_type").isNotNull())
+        .groupBy("d", "from_type", "to_type")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=False)  # bounded 7 x |types|^2 cells
+    )
+    fromc = cells.groupBy("d", "from_type").agg(F.sum("c").alias("cf"))
+    pair_agg = cells.groupBy("d").agg(
+        F.sum("c").alias("n"),
+        F.count("*").alias("n_pairs"),
+        F.countDistinct("to_type").alias("n_to_types"),
+        F.sum(F.col("c") * F.log2("c")).alias("s_pair"),
+    )
+    from_agg = fromc.groupBy("d").agg(
+        F.count("*").alias("n_from_types"),
+        F.sum(F.col("cf") * F.log2("cf")).alias("s_from"),
+    )
+    h_cond = (F.col("s_from") - F.col("s_pair")) / F.col("n")
+    return (
+        pair_agg.join(F.broadcast(from_agg), "d")
+        .select(
+            F.col("d").alias("dow"),
+            F.col("n").cast("long").alias("n_transitions"),
+            F.col("n_pairs").cast("long").alias("n_pairs"),
+            F.col("n_from_types").cast("long").alias("n_from_types"),
+            F.col("n_to_types").cast("long").alias("n_to_types"),
+            f32(F.log2("n") - F.col("s_pair") / F.col("n")).alias("h_joint"),
+            f32(F.log2("n") - F.col("s_from") / F.col("n")).alias("h_from"),
+            f32(h_cond).alias("h_cond"),
+            f32(
+                F.when(
+                    F.col("n_to_types") > 1,
+                    h_cond / F.log2(F.col("n_to_types").cast("double")),
+                )
+            ).alias("h_cond_norm"),
+        )
+    )

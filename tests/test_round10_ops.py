@@ -616,3 +616,183 @@ def test_sprt_monitor_decides_on_fixture_and_accepts_on_clean_data(spark):
     assert -1 in {r["decision"] for r in synth_rows}, (
         "1% error data never crosses the accept bound"
     )
+
+
+def test_priority_sample_matches_pure_python(spark):
+    """Full-pipeline recount of priority_sample_weight_estimate at
+    sf0.01 (25 docs/source > K+1, so the tau/estimator branch is LIVE
+    for every source — the degenerate-evidence policy): recompute the
+    md5 uniforms, priorities, tau, and the DLT estimate in pure python
+    and require the exact same per-source rows."""
+    import hashlib
+
+    import duckdb
+    import numpy as np
+
+    from orca_ztbus_python_processor_spark.workloads.pipelineops import (
+        CATALOG as PCAT,
+        PRIORITY_SAMPLE_K,
+        _PRI_2POW60,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    rows = {
+        r["source"]: r
+        for r in PCAT.queries["priority_sample_weight_estimate"](spark, sf).collect()
+    }
+
+    docs = duckdb.sql(
+        f"SELECT doc_id, source, n_chars FROM read_parquet('{sf}/documents.parquet')"
+        " WHERE n_chars > 0"
+    ).fetchall()
+    by_src: dict[str, list[tuple[float, int, int]]] = {}
+    for doc_id, source, w in docs:
+        u = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:15], 16) + 1
+        q = float(w) * _PRI_2POW60 / float(u)
+        by_src.setdefault(source, []).append((q, doc_id, int(w)))
+    k = PRIORITY_SAMPLE_K
+    for source, items in by_src.items():
+        items.sort(key=lambda t: (-t[0], t[1]))
+        total = sum(w for _, _, w in items)
+        r = rows[source]
+        assert r["n_docs"] == len(items) and r["total_chars"] == total
+        assert len(items) >= k + 1, "estimator branch must be live at sf0.01"
+        tau = items[k][0]
+        ws = sum(w for _, _, w in items[:k] if w >= tau)
+        n_below = sum(1 for _, _, w in items[:k] if w < tau)
+        est = float(ws) + tau * n_below
+        assert r["tau"] == np.float32(tau)
+        assert r["est_total_chars"] == np.float32(est)
+        assert r["rel_err"] == np.float32((est - float(total)) / float(total))
+
+
+def test_priority_sample_estimator_is_unbiased_monte_carlo():
+    """The Duffield-Lund-Thorup estimator sum(max(w_i, tau)) over the
+    top-K priorities is UNBIASED for the total weight: over 400 salted
+    hash draws on a skewed synthetic weight set, the mean estimate must
+    land within 2% of the true total (sigma/sqrt(400) ~ 0.5% here) —
+    pins the estimator FORMULA, not just the deterministic replay."""
+    import hashlib
+
+    weights = [1 + (7 * i * i) % 997 for i in range(200)]  # skewed, fixed
+    total = float(sum(weights))
+    k = 16
+    ests = []
+    for salt in range(400):
+        pri = []
+        for i, w in enumerate(weights):
+            u = int(
+                hashlib.md5(f"{salt}:{i}".encode()).hexdigest()[:15], 16
+            ) + 1
+            pri.append((float(w) * float(1 << 60) / float(u), w))
+        pri.sort(key=lambda t: -t[0])
+        tau = pri[k][0]
+        ests.append(sum(max(float(w), tau) for _, w in pri[:k]))
+    mean = sum(ests) / len(ests)
+    assert abs(mean - total) / total < 0.02
+
+
+def test_event_chain_entropy_rate_recount(spark):
+    """Pure-python recount at sf0.001: rebuild each user's (ts,
+    event_id)-ordered chain, count (dow, from, to) transitions with the
+    Sunday=0 convention, and recompute all three entropies from the
+    count identity. Also pins the information inequality 0 <= h_cond
+    <= h_joint and the chain-count identity sum(n_transitions) =
+    n_events - n_users."""
+    import math
+
+    import duckdb
+    import numpy as np
+
+    from orca_ztbus_python_processor_spark.workloads.timeseries import CATALOG as TCAT
+
+    out = {
+        r["dow"]: r
+        for r in TCAT.queries["event_chain_entropy_rate"](spark, SF_DIR).collect()
+    }
+    ev = duckdb.sql(
+        f"SELECT user_id, ts, event_id, event_type FROM"
+        f" read_parquet('{SF_DIR}/events.parquet')"
+        " ORDER BY user_id, ts, event_id"
+    ).fetchall()
+    cells: dict[tuple[int, str, str], int] = {}
+    n_users = len({r[0] for r in ev})
+    for a, b in zip(ev, ev[1:]):
+        if a[0] != b[0]:
+            continue
+        dow = (a[1].weekday() + 1) % 7  # python Monday=0 -> Sunday=0
+        key = (dow, a[3], b[3])
+        cells[key] = cells.get(key, 0) + 1
+    assert sum(cells.values()) == len(ev) - n_users
+    for d in sorted({k[0] for k in cells}):
+        dc = {k: c for k, c in cells.items() if k[0] == d}
+        n = sum(dc.values())
+        fromc: dict[str, int] = {}
+        for (_, f, _t), c in dc.items():
+            fromc[f] = fromc.get(f, 0) + c
+        s_pair = sum(c * math.log2(c) for c in dc.values())
+        s_from = sum(c * math.log2(c) for c in fromc.values())
+        r = out[d]
+        assert r["n_transitions"] == n and r["n_pairs"] == len(dc)
+        assert np.isclose(r["h_joint"], math.log2(n) - s_pair / n, atol=1e-5)
+        assert np.isclose(r["h_cond"], (s_from - s_pair) / n, atol=1e-5)
+        assert 0.0 <= r["h_cond"] <= r["h_joint"] + 1e-6
+
+
+def test_heaps_vocab_growth_recount(spark):
+    """Pure-python recount at sf0.001: rebuild the char-8-gram
+    first-occurrence curve in doc_id order and the OLS fit, and require
+    the exact committed rows. Degenerate-evidence guards: the vocab
+    curve must be STRICTLY increasing (a closed vocabulary — e.g. the
+    word-unigram form on this fixture — saturates and fits beta = 0)
+    and beta must be strictly inside (0, 1)."""
+    import math
+
+    import duckdb
+    import numpy as np
+
+    from orca_ztbus_python_processor_spark.workloads.textops import CATALOG as XCAT
+
+    rows = sorted(
+        XCAT.queries["heaps_vocab_growth"](spark, SF_DIR).collect(),
+        key=lambda r: r["checkpoint"],
+    )
+    docs = duckdb.sql(
+        f"SELECT doc_id, text FROM read_parquet('{SF_DIR}/documents.parquet')"
+        " ORDER BY doc_id"
+    ).fetchall()
+    n = len(docs)
+    first: dict[str, int] = {}
+    mass = []
+    for rk, (_doc_id, text) in enumerate(docs, start=1):
+        n_gram = max(len(text) - 7, 1)
+        mass.append(n_gram)
+        for i in range(n_gram):
+            g = text[i : i + 8]
+            if g not in first:
+                first[g] = rk
+    cps = []
+    for cp in range(1, 11):
+        r_cp = 0
+        while r_cp < n and (10 * (r_cp + 1) + n - 1) // n <= cp:
+            r_cp += 1
+        cps.append(
+            (
+                cp,
+                r_cp,
+                sum(mass[:r_cp]),
+                sum(1 for ft in first.values() if ft <= r_cp),
+            )
+        )
+    xs = [math.log2(g) for _, _, g, _ in cps]
+    ys = [math.log2(v) for _, _, _, v in cps]
+    np_, sx, sy = len(xs), sum(xs), sum(ys)
+    sxx = sum(x * x for x in xs)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    beta = (np_ * sxy - sx * sy) / (np_ * sxx - sx * sx)
+    for r, (cp, nd, g, v) in zip(rows, cps):
+        assert (r["checkpoint"], r["n_docs_cum"], r["n_grams_cum"], r["vocab_cum"]) == (cp, nd, g, v)
+        assert np.isclose(r["heaps_beta"], beta, atol=1e-5)
+    vocabs = [v for _, _, _, v in cps]
+    assert all(b > a for a, b in zip(vocabs, vocabs[1:])), "saturated vocab"
+    assert 0.0 < rows[0]["heaps_beta"] < 1.0
