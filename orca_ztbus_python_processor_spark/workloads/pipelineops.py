@@ -1486,6 +1486,37 @@ _PRI_HASH_SQL = (
 )
 
 
+def _priority_frames(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """(pri, top) for priority sampling, PRE-checkpoint — exposed so
+    the plan pin can assert WindowGroupLimit pruning and the text-free
+    ReadSchema on the un-truncated fragment."""
+    from pyspark.sql.window import Window as W  # noqa: PLC0415
+
+    k = PRIORITY_SAMPLE_K
+    pri = (
+        _docs(spark, sf_dir)
+        .where(F.col("n_chars") > 0)
+        .select(
+            "source",
+            "doc_id",
+            F.col("n_chars").cast("long").alias("w"),
+            (
+                F.col("n_chars").cast("double")
+                * F.lit(_PRI_2POW60)
+                / F.expr(_PRI_HASH_SPARK).cast("double")
+            ).alias("q"),
+        )
+    )
+    rank_w = W.partitionBy("source").orderBy(F.col("q").desc(), F.col("doc_id"))
+    top = pri.withColumn("rn", F.row_number().over(rank_w)).where(
+        F.col("rn") <= k + 1
+    )
+    return pri, top
+
+
+
 @CATALOG.query(
     "priority_sample_weight_estimate",
     oracle=f"""
@@ -1537,29 +1568,9 @@ _PRI_HASH_SQL = (
 def priority_sample_weight_estimate(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    from pyspark.sql.window import Window as W  # noqa: PLC0415
-
     k = PRIORITY_SAMPLE_K
-    pri = (
-        _docs(spark, sf_dir)
-        .where(F.col("n_chars") > 0)
-        .select(
-            "source",
-            "doc_id",
-            F.col("n_chars").cast("long").alias("w"),
-            (
-                F.col("n_chars").cast("double")
-                * F.lit(_PRI_2POW60)
-                / F.expr(_PRI_HASH_SPARK).cast("double")
-            ).alias("q"),
-        )
-    )
-    rank_w = W.partitionBy("source").orderBy(F.col("q").desc(), F.col("doc_id"))
-    top = (
-        pri.withColumn("rn", F.row_number().over(rank_w))
-        .where(F.col("rn") <= k + 1)
-        .localCheckpoint(eager=False)  # |sources| * (K+1) rows
-    )
+    pri, top = _priority_frames(spark, sf_dir)
+    top = top.localCheckpoint(eager=False)  # |sources| * (K+1) rows
     tau = top.groupBy("source").agg(
         F.when(F.count("*") == k + 1, F.min("q")).alias("tau")
     )

@@ -1326,3 +1326,42 @@ def test_diurnal_harmonic_single_exchange_no_window(spark, catalog):
     assert plan.count("Exchange") <= 2, plan  # hash agg exchange (+AQE read)
     assert "Window" not in plan, plan
     assert "partial_" in plan.lower() or "partial" in plan, plan
+
+
+def test_priority_sample_prunes_topk_and_never_reads_text(spark):
+    """priority_sample_weight_estimate: the top-(K+1) rank must prune
+    map-side via WindowGroupLimit BEFORE the source exchange (the
+    full per-source priority sort never materializes), and the scan
+    must read only (source, doc_id, n_chars) — the text column never
+    leaves the parquet footer (pinned on the pre-checkpoint fragment;
+    the shipped query truncates it behind a localCheckpoint)."""
+    from orca_ztbus_python_processor_spark.workloads.pipelineops import (
+        _priority_frames,
+    )
+
+    _pri, top = _priority_frames(spark, SMOKE_SF_DIR)
+    plan = _plan(spark, top)
+    assert "WindowGroupLimit" in plan, plan
+    assert not re.search(r"ReadSchema:.*\btext\b", plan), plan
+
+
+def test_entropy_rate_broadcasts_bounded_frames(spark, catalog):
+    """event_chain_entropy_rate: the 7-row from_agg side broadcasts
+    onto pair_agg — a shuffle join over the bounded dow frames would
+    add two pointless exchanges."""
+    plan = _plan(
+        spark, catalog.queries["event_chain_entropy_rate"](spark, SMOKE_SF_DIR)
+    )
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_heaps_growth_no_cross_join(spark, catalog):
+    """heaps_vocab_growth: the curve join is an equi-join on the
+    10-value checkpoint key and the fit rides a broadcast — no
+    cartesian/nested-loop anywhere despite the scalar crossJoin (the
+    1-row fit frame must plan as BroadcastNestedLoopJoin at worst on
+    a 10-row probe side; a CartesianProduct over corpus-grain inputs
+    would be the bug)."""
+    plan = _plan(spark, catalog.queries["heaps_vocab_growth"](spark, SMOKE_SF_DIR))
+    assert "CartesianProduct" not in plan, plan
