@@ -300,6 +300,10 @@ _RESAMPLE_R10 = frozenset({
     "minhash_near_dup_pairs", "ngram_jaccard_pairs",
     "minhash_jaccard_calibration", "text_dedup_retention",
     "simhash_near_dup_pairs",
+    # LPA promotion (rows-only -> hash-matched via the unrolled
+    # 4-round integer-vote replay, _lpa_oracle_sql): its r<=5 greens
+    # were rows-only and no longer cover the oracle comparison.
+    "copurchase_label_propagation",
 })
 
 _DRIVER_VERIFIED = (

@@ -3362,7 +3362,62 @@ def order_fanout_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 LPA_ITERS = 4
 
 
-@CATALOG.query("copurchase_label_propagation")
+def _lpa_oracle_sql(iters: int) -> str:
+    """Unrolled DuckDB replay of synchronous weighted LPA: the edge
+    weights are integer order-co-occurrence counts (exact in both
+    engines' arithmetic — Spark sums integer-valued doubles, DuckDB
+    HUGEINTs, and both orderings agree below 2^53), and the argmax
+    tie-break (max weight, then MIN label) is a total order, so the
+    fixed-round fixpoint is bit-replayable round by round. This is
+    what promotes LPA from the rows-only contract to a hash-matched
+    twin: iterative != non-replayable when every round is integer
+    algebra with a deterministic argmax."""
+    rounds = []
+    for i in range(1, iters + 1):
+        prev = "l0" if i == 1 else f"l{i - 1}"
+        rounds.append(
+            f"""v{i} AS (
+        SELECT s.src, l.label, sum(s.w) AS w
+        FROM sym s JOIN {prev} l ON s.dst = l.node
+        GROUP BY s.src, l.label
+    ), l{i} AS (
+        SELECT src AS node, label FROM (
+            SELECT src, label,
+                   row_number() OVER (PARTITION BY src
+                                      ORDER BY w DESC, label ASC) AS rn
+            FROM v{i}
+        ) WHERE rn = 1
+    )"""
+        )
+    rounds_sql = ",\n    ".join(rounds)
+    return f"""
+    WITH ppo AS (
+        SELECT l_orderkey, list(DISTINCT l_partkey) AS parts
+        FROM lineitem GROUP BY l_orderkey
+    ), sym AS (
+        SELECT u.part AS src, v.part AS dst, count(*) AS w
+        FROM ppo, unnest(parts) AS u(part), unnest(parts) AS v(part)
+        WHERE u.part <> v.part
+        GROUP BY 1, 2
+    ), l0 AS (
+        SELECT src AS node, src AS label FROM sym GROUP BY src
+    ),
+    {rounds_sql},
+    sizes AS (
+        SELECT label, count(*) AS size FROM l{iters} GROUP BY label
+    )
+    SELECT CAST(rank AS BIGINT) AS rank,
+           CAST(label AS BIGINT) AS community,
+           CAST(size AS BIGINT) AS size
+    FROM (
+        SELECT label, size,
+               row_number() OVER (ORDER BY size DESC, label) AS rank
+        FROM sizes
+    ) WHERE rank <= 20
+    """
+
+
+@CATALOG.query("copurchase_label_propagation", oracle=_lpa_oracle_sql(LPA_ITERS))
 def copurchase_label_propagation(
     spark: SparkSession,
     sf_dir: str,
