@@ -1611,3 +1611,113 @@ def priority_sample_weight_estimate(
             / F.col("total_chars").cast("double")
         ).alias("rel_err"),
     )
+
+
+# --------------------------------------------------------------------------
+# edit_distance_neardup_pairs — character-level EDIT-DISTANCE near-dup
+# detection (the classic fuzzy-dedup modality the shingle family
+# cannot express: Levenshtein counts insertions/deletions/swaps, so
+# it catches small in-place mutations regardless of how many shingles
+# they break). Candidate generation is prefix+length BLOCKING — the
+# standard entity-resolution scheme: only docs sharing an 8-char
+# prefix and a 16-char length bucket are compared, so the pair volume
+# is sum-of-block-squares, not corpus-squared. The verify predicate
+# is the banded distance bound dist <= max(4, minlen/10), integer
+# arithmetic only.
+#
+# Both engines run their NATIVE levenshtein (JVM codegen in Spark,
+# vectorized C++ in DuckDB — both the textbook DP, identical integer
+# outputs on this ASCII fixture), so the whole query is hash-matched
+# with zero Python in the path. Blocking recall is the documented
+# trade (an edit inside the first 8 chars moves the doc to another
+# block — real pipelines run multiple blocking passes); the planted
+# pin in tests/test_round10_ops.py verifies known near-dup groups
+# surface. Blocks larger than EDIT_BLOCK_CAP are dropped on BOTH
+# sides (flood guard for templated corpora whose shared prefixes
+# would otherwise go quadratic — same honesty rule as _pair_expand's
+# max_members); the fixture never hits the cap (asserted in pytest,
+# so the guard is inert where the oracle compares).
+#
+# Scale shape: one (prefix, bucket) shuffle; the self-join is
+# co-located on the block key; levenshtein runs only on candidate
+# pairs. 100 TB guidance: raise the prefix length before raising the
+# cap — block volume collapses exponentially in prefix chars.
+# --------------------------------------------------------------------------
+EDIT_BLOCK_CAP = 1024
+
+
+@CATALOG.query(
+    "edit_distance_neardup_pairs",
+    oracle=f"""
+    WITH b AS (
+        SELECT doc_id, source, text, length(text) AS n,
+               substr(text, 1, 8) AS pfx,
+               length(text) // 16 AS lb
+        FROM documents
+    ), sized AS (
+        SELECT b.*, count(*) OVER (PARTITION BY pfx, lb) AS bsz FROM b
+    ), ok AS (
+        SELECT * FROM sized WHERE bsz <= {EDIT_BLOCK_CAP}
+    )
+    SELECT a.doc_id AS id_a, c.doc_id AS id_b,
+           a.source AS source_a, c.source AS source_b,
+           CAST(levenshtein(a.text, c.text) AS BIGINT) AS dist,
+           CAST(least(a.n, c.n) AS BIGINT) AS min_len,
+           CAST(levenshtein(a.text, c.text)
+                / CAST(least(a.n, c.n) AS DOUBLE) AS REAL) AS rel_dist
+    FROM ok a JOIN ok c
+      ON a.pfx = c.pfx AND a.lb = c.lb AND a.doc_id < c.doc_id
+    WHERE levenshtein(a.text, c.text) > 0
+      AND levenshtein(a.text, c.text)
+          <= greatest(4, least(a.n, c.n) // 10)
+    """,
+)
+def edit_distance_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W  # noqa: PLC0415
+
+    b = _docs(spark, sf_dir).select(
+        "doc_id",
+        "source",
+        "text",
+        F.length("text").alias("n"),
+        F.substring("text", 1, 8).alias("pfx"),
+        (F.length("text") / 16).cast("long").alias("lb"),
+    )
+    sized = b.withColumn(
+        "bsz", F.count("*").over(W.partitionBy("pfx", "lb"))
+    ).where(F.col("bsz") <= EDIT_BLOCK_CAP)
+    left = sized.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("source").alias("source_a"),
+        F.col("text").alias("text_a"),
+        F.col("n").alias("n_a"),
+        "pfx",
+        "lb",
+    )
+    right = sized.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("source").alias("source_b"),
+        F.col("text").alias("text_b"),
+        F.col("n").alias("n_b"),
+        "pfx",
+        "lb",
+    )
+    dist = F.levenshtein(F.col("text_a"), F.col("text_b"))
+    min_len = F.least(F.col("n_a"), F.col("n_b"))
+    return (
+        left.join(right, ["pfx", "lb"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(
+            (dist > 0)
+            & (dist <= F.greatest(F.lit(4), (min_len / 10).cast("long")))
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "source_a",
+            "source_b",
+            dist.cast("long").alias("dist"),
+            min_len.cast("long").alias("min_len"),
+            f32(dist / min_len.cast("double")).alias("rel_dist"),
+        )
+    )

@@ -4331,3 +4331,109 @@ def heaps_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(varx > 0, (F.col("sy") - beta * F.col("sx")) / F.col("np"))
         ).alias("log2_k"),
     )
+
+
+# --------------------------------------------------------------------------
+# token_pmi_collocations — collocation mining by pointwise mutual
+# information (Church & Hanks '90 — public method): adjacent token
+# pairs scored by PMI = log2(c12 * N / (cl * cr)) against the bigram
+# table's own marginals, minimum support TOKEN_PMI_MIN_COUNT, top 20
+# by association strength. The complement of ngram_topk_bigrams
+# (frequency ranks "of the" first; PMI ranks the pairs that co-occur
+# far above chance — template phrases, multiword entities), and the
+# lexical sibling of type_dow_mutual_information's distribution-level
+# MI. Every log2 argument is a ratio of integer-valued doubles
+# computed with one multiply each side — both engines evaluate the
+# same points.
+#
+# Scale shape: ONE (w1, w2) count aggregation over the adjacent-pair
+# explode (map-side combinable); marginals and N are rollups of that
+# bounded |vocab|^2 cell table, broadcast back; the top-20 rank runs
+# on the filtered cell frame. No second corpus pass.
+# --------------------------------------------------------------------------
+TOKEN_PMI_MIN_COUNT = 5
+TOKEN_PMI_TOP = 20
+
+
+@CATALOG.query(
+    "token_pmi_collocations",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+        FROM documents
+    ), bg AS (
+        SELECT ws[i] AS w1, ws[i + 1] AS w2
+        FROM toks, unnest(generate_series(1, greatest(len(ws) - 1, 1)))
+             AS t(i)
+        WHERE len(ws) > 1
+    ), cells AS (
+        SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2
+    ), ml AS (SELECT w1, sum(c12) AS cl FROM cells GROUP BY w1),
+       mr AS (SELECT w2, sum(c12) AS cr FROM cells GROUP BY w2),
+       nn AS (SELECT sum(c12) AS n FROM cells),
+    scored AS (
+        SELECT c.w1, c.w2, c.c12, ml.cl, mr.cr,
+               log2(c.c12 * CAST(nn.n AS DOUBLE)
+                    / (ml.cl * CAST(mr.cr AS DOUBLE))) AS pmi
+        FROM cells c JOIN ml USING (w1) JOIN mr USING (w2), nn
+        WHERE c.c12 >= {TOKEN_PMI_MIN_COUNT}
+    )
+    SELECT CAST(rank AS BIGINT) AS rank, w1, w2,
+           CAST(c12 AS BIGINT) AS n_pair,
+           CAST(cl AS BIGINT) AS n_left, CAST(cr AS BIGINT) AS n_right,
+           CAST(pmi AS REAL) AS pmi
+    FROM (
+        SELECT *, row_number() OVER (ORDER BY pmi DESC, w1, w2) AS rank
+        FROM scored
+    ) WHERE rank <= {TOKEN_PMI_TOP}
+    """,
+)
+def token_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = _docs(spark, sf_dir).select(
+        F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)").alias("ws")
+    )
+    bg = toks.where(F.size("ws") > 1).select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(size(ws) - 1, 1)),"
+                " i -> struct(ws[i - 1] AS w1, ws[i] AS w2))"
+            )
+        ).alias("e")
+    ).select("e.w1", "e.w2")
+    cells = (
+        bg.groupBy("w1", "w2")
+        .agg(F.count("*").alias("c12"))
+        .localCheckpoint(eager=False)  # bounded |vocab|^2 cells
+    )
+    ml = cells.groupBy("w1").agg(F.sum("c12").alias("cl"))
+    mr = cells.groupBy("w2").agg(F.sum("c12").alias("cr"))
+    nn = cells.agg(F.sum("c12").alias("n"))
+    scored = (
+        cells.where(F.col("c12") >= TOKEN_PMI_MIN_COUNT)
+        .join(F.broadcast(ml), "w1")
+        .join(F.broadcast(mr), "w2")
+        .crossJoin(F.broadcast(nn))
+        .withColumn(
+            "pmi",
+            F.log2(
+                F.col("c12")
+                * F.col("n").cast("double")
+                / (F.col("cl") * F.col("cr").cast("double"))
+            ),
+        )
+    )
+    ranked = scored.withColumn(
+        "rank",
+        F.row_number().over(
+            W.orderBy(F.col("pmi").desc(), F.col("w1"), F.col("w2"))
+        ),
+    ).where(F.col("rank") <= TOKEN_PMI_TOP)
+    return ranked.select(
+        F.col("rank").cast("long").alias("rank"),
+        "w1",
+        "w2",
+        F.col("c12").cast("long").alias("n_pair"),
+        F.col("cl").cast("long").alias("n_left"),
+        F.col("cr").cast("long").alias("n_right"),
+        f32(F.col("pmi")).alias("pmi"),
+    )

@@ -649,6 +649,7 @@ BOUNDED_GLOBAL_WINDOW_OK = {
     "vocab_pareto_coverage": "1000-row frame after TakeOrdered limit",
     "fdr_bh_type_hour_enrichment": "|types|*24 test cells after (type, hour)-grain agg (120 at sf1) — BH step-up is test-count grain by definition",
     "sprt_error_rate_monitor": "|days| rows after day-grain agg (calendar-bounded; 30 on the fixture) — the cumulative LLR is day-sequential by definition",
+    "token_pmi_collocations": "|vocab|^2 bigram cells after the support filter (<=961 on the closed 31-word fixture vocabulary; vocab-bounded, not doc-bounded, on any corpus)",
     # copurchase_label_propagation ranks a 20-row frame but eager-
     # checkpoints the result (cache release), so no Window survives in
     # the returned plan — no whitelist entry needed.

@@ -796,3 +796,105 @@ def test_heaps_vocab_growth_recount(spark):
     vocabs = [v for _, _, _, v in cps]
     assert all(b > a for a, b in zip(vocabs, vocabs[1:])), "saturated vocab"
     assert 0.0 < rows[0]["heaps_beta"] < 1.0
+
+
+def _levenshtein(a: str, b: str) -> int:
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, start=1):
+        cur = [i]
+        for j, cb in enumerate(b, start=1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[len(b)]
+
+
+def test_edit_distance_neardup_pairs_recount(spark):
+    """Independent DP recount at sf0.001: rebuild the prefix+length
+    blocks, run a from-scratch python Levenshtein on every candidate
+    pair, and require the exact pair set with exact distances (pins
+    Spark's levenshtein() against the textbook DP, not just against
+    DuckDB's). Also asserts the result is non-empty (the fixture's
+    planted near-dup groups must surface) and the flood cap is inert
+    on the fixture (max block size well under EDIT_BLOCK_CAP)."""
+    import duckdb
+
+    from orca_ztbus_python_processor_spark.workloads.pipelineops import (
+        CATALOG as PCAT,
+        EDIT_BLOCK_CAP,
+    )
+
+    rows = PCAT.queries["edit_distance_neardup_pairs"](spark, SF_DIR).collect()
+    got = {(r["id_a"], r["id_b"]): (r["dist"], r["min_len"]) for r in rows}
+    assert len(got) == len(rows)
+
+    docs = duckdb.sql(
+        f"SELECT doc_id, text FROM read_parquet('{SF_DIR}/documents.parquet')"
+    ).fetchall()
+    blocks: dict[tuple[str, int], list[tuple[int, str]]] = {}
+    for doc_id, text in docs:
+        blocks.setdefault((text[:8], len(text) // 16), []).append((doc_id, text))
+    assert max(len(v) for v in blocks.values()) < EDIT_BLOCK_CAP / 4
+    want = {}
+    for members in blocks.values():
+        members.sort()
+        for i, (ida, ta) in enumerate(members):
+            for idb, tb in members[i + 1 :]:
+                d = _levenshtein(ta, tb)
+                ml = min(len(ta), len(tb))
+                if 0 < d <= max(4, ml // 10):
+                    want[(ida, idb)] = (d, ml)
+    assert want and got == want
+
+
+def test_token_pmi_collocations_recount(spark):
+    """Pure-python recount at sf0.001: bigram cells, marginals, PMI,
+    and the (pmi DESC, w1, w2) top-20 — exact ranks and counts, PMI to
+    float32. Degenerate-evidence guard: the top-20 PMIs are not all
+    equal (the fixture's template structure produces a spread)."""
+    import math
+    import re as _re
+
+    import duckdb
+    import numpy as np
+
+    from orca_ztbus_python_processor_spark.workloads.textops import (
+        CATALOG as XCAT,
+        TOKEN_PMI_MIN_COUNT,
+        TOKEN_PMI_TOP,
+    )
+
+    rows = sorted(
+        XCAT.queries["token_pmi_collocations"](spark, SF_DIR).collect(),
+        key=lambda r: r["rank"],
+    )
+    docs = duckdb.sql(
+        f"SELECT text FROM read_parquet('{SF_DIR}/documents.parquet')"
+    ).fetchall()
+    cells: dict[tuple[str, str], int] = {}
+    for (text,) in docs:
+        ws = _re.findall(r"[a-z0-9]+", text.lower())
+        for a, b in zip(ws, ws[1:]):
+            cells[(a, b)] = cells.get((a, b), 0) + 1
+    n = sum(cells.values())
+    cl: dict[str, int] = {}
+    cr: dict[str, int] = {}
+    for (a, b), c in cells.items():
+        cl[a] = cl.get(a, 0) + c
+        cr[b] = cr.get(b, 0) + c
+    scored = [
+        (math.log2(c * float(n) / (cl[a] * float(cr[b]))), a, b, c)
+        for (a, b), c in cells.items()
+        if c >= TOKEN_PMI_MIN_COUNT
+    ]
+    scored.sort(key=lambda t: (-t[0], t[1], t[2]))
+    top = scored[:TOKEN_PMI_TOP]
+    assert len(rows) == len(top)
+    for rank, (r, (pmi, a, b, c)) in enumerate(zip(rows, top), start=1):
+        assert (r["rank"], r["w1"], r["w2"], r["n_pair"]) == (rank, a, b, c)
+        assert (r["n_left"], r["n_right"]) == (cl[a], cr[b])
+        assert r["pmi"] == np.float32(pmi)
+    assert len({r["pmi"] for r in rows}) > 1
