@@ -4238,3 +4238,581 @@ def bootstrap_ci_price_by_priority(spark: SparkSession, sf_dir: str) -> DataFram
         f32(F.col("hi")).alias("ci_hi"),
         F.lit(_BOOT_B).cast("long").alias("n_boot"),
     )
+
+
+# --------------------------------------------------------------------------
+# levene_qty_by_returnflag — Brown–Forsythe variance-homogeneity test:
+# does quantity DISPERSION (not level) differ across return flags?
+# ANOVA on |q - median_g| (median-centered = the outlier-robust Levene
+# variant). Completes the grouped-difference battery: ANOVA tests
+# means, Kruskal-Wallis tests ranks, this tests spreads — the
+# precondition check for pooled-variance methods (effect sizes below).
+# The group median is defined as the ceil(n/2) order statistic (lower
+# median) so BOTH engines pick it from cumulative counts with no
+# averaging-semantics ambiguity.
+#
+# Scale shape: ONE map-combinable (flag, qty) cell rollup is the only
+# corpus-sized stage (l_quantity has ~50 distinct values, so the cell
+# frame is |flags| x 50, bounded); medians come from a cumulative
+# window over that bounded frame, and the absolute-deviation moments
+# are a second rollup of the SAME cells — no second fact scan, no
+# entity-grain sort. Everything is integer/rational until the final
+# divisions, so the oracle replays it exactly to the f32 boundary.
+# --------------------------------------------------------------------------
+@CATALOG.query(
+    "levene_qty_by_returnflag",
+    oracle="""
+    WITH cells AS (
+        SELECT l_returnflag AS flag, l_quantity AS q, count(*) AS c
+        FROM lineitem GROUP BY 1, 2
+    ), cum AS (
+        SELECT flag, q, c,
+               sum(c) OVER (PARTITION BY flag ORDER BY q) AS cq,
+               sum(c) OVER (PARTITION BY flag) AS n
+        FROM cells
+    ), med AS (
+        SELECT flag, min(q) AS med
+        FROM cum WHERE cq >= floor((n + 1) / 2.0)
+        GROUP BY flag
+    ), z AS (
+        SELECT cells.flag, abs(q - med) AS z, c
+        FROM cells JOIN med ON med.flag = cells.flag
+    ), g AS (
+        SELECT flag, sum(c) AS n, sum(c * z) AS s, sum(c * z * z) AS ss
+        FROM z GROUP BY flag
+    ), t AS (
+        SELECT count(*) AS k, sum(n) AS n, sum(s) AS s, sum(ss) AS ss,
+               sum(s * s / n) AS sg
+        FROM g
+    )
+    SELECT CAST(k AS BIGINT) AS n_groups,
+           CAST(n AS BIGINT) AS n_rows,
+           CAST(sg - s * s / n AS REAL) AS ss_between,
+           CAST(ss - sg AS REAL) AS ss_within,
+           CAST((sg - s * s / n) / (k - 1)
+                / ((ss - sg) / (n - k)) AS REAL) AS f_stat
+    FROM t
+    """,
+)
+def levene_qty_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cells = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy(
+            F.col("l_returnflag").alias("flag"),
+            F.col("l_quantity").alias("q"),
+        )
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=False)  # reused: median pass + z-moments
+    )
+    wcum = W.partitionBy("flag").orderBy("q")
+    wall = W.partitionBy("flag")
+    cum = cells.select(
+        "flag",
+        "q",
+        F.sum("c").over(wcum).alias("cq"),
+        F.sum("c").over(wall).alias("n"),
+    )
+    med = (
+        cum.where(F.col("cq") >= F.floor((F.col("n") + 1) / 2.0))
+        .groupBy("flag")
+        .agg(F.min("q").alias("med"))
+    )
+    z = cells.join(F.broadcast(med), "flag").select(
+        "flag", F.abs(F.col("q") - F.col("med")).alias("z"), "c"
+    )
+    g = z.groupBy("flag").agg(
+        F.sum("c").alias("n"),
+        F.sum(F.col("c") * F.col("z")).alias("s"),
+        F.sum(F.col("c") * F.col("z") * F.col("z")).alias("ss"),
+    )
+    k, n = F.count("*"), F.sum("n")
+    s, ss = F.sum("s"), F.sum("ss")
+    sg = F.sum(F.col("s") * F.col("s") / F.col("n"))
+    ss_between, ss_within = sg - s * s / n, ss - sg
+    return g.agg(
+        k.cast("long").alias("n_groups"),
+        n.cast("long").alias("n_rows"),
+        f32(ss_between).alias("ss_between"),
+        f32(ss_within).alias("ss_within"),
+        f32(ss_between / (k - 1) / (ss_within / (n - k))).alias("f_stat"),
+    )
+
+
+# --------------------------------------------------------------------------
+# kruskal_wallis_qty_by_priority — the k-sample RANK test: does the
+# quantity distribution differ across the five order priorities,
+# judged on midranks rather than means? Emits the H statistic with the
+# tie-correction divisor (quantities are heavily tied — ~50 distinct
+# values — so the correction is load-bearing, not cosmetic) and the
+# epsilon-squared effect size. Rank analogue of anova_price_by_brand,
+# k-sample extension of mannwhitney_value_shift.
+#
+# Scale shape: the orderkey equi-join feeds ONE map-combinable
+# (priority, qty) cell rollup — the only corpus-sized stages; global
+# midranks come from a cumulative window over the ~50-row distinct-
+# value frame (bounded grain — same policy as
+# spearman_qty_discount_by_flag), rank-sums are a 5-row rollup, and H
+# is closed form. Midranks are half-integers and all sums stay below
+# 2^52, so both engines agree exactly to the f32 boundary.
+# --------------------------------------------------------------------------
+@CATALOG.query(
+    "kruskal_wallis_qty_by_priority",
+    oracle="""
+    WITH cells AS (
+        SELECT o_orderpriority AS mode, l_quantity AS q, count(*) AS c
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY 1, 2
+    ), perq AS (
+        SELECT q, sum(c) AS cq FROM cells GROUP BY q
+    ), ranks AS (
+        SELECT q,
+               coalesce(sum(cq) OVER (ORDER BY q
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0) + (cq + 1) / 2.0 AS r,
+               cq
+        FROM perq
+    ), rsum AS (
+        SELECT mode, sum(c) AS n, sum(c * r) AS rs
+        FROM cells JOIN ranks USING (q)
+        GROUP BY mode
+    ), t AS (
+        SELECT count(*) AS k, sum(n) AS n, sum(rs * rs / n) AS srr
+        FROM rsum
+    ), ties AS (
+        SELECT sum(cq * cq * cq - cq) AS tie3 FROM perq
+    )
+    SELECT CAST(k AS BIGINT) AS n_groups,
+           CAST(n AS BIGINT) AS n_rows,
+           CAST(12.0 / (n * (n + 1)) * srr - 3 * (n + 1) AS REAL) AS h_stat,
+           CAST((12.0 / (n * (n + 1)) * srr - 3 * (n + 1))
+                / (1 - tie3 / (CAST(n AS DOUBLE) * n * n - n)) AS REAL)
+               AS h_corrected,
+           CAST(((12.0 / (n * (n + 1)) * srr - 3 * (n + 1)) - k + 1)
+                / (n - k) AS REAL) AS epsilon_sq
+    FROM t, ties
+    """,
+)
+def kruskal_wallis_qty_by_priority(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    cells = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.col("o_orderpriority").alias("mode"),
+            F.col("l_quantity").alias("q"),
+        )
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=False)  # reused: global ranks + rank-sums
+    )
+    perq = cells.groupBy("q").agg(F.sum("c").alias("cq"))
+    wr = W.orderBy("q").rowsBetween(W.unboundedPreceding, -1)
+    # ~50-row distinct-value frame: the unpartitioned window is bounded
+    # by the value domain, never by row count (spearman precedent).
+    ranks = perq.select(
+        "q",
+        (
+            F.coalesce(F.sum("cq").over(wr), F.lit(0))
+            + (F.col("cq") + 1) / 2.0
+        ).alias("r"),
+        "cq",
+    ).localCheckpoint(eager=False)  # reused: rank-sums + tie correction
+    rsum = (
+        cells.join(F.broadcast(ranks.select("q", "r")), "q")
+        .groupBy("mode")
+        .agg(F.sum("c").alias("n"), F.sum(F.col("c") * F.col("r")).alias("rs"))
+    )
+    k, n = F.count("*"), F.sum("n")
+    srr = F.sum(F.col("rs") * F.col("rs") / F.col("n"))
+    t = rsum.agg(
+        k.cast("long").alias("n_groups"),
+        n.cast("long").alias("n_rows_l"),
+        (F.lit(12.0) / (n * (n + 1)) * srr - 3 * (n + 1)).alias("h"),
+        k.alias("k_raw"),
+        n.alias("n_raw"),
+    )
+    ties = perq.agg(
+        F.sum(
+            F.col("cq") * F.col("cq") * F.col("cq") - F.col("cq")
+        ).alias("tie3")
+    )
+    return t.crossJoin(F.broadcast(ties)).select(
+        F.col("n_groups"),
+        F.col("n_rows_l").alias("n_rows"),
+        f32(F.col("h")).alias("h_stat"),
+        f32(
+            F.col("h")
+            / (
+                F.lit(1)
+                - F.col("tie3")
+                / (
+                    F.col("n_raw").cast("double")
+                    * F.col("n_raw")
+                    * F.col("n_raw")
+                    - F.col("n_raw")
+                )
+            )
+        ).alias("h_corrected"),
+        f32(
+            (F.col("h") - F.col("k_raw") + 1)
+            / (F.col("n_raw") - F.col("k_raw"))
+        ).alias("epsilon_sq"),
+    )
+
+
+# --------------------------------------------------------------------------
+# winsorized_price_means — the rank-threshold robust-location pair per
+# return flag: the 10% TRIMMED mean (drop the k = floor(n/10) smallest
+# and largest prices, average the middle) and the 10% WINSORIZED mean
+# (clamp those k tail values to the surviving boundary order
+# statistics, average everything). Completes the robust-location
+# family: robust_means_profile covers the Pythagorean means (transform
+# the values), these cover the rank-threshold estimators (censor the
+# ranks) — the standard treatment when a heavy tail should be
+# bounded-influence rather than re-weighted.
+#
+# Scale shape: exact rank-threshold estimators are HOLISTIC — the
+# per-flag row_number sort is an entity-grain window (3 flags ≈ 3
+# partition-local external sorts, spillable; same whitelist posture as
+# the exact-percentile entries, with quantile_sketch_profile as the
+# catalog's sketch-grade alternative at 100 TB). Sums over equal-value
+# tie groups are permutation-invariant, so the row_number tie order
+# cannot change any emitted sum, and the f32 boundary absorbs double
+# summation-order noise.
+# --------------------------------------------------------------------------
+@CATALOG.query(
+    "winsorized_price_means",
+    oracle="""
+    WITH ranked AS (
+        SELECT l_returnflag AS flag, l_extendedprice AS p,
+               row_number() OVER (PARTITION BY l_returnflag
+                                  ORDER BY l_extendedprice) AS rn,
+               count(*) OVER (PARTITION BY l_returnflag) AS n
+        FROM lineitem
+    ), lim AS (
+        SELECT flag, p, rn, n, CAST(floor(n / 10.0) AS BIGINT) AS k
+        FROM ranked
+    ), bounds AS (
+        SELECT flag,
+               max(CASE WHEN rn = k + 1 THEN p END) AS lo,
+               max(CASE WHEN rn = n - k THEN p END) AS hi
+        FROM lim GROUP BY flag
+    )
+    SELECT lim.flag AS l_returnflag,
+           CAST(max(lim.n) AS BIGINT) AS n_rows,
+           CAST(max(lim.k) AS BIGINT) AS k_censored,
+           CAST(avg(lim.p) AS REAL) AS mean_price,
+           CAST(sum(CASE WHEN rn > k AND rn <= n - k THEN p END)
+                / (max(n) - 2 * max(k)) AS REAL) AS trimmed_mean,
+           CAST(avg(CASE WHEN rn <= k THEN lo
+                         WHEN rn > n - k THEN hi
+                         ELSE lim.p END) AS REAL) AS winsorized_mean
+    FROM lim JOIN bounds ON bounds.flag = lim.flag
+    GROUP BY lim.flag
+    """,
+)
+def winsorized_price_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ranked = (
+        _t(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_returnflag").alias("flag"),
+            F.col("l_extendedprice").alias("p"),
+        )
+        .select(
+            "flag",
+            "p",
+            F.row_number()
+            .over(W.partitionBy("flag").orderBy("p"))
+            .alias("rn"),
+            F.count("*").over(W.partitionBy("flag")).alias("n"),
+        )
+        .withColumn("k", F.floor(F.col("n") / 10.0))
+        .localCheckpoint(eager=False)  # reused: boundary lookup + means
+    )
+    bounds = ranked.groupBy("flag").agg(
+        F.max(F.when(F.col("rn") == F.col("k") + 1, F.col("p"))).alias("lo"),
+        F.max(F.when(F.col("rn") == F.col("n") - F.col("k"), F.col("p"))).alias(
+            "hi"
+        ),
+    )
+    mid = (F.col("rn") > F.col("k")) & (F.col("rn") <= F.col("n") - F.col("k"))
+    return (
+        ranked.join(F.broadcast(bounds), "flag")
+        .groupBy("flag")
+        .agg(
+            F.max("n").cast("long").alias("n_rows"),
+            F.max("k").cast("long").alias("k_censored"),
+            f32(F.avg("p")).alias("mean_price"),
+            f32(
+                F.sum(F.when(mid, F.col("p")))
+                / (F.max("n") - 2 * F.max("k"))
+            ).alias("trimmed_mean"),
+            f32(
+                F.avg(
+                    F.when(F.col("rn") <= F.col("k"), F.col("lo"))
+                    .when(F.col("rn") > F.col("n") - F.col("k"), F.col("hi"))
+                    .otherwise(F.col("p"))
+                )
+            ).alias("winsorized_mean"),
+        )
+        .withColumnRenamed("flag", "l_returnflag")
+    )
+
+
+# --------------------------------------------------------------------------
+# effect_size_price_r_vs_n — standardized effect sizes for the returned
+# (R) vs not-returned (N) price gap: Cohen's d on the pooled standard
+# deviation, the Hedges small-sample correction g, Glass's delta
+# (control-side scale), and the log response ratio. The statistical-
+# test family (ANOVA/KW/MW/Levene) answers "is there a difference?";
+# effect sizes answer "how big, in comparable units?" — the number a
+# 100 TB A/B readout actually ships.
+#
+# Scale shape: ONE map-combinable two-group moment rollup (n, sum, sum
+# of squares per flag) — closed form from there, output is one row.
+# All moments are exact integer-weighted double sums; f32 absorbs
+# summation order.
+# --------------------------------------------------------------------------
+@CATALOG.query(
+    "effect_size_price_r_vs_n",
+    oracle="""
+    WITH g AS (
+        SELECT l_returnflag AS flag, count(*) AS n,
+               sum(l_extendedprice) AS s,
+               sum(l_extendedprice * l_extendedprice) AS ss
+        FROM lineitem WHERE l_returnflag IN ('R', 'N') GROUP BY 1
+    ), w AS (
+        SELECT max(CASE WHEN flag = 'R' THEN n END) AS n1,
+               max(CASE WHEN flag = 'R' THEN s END) AS s1,
+               max(CASE WHEN flag = 'R' THEN ss END) AS ss1,
+               max(CASE WHEN flag = 'N' THEN n END) AS n2,
+               max(CASE WHEN flag = 'N' THEN s END) AS s2,
+               max(CASE WHEN flag = 'N' THEN ss END) AS ss2
+        FROM g
+    ), d AS (
+        SELECT n1, n2, s1 / n1 AS m1, s2 / n2 AS m2,
+               (ss1 - s1 * s1 / n1) / (n1 - 1) AS v1,
+               (ss2 - s2 * s2 / n2) / (n2 - 1) AS v2
+        FROM w
+    )
+    SELECT CAST(n1 AS BIGINT) AS n_returned,
+           CAST(n2 AS BIGINT) AS n_kept,
+           CAST(m1 - m2 AS REAL) AS mean_diff,
+           CAST((m1 - m2) / sqrt(((n1 - 1) * v1 + (n2 - 1) * v2)
+                                 / (n1 + n2 - 2)) AS REAL) AS cohens_d,
+           CAST((m1 - m2) / sqrt(((n1 - 1) * v1 + (n2 - 1) * v2)
+                                 / (n1 + n2 - 2))
+                * (1 - 3.0 / (4 * (n1 + n2) - 9)) AS REAL) AS hedges_g,
+           CAST((m1 - m2) / sqrt(v2) AS REAL) AS glass_delta,
+           CAST(ln(m1 / m2) AS REAL) AS log_ratio
+    FROM d
+    """,
+)
+def effect_size_price_r_vs_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = (
+        _t(spark, sf_dir, "lineitem")
+        .where(F.col("l_returnflag").isin("R", "N"))
+        .groupBy(F.col("l_returnflag").alias("flag"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("l_extendedprice").alias("s"),
+            F.sum(F.col("l_extendedprice") * F.col("l_extendedprice")).alias(
+                "ss"
+            ),
+        )
+    )
+
+    def side(col: str, flag: str) -> Column:
+        return F.max(F.when(F.col("flag") == flag, F.col(col)))
+
+    w = g.agg(
+        side("n", "R").alias("n1"),
+        side("s", "R").alias("s1"),
+        side("ss", "R").alias("ss1"),
+        side("n", "N").alias("n2"),
+        side("s", "N").alias("s2"),
+        side("ss", "N").alias("ss2"),
+    )
+    n1, n2 = F.col("n1"), F.col("n2")
+    m1, m2 = F.col("s1") / n1, F.col("s2") / n2
+    v1 = (F.col("ss1") - F.col("s1") * F.col("s1") / n1) / (n1 - 1)
+    v2 = (F.col("ss2") - F.col("s2") * F.col("s2") / n2) / (n2 - 1)
+    sp = F.sqrt(((n1 - 1) * v1 + (n2 - 1) * v2) / (n1 + n2 - 2))
+    d = (m1 - m2) / sp
+    return w.select(
+        n1.cast("long").alias("n_returned"),
+        n2.cast("long").alias("n_kept"),
+        f32(m1 - m2).alias("mean_diff"),
+        f32(d).alias("cohens_d"),
+        f32(d * (1 - 3.0 / (4 * (n1 + n2) - 9))).alias("hedges_g"),
+        f32((m1 - m2) / F.sqrt(v2)).alias("glass_delta"),
+        f32(F.log(m1 / m2)).alias("log_ratio"),
+    )
+
+
+# --------------------------------------------------------------------------
+# return_model_calibration_bins — the reliability diagram for a fixed
+# logistic return-risk score: bucket lineitems into score deciles and
+# emit, per bin, the mean predicted probability vs the empirical
+# return rate, the calibration gap, and the Brier contribution. The
+# ML-eval primitive the statistical-test family lacks: given ANY
+# per-row score (here a frozen toy logistic in discount and quantity —
+# coefficients are part of the query contract, not learned), is it
+# CALIBRATED? At 100 TB this is the per-shard quality-classifier audit
+# run before a filter threshold is trusted.
+#
+# Scale shape: the score, label, and bin are all row-local expressions
+# inside the scan (whole-stage codegen), then ONE map-combinable
+# ≤10-row rollup. exp() is the same libm call on both engines; per-row
+# values are bit-identical and the f32 boundary absorbs aggregation
+# order.
+# --------------------------------------------------------------------------
+@CATALOG.query(
+    "return_model_calibration_bins",
+    oracle="""
+    WITH scored AS (
+        SELECT 1.0 / (1.0 + exp(-(-3.0 + 30.0 * l_discount
+                                  + 0.08 * l_quantity))) AS score,
+               CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS y
+        FROM lineitem
+    )
+    SELECT CAST(least(floor(score * 10), 9) AS BIGINT) AS bin,
+           count(*) AS n_rows,
+           CAST(avg(score) AS REAL) AS mean_predicted,
+           CAST(avg(y) AS REAL) AS observed_rate,
+           CAST(avg(score) - avg(y) AS REAL) AS calibration_gap,
+           CAST(avg((score - y) * (score - y)) AS REAL) AS brier
+    FROM scored GROUP BY 1
+    """,
+)
+def return_model_calibration_bins(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    score = F.lit(1.0) / (
+        F.lit(1.0)
+        + F.exp(
+            -(
+                F.lit(-3.0)
+                + 30.0 * F.col("l_discount")
+                + 0.08 * F.col("l_quantity")
+            )
+        )
+    )
+    y = F.when(F.col("l_returnflag") == "R", 1.0).otherwise(0.0)
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .select(score.alias("score"), y.alias("y"))
+        .groupBy(
+            F.least(F.floor(F.col("score") * 10), F.lit(9))
+            .cast("long")
+            .alias("bin")
+        )
+        .agg(
+            F.count("*").alias("n_rows"),
+            f32(F.avg("score")).alias("mean_predicted"),
+            f32(F.avg("y")).alias("observed_rate"),
+            f32(F.avg("score") - F.avg("y")).alias("calibration_gap"),
+            f32(
+                F.avg(
+                    (F.col("score") - F.col("y"))
+                    * (F.col("score") - F.col("y"))
+                )
+            ).alias("brier"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# bipartite_hits_parts — HITS hub/authority scoring on the DIRECTED
+# bipartite purchase graph (customer —buys→ part, weight = lineitem
+# count): two full mutual-reinforcement rounds of the Kleinberg
+# power iteration (a¹ = Wᵀ·1, h¹ = W·a¹, a² = Wᵀ·h¹), then the top-15
+# parts by second-round authority. The directed-centrality axis the
+# graph family lacks: PageRank ranks within ONE node set via random
+# walks; HITS splits the bipartite roles — parts are authorities
+# (bought by high-volume customers), customers are hubs (buy
+# authoritative parts).
+#
+# Replay contract: weights are integer counts and the iteration is run
+# UNNORMALIZED, so every matvec is an integer-weighted integer sum —
+# exact in doubles far below 2^53 even at 100× this scale (a² is
+# bounded by fanout³ ≈ 10⁷ per node at sf1) — and the (score DESC,
+# partkey) order is total. That makes the fixed-round fixpoint
+# bit-replayable, the same promotion trick as the LPA unrolled twin;
+# the scale-free authority_share ratio is the only float.
+#
+# Scale shape: ONE corpus-sized stage — the orderkey equi-join that
+# builds the (cust, part, w) edge list, persisted and reused by all
+# three matvecs. Each matvec is an equi-join of the edge table against
+# a NODE-grain score frame (AQE broadcasts it at test scale; hash join
+# on the node key beyond) plus a map-combinable rollup — the Pregel
+# bound, fixed at 3 rounds. Top-15 via TakeOrdered, no global sort.
+# --------------------------------------------------------------------------
+@CATALOG.query(
+    "bipartite_hits_parts",
+    oracle="""
+    WITH e AS (
+        SELECT o_custkey AS c, l_partkey AS p, count(*) AS w
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY 1, 2
+    ), a1 AS (
+        SELECT p, sum(w) AS a FROM e GROUP BY p
+    ), h1 AS (
+        SELECT e.c, sum(e.w * a1.a) AS h FROM e JOIN a1 USING (p) GROUP BY e.c
+    ), a2 AS (
+        SELECT e.p, sum(e.w * h1.h) AS a FROM e JOIN h1 USING (c) GROUP BY e.p
+    ), mx AS (
+        SELECT max(a) AS m FROM a2
+    ), top AS (
+        SELECT p, a, row_number() OVER (ORDER BY a DESC, p) AS rank
+        FROM a2
+    )
+    SELECT CAST(rank AS BIGINT) AS rank,
+           CAST(top.p AS BIGINT) AS partkey,
+           CAST(top.a AS BIGINT) AS authority2,
+           CAST(a1.a AS BIGINT) AS authority1,
+           CAST(top.a / m AS REAL) AS authority_share
+    FROM top JOIN a1 ON a1.p = top.p, mx
+    WHERE rank <= 15
+    """,
+)
+def bipartite_hits_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    e = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p")
+        )
+        .agg(F.count("*").alias("w"))
+        .persist()  # reused by all three matvecs
+    )
+    a1 = e.groupBy("p").agg(F.sum("w").alias("a1"))
+    h1 = (
+        e.join(a1, "p")
+        .groupBy("c")
+        .agg(F.sum(F.col("w") * F.col("a1")).alias("h1"))
+    )
+    a2 = (
+        e.join(h1, "c")
+        .groupBy("p")
+        .agg(F.sum(F.col("w") * F.col("h1")).alias("a2"))
+    )
+    mx = a2.agg(F.max("a2").alias("m"))
+    top = a2.orderBy(F.col("a2").desc(), "p").limit(15)
+    return (
+        top.join(a1, "p")
+        .crossJoin(F.broadcast(mx))
+        .select(
+            F.row_number()
+            .over(W.orderBy(F.col("a2").desc(), "p"))
+            .alias("rank"),
+            F.col("p").cast("long").alias("partkey"),
+            F.col("a2").cast("long").alias("authority2"),
+            F.col("a1").cast("long").alias("authority1"),
+            f32(F.col("a2") / F.col("m")).alias("authority_share"),
+        )
+    )

@@ -4437,3 +4437,201 @@ def token_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cr").cast("long").alias("n_right"),
         f32(F.col("pmi")).alias("pmi"),
     )
+
+
+# --------------------------------------------------------------------------
+# doc_unigram_kl_quality — per-document KL divergence of the document's
+# unigram distribution from the CORPUS unigram distribution, rolled up
+# per source: KL(doc‖corpus) = Σ_t (c_t/L)·ln((c_t/L)/(cf_t/T)). The
+# distribution-level quality score the heuristic family
+# (doc_quality's length/stopword ratios) lacks: template/boilerplate
+# docs sit NEAR the corpus distribution (low KL), topical or garbled
+# docs sit far — the standard "distributional outlier" filter axis in
+# pretraining curation. Every doc term exists in the corpus by
+# construction, so the divergence is always finite.
+#
+# Scale shape: tokenize ONCE into (doc, term, count) cells (the one
+# corpus-sized shuffle, hash-grain); the corpus marginal is a
+# map-combinable term rollup of the SAME cells, broadcast back (vocab-
+# bounded); the per-doc sum is a doc-grain rollup and the source
+# profile is a ≤|sources|-row reduce. ln is the same libm call both
+# engines; per-doc sums differ only in summation order, absorbed at
+# the f32 boundary after the source-grain average.
+# --------------------------------------------------------------------------
+@CATALOG.query(
+    "doc_unigram_kl_quality",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, source,
+               lower(unnest(regexp_extract_all(text, '{TOKEN_RE}'))) AS term
+        FROM documents
+    ), cells AS (
+        SELECT doc_id, source, term, count(*) AS c
+        FROM tok GROUP BY 1, 2, 3
+    ), doclen AS (
+        SELECT doc_id, sum(c) AS len FROM cells GROUP BY doc_id
+    ), marg AS (
+        SELECT term, sum(c) AS cf FROM cells GROUP BY term
+    ), tot AS (
+        SELECT sum(cf) AS t FROM marg
+    ), perdoc AS (
+        SELECT cells.doc_id, cells.source,
+               sum((c / CAST(len AS DOUBLE))
+                   * ln((c / CAST(len AS DOUBLE))
+                        / (cf / CAST(t AS DOUBLE)))) AS kl
+        FROM cells
+        JOIN doclen ON doclen.doc_id = cells.doc_id
+        JOIN marg ON marg.term = cells.term, tot
+        GROUP BY 1, 2
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(avg(kl) AS REAL) AS mean_kl,
+           CAST(min(kl) AS REAL) AS min_kl,
+           CAST(max(kl) AS REAL) AS max_kl
+    FROM perdoc GROUP BY source
+    """,
+)
+def doc_unigram_kl_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cells = (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.expr(f"regexp_extract_all(text, '{TOKEN_RE}', 0)")
+            ).alias("raw"),
+        )
+        .select("doc_id", "source", F.lower(F.col("raw")).alias("term"))
+        .groupBy("doc_id", "source", "term")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=False)  # reused: marginal + per-doc sum
+    )
+    doclen = cells.groupBy("doc_id").agg(F.sum("c").alias("len"))
+    marg = cells.groupBy("term").agg(F.sum("c").alias("cf"))
+    tot = marg.agg(F.sum("cf").alias("t"))
+    p_doc = F.col("c") / F.col("len").cast("double")
+    p_corpus = F.col("cf") / F.col("t").cast("double")
+    perdoc = (
+        cells.join(doclen, "doc_id")
+        .join(F.broadcast(marg), "term")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id", "source")
+        .agg(F.sum(p_doc * F.log(p_doc / p_corpus)).alias("kl"))
+    )
+    return perdoc.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        f32(F.avg("kl")).alias("mean_kl"),
+        f32(F.min("kl")).alias("min_kl"),
+        f32(F.max("kl")).alias("max_kl"),
+    )
+
+
+# --------------------------------------------------------------------------
+# lang_separability_auc — one-vs-rest ROC AUC per language for a
+# single scalar text feature (type-token ratio, floor-quantized to
+# 1/1000 bins): how well does TTR alone separate each language from
+# the rest of the corpus? AUC computed exactly via the Mann-Whitney
+# rank-sum identity AUC = (R⁺ - n⁺(n⁺+1)/2) / (n⁺·n⁻) with midranks
+# for ties — the threshold-free discrimination readout a curation
+# pipeline runs before trusting any single-feature filter (the
+# companion to return_model_calibration_bins: that audits calibration,
+# this audits discrimination).
+#
+# Scale shape: the per-doc TTR needs one (doc, term) dedup — hash-
+# grain, the one corpus-sized shuffle; quantizing to ≤1001 score bins
+# makes the rank table a BOUNDED cumulative window (spearman policy)
+# and the per-language rank-sums a |langs|-row rollup. Midranks are
+# half-integers, rank-sums exact in doubles; only the final AUC
+# division is float. floor() quantization (not round) so both engines
+# bin identically at representation boundaries.
+# --------------------------------------------------------------------------
+@CATALOG.query(
+    "lang_separability_auc",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, lang,
+               lower(unnest(regexp_extract_all(text, '{TOKEN_RE}'))) AS term
+        FROM documents
+    ), ttr AS (
+        SELECT doc_id, lang,
+               CAST(floor(1000.0 * count(DISTINCT term) / count(*))
+                    AS BIGINT) AS score
+        FROM tok GROUP BY 1, 2
+    ), perscore AS (
+        SELECT score, count(*) AS cs FROM ttr GROUP BY score
+    ), ranks AS (
+        SELECT score,
+               coalesce(sum(cs) OVER (ORDER BY score
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0) + (cs + 1) / 2.0 AS r
+        FROM perscore
+    ), cells AS (
+        SELECT lang, score, count(*) AS c FROM ttr GROUP BY 1, 2
+    ), tot AS (
+        SELECT sum(c) AS n FROM cells
+    ), bylang AS (
+        SELECT lang, sum(c) AS n_pos, sum(c * r) AS rpos
+        FROM cells JOIN ranks USING (score)
+        GROUP BY lang
+    )
+    SELECT lang,
+           CAST(n_pos AS BIGINT) AS n_pos,
+           CAST(n - n_pos AS BIGINT) AS n_neg,
+           CAST((rpos - n_pos * (n_pos + 1) / 2.0)
+                / (n_pos * (n - n_pos)) AS REAL) AS auc
+    FROM bylang, tot
+    """,
+)
+def lang_separability_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tok = (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(
+                F.expr(f"regexp_extract_all(text, '{TOKEN_RE}', 0)")
+            ).alias("raw"),
+        )
+        .select("doc_id", "lang", F.lower(F.col("raw")).alias("term"))
+    )
+    ttr = (
+        tok.groupBy("doc_id", "lang")
+        .agg(
+            F.floor(
+                1000.0 * F.count_distinct(F.col("term")) / F.count("*")
+            )
+            .cast("long")
+            .alias("score")
+        )
+        .localCheckpoint(eager=False)  # reused: rank table + lang cells
+    )
+    perscore = ttr.groupBy("score").agg(F.count("*").alias("cs"))
+    wr = W.orderBy("score").rowsBetween(W.unboundedPreceding, -1)
+    # ≤1001-row quantized-score frame: bounded by the value domain.
+    ranks = perscore.select(
+        "score",
+        (
+            F.coalesce(F.sum("cs").over(wr), F.lit(0))
+            + (F.col("cs") + 1) / 2.0
+        ).alias("r"),
+    )
+    cells = ttr.groupBy("lang", "score").agg(F.count("*").alias("c"))
+    tot = cells.agg(F.sum("c").alias("n"))
+    bylang = (
+        cells.join(F.broadcast(ranks), "score")
+        .groupBy("lang")
+        .agg(
+            F.sum("c").alias("n_pos"),
+            F.sum(F.col("c") * F.col("r")).alias("rpos"),
+        )
+    )
+    return bylang.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        F.col("n_pos").cast("long").alias("n_pos"),
+        (F.col("n") - F.col("n_pos")).cast("long").alias("n_neg"),
+        f32(
+            (F.col("rpos") - F.col("n_pos") * (F.col("n_pos") + 1) / 2.0)
+            / (F.col("n_pos") * (F.col("n") - F.col("n_pos")))
+        ).alias("auc"),
+    )

@@ -5201,3 +5201,177 @@ def event_chain_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("h_cond_norm"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# cm_sketch_heavy_hitters — Count-Min sketch frequency estimation
+# (Cormode & Muthukrishnan, J. Algorithms'05 — public algorithm)
+# audited against exact counts: d=4 independent hash rows x w=512
+# counters over per-part lineitem volumes, then the top-20 true heavy
+# hitters with their CM estimate (min over the 4 row counters) and the
+# collision overestimate. The part key is the corpus's high-cardinality
+# axis (2k keys at sf0.01, 200k at sf1 — always >> w, so the audit
+# exercises real collisions at every driver scale). Completes the
+# sketch family's frequency axis: KMV/HLL answer "how many distinct",
+# quantile sketches answer "where is the mass", CM answers "how often
+# is THIS key" in O(d·w) space — the mergeable per-shard structure a
+# 100 TB top-talkers pipeline keeps instead of a full key census.
+#
+# Replay contract: bucket indices are md5-derived (same trick as the
+# KMV twin) so DuckDB replays the EXACT sketch — counters, estimates,
+# and overestimates hash-match as integers; nothing is float.
+#
+# Scale shape: ONE map-combinable part-grain count rollup is the only
+# corpus-sized stage; the 4-row hash fan-out runs on the part-grain
+# frame and collapses immediately into the 2048-cell counter table
+# (map-combinable, constant size), the top-20 side is a TakeOrdered,
+# and the estimate join broadcasts the 2048-row counter table. At
+# 100 TB the counter table is what ships between stages — the raw key
+# census never leaves the first rollup.
+# --------------------------------------------------------------------------
+CM_DEPTH = 4
+CM_WIDTH = 512
+CM_TOPK = 20
+
+
+@CATALOG.query(
+    "cm_sketch_heavy_hitters",
+    oracle=f"""
+    WITH u AS (
+        SELECT l_partkey AS key, count(*) AS cnt
+        FROM lineitem GROUP BY l_partkey
+    ), rows_ AS (
+        SELECT u.key, u.cnt, i.i,
+               CAST(('0x' || substr(md5(CAST(i.i AS VARCHAR) || ':' ||
+                    CAST(u.key AS VARCHAR)), 1, 15)) AS BIGINT)
+                   % {CM_WIDTH} AS bucket
+        FROM u, (SELECT unnest(range({CM_DEPTH})) AS i) i
+    ), counters AS (
+        SELECT i, bucket, sum(cnt) AS total
+        FROM rows_ GROUP BY i, bucket
+    ), top AS (
+        SELECT key, cnt,
+               row_number() OVER (ORDER BY cnt DESC, key) AS rank
+        FROM u
+    ), est AS (
+        SELECT r.key, min(c.total) AS est
+        FROM rows_ r JOIN counters c ON c.i = r.i AND c.bucket = r.bucket
+        WHERE r.key IN (SELECT key FROM top WHERE rank <= {CM_TOPK})
+        GROUP BY r.key
+    )
+    SELECT CAST(rank AS BIGINT) AS rank,
+           CAST(top.key AS BIGINT) AS partkey,
+           CAST(cnt AS BIGINT) AS true_count,
+           CAST(est AS BIGINT) AS cm_estimate,
+           CAST(est - cnt AS BIGINT) AS overestimate
+    FROM top JOIN est ON est.key = top.key
+    WHERE rank <= {CM_TOPK}
+    """,
+)
+def cm_sketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    u = (
+        read_table(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_partkey").alias("key"))
+        .agg(F.count("*").alias("cnt"))
+        .localCheckpoint(eager=False)  # reused: fan-out + top-k
+    )
+    hashed = u.select(
+        "key",
+        "cnt",
+        F.explode(F.array([F.lit(i) for i in range(CM_DEPTH)])).alias("i"),
+    ).withColumn(
+        "bucket",
+        F.expr(
+            "cast(conv(substr(md5(concat(cast(i as string), ':', "
+            "cast(key as string))), 1, 15), 16, 10) as bigint)"
+        )
+        % CM_WIDTH,
+    )
+    counters = hashed.groupBy("i", "bucket").agg(F.sum("cnt").alias("total"))
+    top = u.orderBy(F.col("cnt").desc(), "key").limit(CM_TOPK)
+    est = (
+        hashed.join(F.broadcast(top.select("key")), "key")
+        .join(F.broadcast(counters), ["i", "bucket"])
+        .groupBy("key")
+        .agg(F.min("total").alias("est"))
+    )
+    return (
+        top.join(est, "key")
+        .select(
+            F.row_number()
+            .over(W.orderBy(F.col("cnt").desc(), "key"))
+            .alias("rank"),
+            F.col("key").cast("long").alias("partkey"),
+            F.col("cnt").cast("long").alias("true_count"),
+            F.col("est").cast("long").alias("cm_estimate"),
+            (F.col("est") - F.col("cnt")).cast("long").alias("overestimate"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# dp_noisy_type_histogram — a differential-privacy-style NOISY release
+# of the per-event-type activity histogram: true count plus
+# Laplace(1/ε) noise (ε = 1.0, sensitivity 1 for a single-event
+# change), emitted alongside the true count and the drawn noise so the
+# privacy/utility tradeoff is auditable. The privacy axis the catalog
+# otherwise lacks: at 100 TB the histogram release — not the raw
+# table — is what crosses a trust boundary.
+#
+# Replay contract: production DP uses a true RNG; this release keeps
+# the standard SEEDED-noise variant (reproducible releases, the same
+# md5-derivation trick as the KMV/CM twins) so the oracle replays the
+# exact draw: u = 60-bit md5(event_type)/2^60 ∈ [0,1), noise =
+# -b·sign(u-½)·ln(1-2|u-½|) — the inverse-CDF Laplace transform, the
+# same libm calls on both engines, f32 at the boundary.
+#
+# Scale shape: ONE map-combinable type-grain count rollup; the noise
+# is a row-local expression over the |types|-row frame. Nothing else.
+# --------------------------------------------------------------------------
+_DP_EPS = 1.0
+_DP_2POW60 = float(1 << 60)
+
+
+@CATALOG.query(
+    "dp_noisy_type_histogram",
+    oracle=f"""
+    WITH g AS (
+        SELECT event_type, count(*) AS n FROM events GROUP BY event_type
+    ), seeded AS (
+        SELECT event_type, n,
+               CAST(('0x' || substr(md5(event_type), 1, 15)) AS BIGINT)
+                   / {_DP_2POW60} AS u
+        FROM g
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS true_count,
+           CAST(-(1.0 / {_DP_EPS}) * sign(u - 0.5)
+                * ln(1 - 2 * abs(u - 0.5)) AS REAL) AS noise_drawn,
+           CAST(n - (1.0 / {_DP_EPS}) * sign(u - 0.5)
+                * ln(1 - 2 * abs(u - 0.5)) AS REAL) AS noisy_count
+    FROM seeded
+    """,
+)
+def dp_noisy_type_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = (
+        _events(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    u = (
+        F.expr(
+            "cast(conv(substr(md5(event_type), 1, 15), 16, 10) as bigint)"
+        )
+        / F.lit(_DP_2POW60)
+    )
+    noise = (
+        -(F.lit(1.0) / _DP_EPS)
+        * F.signum(u - 0.5)
+        * F.log(F.lit(1) - 2 * F.abs(u - 0.5))
+    )
+    return g.select(
+        "event_type",
+        F.col("n").cast("long").alias("true_count"),
+        f32(noise).alias("noise_drawn"),
+        f32(F.col("n") + noise).alias("noisy_count"),
+    )

@@ -650,6 +650,12 @@ BOUNDED_GLOBAL_WINDOW_OK = {
     "fdr_bh_type_hour_enrichment": "|types|*24 test cells after (type, hour)-grain agg (120 at sf1) — BH step-up is test-count grain by definition",
     "sprt_error_rate_monitor": "|days| rows after day-grain agg (calendar-bounded; 30 on the fixture) — the cumulative LLR is day-sequential by definition",
     "token_pmi_collocations": "|vocab|^2 bigram cells after the support filter (<=961 on the closed 31-word fixture vocabulary; vocab-bounded, not doc-bounded, on any corpus)",
+    "bipartite_hits_parts": "15-row frame after TakeOrdered limit (rank stamping)",
+    "cm_sketch_heavy_hitters": "CM_TOPK (20) rows after TakeOrdered limit (rank stamping)",
+    "lang_separability_auc": "<=1001-row quantized-TTR score frame (floor(1000*ttr) value domain, never doc grain)",
+    # kruskal_wallis_qty_by_priority's global rank window runs on the
+    # ~50-row distinct-quantity frame but is localCheckpoint'ed, so no
+    # Window survives in the returned plan — no whitelist entry needed.
     # copurchase_label_propagation ranks a 20-row frame but eager-
     # checkpoints the result (cache release), so no Window survives in
     # the returned plan — no whitelist entry needed.
