@@ -1372,3 +1372,63 @@ def test_heaps_growth_no_cross_join(spark, catalog):
     would be the bug)."""
     plan = _plan(spark, catalog.queries["heaps_vocab_growth"](spark, SMOKE_SF_DIR))
     assert "CartesianProduct" not in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# Round-10 second-wave additions
+# ---------------------------------------------------------------------------
+
+
+def test_hits_edge_build_is_persisted_and_reused(spark, catalog):
+    """bipartite_hits_parts builds the (cust, part, w) edge table ONCE:
+    all three matvecs must read the InMemoryRelation, so the final plan
+    scans lineitem zero times past the cache and contains no cartesian
+    product."""
+    plan = _plan(spark, catalog.queries["bipartite_hits_parts"](spark, SMOKE_SF_DIR))
+    assert plan.count("InMemoryTableScan") >= 2, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_cm_sketch_estimate_joins_broadcast(spark, catalog):
+    """cm_sketch_heavy_hitters joins the top-20 keys and the 2048-cell
+    counter table — both broadcast; the part-grain census must never
+    SortMergeJoin."""
+    plan = _plan(spark, catalog.queries["cm_sketch_heavy_hitters"](spark, SMOKE_SF_DIR))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_calibration_bins_single_scan_partial_agg(spark, catalog):
+    """return_model_calibration_bins is one scan + one ≤10-row rollup:
+    the logistic score stays row-local (whole-stage codegen, no Python)
+    and the averages partial-aggregate before the exchange."""
+    plan = _plan(
+        spark, catalog.queries["return_model_calibration_bins"](spark, SMOKE_SF_DIR)
+    )
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+    assert "partial_avg" in plan or "partial_sum" in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+
+
+def test_kl_quality_marginal_broadcasts(spark, catalog):
+    """doc_unigram_kl_quality joins the vocab marginal and scalar total
+    back onto the cells via broadcast — the corpus-sized side must not
+    shuffle for either join."""
+    plan = _plan(spark, catalog.queries["doc_unigram_kl_quality"](spark, SMOKE_SF_DIR))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan  # the scalar total
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_stat_battery_single_bounded_rollup(spark, catalog):
+    """levene / kruskal / effect-size plans: the fact table feeds ONE
+    map-combinable cell rollup (partial aggregation present) and the
+    bounded rank/median machinery never SortMergeJoins."""
+    for name in (
+        "levene_qty_by_returnflag",
+        "kruskal_wallis_qty_by_priority",
+        "effect_size_price_r_vs_n",
+    ):
+        plan = _plan(spark, catalog.queries[name](spark, SMOKE_SF_DIR))
+        assert "partial_sum" in plan or "partial_count" in plan, (name, plan)
+        assert "SortMergeJoin" not in plan, (name, plan)
