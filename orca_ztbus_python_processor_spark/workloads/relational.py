@@ -4816,3 +4816,66 @@ def bipartite_hits_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             f32(F.col("a2") / F.col("m")).alias("authority_share"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# k_anonymity_audit — privacy-risk census of the customer table under
+# the quasi-identifier (nation, market segment, account balance rounded
+# to 100): how many customers sit in equivalence classes of size k
+# (k-anonymity buckets k=1, 2-4, 5-19, 20+)? A released table is
+# k-anonymous iff every class has >= k members; the k=1 bucket is the
+# re-identifiable population. Pairs with dp_noisy_type_histogram as the
+# privacy family's second axis: that one protects a RELEASE with noise,
+# this one measures the LINKAGE risk of the raw rows — the audit a
+# 100 TB pipeline runs before deciding which columns need
+# generalization. floor-rounding (not banker's) so both engines bucket
+# identically at representation boundaries.
+#
+# Scale shape: ONE map-combinable quasi-identifier rollup (class
+# grain), then a ≤4-row bucket rollup of the class frame — two stacked
+# aggregations, the k-census is never entity grain. All integer.
+# --------------------------------------------------------------------------
+@CATALOG.query(
+    "k_anonymity_audit",
+    oracle="""
+    WITH classes AS (
+        SELECT c_nationkey, c_mktsegment,
+               CAST(floor(c_acctbal / 100.0) AS BIGINT) AS bal_bucket,
+               count(*) AS k
+        FROM customer GROUP BY 1, 2, 3
+    )
+    SELECT CASE WHEN k = 1 THEN 'k=1'
+                WHEN k < 5 THEN 'k=2-4'
+                WHEN k < 20 THEN 'k=5-19'
+                ELSE 'k>=20' END AS k_bucket,
+           CAST(count(*) AS BIGINT) AS n_classes,
+           CAST(sum(k) AS BIGINT) AS n_customers,
+           CAST(min(k) AS BIGINT) AS min_k,
+           CAST(max(k) AS BIGINT) AS max_k
+    FROM classes GROUP BY 1
+    """,
+)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    classes = (
+        _t(spark, sf_dir, "customer")
+        .groupBy(
+            "c_nationkey",
+            "c_mktsegment",
+            F.floor(F.col("c_acctbal") / 100.0).cast("long").alias(
+                "bal_bucket"
+            ),
+        )
+        .agg(F.count("*").alias("k"))
+    )
+    bucket = (
+        F.when(F.col("k") == 1, "k=1")
+        .when(F.col("k") < 5, "k=2-4")
+        .when(F.col("k") < 20, "k=5-19")
+        .otherwise("k>=20")
+    )
+    return classes.groupBy(bucket.alias("k_bucket")).agg(
+        F.count("*").cast("long").alias("n_classes"),
+        F.sum("k").cast("long").alias("n_customers"),
+        F.min("k").cast("long").alias("min_k"),
+        F.max("k").cast("long").alias("max_k"),
+    )

@@ -391,3 +391,33 @@ def test_lang_separability_auc_recount(spark):
         assert r["n_pos"] == npos and r["n_neg"] == n - npos
         assert np.isclose(r["auc"], auc, rtol=1e-6)
         assert 0.0 < r["auc"] < 1.0
+
+
+def test_k_anonymity_audit_recount(spark):
+    """Pure-python recount of the k-anonymity census; the bucket
+    partition must cover every customer exactly once and the sf0.001
+    fixture must actually expose re-identifiable rows (k=1 bucket
+    non-empty — the audit's reason to exist)."""
+    rows = {
+        r["k_bucket"]: r
+        for r in RCAT.queries["k_anonymity_audit"](spark, SF_DIR).collect()
+    }
+    data = _rows(
+        f"SELECT c_nationkey, c_mktsegment, c_acctbal FROM"
+        f" read_parquet('{SF_DIR}/customer.parquet')"
+    )
+    classes = Counter(
+        (n, s, math.floor(b / 100.0)) for n, s, b in data
+    )
+    buckets = defaultdict(list)
+    for k in classes.values():
+        b = "k=1" if k == 1 else "k=2-4" if k < 5 else "k=5-19" if k < 20 else "k>=20"
+        buckets[b].append(k)
+    assert set(rows) == set(buckets)
+    assert "k=1" in rows
+    assert sum(r["n_customers"] for r in rows.values()) == len(data)
+    for b, ks in buckets.items():
+        r = rows[b]
+        assert r["n_classes"] == len(ks)
+        assert r["n_customers"] == sum(ks)
+        assert r["min_k"] == min(ks) and r["max_k"] == max(ks)
