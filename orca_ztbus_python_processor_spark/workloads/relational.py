@@ -4430,7 +4430,11 @@ def kruskal_wallis_qty_by_priority(
     t = rsum.agg(
         k.cast("long").alias("n_groups"),
         n.cast("long").alias("n_rows_l"),
-        (F.lit(12.0) / (n * (n + 1)) * srr - 3 * (n + 1)).alias("h"),
+        # n cast to double BEFORE the product: n*(n+1) in LongType wraps
+        # past ~3e9 rows (the tie denominator below already does this)
+        (
+            F.lit(12.0) / (n.cast("double") * (n + 1)) * srr - 3 * (n + 1)
+        ).alias("h"),
         k.alias("k_raw"),
         n.alias("n_raw"),
     )
@@ -4780,6 +4784,21 @@ def return_model_calibration_bins(
     """,
 )
 def bipartite_hits_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    result, e = _hits_frames(spark, sf_dir)
+    # eager-checkpoint the 15-row result so the edge cache can be
+    # RELEASED before returning (the LPA precedent: a persist with no
+    # unpersist pins the largest intermediate for the session)
+    out = result.localCheckpoint(eager=True)
+    e.unpersist()
+    return out
+
+
+def _hits_frames(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """(pre-checkpoint result, persisted edge table) — split out so the
+    plan pin can inspect the live plan (the eager checkpoint above
+    collapses it to a LogicalRDD) and the query can release the cache."""
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     e = (
@@ -4803,7 +4822,7 @@ def bipartite_hits_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     mx = a2.agg(F.max("a2").alias("m"))
     top = a2.orderBy(F.col("a2").desc(), "p").limit(15)
-    return (
+    result = (
         top.join(a1, "p")
         .crossJoin(F.broadcast(mx))
         .select(
@@ -4816,6 +4835,7 @@ def bipartite_hits_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             f32(F.col("a2") / F.col("m")).alias("authority_share"),
         )
     )
+    return result, e
 
 
 # --------------------------------------------------------------------------

@@ -235,29 +235,43 @@ def main() -> None:
     # because it is 10x cheaper and clears almost every alarm.
     import subprocess  # noqa: PLC0415
 
+    if any(not p["within_band_warm"] for p in probes.values()):
+        # Release the shared session's JVM (caches, allocator arenas,
+        # page-cache footprint) BEFORE the isolated re-measures — an
+        # escalation that competes with the resident shared JVM would
+        # inherit the exact pressure it exists to escape.
+        spark.stop()
+
     for name, p in probes.items():
         if p["within_band_warm"]:
             continue
-        proc = subprocess.run(
-            [
-                sys.executable,
-                os.path.abspath(__file__),
-                "--isolated-query",
-                name,
-                "--sf01",
-                args.sf01,
-                "--sf1",
-                args.sf1,
-                # floor estimation needs deeper mins when isolated: the
-                # round-10 box put events_in_error_runs' sf1 floor at
-                # rep 4-5 of a min-of-9 (3.73 s; min-of-5 read 4.37)
-                "--reps",
-                str(max(args.reps, 7)),
-            ],
-            capture_output=True,
-            text=True,
-            check=False,
-        )
+        try:
+            proc = subprocess.run(
+                [
+                    sys.executable,
+                    os.path.abspath(__file__),
+                    "--isolated-query",
+                    name,
+                    "--sf01",
+                    args.sf01,
+                    "--sf1",
+                    args.sf1,
+                    # floor estimation needs deeper mins when isolated:
+                    # the round-10 box put events_in_error_runs' sf1
+                    # floor at rep 4-5 of a min-of-9 (3.73 s; min-of-5
+                    # read 4.37)
+                    "--reps",
+                    str(max(args.reps, 7)),
+                ],
+                capture_output=True,
+                text=True,
+                check=False,
+                # a hung isolated JVM must not lose the whole artifact
+                timeout=1800,
+            )
+        except subprocess.TimeoutExpired:
+            print(f"isolated re-probe of {name} timed out (1800 s)")
+            continue
         line = next(
             (ln for ln in proc.stdout.splitlines() if ln.startswith("ISOLATED ")),
             None,

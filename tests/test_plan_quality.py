@@ -650,7 +650,9 @@ BOUNDED_GLOBAL_WINDOW_OK = {
     "fdr_bh_type_hour_enrichment": "|types|*24 test cells after (type, hour)-grain agg (120 at sf1) — BH step-up is test-count grain by definition",
     "sprt_error_rate_monitor": "|days| rows after day-grain agg (calendar-bounded; 30 on the fixture) — the cumulative LLR is day-sequential by definition",
     "token_pmi_collocations": "|vocab|^2 bigram cells after the support filter (<=961 on the closed 31-word fixture vocabulary; vocab-bounded, not doc-bounded, on any corpus)",
-    "bipartite_hits_parts": "15-row frame after TakeOrdered limit (rank stamping)",
+    # bipartite_hits_parts ranks a 15-row frame but eager-checkpoints
+    # the result (edge-cache release), so no Window survives in the
+    # returned plan — no whitelist entry needed (the LPA precedent).
     "cm_sketch_heavy_hitters": "CM_TOPK (20) rows after TakeOrdered limit (rank stamping)",
     "lang_separability_auc": "<=1001-row quantized-TTR score frame (floor(1000*ttr) value domain, never doc grain)",
     # kruskal_wallis_qty_by_priority's global rank window runs on the
@@ -1384,7 +1386,13 @@ def test_hits_edge_build_is_persisted_and_reused(spark, catalog):
     all three matvecs must read the InMemoryRelation, so the final plan
     scans lineitem zero times past the cache and contains no cartesian
     product."""
-    plan = _plan(spark, catalog.queries["bipartite_hits_parts"](spark, SMOKE_SF_DIR))
+    from orca_ztbus_python_processor_spark.workloads.relational import (
+        _hits_frames,
+    )
+
+    df, edges = _hits_frames(spark, SMOKE_SF_DIR)
+    plan = _plan(spark, df)
+    edges.unpersist()
     assert plan.count("InMemoryTableScan") >= 2, plan
     assert "CartesianProduct" not in plan, plan
 

@@ -18,7 +18,6 @@ from collections import Counter, defaultdict
 
 import duckdb
 import numpy as np
-import pytest
 
 from orca_ztbus_python_processor_spark.workloads.relational import (
     CATALOG as RCAT,
@@ -108,9 +107,9 @@ def test_levene_brown_forsythe_recount(spark):
 
 
 def test_winsorized_price_means_recount(spark):
-    """numpy recount of the 10% trimmed and winsorized means; pins the
-    influence ordering trimmed <= winsorized <= mean on this
-    right-skewed price distribution (per flag)."""
+    """numpy recount of the 10% trimmed and winsorized means; also
+    pins that the censoring is non-vacuous — both robust estimators
+    must actually move away from the raw mean (per flag)."""
     out = {
         r["l_returnflag"]: r
         for r in RCAT.queries["winsorized_price_means"](spark, SF_DIR).collect()
@@ -136,6 +135,10 @@ def test_winsorized_price_means_recount(spark):
         assert np.isclose(r["mean_price"], ps.mean(), rtol=1e-6)
         assert np.isclose(r["trimmed_mean"], trimmed, rtol=1e-6)
         assert np.isclose(r["winsorized_mean"], wins.mean(), rtol=1e-6)
+        # censoring must move the estimate: a trimmed/winsorized mean
+        # equal to the raw mean would make this audit vacuous
+        assert r["trimmed_mean"] != r["mean_price"]
+        assert r["winsorized_mean"] != r["mean_price"]
 
 
 def test_effect_size_recount(spark):
