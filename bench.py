@@ -142,6 +142,13 @@ def main() -> None:
                 "value": best_total,
                 "unit": "sec",
                 "wall_all_reps_sec": total,
+                # both aggregates of the same pair in one human string,
+                # so commit messages and parsed artifacts can never cite
+                # different numbers for one run (VERDICT r10 nit #3)
+                "summary": (
+                    f"min-pair total {best_total:.1f} s / "
+                    f"all-reps wall {total:.1f} s"
+                ),
                 "n_queries": len(timings),
                 "reps": reps,
                 "sf": sf,

@@ -306,10 +306,59 @@ _RESAMPLE_R10 = frozenset({
     "copurchase_label_propagation",
 })
 
+# Round-10 driver sample (CORRECTNESS_r10.json): 45 hash-match + 5
+# contractual rows-only (bpe_learn_merges, audio_fp_dedup,
+# audio_fp_bit_balance, audio_decontam_fp, media_decode_health — each
+# pinned against an independent pure-Python reference in tests), zero
+# failures. Covers every _RESAMPLE_R10 forcing entry green, so that
+# set folds back into the verified base (same hygiene as the r9 fold).
+_R10_SAMPLE = frozenset({
+    "anova_price_by_brand", "audio_decontam_fp", "audio_fp_bit_balance",
+    "audio_fp_dedup", "bipartite_hits_parts",
+    "bootstrap_ci_price_by_priority", "bpe_learn_merges",
+    "cm_sketch_heavy_hitters", "conformal_threshold_by_type",
+    "containment_dedup_retention", "copurchase_label_propagation",
+    "cross_source_dup_matrix", "cuped_adjusted_experiment_lift",
+    "dedup_quality_bias_audit", "doc_fingerprints",
+    "doc_unigram_kl_quality", "dp_noisy_type_histogram",
+    "edit_distance_neardup_pairs", "effect_size_price_r_vs_n",
+    "event_chain_entropy_rate", "events_asof_next_error",
+    "events_asof_prev_error_tolerance", "fdr_bh_type_hour_enrichment",
+    "heaps_vocab_growth", "join_size_sample_estimate",
+    "k_anonymity_audit", "kmv_overlap_calibration",
+    "kruskal_wallis_qty_by_priority", "lang_separability_auc",
+    "levene_qty_by_returnflag", "media_decode_health",
+    "minhash_jaccard_calibration", "minhash_near_dup_pairs",
+    "ngram_jaccard_pairs", "orders_reorder_interval_profile",
+    "priority_sample_weight_estimate", "rare_token_position_profile",
+    "return_model_calibration_bins", "session_gap_survival",
+    "simhash_near_dup_pairs", "source_char_trigram_jsd",
+    "source_cross_perplexity", "spearman_qty_discount_by_flag",
+    "sprt_error_rate_monitor", "text_dedup_retention",
+    "token_pmi_collocations", "trend_mk_theilsen_by_segment",
+    "user_trailing_hour_value", "winnow_containment_pairs",
+    "winsorized_price_means",
+})
+
+# Round-11 forced re-verifications: two ADVICE-driven numeric-contract
+# reworks changed result-affecting expressions, so their r10 greens no
+# longer cover the code:
+# - dp_noisy_type_histogram: the seeded uniform moved from 60-bit
+#   md5/2^60 to (52-bit md5 + 0.5)/2^52, clamping u away from the
+#   inverse-CDF singular points (u=0 overflow, u=0.5 NaN) — different
+#   noise values, new oracle replay.
+# - return_model_calibration_bins: the decile GROUP BY key now bins
+#   the f32-quantized score on both engines, so a boundary-straddling
+#   ulp divergence between JVM and libm exp() cannot flip a bin.
+_RESAMPLE_R11 = frozenset({
+    "dp_noisy_type_histogram", "return_model_calibration_bins",
+})
+
 _DRIVER_VERIFIED = (
     _R1_DRIVER_VERIFIED | _R2_SAMPLE | _R3_SAMPLE | _R4_SAMPLE
     | _R5_SAMPLE | _R6_SAMPLE | _R7_SAMPLE | _R8_SAMPLE | _R9_SAMPLE
-) - _RESAMPLE_R10
+    | _R10_SAMPLE
+) - _RESAMPLE_R11
 
 _MERGED: Catalog | None = None
 

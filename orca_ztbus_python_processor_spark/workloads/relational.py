@@ -4683,7 +4683,7 @@ def effect_size_price_r_vs_n(spark: SparkSession, sf_dir: str) -> DataFrame:
                CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS y
         FROM lineitem
     )
-    SELECT CAST(least(floor(score * 10), 9) AS BIGINT) AS bin,
+    SELECT CAST(least(floor(CAST(score AS REAL) * 10), 9) AS BIGINT) AS bin,
            count(*) AS n_rows,
            CAST(avg(score) AS REAL) AS mean_predicted,
            CAST(avg(y) AS REAL) AS observed_rate,
@@ -4710,7 +4710,13 @@ def return_model_calibration_bins(
         _t(spark, sf_dir, "lineitem")
         .select(score.alias("score"), y.alias("y"))
         .groupBy(
-            F.least(F.floor(F.col("score") * 10), F.lit(9))
+            # bin on the f32-quantized score so the GROUP BY key is
+            # representation-stable: a 1-ulp JVM-vs-libm exp()
+            # divergence for a row sitting exactly on a decile
+            # boundary could otherwise flip its bin (ADVICE r10) —
+            # unlike the aggregates below, where float noise is
+            # absorbed at the f32 output boundary.
+            F.least(F.floor(F.col("score").cast("float") * 10), F.lit(9))
             .cast("long")
             .alias("bin")
         )

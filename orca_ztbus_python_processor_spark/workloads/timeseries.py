@@ -5321,15 +5321,21 @@ def cm_sketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Replay contract: production DP uses a true RNG; this release keeps
 # the standard SEEDED-noise variant (reproducible releases, the same
 # md5-derivation trick as the KMV/CM twins) so the oracle replays the
-# exact draw: u = 60-bit md5(event_type)/2^60 ∈ [0,1), noise =
+# exact draw: u = (52-bit md5(event_type) + ½)/2^52 ∈ (0,1), noise =
 # -b·sign(u-½)·ln(1-2|u-½|) — the inverse-CDF Laplace transform, the
-# same libm calls on both engines, f32 at the boundary.
+# same libm calls on both engines, f32 at the boundary. The +½ offset
+# clamps u strictly away from the transform's singular points (u=0 →
+# ln(0) overflow; u=½ → signum(0)·ln(0) = NaN; ADVICE r10): the
+# numerator k+½ is never an integer, so u is never 0, ½, or 1. Width
+# is 52 bits — not the KMV/CM twins' 60 — so k+½ stays EXACT in
+# double arithmetic (60-bit k ≥ 2^53 would round the offset away and
+# silently re-admit u=½ at k=2^59).
 #
 # Scale shape: ONE map-combinable type-grain count rollup; the noise
 # is a row-local expression over the |types|-row frame. Nothing else.
 # --------------------------------------------------------------------------
 _DP_EPS = 1.0
-_DP_2POW60 = float(1 << 60)
+_DP_2POW52 = float(1 << 52)
 
 
 @CATALOG.query(
@@ -5339,8 +5345,8 @@ _DP_2POW60 = float(1 << 60)
         SELECT event_type, count(*) AS n FROM events GROUP BY event_type
     ), seeded AS (
         SELECT event_type, n,
-               CAST(('0x' || substr(md5(event_type), 1, 15)) AS BIGINT)
-                   / {_DP_2POW60} AS u
+               (CAST(('0x' || substr(md5(event_type), 1, 13)) AS BIGINT)
+                    + 0.5) / {_DP_2POW52} AS u
         FROM g
     )
     SELECT event_type,
@@ -5360,10 +5366,10 @@ def dp_noisy_type_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     u = (
         F.expr(
-            "cast(conv(substr(md5(event_type), 1, 15), 16, 10) as bigint)"
+            "cast(conv(substr(md5(event_type), 1, 13), 16, 10) as bigint)"
         )
-        / F.lit(_DP_2POW60)
-    )
+        + F.lit(0.5)
+    ) / F.lit(_DP_2POW52)
     noise = (
         -(F.lit(1.0) / _DP_EPS)
         * F.signum(u - 0.5)

@@ -305,10 +305,14 @@ def test_dp_noise_replay_and_distribution(spark):
     )
     assert {r["event_type"] for r in rows} == set(counts)
     for r in rows:
-        u = _md5_60bit(r["event_type"]) / float(1 << 60)
+        # the +0.5/2^52 offset keeps u strictly inside (0,1)\{0.5}, so
+        # the transform below is total — no singular-point special case
+        k = int(hashlib.md5(r["event_type"].encode()).hexdigest()[:13], 16)
+        u = (k + 0.5) / float(1 << 52)
+        assert 0.0 < u < 1.0 and u != 0.5
         noise = -1.0 * math.copysign(1.0, u - 0.5) * math.log(
             1 - 2 * abs(u - 0.5)
-        ) if u != 0.5 else 0.0
+        )
         assert r["true_count"] == counts[r["event_type"]]
         assert np.isclose(r["noise_drawn"], noise, rtol=1e-6)
         assert np.isclose(
@@ -348,6 +352,11 @@ def test_doc_unigram_kl_recount(spark):
     total = sum(corpus.values())
     per_source = defaultdict(list)
     for _, _, src, toks in docs:
+        if not toks:
+            # both engines drop token-less docs at the tokenize stage;
+            # an empty doc here would yield kl=0 (failing the Gibbs
+            # pin) and inflate the per-source doc count (ADVICE r10)
+            continue
         c = Counter(toks)
         length = len(toks)
         kl = sum(
