@@ -352,6 +352,10 @@ _R10_SAMPLE = frozenset({
 #   ulp divergence between JVM and libm exp() cannot flip a bin.
 _RESAMPLE_R11 = frozenset({
     "dp_noisy_type_histogram", "return_model_calibration_bins",
+    # k-core promotion (rows-only -> hash-matched via the recursive-CTE
+    # peel replay): its r8/r10 greens were rows-only and no longer
+    # cover the oracle comparison.
+    "copurchase_kcore_summary",
 })
 
 _DRIVER_VERIFIED = (

@@ -3095,12 +3095,86 @@ def copurchase_degree_assortativity(
 # beyond the limit, level-synchronous distributed peeling — per round
 # one degree aggregation + guarded-broadcast semi-joins, with
 # localCheckpoint cutting lineage and a scalar count as the fixpoint
-# probe (the BFS/PageRank family shape). The fixpoint iteration count
-# is data-dependent, so this is a rows-only catalog entry (no
-# closed-form SQL twin); exactness of BOTH paths is pinned against a
-# pure-Python peeling reference in tests/test_round8_ops.py.
+# probe (the BFS/PageRank family shape). Exactness of BOTH paths is
+# pinned against a pure-Python peeling reference in
+# tests/test_round8_ops.py.
+#
+# Oracle promotion (round 11, the BFS recursive-CTE trick): peeling is
+# pure integer arithmetic with a deterministic result — the k-core is
+# UNIQUE regardless of peel order — so DuckDB replays it as a
+# recursive CTE that carries the surviving edge set forward one
+# level-synchronous round at a time (the working table under UNION ALL
+# is exactly "last round's edges"; referencing it twice for the
+# two-endpoint degree filter is supported). The CTE caps at
+# KCORE_PEEL_ROUNDS rounds; after the fixpoint, further rounds are
+# no-ops, so rows at rnd = cap ARE the core whenever the peel
+# converges within the cap (measured: <= 10 rounds at sf0.001-0.1,
+# .benchmarks note in tests/test_round8_ops.py). The Spark side
+# computes the true fixpoint, which is a strict subset of any
+# non-converged truncation — so an undersized cap can only FAIL the
+# hash loudly, never silently match.
 # --------------------------------------------------------------------------
-@CATALOG.query("copurchase_kcore_summary")
+KCORE_PEEL_ROUNDS = 16
+
+_KCORE_PEEL_CTE = """
+    , peel{k}(rnd, a, b) AS (
+        SELECT 0, a, b FROM {src}
+        UNION ALL
+        SELECT p.rnd + 1, p.a, p.b
+        FROM peel{k} p
+        JOIN (SELECT node FROM (
+                SELECT node, count(*) AS d FROM (
+                    SELECT a AS node FROM peel{k}
+                    UNION ALL SELECT b AS node FROM peel{k})
+                GROUP BY node) WHERE d >= {k}) ka ON ka.node = p.a
+        JOIN (SELECT node FROM (
+                SELECT node, count(*) AS d FROM (
+                    SELECT a AS node FROM peel{k}
+                    UNION ALL SELECT b AS node FROM peel{k})
+                GROUP BY node) WHERE d >= {k}) kb ON kb.node = p.b
+        WHERE p.rnd < {rounds}
+    ), core{k} AS (
+        SELECT a, b FROM peel{k} WHERE rnd = {rounds}
+    )
+"""
+
+
+@CATALOG.query(
+    "copurchase_kcore_summary",
+    oracle=f"""
+    WITH RECURSIVE parts_per_order AS (
+        SELECT l_orderkey, list_sort(list(DISTINCT l_partkey)) AS parts
+        FROM lineitem GROUP BY l_orderkey
+    ), pair_w AS (
+        SELECT u.part AS a, v.part AS b
+        FROM parts_per_order,
+             unnest(parts) AS u(part), unnest(parts) AS v(part)
+        WHERE u.part < v.part
+    ), e0 AS (
+        SELECT a, b FROM pair_w GROUP BY a, b HAVING count(*) >= 2
+    )
+    {_KCORE_PEEL_CTE.format(k=2, src="e0", rounds=KCORE_PEEL_ROUNDS)}
+    {_KCORE_PEEL_CTE.format(k=3, src="core2", rounds=KCORE_PEEL_ROUNDS)}
+    , totals AS (
+        SELECT (SELECT count(DISTINCT node) FROM (
+                    SELECT a AS node FROM e0 UNION ALL SELECT b FROM e0))
+                   AS n_nodes_total,
+               (SELECT count(*) FROM e0) AS n_edges_total
+    )
+    SELECT CAST(2 AS BIGINT) AS k, t.n_nodes_total, t.n_edges_total,
+           (SELECT count(DISTINCT node) FROM (
+                SELECT a AS node FROM core2 UNION ALL SELECT b FROM core2))
+               AS core_nodes,
+           (SELECT count(*) FROM core2) AS core_edges
+    FROM totals t
+    UNION ALL
+    SELECT CAST(3 AS BIGINT), t.n_nodes_total, t.n_edges_total,
+           (SELECT count(DISTINCT node) FROM (
+                SELECT a AS node FROM core3 UNION ALL SELECT b FROM core3)),
+           (SELECT count(*) FROM core3)
+    FROM totals t
+    """,
+)
 def copurchase_kcore_summary(
     spark: SparkSession,
     sf_dir: str,

@@ -16,16 +16,18 @@ from orca_ztbus_python_processor_spark.workloads.base import (
     _R7_SAMPLE,
     _R8_SAMPLE,
     _R9_SAMPLE,
-    _RESAMPLE_R10,
+    _R10_SAMPLE,
+    _RESAMPLE_R11,
     _DRIVER_VERIFIED,
     merged_catalog,
 )
 
-# Historically-sampled names plus the round-10 forced
-# re-verifications: the degenerate-evidence reworks changed the
-# semantics of five twins (see _RESAMPLE_R10 in base.py), so their old
-# driver evidence is void and they re-enter the sample window.
-_VERIFIED_OR_RESAMPLING = _DRIVER_VERIFIED | _RESAMPLE_R10
+# Historically-sampled names plus the round-11 forced
+# re-verifications: the ADVICE numeric-contract reworks and the k-core
+# oracle promotion changed result-affecting expressions for three
+# twins (see _RESAMPLE_R11 in base.py), so their old driver evidence
+# is void and they re-enter the sample window.
+_VERIFIED_OR_RESAMPLING = _DRIVER_VERIFIED | _RESAMPLE_R11
 
 
 def test_r5_sample_folded_into_back_group():
@@ -70,6 +72,18 @@ def test_r9_sample_folded_into_back_group():
     assert len(_R9_SAMPLE) == 50
     assert _R9_SAMPLE <= _VERIFIED_OR_RESAMPLING
     assert "q4_late_shipment_priority" in _R9_SAMPLE
+
+
+def test_r10_sample_folded_into_back_group():
+    # CORRECTNESS_r10.json held exactly these 50 names (45 hash-match +
+    # 5 contractual rows-only, zero failures); all must now be in the
+    # verified back group so round-11 additions fill the window. All
+    # eleven _RESAMPLE_R10 forcing entries came back green under their
+    # reworked semantics, so that set is retired (kept in base.py for
+    # the historical record only).
+    assert len(_R10_SAMPLE) == 50
+    assert _R10_SAMPLE <= _VERIFIED_OR_RESAMPLING
+    assert "cross_source_dup_matrix" in _R10_SAMPLE
 
 
 def test_unverified_queries_fill_the_sample_window():
