@@ -35,6 +35,7 @@ def pagerank(
     damping: float = 0.85,
     iters: int = 5,
     broadcast_nodes_limit: int = 2_000_000,
+    quantize_f32: bool = False,
 ) -> DataFrame:
     """Weighted PageRank over an UNDIRECTED graph given as one row per
     edge ``src, dst, weight`` with ``src < dst`` (symmetrized here).
@@ -53,6 +54,14 @@ def pagerank(
     the limit (billion-node graphs) it falls back to the shuffle join,
     whose per-iteration cost is one edge-table exchange — the standard
     Pregel bound.
+
+    ``quantize_f32`` rounds the rank vector to f32 at EVERY iteration
+    boundary (the promotion trick from the catalog's other float
+    boundaries): each round's input becomes representation-stable, so
+    summation-order ulp drift between engines cannot COMPOUND across
+    rounds and a SQL replay of the unrolled iteration hash-matches.
+    The initial 1/n vector and the per-edge transition probabilities
+    are exact IEEE divisions of integers, hence never quantized.
     """
     # Self-loops would be emitted twice by the symmetrization below,
     # silently doubling their weight in out_w and the transition table
@@ -101,8 +110,11 @@ def pagerank(
         )
         # No nodes re-join needed: the graph is symmetrized, so every
         # node has in-edges and appears in contrib with inflow > 0.
+        new_rank = F.lit(base) + F.lit(damping) * F.col("inflow")
+        if quantize_f32:
+            new_rank = new_rank.cast("float").cast("double")
         ranks = contrib.select(
             F.col("dst").alias("node"),
-            (F.lit(base) + F.lit(damping) * F.col("inflow")).alias("rank"),
+            new_rank.alias("rank"),
         ).localCheckpoint(eager=False)
     return ranks

@@ -356,6 +356,11 @@ _RESAMPLE_R11 = frozenset({
     # peel replay): its r8/r10 greens were rows-only and no longer
     # cover the oracle comparison.
     "copurchase_kcore_summary",
+    # PageRank promotion (rows-only -> hash-matched via per-round f32
+    # rank quantization + the unrolled 5-round CTE replay): its r<=9
+    # greens were rows-only AND the quantization slightly perturbs the
+    # rank values, so old evidence is doubly void.
+    "copurchase_pagerank_topk",
 })
 
 _DRIVER_VERIFIED = (

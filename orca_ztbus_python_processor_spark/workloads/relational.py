@@ -1580,21 +1580,80 @@ def _copurchase_recurrent_edges(
 # ship together in one order form a weighted undirected graph
 # (weight = co-occurrence count); 5 fixed PageRank iterations
 # (operators/pagerank.py) rank the parts; top-20 by (rank, partkey).
-# The iterative-graph family beyond connected components — rows-only
-# by the driver contract (power iteration is not SQL-expressible);
-# exactness pinned against a numpy reference in tests/test_pagerank.py.
+# The iterative-graph family beyond connected components; exactness
+# pinned against a numpy reference in tests/test_pagerank.py.
 # Scale: pairs-per-order is bounded by order width (TPC-H <= 7 lines),
 # so the edge build is linear in lineitems; each iteration is one
 # co-partitioned join + agg with a scalar-only driver footprint.
+#
+# Oracle promotion (round 11, the LPA/HITS fixed-round trick): the
+# iteration runs with per-round f32 QUANTIZATION of the rank vector
+# (pagerank(quantize_f32=True)), so each round's input is
+# representation-stable across engines — summation-order ulp drift is
+# absorbed at every round boundary instead of compounding — and the
+# oracle unrolls the 5 rounds as chained CTEs. Everything upstream of
+# the first sum is exact: weights are integer counts (exact in
+# doubles), out-weights are integer sums, transition probabilities and
+# the 1/n init are single IEEE divisions. The (rank DESC, partkey)
+# order is total, so the top-20 cut is engine-portable. Residual risk
+# is one per-round f64 sum landing exactly on an f32 rounding
+# boundary — the same accepted class as every other f32 output
+# boundary in the catalog. Numpy parity of the quantized variant vs
+# the unquantized reference stays within f32 tolerance
+# (tests/test_pagerank.py).
 # --------------------------------------------------------------------------
-@CATALOG.query("copurchase_pagerank_topk")
+_PAGERANK_ROUND_CTE = """
+    , r{i} AS (
+        SELECT t.dst AS node,
+               CAST(CAST((1.0 - 0.85) / nn.n + 0.85 * sum(t.p * r.rank)
+                    AS REAL) AS DOUBLE) AS rank
+        FROM trans t JOIN r{prev} r ON r.node = t.src, nn
+        GROUP BY t.dst, nn.n
+    )
+"""
+
+
+@CATALOG.query(
+    "copurchase_pagerank_topk",
+    oracle="""
+    WITH parts_per_order AS (
+        SELECT l_orderkey, list_sort(list(DISTINCT l_partkey)) AS parts
+        FROM lineitem GROUP BY l_orderkey
+    ), e AS (
+        SELECT u.part AS src, v.part AS dst, CAST(count(*) AS DOUBLE) AS w
+        FROM parts_per_order,
+             unnest(parts) AS u(part), unnest(parts) AS v(part)
+        WHERE u.part < v.part GROUP BY 1, 2
+    ), sym AS (
+        SELECT src, dst, w FROM e
+        UNION ALL
+        SELECT dst AS src, src AS dst, w FROM e
+    ), ow AS (
+        SELECT src, sum(w) AS out_w FROM sym GROUP BY src
+    ), nn AS (
+        SELECT count(*) AS n FROM ow
+    ), trans AS (
+        SELECT s.src, s.dst, s.w / o.out_w AS p
+        FROM sym s JOIN ow o USING (src)
+    ), r0 AS (
+        SELECT src AS node, 1.0 / nn.n AS rank FROM ow, nn
+    )
+    """
+    + "".join(
+        _PAGERANK_ROUND_CTE.format(i=i, prev=i - 1) for i in range(1, 6)
+    )
+    + """
+    SELECT node AS l_partkey, CAST(rank AS REAL) AS rank
+    FROM r5 ORDER BY rank DESC, node LIMIT 20
+    """,
+)
 def copurchase_pagerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from orca_ztbus_python_processor_spark.operators.pagerank import (  # noqa: PLC0415
         pagerank,
     )
 
     edges = _copurchase_weighted_edges(spark, sf_dir)
-    ranks = pagerank(edges, damping=0.85, iters=5)
+    ranks = pagerank(edges, damping=0.85, iters=5, quantize_f32=True)
     return (
         ranks.orderBy(F.col("rank").desc(), F.col("node"))
         .limit(20)
