@@ -475,17 +475,43 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("q_stream_static_enrich")
 
 
-def _snapshot_merge_sink(events, snap_root: str):
+def _snapshot_merge_sink(events, snap_root: str, _crash_after_write: int | None = None):
     """foreachBatch MERGE-INTO: each micro-batch is compacted to its
     latest-per-key struct, unioned with the previous snapshot version,
     and re-compacted into a NEW versioned directory (write-then-advance
     — never overwrite the version being read, so a crashed batch leaves
     the previous snapshot intact and the checkpoint replays onto it).
     State per version is one row per key, independent of stream length.
+
+    Crash recovery (round 11): a restarted run recovers ``current`` from
+    disk — the NEWEST ``v{batch_id}`` directory bearing Spark's
+    ``_SUCCESS`` commit marker — instead of starting from None and
+    silently dropping pre-crash state. The merge is a max-aggregate, so
+    the one ambiguous case is idempotent: if batch k's snapshot write
+    completed but the checkpoint commit did not, the replay unions
+    ``v_k`` with batch k again, and ``compact(v_k ∪ batch_k) =
+    compact(compact(v_{k-1} ∪ batch_k) ∪ batch_k) = v_k``. A version
+    directory without ``_SUCCESS`` is a torn write and is never read
+    (the replay's own ``mode("overwrite")`` replaces it). Exactly-once
+    under kill-mid-batch is pinned in tests/test_streaming_upsert.py.
+
+    ``_crash_after_write`` is a failure-injection hook for that test:
+    raise AFTER batch ``k``'s snapshot write, BEFORE the checkpoint
+    commit — the widest recovery window.
     """
     import os  # noqa: PLC0415
+    import re  # noqa: PLC0415
 
     current: dict[str, str | None] = {"path": None}
+    if os.path.isdir(snap_root):
+        committed = [
+            (int(m.group(1)), os.path.join(snap_root, d))
+            for d in os.listdir(snap_root)
+            if (m := re.fullmatch(r"v(\d+)", d))
+            and os.path.exists(os.path.join(snap_root, d, "_SUCCESS"))
+        ]
+        if committed:
+            current["path"] = max(committed)[1]
 
     def merge(batch_df, batch_id: int) -> None:
         sess = batch_df.sparkSession
@@ -502,6 +528,10 @@ def _snapshot_merge_sink(events, snap_root: str):
         out = merged.groupBy("user_id").agg(F.max("w").alias("w"))
         nxt = os.path.join(snap_root, f"v{batch_id}")
         out.write.mode("overwrite").parquet(nxt)
+        if _crash_after_write == batch_id:
+            raise RuntimeError(
+                f"injected crash after v{batch_id} write, before commit"
+            )
         current["path"] = nxt
 
     q = (

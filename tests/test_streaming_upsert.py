@@ -10,7 +10,9 @@ from __future__ import annotations
 import os
 import tempfile
 
+import pytest
 from pyspark.sql import functions as F
+from pyspark.errors.exceptions.captured import StreamingQueryException
 
 from orca_ztbus_python_processor_spark.sources.parquet import read_table
 from orca_ztbus_python_processor_spark.workloads.streamqueries import (
@@ -42,6 +44,67 @@ def test_multi_batch_upsert_equals_batch_aggregate(spark):
     # ran across >= 2 micro-batches, not one availableNow megabatch)
     versions = [d for d in os.listdir(snap_root) if d.startswith("v")]
     assert len(versions) >= 2, versions
+
+    got = {
+        r["user_id"]: (r["w"]["ts"], r["w"]["event_id"], r["w"]["event_type"])
+        for r in spark.read.parquet(final).collect()
+    }
+    want = {
+        r["user_id"]: (r["w"]["ts"], r["w"]["event_id"], r["w"]["event_type"])
+        for r in ev.groupBy("user_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("ts"), F.col("event_id"), F.col("event_type"), F.col("value")
+                )
+            ).alias("w")
+        )
+        .collect()
+    }
+    assert got == want
+
+
+def test_kill_mid_batch_then_resume_converges_to_oracle(spark):
+    """Exactly-once under FAILURE, not just under restart (VERDICT r10
+    #7): kill the upsert stream after batch 1's snapshot write but
+    BEFORE its checkpoint commit — the widest recovery window — then
+    restart against the same checkpoint and assert the converged
+    snapshot is byte-identical to the batch latest-per-key oracle.
+    The restarted run must (a) recover the newest committed snapshot
+    version from disk, (b) replay the uncommitted batch idempotently
+    (max-aggregate), and (c) process the remaining batch."""
+    ev = read_table(spark, SMOKE_SF_DIR, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    src = tempfile.mkdtemp(prefix="upsert_kill_src_")
+    # three disjoint thirds as separate files -> three micro-batches
+    for i in range(3):
+        ev.where(F.col("event_id") % 3 == i).coalesce(1).write.parquet(
+            f"{src}/h{i}"
+        )
+    schema = (
+        "event_id long, ts timestamp_ntz, user_id long,"
+        " event_type string, value double"
+    )
+
+    def stream():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/h*")
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+        )
+
+    snap_root = tempfile.mkdtemp(prefix="upsert_kill_snap_")
+    # run 1: dies after v1 is written, before batch 1 commits
+    with pytest.raises(StreamingQueryException, match="injected crash"):
+        _snapshot_merge_sink(stream(), snap_root, _crash_after_write=1)
+    # the crash point really is post-write: v1 exists and is committed
+    assert os.path.exists(os.path.join(snap_root, "v1", "_SUCCESS"))
+
+    # run 2: same checkpoint; replays batch 1, then processes batch 2
+    final = _snapshot_merge_sink(stream(), snap_root)
+    assert os.path.basename(final) == "v2"
 
     got = {
         r["user_id"]: (r["w"]["ts"], r["w"]["event_id"], r["w"]["event_type"])
