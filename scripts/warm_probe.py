@@ -160,6 +160,13 @@ def main() -> None:
     ap.add_argument("--min-wall", type=float, default=0.5)
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--isolated-query", default=None, help="internal")
+    ap.add_argument(
+        "--queries",
+        default=None,
+        help="comma-separated explicit query list: probe exactly these "
+        "(warm two-point slope vs their family band) regardless of "
+        "whether the committed bench flagged them (VERDICT r10 #1)",
+    )
     args = ap.parse_args()
 
     if args.isolated_query:
@@ -173,16 +180,26 @@ def main() -> None:
         b1 = json.load(f)["queries"]
 
     flagged = []
-    for name in sorted(set(b01) & set(b1)):
-        fam, band = family_of(name)
-        if band == float("inf") or b1[name] < args.min_wall:
-            continue
-        slope = b1[name] / max(b01[name], 1e-9)
-        if slope > band:
+    if args.queries:
+        for name in args.queries.split(","):
+            name = name.strip()
+            if name not in b01 or name not in b1:
+                raise SystemExit(f"--queries name {name!r} not in bench artifacts")
+            fam, band = family_of(name)
+            slope = b1[name] / max(b01[name], 1e-9)
             flagged.append((name, fam, band, slope))
-    print(f"{len(flagged)} slope alarms over family bands:")
+        print(f"probing {len(flagged)} explicitly listed queries:")
+    else:
+        for name in sorted(set(b01) & set(b1)):
+            fam, band = family_of(name)
+            if band == float("inf") or b1[name] < args.min_wall:
+                continue
+            slope = b1[name] / max(b01[name], 1e-9)
+            if slope > band:
+                flagged.append((name, fam, band, slope))
+        print(f"{len(flagged)} slope alarms over family bands:")
     for name, fam, band, slope in flagged:
-        print(f"  {name}: {slope:.2f}x > {band} ({fam})")
+        print(f"  {name}: {slope:.2f}x vs band {band} ({fam})")
     if not flagged:
         out = {
             "note": "no bench slope exceeded its family band",
@@ -300,11 +317,14 @@ def main() -> None:
         "sf_dirs": {"sf0.1": args.sf01, "sf1": args.sf1},
         "probes": probes,
     }
-    with open(os.path.join(bdir, "warm_probes.json"), "w") as f:
+    # an explicit --queries run is an ad-hoc investigation: keep it out
+    # of the alarm artifact SCALE.md cites
+    fname = "warm_probes_explicit.json" if args.queries else "warm_probes.json"
+    with open(os.path.join(bdir, fname), "w") as f:
         json.dump(out, f, indent=1, sort_keys=True)
     n_clear = sum(1 for p in probes.values() if p["within_band_warm"])
     print(
-        f"wrote .benchmarks/warm_probes.json — {n_clear}/{len(probes)} "
+        f"wrote .benchmarks/{fname} — {n_clear}/{len(probes)} "
         "alarms cleared warm"
     )
 
