@@ -77,11 +77,21 @@ def _dist_matrix(X, C):  # noqa: N803 - matrix names
 
 
 def assign_clusters(
-    df: DataFrame, centers: list[list[float]], vec_col: str = "emb"
+    df: DataFrame,
+    centers: list[list[float]],
+    vec_col: str = "emb",
+    quantize_f32: bool = False,
 ) -> DataFrame:
     """Nearest-center assignment: adds ``cluster`` (int) and
     ``sq_dist`` (double) columns. Ties break to the lowest cluster id
-    (numpy argmin keeps the first minimum)."""
+    (numpy argmin keeps the first minimum).
+
+    ``quantize_f32`` rounds every squared distance to f32 BEFORE the
+    argmin (and emits the quantized value as ``sq_dist``) — the oracle
+    promotion trick: BLAS pairwise summation (here) and a sequential
+    SQL fold (the DuckDB replay) disagree in the last f64 ulps, and
+    the f32 grid absorbs that before it can flip an argmin or leak
+    into a downstream hash."""
     import numpy as np
 
     C = np.array([[float(v) for v in c] for c in centers], dtype=np.float64)
@@ -97,6 +107,8 @@ def assign_clusters(
                 continue
             X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
             d2 = _dist_matrix(X, C)
+            if quantize_f32:
+                d2 = d2.astype(np.float32).astype(np.float64)
             a = d2.argmin(axis=1)
             pdf = pdf.copy()
             pdf["cluster"] = a.astype(np.int32)
@@ -121,12 +133,20 @@ def kmeans_fit(
     iters: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "emb",
+    quantize_f32: bool = False,
 ) -> tuple[DataFrame, list[list[float]]]:
     """Fixed-budget Lloyd's k-means; returns (assigned frame, centers).
 
     The returned frame is ``df`` + (cluster, sq_dist) under the FINAL
     centers; ``centers`` is the k x d python matrix (bounded driver
-    state — the trained model)."""
+    state — the trained model).
+
+    ``quantize_f32`` makes the whole trajectory representation-stable
+    for a SQL replay (the pagerank promotion trick, round 11): every
+    squared distance is rounded to f32 before its argmin, and every
+    updated center coordinate is rounded to f32 at the round boundary
+    — so cross-engine summation-order ulp drift is absorbed at each
+    step instead of compounding through the iteration."""
     import numpy as np
     import pandas as pd
 
@@ -146,7 +166,10 @@ def kmeans_fit(
                 if not len(pdf):
                     continue
                 X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
-                a = _dist_matrix(X, C).argmin(axis=1)
+                d2 = _dist_matrix(X, C)
+                if quantize_f32:
+                    d2 = d2.astype(np.float32)
+                a = d2.argmin(axis=1)
                 np.add.at(S, a, X)
                 np.add.at(n, a, 1)
             out = pd.DataFrame(
@@ -168,8 +191,14 @@ def kmeans_fit(
         )
         new_centers = centers.copy()  # empty cluster -> keep
         for r in cells:
-            new_centers[r["cluster"]] = np.array(r["s"], dtype=np.float64) / r["n"]
+            c_new = np.array(r["s"], dtype=np.float64) / r["n"]
+            if quantize_f32:
+                c_new = c_new.astype(np.float32).astype(np.float64)
+            new_centers[r["cluster"]] = c_new
         centers = new_centers
 
     centers_list = [list(map(float, c)) for c in centers]
-    return assign_clusters(df, centers_list, vec_col), centers_list
+    return (
+        assign_clusters(df, centers_list, vec_col, quantize_f32=quantize_f32),
+        centers_list,
+    )

@@ -43,6 +43,7 @@ def pca_top_component(
     df: DataFrame,
     vec_col: str = "emb",
     iters: int = 8,
+    quantize_f32: bool = False,
 ) -> tuple[list[float], float, float, int]:
     """Power-iterate the top principal component of ``df[vec_col]``.
 
@@ -50,6 +51,13 @@ def pca_top_component(
     ``loadings`` is the unit top eigenvector of the covariance matrix
     (sign-canonicalized), ``eigenvalue`` its Rayleigh quotient (the
     variance along it), ``total_variance`` the trace E|x-μ|².
+
+    ``quantize_f32`` makes the trajectory representation-stable for a
+    SQL replay (the pagerank/kmeans promotion trick, round 11): the
+    mean vector, each round's accumulated ``y``, and each round's
+    normalized ``v`` are rounded to f32 — so BLAS-pairwise (numpy) vs
+    sequential-fold (DuckDB) summation ulp drift is absorbed at every
+    step instead of compounding through the 8 rounds.
     """
     import numpy as np
     import pandas as pd
@@ -74,6 +82,8 @@ def pca_top_component(
     if n == 0:
         raise ValueError("pca_top_component: empty input")
     mu = np.sum([np.array(r["s"]) for r in cells], axis=0) / n
+    if quantize_f32:
+        mu = mu.astype(np.float32).astype(np.float64)
     d = mu.shape[0]
 
     v = np.ones(d, dtype=np.float64) / np.sqrt(d)
@@ -100,12 +110,16 @@ def pca_top_component(
             iter_partials, schema="y array<double>, tr double"
         ).collect()
         y = np.sum([np.array(r["y"]) for r in parts], axis=0)
+        if quantize_f32:
+            y = y.astype(np.float32).astype(np.float64)
         total_var = sum(r["tr"] for r in parts) / n
         norm = float(np.linalg.norm(y))
         if norm == 0.0:
             break
         eigenvalue = norm / n  # |Cv| with unit v; == Rayleigh at convergence
         v = y / norm
+        if quantize_f32:
+            v = v.astype(np.float32).astype(np.float64)
 
     # Sign canon: the largest-|loading| component (lowest index on
     # ties) points positive.

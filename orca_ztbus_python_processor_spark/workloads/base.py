@@ -361,6 +361,13 @@ _RESAMPLE_R11 = frozenset({
     # greens were rows-only AND the quantization slightly perturbs the
     # rank values, so old evidence is doubly void.
     "copurchase_pagerank_topk",
+    # k-means promotion (rows-only -> hash-matched via f32-quantized
+    # distances/centers + the unrolled 5-round Lloyd CTE replay): same
+    # double voiding as pagerank.
+    "kmeans_embedding_profile",
+    # PCA promotion (rows-only -> hash-matched via f32-quantized
+    # mu/y/v + the unrolled 8-round power-iteration CTE replay).
+    "pca_top_component",
 })
 
 _DRIVER_VERIFIED = (

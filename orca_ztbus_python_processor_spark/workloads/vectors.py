@@ -324,26 +324,104 @@ def embedding_quantize_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # kmeans_embedding_profile — distributed Lloyd's k-means (operators/
-# clustering.py: deterministic lowest-id init, map-side JVM assignment,
-# partial-agg center update, k*d driver traffic per iteration) over the
-# embedding corpus, profiled per cluster. The curation use: cluster
-# sizes drive diversity quotas; centers seed the IVF coarse quantizer.
-# Rows-only contract (iterative — not SQL-expressible; SURVEY §2 notes
-# the weaker gate for iterative algorithms): exact numpy parity on the
-# fixture is pinned in tests/test_clustering.py instead.
+# clustering.py: deterministic lowest-id init, Arrow-vectorized
+# assignment, partial-agg center update, k*d driver traffic per
+# iteration) over the embedding corpus, profiled per cluster. The
+# curation use: cluster sizes drive diversity quotas; centers seed the
+# IVF coarse quantizer.
+#
+# Oracle promotion (round 11, extending the pagerank f32-round trick
+# to float iterative ML): the iteration runs quantize_f32=True — every
+# squared distance rounds to f32 before its argmin and every updated
+# center coordinate rounds to f32 at the round boundary — so the BLAS
+# pairwise sums (numpy) and the sequential SQL folds (DuckDB) cannot
+# drift apart across rounds. The oracle unrolls the 5 Lloyd rounds as
+# chained CTEs: assignment = row_number over (f32 d2, cluster) on a
+# k-row cross join (the SAME expanded |x|^2 - 2x.c + |c|^2 clamped-at-0
+# form as _dist_matrix — the direct (x-c)^2 fold rounds differently
+# and could flip near-tied argmins), update = per-(cluster, dim) avg
+# re-assembled with list(... ORDER BY dim) and f32-quantized, empty
+# clusters keep their previous center via the LEFT JOIN coalesce.
+# Residual risk is a per-round f64 value landing exactly on an f32
+# rounding boundary — the same accepted class as every other f32
+# boundary in the catalog. Numpy parity of BOTH variants pinned in
+# tests/test_clustering.py.
 # --------------------------------------------------------------------------
 KMEANS_K = 8
 KMEANS_ITERS = 5
 
+_KMEANS_ROUND_CTE = """
+    , d{i} AS (
+        SELECT e.vec_id, e.v, cl.cluster,
+               CAST(greatest(list_dot_product(e.v, e.v)
+                    - 2 * list_dot_product(e.v, cl.c)
+                    + list_dot_product(cl.c, cl.c), 0.0) AS REAL) AS d2
+        FROM emb e CROSS JOIN c{prev} cl
+    ), a{i} AS (
+        SELECT vec_id, v, cluster FROM (
+            SELECT vec_id, v, cluster,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY d2, cluster) AS rn
+            FROM d{i}) WHERE rn = 1
+    ), c{i} AS (
+        SELECT cl.cluster, COALESCE(nc.c, cl.c) AS c
+        FROM c{prev} cl LEFT JOIN (
+            SELECT cluster, list(m ORDER BY dim) AS c FROM (
+                SELECT cluster, dim,
+                       CAST(CAST(avg(val) AS REAL) AS DOUBLE) AS m
+                FROM (SELECT cluster, unnest(v) AS val,
+                             generate_subscripts(v, 1) AS dim FROM a{i})
+                GROUP BY cluster, dim)
+            GROUP BY cluster) nc ON nc.cluster = cl.cluster
+    )
+"""
 
-@CATALOG.query("kmeans_embedding_profile")
+
+@CATALOG.query(
+    "kmeans_embedding_profile",
+    oracle="""
+    WITH emb AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), c0 AS (
+        SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER)
+                   AS cluster,
+               v AS c
+        FROM (SELECT vec_id, v FROM emb ORDER BY vec_id LIMIT 8)
+    )
+    """
+    + "".join(
+        _KMEANS_ROUND_CTE.format(i=i, prev=i - 1)
+        for i in range(1, KMEANS_ITERS + 1)
+    )
+    + f"""
+    , dfin AS (
+        SELECT e.vec_id, cl.cluster,
+               CAST(greatest(list_dot_product(e.v, e.v)
+                    - 2 * list_dot_product(e.v, cl.c)
+                    + list_dot_product(cl.c, cl.c), 0.0) AS REAL) AS d2
+        FROM emb e CROSS JOIN c{KMEANS_ITERS} cl
+    ), afin AS (
+        SELECT vec_id, cluster, d2 FROM (
+            SELECT vec_id, cluster, d2,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY d2, cluster) AS rn
+            FROM dfin) WHERE rn = 1
+    )
+    SELECT a.cluster,
+           count(*) AS size,
+           CAST(avg(CAST(a.d2 AS DOUBLE)) AS REAL) AS mean_sq_dist,
+           CAST(sqrt(list_dot_product(cl.c, cl.c)) AS REAL) AS center_norm
+    FROM afin a JOIN c{KMEANS_ITERS} cl ON cl.cluster = a.cluster
+    GROUP BY a.cluster, cl.c
+    """,
+)
 def kmeans_embedding_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from orca_ztbus_python_processor_spark.operators.clustering import (  # noqa: PLC0415
         kmeans_fit,
     )
 
     assigned, centers = kmeans_fit(
-        _emb(spark, sf_dir), k=KMEANS_K, iters=KMEANS_ITERS
+        _emb(spark, sf_dir), k=KMEANS_K, iters=KMEANS_ITERS, quantize_f32=True
     )
     center_norm = {
         j: float(sum(x * x for x in c)) ** 0.5 for j, c in enumerate(centers)
@@ -415,22 +493,97 @@ def embedding_dim_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
 # pca_top_component — distributed power iteration for the corpus's top
 # principal component (operators/pca.py): per-dimension loadings of the
 # unit eigenvector plus its eigenvalue and explained-variance share.
-# Rows-only by the driver contract (iterative linear algebra is not
-# SQL-expressible); exactness is pinned against an independent numpy
-# reference with the identical contract (init, budget, sign canon) in
-# tests/test_pca.py, plus a golden eigen-pair on the seeded fixture.
+# Exactness is pinned against an independent numpy reference with the
+# identical contract (init, budget, sign canon) in tests/test_pca.py,
+# plus a golden eigen-pair on the seeded fixture.
 # Scale: each iteration is ONE distributed matvec pass with
 # n_partitions x (d+2) driver scalars — the kmeans/CC bounded-driver
 # contract; the d x d covariance is never materialized.
+#
+# Oracle promotion (round 11, the pagerank/kmeans f32-round trick on
+# iterative linear algebra): the iteration runs quantize_f32=True —
+# the mean vector, each round's accumulated y = C·v matvec, and each
+# round's normalized v round to f32 — and the oracle unrolls the 8
+# power-iteration rounds as chained CTEs at (vec_id, dim) grain:
+# proj = Σ_dim xc·w per row, y_dim = Σ_rows xc·proj (f32-quantized),
+# v = y/|y| (f32-quantized). The all-ones/√d init is exactly 0.125
+# per dim at d=64 — representation-identical on both engines with no
+# quantization needed. Sign canon replays as ORDER BY (|w| DESC, dim)
+# LIMIT 1. Residual risk is the usual accepted f32-boundary class.
 # --------------------------------------------------------------------------
-@CATALOG.query("pca_top_component")
+PCA_ITERS = 8
+
+# y{i} is referenced twice (norm + normalize) and xc 2x/round: without
+# AS MATERIALIZED DuckDB inlines every reference, doubling the plan per
+# round — 2^8 copies of the full upstream chain (measured: the
+# un-materialized form did not finish in 300 s at sf0.001; the
+# materialized one runs in milliseconds).
+_PCA_ROUND_CTE = """
+    , p{i} AS MATERIALIZED (
+        SELECT xc.vec_id, sum(xc.x * v.w) AS proj
+        FROM xc JOIN v{prev} v USING (dim) GROUP BY xc.vec_id
+    ), y{i} AS MATERIALIZED (
+        SELECT xc.dim, CAST(CAST(sum(xc.x * p.proj) AS REAL) AS DOUBLE) AS y
+        FROM xc JOIN p{i} p USING (vec_id) GROUP BY xc.dim
+    ), nrm{i} AS MATERIALIZED (
+        SELECT sqrt(sum(y * y)) AS nrm FROM y{i}
+    ), v{i} AS MATERIALIZED (
+        SELECT dim, CAST(CAST(y / nrm AS REAL) AS DOUBLE) AS w
+        FROM y{i}, nrm{i}
+    )
+"""
+
+
+@CATALOG.query(
+    "pca_top_component",
+    oracle="""
+    WITH emb AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), dims AS (
+        SELECT vec_id, unnest(v) AS val, generate_subscripts(v, 1) AS dim
+        FROM emb
+    ), nn AS (
+        SELECT count(*) AS n FROM emb
+    ), muq AS MATERIALIZED (
+        SELECT dim, CAST(CAST(avg(val) AS REAL) AS DOUBLE) AS mu
+        FROM dims GROUP BY dim
+    ), xc AS MATERIALIZED (
+        SELECT d.vec_id, d.dim, d.val - m.mu AS x
+        FROM dims d JOIN muq m USING (dim)
+    ), v0 AS (
+        SELECT dim, 1.0 / sqrt(64.0) AS w FROM muq
+    )
+    """
+    + "".join(
+        _PCA_ROUND_CTE.format(i=i, prev=i - 1) for i in range(1, PCA_ITERS + 1)
+    )
+    + f"""
+    , pvt AS (
+        SELECT w AS pw FROM v{PCA_ITERS} ORDER BY abs(w) DESC, dim LIMIT 1
+    ), sgn AS (
+        SELECT CASE WHEN pw < 0 THEN -1.0 ELSE 1.0 END AS s FROM pvt
+    ), ev AS (
+        SELECT nrm / nn.n AS eigenvalue FROM nrm{PCA_ITERS}, nn
+    ), tv AS (
+        SELECT sum(x * x) / nn.n AS total_var FROM xc, nn GROUP BY nn.n
+    )
+    SELECT CAST(v.dim - 1 AS INTEGER) AS dim_idx,
+           CAST(sgn.s * v.w AS REAL) AS loading,
+           CAST(ev.eigenvalue AS REAL) AS eigenvalue,
+           CAST(ev.eigenvalue / tv.total_var AS REAL) AS explained_var_share,
+           nn.n AS n_vectors
+    FROM v{PCA_ITERS} v, sgn, ev, tv, nn
+    """,
+)
 def pca_top_component_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from orca_ztbus_python_processor_spark.operators.pca import (  # noqa: PLC0415
         pca_top_component,
     )
 
     emb = _emb(spark, sf_dir)
-    loadings, eigenvalue, total_var, n = pca_top_component(emb, vec_col="emb")
+    loadings, eigenvalue, total_var, n = pca_top_component(
+        emb, vec_col="emb", iters=PCA_ITERS, quantize_f32=True
+    )
     share = eigenvalue / total_var if total_var > 0 else 0.0
     rows = [
         (i, float(x), float(eigenvalue), float(share), n)

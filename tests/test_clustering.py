@@ -104,6 +104,47 @@ def test_kmeans_plan_is_arrow_vectorized(spark, emb):
     assert "CartesianProduct" not in plan
 
 
+def test_kmeans_quantized_matches_numpy_reference(spark, emb):
+    """The oracle-promotion variant (quantize_f32=True): distances
+    round to f32 before each argmin and centers round to f32 at each
+    round boundary. Parity against an independent numpy replication of
+    the SAME quantized trajectory — and a materiality check that the
+    final assignment stays close to the unquantized one."""
+    df, ids, X = emb
+    assigned, centers = kmeans_fit(df, k=K, iters=ITERS, quantize_f32=True)
+    got = {
+        r["vec_id"]: (r["cluster"], r["sq_dist"])
+        for r in assigned.select("vec_id", "cluster", "sq_dist").collect()
+    }
+
+    order = np.argsort(ids, kind="stable")
+    C = X[order[:K]].astype(np.float64).copy()
+    for _ in range(ITERS):
+        a = _ref_d2(X, C).astype(np.float32).argmin(axis=1)
+        for j in range(K):
+            m = a == j
+            if m.any():
+                C[j] = (X[m].sum(axis=0) / m.sum()).astype(
+                    np.float32
+                ).astype(np.float64)
+    d2 = _ref_d2(X, C).astype(np.float32).astype(np.float64)
+    ref_a = d2.argmin(axis=1)
+    ref_sq = d2[np.arange(len(ref_a)), ref_a]
+
+    for i, vid in enumerate(ids):
+        assert got[vid][0] == ref_a[i]
+        assert got[vid][1] == ref_sq[i]  # bit-exact: both f32-quantized
+    np.testing.assert_array_equal(np.array(centers), C)
+    # materiality: quantization must not meaningfully re-cluster
+    unq_assigned, _ = kmeans_fit(df, k=K, iters=ITERS)
+    unq = {
+        r["vec_id"]: r["cluster"]
+        for r in unq_assigned.select("vec_id", "cluster").collect()
+    }
+    n_moved = sum(1 for vid in unq if unq[vid] != got[vid][0])
+    assert n_moved <= max(2, len(unq) // 100), n_moved
+
+
 def test_kmeans_final_inertia_golden(spark, emb):
     """Deterministic-output pin (VERDICT r5 item 7): the fixed-seed
     contract (lowest-id init, 5 Lloyd iterations, first-min tie-break)

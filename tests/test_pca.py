@@ -57,6 +57,38 @@ def test_pca_matches_numpy_reference(spark, emb):
     assert total_var == pytest.approx(ref_tv, rel=1e-9)
 
 
+def test_pca_quantized_matches_numpy_replication(spark, emb):
+    """The oracle-promotion variant (quantize_f32=True): mu, each
+    round's y, and each round's v round to f32. Bit-exact parity
+    against an independent numpy replication of the SAME quantized
+    trajectory, plus a materiality check vs the unquantized run."""
+    df, X = emb
+    loadings, ev, total_var, n = pca_top_component(
+        df, iters=ITERS, quantize_f32=True
+    )
+    nn, d = X.shape
+    mu = (X.sum(axis=0) / nn).astype(np.float32).astype(np.float64)
+    Xc = X - mu
+    v = np.ones(d) / np.sqrt(d)
+    for _ in range(ITERS):
+        y = (Xc.T @ (Xc @ v)).astype(np.float32).astype(np.float64)
+        norm = float(np.linalg.norm(y))
+        ref_ev = norm / nn
+        v = (y / norm).astype(np.float32).astype(np.float64)
+    pivot = int(np.argmax(np.abs(v)))
+    if v[pivot] < 0:
+        v = -v
+    ref_tv = float((Xc * Xc).sum()) / nn
+    assert n == nn
+    np.testing.assert_array_equal(np.array(loadings), v)  # bit-exact
+    assert ev == ref_ev
+    assert total_var == pytest.approx(ref_tv, rel=1e-12)
+    # materiality: quantization must not meaningfully rotate the axis
+    unq_v, unq_ev, _, _ = pca_top_component(df, iters=ITERS)
+    assert abs(float(np.dot(loadings, unq_v))) > 1 - 1e-6
+    assert ev == pytest.approx(unq_ev, rel=1e-5)
+
+
 def test_pca_loadings_unit_norm_and_sign_canon(spark, emb):
     df, _ = emb
     loadings, _, _, _ = pca_top_component(df, iters=ITERS)
