@@ -368,6 +368,11 @@ _RESAMPLE_R11 = frozenset({
     # PCA promotion (rows-only -> hash-matched via f32-quantized
     # mu/y/v + the unrolled 8-round power-iteration CTE replay).
     "pca_top_component",
+    # BPE promotion (rows-only -> hash-matched via the 10-round
+    # pair-count/argmax/greedy-fold recursive-CTE replay): the Spark
+    # side is unchanged, but its r10 green was rows-only and no longer
+    # covers the oracle comparison.
+    "bpe_learn_merges",
 })
 
 _DRIVER_VERIFIED = (

@@ -4091,15 +4091,80 @@ def source_cross_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (the argmax merge decision — the same bounded-driver-traffic
 # contract as LPA's convergence probe), and the greedy merge applied
 # as a pure Catalyst aggregate() fold (no Python, no UDF);
-# localCheckpoint(eager=False) truncates per-round lineage. Rows-only
-# by the driver contract (iterative fixpoint); pinned against an
-# independent pure-python BPE in tests/test_round10_ops.py.
+# localCheckpoint(eager=False) truncates per-round lineage. Pinned
+# against an independent pure-python BPE in tests/test_round10_ops.py.
 #
 # Output: merge_rank, left, right, merged, pair_freq (BPE_N_MERGES
 # rows, the learned merge table in order).
+#
+# Oracle promotion (round 11): the whole induction is integer counting
+# + deterministic argmax (ties lexicographic — binary collation on
+# both engines over the [a-z0-9</>] symbol alphabet) + a greedy
+# left-fold, so DuckDB replays all BPE_N_MERGES rounds exactly: pair
+# counts via the adjacent-pair explode, the argmax via ORDER BY
+# (pf DESC, l, r) LIMIT 1, and the greedy merge via a per-position
+# recursive CTE that carries each word's accumulator LIST forward one
+# symbol at a time (string replace over a space-joined form would
+# MISCOUNT runs — ' a a a a ' consumes the shared delimiter space and
+# merges only alternate pairs, where the fold yields 'aa aa'). Every
+# v{i} is AS MATERIALIZED (multi-referenced; see the PCA oracle note).
 # --------------------------------------------------------------------------
 BPE_N_MERGES = 10
 _BPE_EOW = "</w>"
+
+_BPE_ROUND_SQL = """
+    , pc{i} AS MATERIALIZED (
+        SELECT string_split(p, chr(9))[1] AS l,
+               string_split(p, chr(9))[2] AS r,
+               sum(freq) AS pf
+        FROM (
+            SELECT unnest(list_transform(range(1, len(syms)),
+                          j -> syms[j] || chr(9) || syms[j+1])) AS p,
+                   freq
+            FROM v{prev} WHERE len(syms) >= 2)
+        GROUP BY 1, 2
+    ), best{i} AS MATERIALIZED (
+        SELECT l, r, pf FROM pc{i} ORDER BY pf DESC, l, r LIMIT 1
+    ), f{i}(rid, pos, acc) AS (
+        SELECT v.rid, 1, [v.syms[1]] FROM v{prev} v
+        UNION ALL
+        SELECT f.rid, f.pos + 1,
+               CASE WHEN f.acc[-1] = b.l AND v.syms[f.pos + 1] = b.r
+                    THEN f.acc[1:len(f.acc) - 1] || [b.l || b.r]
+                    ELSE f.acc || [v.syms[f.pos + 1]] END
+        FROM f{i} f JOIN v{prev} v USING (rid) CROSS JOIN best{i} b
+        WHERE f.pos < len(v.syms)
+    ), v{i} AS MATERIALIZED (
+        SELECT f.rid, f.acc AS syms, v.freq
+        FROM f{i} f JOIN v{prev} v USING (rid)
+        WHERE f.pos = len(v.syms)
+    )
+"""
+
+_BPE_ORACLE = (
+    """
+    WITH RECURSIVE words AS (
+        SELECT word, count(*) AS freq FROM (
+            SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                       AS word
+            FROM documents)
+        GROUP BY word
+    ), v0 AS MATERIALIZED (
+        SELECT word AS rid, string_split(word, '') || ['</w>'] AS syms,
+               freq
+        FROM words
+    )
+"""
+    + "".join(
+        _BPE_ROUND_SQL.format(i=i, prev=i - 1)
+        for i in range(1, BPE_N_MERGES + 1)
+    )
+    + "\n    UNION ALL\n".join(
+        f'SELECT {i} AS merge_rank, l AS "left", r AS "right",'
+        f" l || r AS merged, CAST(pf AS BIGINT) AS pair_freq FROM best{i}"
+        for i in range(1, BPE_N_MERGES + 1)
+    )
+)
 
 
 def _bpe_merge_expr(left: str, right: str) -> str:
@@ -4116,7 +4181,7 @@ def _bpe_merge_expr(left: str, right: str) -> str:
     )
 
 
-@CATALOG.query("bpe_learn_merges")
+@CATALOG.query("bpe_learn_merges", oracle=_BPE_ORACLE)
 def bpe_learn_merges(
     spark: SparkSession, sf_dir: str, n_merges: int = BPE_N_MERGES
 ) -> DataFrame:
