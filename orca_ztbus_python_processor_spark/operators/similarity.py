@@ -64,6 +64,7 @@ def train_centroids(
     iters: int = 10,
     seed: int = 42,
     id_col: str = "vec_id",
+    quantize_f32: bool = False,
 ) -> list[list[float]]:
     """Spherical k-means on a deterministic sample (driver-side numpy).
 
@@ -73,6 +74,13 @@ def train_centroids(
     scan, no full sort), NOT a bare limit(): limit() keeps whichever
     partitions answer first, so centroids — and every downstream ANN
     result — would vary with file layout and cluster timing.
+
+    ``quantize_f32`` (round 11, the kmeans/pca promotion trick) makes
+    the training SQL-replayable: init becomes the first ``nlist``
+    sample rows (no numpy RNG — ``seed`` is ignored), the normalized
+    sample and every updated centroid round to f32, and assignment
+    dots round to f32 before their argmax, so cross-engine
+    summation-order ulp drift is absorbed at every step.
     """
     sample = np.array(
         [
@@ -85,15 +93,25 @@ def train_centroids(
         dtype=np.float64,
     )
     sample /= np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
-    rng = np.random.default_rng(seed)
-    centroids = sample[rng.choice(len(sample), size=nlist, replace=False)]
+    if quantize_f32:
+        sample = sample.astype(np.float32).astype(np.float64)
+        centroids = sample[:nlist].copy()
+    else:
+        rng = np.random.default_rng(seed)
+        centroids = sample[rng.choice(len(sample), size=nlist, replace=False)]
     for _ in range(iters):
-        assign = np.argmax(sample @ centroids.T, axis=1)
+        dots = sample @ centroids.T
+        if quantize_f32:
+            dots = dots.astype(np.float32)
+        assign = np.argmax(dots, axis=1)
         for j in range(nlist):
             members = sample[assign == j]
             if len(members):
                 c = members.sum(axis=0)
-                centroids[j] = c / np.maximum(np.linalg.norm(c), 1e-12)
+                c = c / np.maximum(np.linalg.norm(c), 1e-12)
+                if quantize_f32:
+                    c = c.astype(np.float32).astype(np.float64)
+                centroids[j] = c
     return centroids.tolist()
 
 
@@ -127,10 +145,16 @@ def _cells_pandas(
     id_out: str,
     id_col: str,
     emb_col: str,
+    quantize_f32: bool = False,
 ) -> DataFrame:
     """(id, emb, cell) rows: each vector under its nprobe nearest cells,
     assigned by one numpy matmul per Arrow batch (the HOF-expression
-    form pays interpreted-lambda cost per centroid per row)."""
+    form pays interpreted-lambda cost per centroid per row).
+
+    ``quantize_f32`` rounds the assignment dots to f32 before the
+    (stable) argsort — cell membership has a hard cliff per vector, so
+    the oracle replay needs a representation-stable ordering key
+    (ties break to the lowest cell on both engines)."""
     import numpy as np
     import pandas as pd
 
@@ -142,8 +166,11 @@ def _cells_pandas(
                 continue
             m = np.array(pdf[emb_col].tolist(), dtype=np.float64)
             mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-300)
+            dots = mn @ c.T
+            if quantize_f32:
+                dots = dots.astype(np.float32)
             # nprobe nearest cells per vector, nearest first
-            order = np.argsort(-(mn @ c.T), axis=1, kind="stable")[:, :nprobe]
+            order = np.argsort(-dots, axis=1, kind="stable")[:, :nprobe]
             yield pd.DataFrame(
                 {
                     id_out: np.repeat(pdf[id_col].to_numpy(), nprobe),
@@ -167,6 +194,7 @@ def ann_cosine_topk(
     id_col: str = "vec_id",
     emb_col: str = "emb",
     centroids: list[list[float]] | None = None,
+    quantize_f32: bool = False,
 ) -> DataFrame:
     """IVF approximate top-k cosine neighbors.
 
@@ -186,10 +214,19 @@ def ann_cosine_topk(
     import pandas as pd
 
     if centroids is None:
-        centroids = train_centroids(emb_df, emb_col, nlist=nlist, seed=seed, id_col=id_col)
+        centroids = train_centroids(
+            emb_df, emb_col, nlist=nlist, seed=seed, id_col=id_col,
+            quantize_f32=quantize_f32,
+        )
 
-    corpus = _cells_pandas(emb_df, centroids, 1, "neighbor_id", id_col, emb_col)
-    q = _cells_pandas(queries_df, centroids, nprobe, "query_id", id_col, emb_col)
+    corpus = _cells_pandas(
+        emb_df, centroids, 1, "neighbor_id", id_col, emb_col,
+        quantize_f32=quantize_f32,
+    )
+    q = _cells_pandas(
+        queries_df, centroids, nprobe, "query_id", id_col, emb_col,
+        quantize_f32=quantize_f32,
+    )
     q = q.withColumnRenamed(emb_col, "qe")
 
     def cell_topk(cpdf: pd.DataFrame, qpdf: pd.DataFrame) -> pd.DataFrame:
@@ -450,6 +487,7 @@ def embedding_near_dup_pairs(
     id_col: str = "vec_id",
     emb_col: str = "emb",
     centroids: list[list[float]] | None = None,
+    quantize_f32: bool = False,
 ) -> DataFrame:
     """Cell-blocked embedding near-dup (SURVEY.md §2.11 X1 'embedding-
     cosine near-dup'): SemDeDup-style candidate pruning.
@@ -473,10 +511,14 @@ def embedding_near_dup_pairs(
     import pandas as pd
 
     if centroids is None:
-        centroids = train_centroids(emb_df, emb_col, nlist=nlist, seed=seed, id_col=id_col)
+        centroids = train_centroids(
+            emb_df, emb_col, nlist=nlist, seed=seed, id_col=id_col,
+            quantize_f32=quantize_f32,
+        )
 
     indexed = _cells_pandas(
-        emb_df, centroids, nprobe, "id_a", id_col, emb_col
+        emb_df, centroids, nprobe, "id_a", id_col, emb_col,
+        quantize_f32=quantize_f32,
     ).withColumnRenamed(emb_col, "_e")
 
     def cell_pairs(pdf: pd.DataFrame) -> pd.DataFrame:

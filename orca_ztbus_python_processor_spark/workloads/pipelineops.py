@@ -44,6 +44,9 @@ from orca_ztbus_python_processor_spark.operators.similarity import (
 from orca_ztbus_python_processor_spark.functions.stats import f32
 from orca_ztbus_python_processor_spark.sources.parquet import read_table
 from orca_ztbus_python_processor_spark.workloads.base import Catalog
+from orca_ztbus_python_processor_spark.workloads.vectors import (
+    CC_THRESHOLD as _CC_THRESHOLD,
+)
 
 CATALOG = Catalog()
 
@@ -267,11 +270,131 @@ def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_dups(_docs(spark, sf_dir))
 
 
-@CATALOG.query("ann_cosine_topk")
+# --------------------------------------------------------------------------
+# IVF oracle replay (round 11): the whole IVF stack — spherical-k-means
+# quantizer training, cell assignment, candidate generation, exact
+# verify — became SQL-replayable once the training went
+# quantize_f32=True (operators/similarity.py): init is the first nlist
+# sample rows (no numpy RNG), the normalized sample and every updated
+# centroid round to f32, and assignment dots round to f32 before their
+# (dot DESC, cell) argsort. The oracle unrolls the 10 training rounds
+# as materialized CTEs (see the PCA AS MATERIALIZED note) and replays
+# assignment with row_number. The exact-verify scores stay f64 against
+# the threshold / f32 at the output boundary — the same accepted
+# residual class as the exact brute-force twins.
+# --------------------------------------------------------------------------
+IVF_TRAIN_ITERS = 10
+IVF_SAMPLE = 2048
+
+_IVF_TRAIN_ROUND = """
+    , sd{r} AS MATERIALIZED (
+        SELECT s.vec_id, c.cell,
+               CAST(list_dot_product(s.nv, c.c) AS REAL) AS dot
+        FROM samp s CROSS JOIN cc{p} c
+    ), sa{r} AS MATERIALIZED (
+        SELECT vec_id, cell FROM (
+            SELECT vec_id, cell,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY dot DESC, cell) AS rn
+            FROM sd{r}) WHERE rn = 1
+    ), cm{r} AS MATERIALIZED (
+        SELECT a.cell, d.dim, sum(d.val) AS s
+        FROM sa{r} a JOIN sdim d USING (vec_id)
+        GROUP BY a.cell, d.dim
+    ), cc{r} AS MATERIALIZED (
+        SELECT p.cell, COALESCE(q.c, p.c) AS c
+        FROM cc{p} p LEFT JOIN (
+            SELECT m.cell,
+                   list(CAST(CAST(m.s / greatest(n.nrm, 1e-12) AS REAL)
+                        AS DOUBLE) ORDER BY m.dim) AS c
+            FROM cm{r} m JOIN (
+                SELECT cell, sqrt(sum(s * s)) AS nrm
+                FROM cm{r} GROUP BY cell) n USING (cell)
+            GROUP BY m.cell) q USING (cell)
+    )
+"""
+
+
+def _ivf_quantizer_sql(nlist: int) -> str:
+    """CTE chain ending at cc{IVF_TRAIN_ITERS}(cell, c): the trained
+    f32-quantized spherical-k-means centroids, plus nemb (the 1e-300-
+    clamped normalized corpus, _cells_pandas' form) and ad (per-vector
+    f32 dots against the final centroids, ready for row_number cuts).
+    Training-sample normalization uses train_centroids' 1e-12 clamp."""
+    head = f"""
+    emb AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), nemb AS MATERIALIZED (
+        SELECT vec_id, list_transform(v, x -> x / nrm) AS nv
+        FROM (SELECT vec_id, v,
+                     greatest(sqrt(list_dot_product(v, v)), 1e-300) AS nrm
+              FROM emb)
+    ), samp AS MATERIALIZED (
+        SELECT vec_id,
+               list_transform(v, x -> CAST(CAST(x / nrm AS REAL) AS DOUBLE))
+                   AS nv
+        FROM (SELECT vec_id, v,
+                     greatest(sqrt(list_dot_product(v, v)), 1e-12) AS nrm
+              FROM emb ORDER BY vec_id LIMIT {IVF_SAMPLE})
+    ), sdim AS MATERIALIZED (
+        SELECT vec_id, unnest(nv) AS val, generate_subscripts(nv, 1) AS dim
+        FROM samp
+    ), cc0 AS MATERIALIZED (
+        SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER)
+                   AS cell,
+               nv AS c
+        FROM (SELECT vec_id, nv FROM samp ORDER BY vec_id LIMIT {nlist})
+    )"""
+    rounds = "".join(
+        _IVF_TRAIN_ROUND.format(r=r, p=r - 1)
+        for r in range(1, IVF_TRAIN_ITERS + 1)
+    )
+    tail = f"""
+    , ad AS MATERIALIZED (
+        SELECT e.vec_id, c.cell,
+               CAST(list_dot_product(e.nv, c.c) AS REAL) AS dot
+        FROM nemb e CROSS JOIN cc{IVF_TRAIN_ITERS} c
+    )"""
+    return head + rounds + tail
+
+
+@CATALOG.query(
+    "ann_cosine_topk",
+    oracle=f"""
+    WITH {_ivf_quantizer_sql(nlist=32)}
+    , ccell AS MATERIALIZED (
+        SELECT vec_id, cell FROM (
+            SELECT vec_id, cell,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY dot DESC, cell) AS rn
+            FROM ad) WHERE rn = 1
+    ), qcell AS MATERIALIZED (
+        SELECT vec_id, cell FROM (
+            SELECT vec_id, cell,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY dot DESC, cell) AS rn
+            FROM ad WHERE vec_id % 50 = 0) WHERE rn <= 24
+    ), cand AS MATERIALIZED (
+        SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+               CAST(list_dot_product(eq.nv, en.nv) AS REAL) AS score
+        FROM qcell q JOIN ccell n USING (cell)
+        JOIN nemb eq ON eq.vec_id = q.vec_id
+        JOIN nemb en ON en.vec_id = n.vec_id
+        WHERE n.vec_id <> q.vec_id
+    )
+    SELECT query_id, neighbor_id, score, CAST(rnk AS BIGINT) AS "rank"
+    FROM (SELECT query_id, neighbor_id, score,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY score DESC, neighbor_id) AS rnk
+          FROM cand)
+    WHERE rnk <= 5
+    """,
+)
 def ann_cosine_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X3 scale path: IVF coarse quantization (sampled spherical
     k-means) + nprobe candidate lists, exact-cosine re-rank; same
-    output shape as cosine_topk_bruteforce.
+    output shape as cosine_topk_bruteforce. Hash-matched since round
+    11 via the quantize_f32 training replay (header note above).
 
     nlist/nprobe tuned against the measured recall gate
     (scripts/measure_ann_recall.py, threshold 0.9): this corpus is
@@ -284,21 +407,81 @@ def ann_cosine_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
     queries = emb.where(F.col("vec_id") % 50 == 0)
-    return ann_cosine_topk(emb, queries, k=5, nlist=32, nprobe=24)
+    return ann_cosine_topk(
+        emb, queries, k=5, nlist=32, nprobe=24, quantize_f32=True
+    )
 
 
-@CATALOG.query("embedding_near_dup_blocked")
+@CATALOG.query(
+    "embedding_near_dup_blocked",
+    oracle=f"""
+    WITH {_ivf_quantizer_sql(nlist=16)}
+    , icell AS MATERIALIZED (
+        SELECT vec_id, cell FROM (
+            SELECT vec_id, cell,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY dot DESC, cell) AS rn
+            FROM ad) WHERE rn <= 4
+    )
+    SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+           CAST(list_dot_product(ea.nv, eb.nv) AS REAL) AS score
+    FROM icell a JOIN icell b USING (cell)
+    JOIN nemb ea ON ea.vec_id = a.vec_id
+    JOIN nemb eb ON eb.vec_id = b.vec_id
+    WHERE a.vec_id < b.vec_id
+      AND list_dot_product(ea.nv, eb.nv) >= 0.3
+    """,
+)
 def embedding_near_dup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X1 scale path: IVF-cell-blocked embedding near-dup (candidates
     via shared probe cells, exact-cosine verify). The exact baseline is
-    ``embedding_near_dup_exact`` in workloads/vectors.py."""
+    ``embedding_near_dup_exact`` in workloads/vectors.py. Hash-matched
+    since round 11 via the quantize_f32 training replay (header note
+    above); the f64 threshold compare is the exact twin's accepted
+    residual class."""
     emb = read_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
-    return embedding_near_dup_pairs(emb, threshold=0.3)
+    return embedding_near_dup_pairs(emb, threshold=0.3, quantize_f32=True)
 
 
-@CATALOG.query("embedding_dup_components_blocked")
+@CATALOG.query(
+    "embedding_dup_components_blocked",
+    # The blocked-pair CTE (the embedding_near_dup_blocked replay at
+    # CC_THRESHOLD) feeds the recursive-CTE min-label reach used by the
+    # exact twin embedding_dup_components.
+    oracle=f"""
+    WITH RECURSIVE {_ivf_quantizer_sql(nlist=16)}
+    , icell AS MATERIALIZED (
+        SELECT vec_id, cell FROM (
+            SELECT vec_id, cell,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY dot DESC, cell) AS rn
+            FROM ad) WHERE rn <= 4
+    ), pairs AS MATERIALIZED (
+        SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM icell a JOIN icell b USING (cell)
+        JOIN nemb ea ON ea.vec_id = a.vec_id
+        JOIN nemb eb ON eb.vec_id = b.vec_id
+        WHERE a.vec_id < b.vec_id
+          AND list_dot_product(ea.nv, eb.nv) >= {_CC_THRESHOLD}
+    ), sym AS (
+        SELECT id_a AS u, id_b AS v FROM pairs
+        UNION
+        SELECT id_b AS u, id_a AS v FROM pairs
+    ), reach AS (
+        SELECT u, u AS r FROM (SELECT DISTINCT u FROM sym) t
+        UNION
+        SELECT s.u, reach.r FROM sym s JOIN reach ON reach.u = s.v
+    ), comp AS (
+        SELECT u, min(r) AS component FROM reach GROUP BY u
+    )
+    SELECT e.vec_id,
+           COALESCE(comp.component, e.vec_id) AS component,
+           (COALESCE(comp.component, e.vec_id) = e.vec_id) AS is_canonical
+    FROM emb e LEFT JOIN comp ON e.vec_id = comp.u
+    """,
+)
 def embedding_dup_components_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X1/X2 scale composition: the 100 TB dup-cluster pipeline with NO
     all-pairs or driver-side stage — IVF-cell-blocked near-dup pairs
@@ -321,7 +504,9 @@ def embedding_dup_components_blocked(spark: SparkSession, sf_dir: str) -> DataFr
     emb = read_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
-    pairs = embedding_near_dup_pairs(emb, threshold=CC_THRESHOLD)
+    pairs = embedding_near_dup_pairs(
+        emb, threshold=CC_THRESHOLD, quantize_f32=True
+    )
     comp = connected_components(pairs)
     # No broadcast hint: comp has one row per duped node — at 100 TB
     # with a realistic dup rate that is billions of rows, far past any
