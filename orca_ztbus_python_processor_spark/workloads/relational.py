@@ -5038,3 +5038,211 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("k").cast("long").alias("min_k"),
         F.max("k").cast("long").alias("max_k"),
     )
+
+
+# --------------------------------------------------------------------------
+# gini_stump_split_gain — single-feature decision-STUMP induction on
+# the lineitem table: for every candidate one-vs-rest categorical
+# split (feature = value vs rest), the weighted Gini-impurity
+# reduction for predicting "was the line returned" (l_returnflag =
+# 'R'). The ML-primitive family's missing induction axis: the catalog
+# evaluates fixed predictors (calibration bins, AUC, kNN probes); this
+# is the op that picks the first split of a tree — the feature-
+# selection scan every tabular-ML pipeline runs before training.
+#
+# Replay contract: every gain is pure arithmetic on EXACT integer
+# counts (n, n_pos, per-cell n_v, pos_v) — identical IEEE divisions on
+# both engines, no aggregation-order float anywhere; the f32 output
+# boundary is belt-and-braces. All candidate rows are emitted (no
+# argmax cliff); the consumer sorts by gain.
+#
+# Scale shape: ONE map-combinable (feature, value) rollup over a
+# 3-way stack explode (row-local), plus a 2-row scalar cross join for
+# the parent totals. At 100 TB the stack triples the scan's row count
+# map-side and the shuffle carries |values| rows per feature — tiny.
+# --------------------------------------------------------------------------
+@CATALOG.query(
+    "gini_stump_split_gain",
+    oracle="""
+    WITH stacked AS (
+        SELECT f.feature, f.value,
+               CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+        FROM lineitem, LATERAL (VALUES
+            ('linestatus', l_linestatus),
+            ('qty_decade', CAST(CAST(floor(l_quantity / 10) AS INTEGER)
+                                AS VARCHAR)),
+            ('ship_quarter', CAST(quarter(l_shipdate) AS VARCHAR)))
+            AS f(feature, value)
+    ), tot AS (
+        SELECT count(*) / 3 AS n, sum(y) / 3 AS pos FROM stacked
+    ), cells AS (
+        SELECT feature, value, count(*) AS n_left, sum(y) AS pos_left
+        FROM stacked GROUP BY 1, 2
+    )
+    SELECT feature, value AS split_value,
+           CAST(n_left AS BIGINT) AS n_left,
+           CAST(pos_left AS BIGINT) AS pos_left,
+           CAST(
+             (1.0 - (CAST(pos AS DOUBLE)/n)*(CAST(pos AS DOUBLE)/n)
+                  - (CAST(n - pos AS DOUBLE)/n)*(CAST(n - pos AS DOUBLE)/n))
+             - (CAST(n_left AS DOUBLE)/n) *
+               (1.0 - (CAST(pos_left AS DOUBLE)/n_left)*(CAST(pos_left AS DOUBLE)/n_left)
+                    - (CAST(n_left - pos_left AS DOUBLE)/n_left)
+                      *(CAST(n_left - pos_left AS DOUBLE)/n_left))
+             - CASE WHEN n - n_left = 0 THEN 0.0 ELSE
+               (CAST(n - n_left AS DOUBLE)/n) *
+               (1.0 - (CAST(pos - pos_left AS DOUBLE)/(n - n_left))
+                      *(CAST(pos - pos_left AS DOUBLE)/(n - n_left))
+                    - (CAST((n - n_left) - (pos - pos_left) AS DOUBLE)/(n - n_left))
+                      *(CAST((n - n_left) - (pos - pos_left) AS DOUBLE)/(n - n_left)))
+               END
+           AS REAL) AS gini_gain
+    FROM cells, tot
+    """,
+)
+def gini_stump_split_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    y = F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+    stacked = (
+        _t(spark, sf_dir, "lineitem")
+        .select(
+            F.expr(
+                "stack(3, 'linestatus', l_linestatus,"
+                " 'qty_decade',"
+                " cast(cast(floor(l_quantity / 10) as int) as string),"
+                " 'ship_quarter', cast(quarter(l_shipdate) as string))"
+                " AS (feature, value)"
+            ),
+            y.alias("y"),
+        )
+    )
+    tot = stacked.agg(
+        (F.count("*") / 3).alias("n"), (F.sum("y") / 3).alias("pos")
+    )
+    cells = stacked.groupBy("feature", "value").agg(
+        F.count("*").alias("n_left"), F.sum("y").alias("pos_left")
+    )
+    n, pos = F.col("n"), F.col("pos")
+    nl, pl = F.col("n_left"), F.col("pos_left")
+    nr, pr = n - nl, pos - pl
+
+    def g(p, m):
+        return (
+            F.lit(1.0)
+            - (p.cast("double") / m) * (p.cast("double") / m)
+            - ((m - p).cast("double") / m) * ((m - p).cast("double") / m)
+        )
+
+    gain = (
+        g(pos, n)
+        - (nl.cast("double") / n) * g(pl, nl)
+        - F.when(nr == 0, F.lit(0.0)).otherwise(
+            (nr.cast("double") / n) * g(pr, nr)
+        )
+    )
+    return cells.crossJoin(F.broadcast(tot)).select(
+        "feature",
+        F.col("value").alias("split_value"),
+        nl.cast("long").alias("n_left"),
+        pl.cast("long").alias("pos_left"),
+        f32(gain).alias("gini_gain"),
+    )
+
+
+# --------------------------------------------------------------------------
+# pinball_loss_p90_eval — quantile-forecast EVALUATION: train a P90
+# order-value "predictor" per order priority on the first half of the
+# date range (the ceil-rank order statistic — an exact, engine-
+# portable definition with no interpolation), then score it on the
+# second half with the pinball (quantile) loss at tau = 0.9, the
+# proper scoring rule for quantile forecasts. Completes the eval
+# family (calibration bins = probability forecasts, AUC = ranking,
+# this = quantile regression) — at 100 TB this is the per-segment
+# backtest run before a demand-quantile model ships.
+#
+# Replay contract: the split midpoint is integer date arithmetic; the
+# P90 is the value at row_number ceil(0.9 * n) under the
+# (price, orderkey) total order — exact on both engines; the loss
+# pinball(y, q) = max(tau*(y-q), (tau-1)*(y-q)) is row-local; only
+# the test-half MEAN crosses engines, at the f32 boundary.
+#
+# Scale shape: one window pass per priority on the train half (range-
+# partitioned by the 5-value priority key), one map-combinable rollup
+# on the test half joined against the 5-row q table (broadcast).
+# --------------------------------------------------------------------------
+PINBALL_TAU = 0.9
+
+
+@CATALOG.query(
+    "pinball_loss_p90_eval",
+    oracle=f"""
+    WITH bounds AS (
+        SELECT min(o_orderdate) AS lo,
+               min(o_orderdate)
+               + (max(o_orderdate) - min(o_orderdate)) / 2 AS mid
+        FROM orders
+    ), train AS (
+        SELECT o_orderpriority AS prio, o_totalprice AS y,
+               row_number() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY o_totalprice, o_orderkey) AS rn,
+               count(*) OVER (PARTITION BY o_orderpriority) AS n
+        FROM orders, bounds WHERE o_orderdate <= mid
+    ), q AS (
+        SELECT prio, y AS q90
+        FROM train WHERE rn = CAST(ceil({PINBALL_TAU} * n) AS BIGINT)
+    ), test AS (
+        SELECT o_orderpriority AS prio, o_totalprice AS y
+        FROM orders, bounds WHERE o_orderdate > mid
+    )
+    SELECT t.prio AS priority,
+           count(*) AS n_test,
+           CAST(q.q90 AS REAL) AS q90_trained,
+           CAST(avg(greatest({PINBALL_TAU} * (t.y - q.q90),
+                             ({PINBALL_TAU} - 1.0) * (t.y - q.q90)))
+                AS REAL) AS mean_pinball_loss
+    FROM test t JOIN q ON q.prio = t.prio
+    GROUP BY t.prio, q.q90
+    """,
+)
+def pinball_loss_p90_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_orderdate", "o_totalprice", "o_orderkey"
+    )
+    lo, hi = orders.agg(F.min("o_orderdate"), F.max("o_orderdate")).first()
+    mid = lo + (hi - lo) / 2
+    w = W.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    train = (
+        orders.where(F.col("o_orderdate") <= F.lit(mid))
+        .select(
+            F.col("o_orderpriority").alias("prio"),
+            F.col("o_totalprice").alias("y"),
+            F.row_number().over(w).alias("rn"),
+            F.count("*")
+            .over(W.partitionBy("o_orderpriority"))
+            .alias("n"),
+        )
+    )
+    q = train.where(
+        F.col("rn") == F.ceil(PINBALL_TAU * F.col("n")).cast("long")
+    ).select("prio", F.col("y").alias("q90"))
+    test = orders.where(F.col("o_orderdate") > F.lit(mid)).select(
+        F.col("o_orderpriority").alias("prio"),
+        F.col("o_totalprice").alias("y"),
+    )
+    diff = F.col("y") - F.col("q90")
+    loss = F.greatest(
+        F.lit(PINBALL_TAU) * diff, F.lit(PINBALL_TAU - 1.0) * diff
+    )
+    return (
+        test.join(F.broadcast(q), "prio")
+        .groupBy(F.col("prio").alias("priority"), F.col("q90"))
+        .agg(
+            F.count("*").alias("n_test"),
+            f32(F.avg(loss)).alias("mean_pinball_loss"),
+        )
+        .select(
+            "priority",
+            "n_test",
+            f32(F.col("q90")).alias("q90_trained"),
+            "mean_pinball_loss",
+        )
+    )

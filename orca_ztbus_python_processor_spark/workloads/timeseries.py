@@ -5381,3 +5381,130 @@ def dp_noisy_type_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         f32(noise).alias("noise_drawn"),
         f32(F.col("n") + noise).alias("noisy_count"),
     )
+
+
+# --------------------------------------------------------------------------
+# markov_stationary_behavior — the STATIONARY DISTRIBUTION of the
+# user-behavior Markov chain: per-user event-type transitions (the
+# event_transition_matrix grain) aggregate to a global row-normalized
+# transition matrix P, and 20 fixed power-iteration rounds solve
+# pi = pi·P. Completes the behavioral-Markov family:
+# event_transition_matrix gives the one-step dynamics,
+# event_chain_entropy_rate the per-step information — this is the
+# long-run occupancy forecast ("where does user attention settle"),
+# the steady-state load model a 100 TB event platform capacity-plans
+# against.
+#
+# Replay contract (the pagerank f32-round trick at type grain): states
+# are the event types with >= 1 outgoing transition; transitions to a
+# non-state dst are dropped and P re-normalized over the kept counts
+# (closed chain by construction). P entries are exact integer
+# divisions; pi quantizes to f32 at every round boundary, so the
+# k-term sums (k = |types|, single digits) cannot drift across
+# engines. The Spark side iterates DRIVER-SIDE on the collected k x k
+# integer matrix — bounded driver state (k^2 scalars, the kmeans-
+# centers contract) — because a k-row distributed join per round would
+# be pure scheduling overhead at any scale; the ORACLE replays the
+# same rounds as chained CTEs.
+#
+# Scale shape: ONE corpus-sized stage (the per-user lag + pair count,
+# a map-combinable rollup after one user-partitioned window); the
+# iteration is O(k^2) driver arithmetic.
+# --------------------------------------------------------------------------
+MARKOV_ROUNDS = 20
+
+_MARKOV_ROUND_CTE = """
+    , pi{i} AS MATERIALIZED (
+        SELECT p.dst AS state,
+               CAST(CAST(sum(v.prob * p.p) AS REAL) AS DOUBLE) AS prob
+        FROM pi{prev} v JOIN pmat p ON p.src = v.state
+        GROUP BY p.dst
+    )
+"""
+
+
+@CATALOG.query(
+    "markov_stationary_behavior",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_type
+        FROM events
+    ), trans AS (
+        SELECT prev_type AS src, event_type AS dst, count(*) AS c
+        FROM ordered WHERE prev_type IS NOT NULL
+        GROUP BY 1, 2
+    ), states AS (
+        SELECT DISTINCT src AS state FROM trans
+    ), kept AS (
+        SELECT t.src, t.dst, t.c FROM trans t
+        JOIN states s ON s.state = t.dst
+    ), pmat AS (
+        SELECT src, dst,
+               CAST(c AS DOUBLE)
+               / sum(c) OVER (PARTITION BY src) AS p
+        FROM kept
+    ), pi0 AS (
+        SELECT state, 1.0 / (SELECT count(*) FROM states) AS prob
+        FROM states
+    )
+    """
+    + "".join(
+        _MARKOV_ROUND_CTE.format(i=i, prev=i - 1)
+        for i in range(1, MARKOV_ROUNDS + 1)
+    )
+    + f"""
+    SELECT v.state AS event_type,
+           CAST(v.prob AS REAL) AS stationary_prob,
+           CAST(o.out_c AS BIGINT) AS n_transitions_out
+    FROM pi{MARKOV_ROUNDS} v
+    JOIN (SELECT src, sum(c) AS out_c FROM kept GROUP BY src) o
+      ON o.src = v.state
+    """,
+)
+def markov_stationary_behavior(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np  # noqa: PLC0415
+
+    ordered = _events(spark, sf_dir).select(
+        "user_id",
+        "event_type",
+        F.lag("event_type")
+        .over(W.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("prev_type"),
+    )
+    trans = (
+        ordered.where(F.col("prev_type").isNotNull())
+        .groupBy(F.col("prev_type").alias("src"), F.col("event_type").alias("dst"))
+        .agg(F.count("*").alias("c"))
+    )
+    # bounded driver collect: k^2 integer cells, k = |event types|
+    cells = trans.collect()
+    states = sorted({r["src"] for r in cells})
+    idx = {s: i for i, s in enumerate(states)}
+    k = len(states)
+    C = np.zeros((k, k), dtype=np.int64)
+    for r in cells:
+        if r["dst"] in idx:  # drop transitions leaving the state set
+            C[idx[r["src"]], idx[r["dst"]]] += r["c"]
+    rowsum = C.sum(axis=1, keepdims=True)
+    if (rowsum == 0).any():
+        # a src whose every dst left the state set would make the chain
+        # open (NaN row in P) and silently diverge from the oracle's
+        # mass-leak form — fail loudly instead; cannot occur on the
+        # event fixtures (every type both sends and receives).
+        raise ValueError(
+            "markov_stationary_behavior: open chain after dst restriction"
+        )
+    P = C / rowsum
+    pi = np.full(k, 1.0 / k)
+    for _ in range(MARKOV_ROUNDS):
+        pi = (pi @ P).astype(np.float32).astype(np.float64)
+    out_c = C.sum(axis=1)
+    rows = [
+        (states[i], float(np.float32(pi[i])), int(out_c[i])) for i in range(k)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "event_type string, stationary_prob float, n_transitions_out long",
+    )
