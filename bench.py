@@ -42,6 +42,9 @@ from orca_ztbus_python_processor_spark.session import get_spark  # noqa: E402
 from orca_ztbus_python_processor_spark.workloads.base import merged_catalog  # noqa: E402
 
 
+_SESSION_T0 = time.time()
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
@@ -117,6 +120,16 @@ def main() -> None:
         "runs": runs,
         "layout_prewarm_sec": layout_prewarm,
         "sf": sf,
+        # Artifact self-identification (VERDICT r11 #8): the driver
+        # re-runs bench.py atop the builder's committed artifact each
+        # round, so two "current" totals coexist in one file path.
+        # produced_by says whose run this JSON records (builder runs
+        # export SPARK_GRAFT_BENCH_PRODUCER=builder; anything else —
+        # including the driver's unmodified invocation — stamps
+        # "driver"); session is the launching PID + start time for
+        # disambiguating replays within one VM.
+        "produced_by": os.environ.get("SPARK_GRAFT_BENCH_PRODUCER", "driver"),
+        "session": f"pid{os.getpid()}@{int(_SESSION_T0)}",
     }
     detail_path = ""
     try:

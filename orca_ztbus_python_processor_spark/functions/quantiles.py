@@ -115,6 +115,173 @@ def exact_group_quantiles(
     )
 
 
+def exact_group_rank_values(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    ranks_of_n,
+) -> DataFrame:
+    """Exact per-group ORDER-STATISTIC values, distributed — the
+    explicit-rank sibling of ``exact_group_quantiles`` (no
+    interpolation): ``ranks_of_n(n)`` maps a group's non-NULL count to
+    ``{label: 1-indexed rank}``; the output carries, per group, the
+    value at each labeled rank under the ascending value order. The
+    value at a rank of a sorted multiset is deterministic regardless of
+    tie order, so no tiebreak column is needed even when values repeat.
+    A rank outside [1, n] (or None) yields NULL for that label — the
+    same corner semantics as a SQL ``max(CASE WHEN rn = k ...)`` whose
+    k exceeds n (conformal's k > n corner).
+
+    Same two-pass addressing scheme and scale posture as
+    ``exact_group_quantiles`` (VERDICT r11 #1 — this replaces the
+    ``Window.partitionBy(low-cardinality-key)`` full-group sort shape):
+    range-repartition (group, value) with a pinned layout, per-cell
+    counts to the driver (n_partitions x n_groups scalars), one window
+    bounded by PARTITION size for local ranks, broadcast target join.
+    Nothing anywhere holds a whole group.
+
+    Output: one row per group — ``<group_col>, n, <label>...`` with
+    raw double values (callers cast at their own f32 boundary). Label
+    order follows the first group's dict; every group must yield the
+    same label set.
+    """
+    spark = df.sparkSession
+    g_type = df.schema[group_col].dataType.simpleString()
+    src = (
+        df.select(F.col(group_col).alias("g"), F.col(value_col).cast("double").alias("v"))
+        .where(F.col("v").isNotNull())
+    )
+    nparts = max(spark.sparkContext.defaultParallelism, 2)
+    s = src.repartitionByRange(nparts, "g", "v").localCheckpoint(eager=False)
+    s = s.withColumn("pid", F.spark_partition_id())
+
+    # Pass 1: per-(partition, group) counts — the only driver traffic.
+    cells = s.groupBy("pid", "g").count().collect()
+    per_g: dict = defaultdict(list)
+    for r in cells:
+        per_g[r["g"]].append((r["pid"], r["count"]))
+
+    targets, totals, labels = [], [], None
+    for g, gcells in per_g.items():
+        gcells.sort()  # pid order == ascending (g, v) range order
+        n = sum(c for _, c in gcells)
+        totals.append((g, n))
+        rmap = ranks_of_n(n)
+        if labels is None:
+            labels = list(rmap)
+        elif list(rmap) != labels:
+            raise ValueError(f"inconsistent rank labels: {list(rmap)} vs {labels}")
+        for label, rank in rmap.items():
+            if rank is None or not (1 <= int(rank) <= n):
+                continue  # out-of-range rank -> NULL output for label
+            rank0 = int(rank) - 1
+            start = 0
+            for pid, c in gcells:
+                if start <= rank0 < start + c:
+                    targets.append((pid, g, rank0 - start, label))
+                    break
+                start += c
+
+    tdf = F.broadcast(
+        spark.createDataFrame(targets, f"pid int, g {g_type}, lr long, lbl string")
+    )
+    # ndf is the left side of a LEFT join (all groups survive, labels
+    # with no in-range rank stay NULL), so the broadcast hint goes on
+    # the n_groups-row aggregated right side.
+    ndf = spark.createDataFrame(totals, f"g {g_type}, n long")
+
+    # Pass 2: local rank within each (partition, group) cell — bounded
+    # by partition size, never group size — then pick the addressed
+    # rows (several labels may address one row; the join fans out).
+    lr = F.row_number().over(W.partitionBy("pid", "g").orderBy("v")) - 1
+    picked = s.withColumn("lr", lr.cast("long")).join(tdf, ["pid", "g", "lr"])
+    agg = [
+        F.min(F.when(F.col("lbl") == label, F.col("v"))).alias(label)
+        for label in (labels or [])
+    ]
+    return (
+        ndf.join(F.broadcast(picked.groupBy("g").agg(*agg)), "g", "left")
+        .select(F.col("g").alias(group_col), "n", *(labels or []))
+    )
+
+
+def exact_group_rank_value(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    rank_of_n,
+    out_col: str = "v_at_rank",
+) -> DataFrame:
+    """Single-rank convenience wrapper over ``exact_group_rank_values``:
+    output ``<group_col>, n, <out_col>``."""
+    return exact_group_rank_values(
+        df, group_col, value_col, lambda n: {out_col: rank_of_n(n)}
+    )
+
+
+def group_prefix_sum(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    value_col: str,
+    out_col: str = "prefix_sum",
+) -> DataFrame:
+    """EXCLUSIVE per-group running sum of an INTEGER-valued column in
+    ``order_col`` order, distributed — the prefix-sum sibling of
+    ``exact_group_rank_values`` for corpus-grain cumulative layouts
+    (sequence packing, offset assignment) keyed by a low-cardinality
+    group: a ``Window.partitionBy(group)`` cumsum funnels each group
+    through one task; this range-partitions (group, order), sends
+    per-(partition, group) SUMS to the driver (n_partitions x n_groups
+    integers — exact, order-independent), broadcasts the prefix
+    offsets back, and finishes with one window bounded by PARTITION
+    size. Integer sums make every partial exact, so the result is
+    bit-identical to the single-task form.
+
+    Output: the input columns plus ``<out_col>`` (long). ``order_col``
+    must be unique within each group (a doc/event id), so the layout
+    is total and engine-portable.
+    """
+    spark = df.sparkSession
+    g_type = df.schema[group_col].dataType.simpleString()
+    nparts = max(spark.sparkContext.defaultParallelism, 2)
+    s = (
+        df.repartitionByRange(nparts, group_col, order_col)
+        .localCheckpoint(eager=False)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+
+    # Pass 1: per-(partition, group) sums — the only driver traffic.
+    cells = s.groupBy("_pid", group_col).agg(
+        F.sum(F.col(value_col).cast("long")).alias("_sw")
+    ).collect()
+    per_g: dict = defaultdict(list)
+    for r in cells:
+        per_g[r[group_col]].append((r["_pid"], int(r["_sw"] or 0)))
+    offs = []
+    for g, gcells in per_g.items():
+        gcells.sort()  # pid order == ascending (g, order) range order
+        off = 0
+        for pid, sw in gcells:
+            offs.append((pid, g, off))
+            off += sw
+    odf = F.broadcast(
+        spark.createDataFrame(offs, f"_pid int, {group_col} {g_type}, _off long")
+    )
+
+    # Pass 2: local exclusive cumsum within each (partition, group)
+    # cell — bounded by partition size — plus the broadcast offset.
+    w = W.partitionBy("_pid", group_col).orderBy(order_col).rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    local = F.sum(F.col(value_col).cast("long")).over(w) - F.col(value_col)
+    return (
+        s.join(odf, ["_pid", group_col])
+        .withColumn(out_col, F.col("_off") + local)
+        .drop("_pid", "_off")
+    )
+
+
 def exact_weighted_quantiles(
     df: DataFrame,
     value_col: str,

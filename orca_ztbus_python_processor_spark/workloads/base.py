@@ -382,11 +382,68 @@ _RESAMPLE_R11 = frozenset({
     "embedding_dup_components_blocked",
 })
 
+# Round-11 driver sample (CORRECTNESS_r11.json): 50/50 hash-match,
+# zero rows-only even sampled, zero failures. Covers every
+# _RESAMPLE_R11 forcing entry green, so that set folds back into the
+# verified base (same hygiene as the r9/r10 folds).
+_R11_SAMPLE = frozenset({
+    "ann_cosine_topk", "benford_leading_digit", "bpe_learn_merges",
+    "copurchase_kcore_summary", "copurchase_pagerank_topk",
+    "cube_revenue", "customer_revenue_percentile",
+    "customer_value_deciles", "customers_with_orders_by_nation",
+    "customers_without_orders", "custs_without_urgent",
+    "dp_noisy_type_histogram", "embedding_dup_components_blocked",
+    "embedding_near_dup_blocked", "fulfillment_lag_profile",
+    "gini_stump_split_gain", "grouping_sets_revenue",
+    "kmeans_embedding_profile", "lineitem_column_census",
+    "markov_stationary_behavior", "merge_upsert_actions",
+    "nation_balance_full_outer", "nation_supplier_roster",
+    "nations_with_customers_and_suppliers", "nations_without_suppliers",
+    "part_type_stats", "parts_intersect_rf", "pca_top_component",
+    "pinball_loss_p90_eval", "pivot_linestatus", "point_lookup_customer",
+    "priority_day_grid_fill", "priority_value_share",
+    "q1_pricing_summary", "q3_top_orders", "q4_late_shipment_priority",
+    "q5_region_revenue", "referential_integrity_audit",
+    "region_nation_revenue_share", "relational_division_suppliers",
+    "return_model_calibration_bins", "rollup_revenue",
+    "running_order_total", "salted_mktsegment_rollup",
+    "shipments_point_in_time_tier", "top1_latest_order",
+    "topk_orders_per_segment", "union_price_slices",
+    "unpivot_returnflag_measures", "user_rfm_segments",
+})
+
+# Round-12 forced re-verifications: the VERDICT r11 #1/#2 scale-shape
+# rewrites changed the Spark-side plans of four queries (the results
+# are contract-identical — exact order statistics / integer prefix
+# sums — but old driver evidence covers the old code), and three
+# ADVICE-driven oracle-robustness fixes changed oracle text
+# (value-neutral on the fixtures; resampled for hygiene):
+# - pinball_loss_p90_eval: train-half P90 moved from the 5-value-key
+#   window sort onto exact_group_rank_value; midpoint anchored to
+#   whole days on BOTH engines (ADVICE r11).
+# - median_ci_by_priority / conformal_threshold_by_type: order
+#   statistics moved onto exact_group_rank_values (was: corpus-grain
+#   windows over 5-value keys).
+# - sequence_packing_profile: cumulative offsets moved onto
+#   group_prefix_sum (was: Window.partitionBy(lang) corpus cumsum).
+# - markov_stationary_behavior: oracle pi rounds now LEFT-join the
+#   state list (zero-incoming states get 0.0, matching Spark).
+# - pca_top_component: oracle init weight derived from the data's
+#   dimension count instead of a literal 64.0.
+# - bpe_learn_merges: oracle greedy-fold CROSS JOIN -> LEFT JOIN so an
+#   exhausted-vocabulary round no-ops instead of corrupting v{i}.
+_RESAMPLE_R12 = frozenset({
+    "pinball_loss_p90_eval", "median_ci_by_priority",
+    "conformal_threshold_by_type", "sequence_packing_profile",
+    "markov_stationary_behavior", "pca_top_component",
+    "bpe_learn_merges",
+})
+
 _DRIVER_VERIFIED = (
     _R1_DRIVER_VERIFIED | _R2_SAMPLE | _R3_SAMPLE | _R4_SAMPLE
     | _R5_SAMPLE | _R6_SAMPLE | _R7_SAMPLE | _R8_SAMPLE | _R9_SAMPLE
-    | _R10_SAMPLE
-) - _RESAMPLE_R11
+    | _R10_SAMPLE | _R11_SAMPLE
+) - _RESAMPLE_R12
 
 _MERGED: Catalog | None = None
 

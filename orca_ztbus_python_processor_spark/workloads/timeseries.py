@@ -4742,10 +4742,16 @@ def fdr_bh_type_hour_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
 # across engines, immune to the summation-order ulp drift an
 # avg-based center would inherit.
 #
-# Scale shape: two key-partitioned window passes over events (center
-# rank, then score rank) + a |types|-row broadcast join back; the
-# coverage check is a map-combinable rollup. No driver collect, no
-# unpartitioned window.
+# Scale shape (VERDICT r11 #2 lint rewrite): both order statistics
+# (center rank ceil(n/2), threshold rank ceil((n+1)*0.9)) come from
+# functions.quantiles.exact_group_rank_value — range-partitioned
+# (type, value) cells, per-cell counts to the driver, windows bounded
+# by PARTITION size. The previous form ran FOUR |types|-key window
+# passes over the corpus (each reducer sorting ~1/|types| of events at
+# 100x). The k > n corner (threshold rank beyond the group) yields
+# NULL on both engines — the operator skips out-of-range targets, the
+# oracle's CASE never fires. Coverage stays a map-combinable rollup
+# against the |types|-row broadcast.
 # --------------------------------------------------------------------------
 @CATALOG.query(
     "conformal_threshold_by_type",
@@ -4788,38 +4794,34 @@ def fdr_bh_type_hour_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def conformal_threshold_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math  # noqa: PLC0415
+
+    from orca_ztbus_python_processor_spark.functions.quantiles import (  # noqa: PLC0415
+        exact_group_rank_value,
+    )
+
     ev = (
         _events(spark, sf_dir)
         .where(F.col("value").isNotNull())
         .select("event_type", "event_id", "value")
     )
-    wv = W.partitionBy("event_type").orderBy("value", "event_id")
-    wn = W.partitionBy("event_type")
-    vr = ev.select(
-        "event_type", "value",
-        F.row_number().over(wv).alias("rn"),
-        F.count("*").over(wn).alias("n"),
-    )
-    center = vr.where(
-        F.col("rn") == F.ceil(F.col("n") / 2.0).cast("long")
-    ).select("event_type", F.col("value").alias("med"))
+    center = exact_group_rank_value(
+        ev, "event_type", "value", lambda n: math.ceil(n / 2.0), out_col="med"
+    ).select("event_type", "med")
     scored = ev.join(F.broadcast(center), "event_type").select(
         "event_type", F.abs(F.col("value") - F.col("med")).alias("s")
     )
-    ws = W.partitionBy("event_type").orderBy("s")
-    sr = scored.select(
-        "event_type", "s",
-        F.row_number().over(ws).alias("rn"),
-        F.count("*").over(wn).alias("n"),
-    )
-    k = F.ceil((F.col("n") + 1) * 0.9).cast("long")
-    thr = (
-        sr.groupBy("event_type")
-        .agg(
-            F.max("n").alias("n"),
-            F.max(F.ceil((F.col("n") + 1) * 0.9).cast("long")).alias("k"),
-            F.max(F.when(F.col("rn") == k, F.col("s"))).alias("threshold"),
-        )
+    thr = exact_group_rank_value(
+        scored,
+        "event_type",
+        "s",
+        lambda n: math.ceil((n + 1) * 0.9),
+        out_col="threshold",
+    ).select(
+        "event_type",
+        "n",
+        F.ceil((F.col("n") + 1) * 0.9).cast("long").alias("k"),
+        "threshold",
     )
     return (
         scored.join(F.broadcast(thr), "event_type")
@@ -5413,12 +5415,21 @@ def dp_noisy_type_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 MARKOV_ROUNDS = 20
 
+# Each round LEFT-joins the full state list back in (ADVICE r11): a
+# state with zero INCOMING kept transitions gets prob 0.0 — matching
+# the Spark side's pi @ P, whose zero column yields an exact 0.0 —
+# instead of silently vanishing from pi{i} onward (the inner-join form
+# dropped it, a row-count mismatch on any data where some type never
+# appears as a successor; fine on current fixtures, wrong in general).
 _MARKOV_ROUND_CTE = """
     , pi{i} AS MATERIALIZED (
-        SELECT p.dst AS state,
-               CAST(CAST(sum(v.prob * p.p) AS REAL) AS DOUBLE) AS prob
-        FROM pi{prev} v JOIN pmat p ON p.src = v.state
-        GROUP BY p.dst
+        SELECT s.state,
+               COALESCE(CAST(CAST(agg.prob AS REAL) AS DOUBLE), 0.0) AS prob
+        FROM states s LEFT JOIN (
+            SELECT p.dst AS state, sum(v.prob * p.p) AS prob
+            FROM pi{prev} v JOIN pmat p ON p.src = v.state
+            GROUP BY p.dst
+        ) agg ON agg.state = s.state
     )
 """
 

@@ -551,7 +551,12 @@ _PCA_ROUND_CTE = """
         SELECT d.vec_id, d.dim, d.val - m.mu AS x
         FROM dims d JOIN muq m USING (dim)
     ), v0 AS (
-        SELECT dim, 1.0 / sqrt(64.0) AS w FROM muq
+        -- init weight 1/sqrt(d) derived from the DATA's dimension
+        -- count, mirroring the Spark operator (ADVICE r11: a literal
+        -- 64.0 would diverge loudly-but-obscurely on any d != 64
+        -- fixture)
+        SELECT dim, 1.0 / sqrt((SELECT CAST(count(*) AS DOUBLE) FROM muq)) AS w
+        FROM muq
     )
     """
     + "".join(

@@ -17,17 +17,18 @@ from orca_ztbus_python_processor_spark.workloads.base import (
     _R8_SAMPLE,
     _R9_SAMPLE,
     _R10_SAMPLE,
-    _RESAMPLE_R11,
+    _R11_SAMPLE,
+    _RESAMPLE_R12,
     _DRIVER_VERIFIED,
     merged_catalog,
 )
 
-# Historically-sampled names plus the round-11 forced
-# re-verifications: the ADVICE numeric-contract reworks and the k-core
-# oracle promotion changed result-affecting expressions for three
-# twins (see _RESAMPLE_R11 in base.py), so their old driver evidence
+# Historically-sampled names plus the round-12 forced
+# re-verifications: the VERDICT r11 #1/#2 scale-shape rewrites and the
+# ADVICE oracle-robustness fixes changed code or oracle text for seven
+# twins (see _RESAMPLE_R12 in base.py), so their old driver evidence
 # is void and they re-enter the sample window.
-_VERIFIED_OR_RESAMPLING = _DRIVER_VERIFIED | _RESAMPLE_R11
+_VERIFIED_OR_RESAMPLING = _DRIVER_VERIFIED | _RESAMPLE_R12
 
 
 def test_r5_sample_folded_into_back_group():
@@ -84,6 +85,18 @@ def test_r10_sample_folded_into_back_group():
     assert len(_R10_SAMPLE) == 50
     assert _R10_SAMPLE <= _VERIFIED_OR_RESAMPLING
     assert "cross_source_dup_matrix" in _R10_SAMPLE
+
+
+def test_r11_sample_folded_into_back_group():
+    # CORRECTNESS_r11.json held exactly these 50 names (50 hash-match,
+    # zero rows-only even sampled, zero failures); all must now be in
+    # the verified back group so round-12 additions fill the window.
+    # All ten _RESAMPLE_R11 forcing entries came back green under their
+    # promoted oracles, so that set is retired (kept in base.py for the
+    # historical record only).
+    assert len(_R11_SAMPLE) == 50
+    assert _R11_SAMPLE <= _VERIFIED_OR_RESAMPLING
+    assert {"copurchase_pagerank_topk", "ann_cosine_topk"} <= _R11_SAMPLE
 
 
 def test_unverified_queries_fill_the_sample_window():

@@ -685,6 +685,140 @@ def test_catalog_wide_unpartitioned_window_lint(spark, catalog):
     assert not stale, f"whitelist entries no longer needed: {stale}"
 
 
+# Low-cardinality-key window policy (VERDICT r11 #2): the
+# unpartitioned-window lint above misses the shape that bit
+# pinball_loss_p90_eval — a window PARTITIONED by a key with only a
+# handful of values (order priority: 5) over a corpus-grain frame, so
+# each of ~5 reducers sorts ~20% of the corpus. This lint measures, at
+# the smoke fixture, every logical Window node's partition-key
+# cardinality k and child-frame row count n, and flags k below
+# defaultParallelism while n/k is corpus-grain (>= LOW_CARD_ROWS_PER_KEY
+# rows per key AT SF0.001 — horizontal scaling grows n/k, never k, for
+# these keys, so a smoke-fixture hit is a 100x-scale single-task sort).
+# Windows keyed on the quantile/rank machinery's `pid`/`_pid`
+# (spark_partition_id of a range repartition) are exempt: their cells
+# are bounded by PARTITION size by construction, which is the exact
+# device this lint exists to force queries onto. WindowGroupLimit
+# nodes (and the Window directly above one on the same keys — the
+# rank-filter top-k shape) are exempt too: the physical plan inserts a
+# map-side Partial group limit BEFORE the exchange, so the final
+# per-key sort sees at most limit x n_map_tasks rows, never the
+# corpus (topk_orders_per_segment, value_tail_hill_index).
+#
+# Whitelist: bounded-frame justifications, same contract as
+# BOUNDED_GLOBAL_WINDOW_OK — every entry documents why n/k cannot grow
+# corpus-like at scale.
+LOW_CARD_ROWS_PER_KEY = 64
+LOW_CARD_WINDOW_OK = {
+    "bootstrap_ci_price_by_priority": (
+        "the CI window ranks the |priorities| x B bootstrap-means frame "
+        "(320 rows, B = 64 a constant knob): the x B explode partial-"
+        "aggregates to these cells BEFORE its exchange, so n/k = B at "
+        "ANY corpus size — resample-grain, not corpus-grain"
+    ),
+}
+
+
+def _low_card_windows(spark, df) -> list:
+    """Measure every partitioned logical Window node: returns
+    [(keys, n_child, k)] for nodes whose measured key cardinality is
+    below defaultParallelism while the child frame holds >=
+    LOW_CARD_ROWS_PER_KEY rows per key at the smoke fixture."""
+    from pyspark.sql import DataFrame as PyDF
+
+    hits, seen = [], set()
+    low_k = spark.sparkContext.defaultParallelism
+
+    def _keys(node) -> tuple:
+        ps = node.partitionSpec()
+        names = []
+        for i in range(ps.size()):
+            refs = ps.apply(i).references().toSeq()
+            for j in range(refs.size()):
+                names.append(refs.apply(j).name())
+        return tuple(dict.fromkeys(names))
+
+    def walk(node):
+        cls = node.getClass().getSimpleName()
+        if cls == "Window":
+            keys = _keys(node)
+            child = node.children().apply(0)
+            # rank-filter top-k: the optimizer places a WindowGroupLimit
+            # directly beneath the Window — bounded by limit x tasks.
+            grouplimited = (
+                child.getClass().getSimpleName() == "WindowGroupLimit"
+                and _keys(child) == keys
+            )
+            sig = (child.semanticHash(), keys)
+            if (
+                keys
+                and not grouplimited
+                and not set(keys) & {"pid", "_pid"}
+                and sig not in seen
+            ):
+                seen.add(sig)
+                # positional rename dodges duplicate output names
+                cdf = PyDF(
+                    spark._jvm.org.apache.spark.sql.classic.Dataset.ofRows(
+                        spark._jsparkSession, child
+                    ),
+                    spark,
+                )
+                out = child.output()
+                key_idx = []
+                for kn in keys:
+                    for i in range(out.size()):
+                        if out.apply(i).name() == kn:
+                            key_idx.append(i)
+                            break
+                renamed = cdf.toDF(*[f"c{i}" for i in range(len(cdf.columns))])
+                n = renamed.count()
+                k = renamed.select(*[f"c{i}" for i in key_idx]).distinct().count()
+                if 0 < k < low_k and n >= k * LOW_CARD_ROWS_PER_KEY:
+                    hits.append((keys, n, k))
+        ch = node.children()
+        for i in range(ch.size()):
+            walk(ch.apply(i))
+
+    walk(df._jdf.queryExecution().optimizedPlan())
+    return hits
+
+
+def test_catalog_wide_low_cardinality_window_lint(spark, catalog):
+    """Catalog-wide lint (VERDICT r11 #2): no query outside the
+    documented whitelist may window a corpus-grain frame over a
+    partition key with fewer values than defaultParallelism. Streaming
+    queries excluded as in the unpartitioned lint."""
+    offenders = {}
+    for name, fn in catalog.queries.items():
+        if name.startswith("stream_"):
+            continue
+        hits = _low_card_windows(spark, fn(spark, SMOKE_SF_DIR))
+        if hits:
+            offenders[name] = hits
+    unexpected = set(offenders) - set(LOW_CARD_WINDOW_OK)
+    stale = set(LOW_CARD_WINDOW_OK) - set(offenders)
+    assert not unexpected, (
+        f"low-cardinality-key windows over corpus-grain frames (use "
+        f"functions.quantiles/ranks): "
+        f"{ {k: offenders[k] for k in unexpected} }"
+    )
+    assert not stale, f"whitelist entries no longer needed: {stale}"
+
+
+def test_pinball_p90_no_low_cardinality_window(spark, catalog):
+    """pinball_loss_p90_eval (VERDICT r11 #1): the train-half P90 must
+    run on the range-partitioned order statistic — zero unpartitioned
+    windows, zero priority-keyed corpus-grain windows; the only window
+    is the machinery's (pid, g) cell-rank pass, bounded by partition
+    size."""
+    df = catalog.queries["pinball_loss_p90_eval"](spark, SMOKE_SF_DIR)
+    assert _unpartitioned_windows(df) == 0
+    assert _low_card_windows(spark, df) == []
+    plan = _plan(spark, df)
+    assert "BroadcastHashJoin" in plan, plan
+
+
 def test_q12_partial_case_sums_on_join(spark, catalog):
     """Q12 shape: the two CASE sums partial-aggregate before the 2-row
     exchange; no cartesian/range-join explosion for the lag band."""
