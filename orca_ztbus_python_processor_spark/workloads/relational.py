@@ -5231,3 +5231,937 @@ def pinball_loss_p90_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_pinball_loss",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# naive_bayes_returnflag — train a categorical Naive Bayes classifier
+# (Laplace add-1) on the odd-orderkey half of lineitem and score the
+# even half, emitting the 2x2 confusion matrix with per-cell mean
+# decision margin. Completes the ML-primitive family's missing
+# GENERATIVE-classifier axis (gini_stump = discriminative induction,
+# calibration/AUC/pinball = eval of fixed scores): this is the
+# smoothed count-ratio model every "cheap quality classifier over a
+# 100 TB corpus" pipeline starts from.
+#
+# Replay contract: all model inputs are EXACT integers (train class
+# totals, per-(feature,value) class counts, vocabulary sizes taken
+# over the FULL table so every test value has a model row and no
+# unseen-value default branch exists). Each conditional log-prob and
+# the class priors are quantized to f32 at the model-table boundary —
+# a materialized k-row table — so a 1-ulp JVM-vs-libm ln() divergence
+# is absorbed before any row is scored. The per-row score is then a
+# fixed, explicitly-parenthesized 4-term double sum of those f32
+# scalars ((prior + lp1) + lp2) + lp3 — bit-identical on both engines
+# — and the argmax comparison s_pos > s_neg is deterministic. The
+# confusion counts are exact integers; only mean_margin crosses at
+# the f32 output boundary.
+#
+# Scale shape: ONE stacked map-combinable rollup over the train half
+# builds the model (|values| rows, ~20), which then drives three
+# value-keyed BROADCAST joins into the test scan — no shuffle touches
+# the fact table after the model rollup; the confusion matrix is a
+# 4-row map-combinable rollup. At 100 TB the model is still ~20 rows.
+# --------------------------------------------------------------------------
+_NB_FEATURES_SQL = """
+        SELECT l_orderkey, f.feature, f.value,
+               CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+        FROM lineitem, LATERAL (VALUES
+            ('linestatus', l_linestatus),
+            ('qty_decade', CAST(CAST(floor(l_quantity / 10) AS INTEGER)
+                                AS VARCHAR)),
+            ('ship_quarter', CAST(quarter(l_shipdate) AS VARCHAR)))
+            AS f(feature, value)
+"""
+
+
+@CATALOG.query(
+    "naive_bayes_returnflag",
+    oracle=f"""
+    WITH stacked AS ({_NB_FEATURES_SQL}
+    ), vocab AS (
+        SELECT DISTINCT feature, value FROM stacked
+    ), vf AS (
+        SELECT feature, count(*) AS v_f FROM vocab GROUP BY 1
+    ), traincnt AS (
+        SELECT feature, value, sum(y) AS c_pos, count(*) - sum(y) AS c_neg
+        FROM stacked WHERE l_orderkey % 2 = 1 GROUP BY 1, 2
+    ), tot AS (
+        SELECT sum(y) / 3 AS n_pos, (count(*) - sum(y)) / 3 AS n_neg
+        FROM stacked WHERE l_orderkey % 2 = 1
+    ), model AS (
+        SELECT v.feature, v.value,
+               CAST(ln((COALESCE(t.c_pos, 0) + 1.0)
+                       / (tot.n_pos + vf.v_f)) AS REAL) AS lp_pos,
+               CAST(ln((COALESCE(t.c_neg, 0) + 1.0)
+                       / (tot.n_neg + vf.v_f)) AS REAL) AS lp_neg
+        FROM vocab v
+        LEFT JOIN traincnt t ON t.feature = v.feature AND t.value = v.value
+        JOIN vf ON vf.feature = v.feature
+        CROSS JOIN tot
+    ), priors AS (
+        SELECT CAST(ln(CAST(n_pos AS DOUBLE) / (n_pos + n_neg)) AS REAL)
+                   AS lpr_pos,
+               CAST(ln(CAST(n_neg AS DOUBLE) / (n_pos + n_neg)) AS REAL)
+                   AS lpr_neg
+        FROM tot
+    ), test AS (
+        SELECT CASE WHEN l_returnflag = 'R' THEN 'R' ELSE 'O' END AS actual,
+               l_linestatus AS f1,
+               CAST(CAST(floor(l_quantity / 10) AS INTEGER) AS VARCHAR) AS f2,
+               CAST(quarter(l_shipdate) AS VARCHAR) AS f3
+        FROM lineitem WHERE l_orderkey % 2 = 0
+    ), scored AS (
+        SELECT t.actual,
+               (((CAST(p.lpr_pos AS DOUBLE) + CAST(m1.lp_pos AS DOUBLE))
+                 + CAST(m2.lp_pos AS DOUBLE)) + CAST(m3.lp_pos AS DOUBLE))
+                   AS s_pos,
+               (((CAST(p.lpr_neg AS DOUBLE) + CAST(m1.lp_neg AS DOUBLE))
+                 + CAST(m2.lp_neg AS DOUBLE)) + CAST(m3.lp_neg AS DOUBLE))
+                   AS s_neg
+        FROM test t
+        JOIN model m1 ON m1.feature = 'linestatus' AND m1.value = t.f1
+        JOIN model m2 ON m2.feature = 'qty_decade' AND m2.value = t.f2
+        JOIN model m3 ON m3.feature = 'ship_quarter' AND m3.value = t.f3
+        CROSS JOIN priors p
+    )
+    SELECT actual,
+           CASE WHEN s_pos > s_neg THEN 'R' ELSE 'O' END AS predicted,
+           CASE WHEN s_pos - CAST(p2.lpr_pos AS DOUBLE)
+                     > s_neg - CAST(p2.lpr_neg AS DOUBLE)
+                THEN 'R' ELSE 'O' END AS predicted_noprior,
+           count(*) AS n_rows,
+           CAST(avg(s_pos - s_neg) AS REAL) AS mean_margin
+    FROM scored CROSS JOIN priors p2 GROUP BY 1, 2, 3
+    """,
+)
+def naive_bayes_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stack_expr = (
+        "stack(3, 'linestatus', l_linestatus,"
+        " 'qty_decade', cast(cast(floor(l_quantity / 10) as int) as string),"
+        " 'ship_quarter', cast(quarter(l_shipdate) as string))"
+        " AS (feature, value)"
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    y = F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+    stacked = li.select("l_orderkey", F.expr(stack_expr), y.alias("y"))
+    vocab = stacked.select("feature", "value").distinct()
+    vf = vocab.groupBy("feature").agg(F.count("*").alias("v_f"))
+    train = stacked.where(F.col("l_orderkey") % 2 == 1)
+    traincnt = train.groupBy("feature", "value").agg(
+        F.sum("y").alias("c_pos"),
+        (F.count("*") - F.sum("y")).alias("c_neg"),
+    )
+    tot = train.agg(
+        (F.sum("y") / 3).alias("n_pos"),
+        ((F.count("*") - F.sum("y")) / 3).alias("n_neg"),
+    )
+    model = (
+        vocab.join(traincnt, ["feature", "value"], "left")
+        .join(vf, "feature")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "feature",
+            "value",
+            f32(
+                F.log(
+                    (F.coalesce(F.col("c_pos"), F.lit(0)) + F.lit(1.0))
+                    / (F.col("n_pos") + F.col("v_f"))
+                )
+            ).alias("lp_pos"),
+            f32(
+                F.log(
+                    (F.coalesce(F.col("c_neg"), F.lit(0)) + F.lit(1.0))
+                    / (F.col("n_neg") + F.col("v_f"))
+                )
+            ).alias("lp_neg"),
+        )
+    )
+    priors = tot.select(
+        f32(
+            F.log(F.col("n_pos").cast("double") / (F.col("n_pos") + F.col("n_neg")))
+        ).alias("lpr_pos"),
+        f32(
+            F.log(F.col("n_neg").cast("double") / (F.col("n_pos") + F.col("n_neg")))
+        ).alias("lpr_neg"),
+    )
+
+    def mdl(feat: str, p: str, n: str) -> DataFrame:
+        return model.where(F.col("feature") == feat).select(
+            F.col("value").alias(f"{feat}_v"),
+            F.col("lp_pos").alias(p),
+            F.col("lp_neg").alias(n),
+        )
+
+    test = li.where(F.col("l_orderkey") % 2 == 0).select(
+        F.when(F.col("l_returnflag") == "R", "R").otherwise("O").alias("actual"),
+        F.col("l_linestatus").alias("f1"),
+        F.expr("cast(cast(floor(l_quantity / 10) as int) as string)").alias("f2"),
+        F.expr("cast(quarter(l_shipdate) as string)").alias("f3"),
+    )
+    scored = (
+        test.join(
+            F.broadcast(mdl("linestatus", "lp1p", "lp1n")),
+            F.col("f1") == F.col("linestatus_v"),
+        )
+        .join(
+            F.broadcast(mdl("qty_decade", "lp2p", "lp2n")),
+            F.col("f2") == F.col("qty_decade_v"),
+        )
+        .join(
+            F.broadcast(mdl("ship_quarter", "lp3p", "lp3n")),
+            F.col("f3") == F.col("ship_quarter_v"),
+        )
+        .crossJoin(F.broadcast(priors))
+    )
+    # explicitly parenthesized left-assoc 4-term double sum — the same
+    # literal expression the oracle writes, so the comparison below is
+    # bit-identical on both engines (inputs are the f32 model scalars)
+    s_pos = (
+        (F.col("lpr_pos").cast("double") + F.col("lp1p").cast("double"))
+        + F.col("lp2p").cast("double")
+    ) + F.col("lp3p").cast("double")
+    s_neg = (
+        (F.col("lpr_neg").cast("double") + F.col("lp1n").cast("double"))
+        + F.col("lp2n").cast("double")
+    ) + F.col("lp3n").cast("double")
+    # no-prior (pure likelihood-ratio) decision as a second column:
+    # the prior dominates this corpus (the MAP column predicts the
+    # majority class everywhere), so the likelihood-only argmax is
+    # what keeps the confusion surface non-degenerate
+    nop = (s_pos - F.col("lpr_pos").cast("double")) > (
+        s_neg - F.col("lpr_neg").cast("double")
+    )
+    return (
+        scored.select(
+            "actual",
+            F.when(s_pos > s_neg, "R").otherwise("O").alias("predicted"),
+            F.when(nop, "R").otherwise("O").alias("predicted_noprior"),
+            (s_pos - s_neg).alias("margin"),
+        )
+        .groupBy("actual", "predicted", "predicted_noprior")
+        .agg(
+            F.count("*").alias("n_rows"),
+            f32(F.avg("margin")).alias("mean_margin"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# tree_depth2_returnflag — depth-2 decision-TREE induction on lineitem:
+# choose the best one-vs-rest categorical root split by Gini gain
+# (gini_stump_split_gain's candidate scan plus the argmax), partition
+# the corpus into the root's left (feature = value) / right (rest)
+# children, and induce the best stump INSIDE each child. Extends the
+# induction axis from "score every candidate" (gini_stump) to the
+# recursive step every tree learner actually runs — the first two
+# levels of CART on a 100 TB table.
+#
+# Replay contract: every gain is pure IEEE arithmetic on EXACT integer
+# counts (identical divisions in identical order on both engines —
+# the proven gini_stump contract), so the argmax over (gain DESC,
+# feature, value) is deterministic: equal doubles cross-engine, lexical
+# tie-break among exact ties. Child membership is derived from the
+# selected root split only. Outputs carry exact integers plus the f32
+# gain boundary.
+#
+# Scale shape: THREE map-combinable stacked rollups (root, left child,
+# right child) — each one shuffle of ~|values| rows — plus a 1-row
+# driver argmax between levels (the k-means/BPE per-round pattern:
+# bounded driver scalars steer the next distributed pass). Child
+# membership is a row-local predicate in the scan, NOT a row-id join,
+# so the fact table never shuffles. The oracle replays membership as a
+# row-key semi-join, which is plan-free SQL, not the executed shape.
+# --------------------------------------------------------------------------
+_TREE_FEATURES = [
+    ("linestatus", "l_linestatus"),
+    ("qty_decade", "cast(cast(floor(l_quantity / 10) as int) as string)"),
+    ("ship_quarter", "cast(quarter(l_shipdate) as string)"),
+]
+_TREE_FEATURES_SQL = [
+    ("linestatus", "l_linestatus"),
+    ("qty_decade", "CAST(CAST(floor(l_quantity / 10) AS INTEGER) AS VARCHAR)"),
+    ("ship_quarter", "CAST(quarter(l_shipdate) AS VARCHAR)"),
+]
+
+
+def _tree_gain_sql(stacked: str) -> str:
+    """Candidate-gain SELECT over a stacked CTE — the exact
+    gini_stump_split_gain arithmetic, kept textually identical across
+    the three nodes so every engine computes every gain the same way."""
+    return f"""
+        SELECT feature, value, n_left, pos_left, n, pos,
+               (1.0 - (CAST(pos AS DOUBLE)/n)*(CAST(pos AS DOUBLE)/n)
+                    - (CAST(n - pos AS DOUBLE)/n)*(CAST(n - pos AS DOUBLE)/n))
+               - (CAST(n_left AS DOUBLE)/n) *
+                 (1.0 - (CAST(pos_left AS DOUBLE)/n_left)*(CAST(pos_left AS DOUBLE)/n_left)
+                      - (CAST(n_left - pos_left AS DOUBLE)/n_left)
+                        *(CAST(n_left - pos_left AS DOUBLE)/n_left))
+               - CASE WHEN n - n_left = 0 THEN 0.0 ELSE
+                 (CAST(n - n_left AS DOUBLE)/n) *
+                 (1.0 - (CAST(pos - pos_left AS DOUBLE)/(n - n_left))
+                        *(CAST(pos - pos_left AS DOUBLE)/(n - n_left))
+                      - (CAST((n - n_left) - (pos - pos_left) AS DOUBLE)/(n - n_left))
+                        *(CAST((n - n_left) - (pos - pos_left) AS DOUBLE)/(n - n_left)))
+                 END AS gain
+        FROM (SELECT feature, value, count(*) AS n_left, sum(y) AS pos_left
+              FROM {stacked} GROUP BY 1, 2) cells,
+             (SELECT count(*) / 3 AS n, sum(y) / 3 AS pos FROM {stacked}) tot
+    """
+
+
+_TREE_STACK_VALUES = ",\n            ".join(
+    f"('{name}', {expr})" for name, expr in _TREE_FEATURES_SQL
+)
+
+_TREE_ORACLE = f"""
+    WITH stacked AS (
+        SELECT f.feature, f.value,
+               CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+        FROM lineitem, LATERAL (VALUES
+            {_TREE_STACK_VALUES})
+            AS f(feature, value)
+    ), gains_root AS ({_tree_gain_sql("stacked")}
+    ), root AS (
+        SELECT * FROM gains_root ORDER BY gain DESC, feature, value LIMIT 1
+    ), li_flag AS (
+        -- row-local membership, the same predicate the engine applies:
+        -- the ROW's derived value for the root feature vs root.value
+        -- (NOT a row-key join — (l_orderkey, l_linenumber) is not
+        -- unique in this corpus)
+        SELECT l.*,
+               (CASE r.feature
+                    WHEN 'linestatus' THEN l_linestatus
+                    WHEN 'qty_decade' THEN
+                        CAST(CAST(floor(l_quantity / 10) AS INTEGER) AS VARCHAR)
+                    WHEN 'ship_quarter' THEN
+                        CAST(quarter(l_shipdate) AS VARCHAR)
+                END = r.value) AS is_left
+        FROM lineitem l CROSS JOIN root r
+    ), stacked_l AS (
+        SELECT f.feature, f.value,
+               CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+        FROM li_flag, LATERAL (VALUES
+            {_TREE_STACK_VALUES})
+            AS f(feature, value)
+        WHERE is_left
+    ), stacked_r AS (
+        SELECT f.feature, f.value,
+               CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+        FROM li_flag, LATERAL (VALUES
+            {_TREE_STACK_VALUES})
+            AS f(feature, value)
+        WHERE NOT is_left
+    ), gains_l AS ({_tree_gain_sql("stacked_l")}
+    ), best_l AS (
+        SELECT * FROM gains_l ORDER BY gain DESC, feature, value LIMIT 1
+    ), gains_r AS ({_tree_gain_sql("stacked_r")}
+    ), best_r AS (
+        SELECT * FROM gains_r ORDER BY gain DESC, feature, value LIMIT 1
+    )
+    SELECT node, feature, split_value, n_node, pos_node, n_split_left,
+           pos_split_left, gini_gain
+    FROM (
+        SELECT 'root' AS node, feature, value AS split_value,
+               CAST(n AS BIGINT) AS n_node, CAST(pos AS BIGINT) AS pos_node,
+               CAST(n_left AS BIGINT) AS n_split_left,
+               CAST(pos_left AS BIGINT) AS pos_split_left,
+               CAST(gain AS REAL) AS gini_gain
+        FROM root
+        UNION ALL
+        SELECT 'left', feature, value, CAST(n AS BIGINT), CAST(pos AS BIGINT),
+               CAST(n_left AS BIGINT), CAST(pos_left AS BIGINT),
+               CAST(gain AS REAL)
+        FROM best_l
+        UNION ALL
+        SELECT 'right', feature, value, CAST(n AS BIGINT), CAST(pos AS BIGINT),
+               CAST(n_left AS BIGINT), CAST(pos_left AS BIGINT),
+               CAST(gain AS REAL)
+        FROM best_r
+    ) t
+"""
+
+
+@CATALOG.query("tree_depth2_returnflag", oracle=_TREE_ORACLE)
+def tree_depth2_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stack_expr = (
+        "stack(3, "
+        + ", ".join(f"'{name}', {expr}" for name, expr in _TREE_FEATURES)
+        + ") AS (feature, value)"
+    )
+    y = F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+    li = _t(spark, sf_dir, "lineitem")
+
+    def gains(subset: DataFrame) -> DataFrame:
+        stacked = subset.select(F.expr(stack_expr), y.alias("y"))
+        tot = stacked.agg(
+            (F.count("*") / 3).alias("n"), (F.sum("y") / 3).alias("pos")
+        )
+        cells = stacked.groupBy("feature", "value").agg(
+            F.count("*").alias("n_left"), F.sum("y").alias("pos_left")
+        )
+        n, pos = F.col("n"), F.col("pos")
+        nl, pl = F.col("n_left"), F.col("pos_left")
+        nr, pr = n - nl, pos - pl
+
+        def g(p, m):
+            return (
+                F.lit(1.0)
+                - (p.cast("double") / m) * (p.cast("double") / m)
+                - ((m - p).cast("double") / m) * ((m - p).cast("double") / m)
+            )
+
+        gain = (
+            g(pos, n)
+            - (nl.cast("double") / n) * g(pl, nl)
+            - F.when(nr == 0, F.lit(0.0)).otherwise(
+                (nr.cast("double") / n) * g(pr, nr)
+            )
+        )
+        return cells.crossJoin(F.broadcast(tot)).select(
+            "feature", "value", "n_left", "pos_left", "n", "pos",
+            gain.alias("gain"),
+        )
+
+    def best(subset: DataFrame):
+        return (
+            gains(subset)
+            .orderBy(F.desc("gain"), "feature", "value")
+            .limit(1)
+        )
+
+    # level 1: bounded 1-row driver argmax steers the level-2 passes
+    root_row = best(li).first()
+    feat_expr = {name: expr for name, expr in _TREE_FEATURES}
+    root_pred = F.expr(feat_expr[root_row["feature"]]) == F.lit(
+        root_row["value"]
+    )
+    best_l = best(li.where(root_pred))
+    best_r = best(li.where(~root_pred))
+    root_df = spark.createDataFrame(
+        [
+            (
+                root_row["feature"], root_row["value"],
+                int(root_row["n_left"]), int(root_row["pos_left"]),
+                int(root_row["n"]), int(root_row["pos"]),
+                float(root_row["gain"]),
+            )
+        ],
+        "feature string, value string, n_left long, pos_left long,"
+        " n long, pos long, gain double",
+    )
+
+    def shape(df: DataFrame, node: str) -> DataFrame:
+        return df.select(
+            F.lit(node).alias("node"),
+            "feature",
+            F.col("value").alias("split_value"),
+            F.col("n").cast("long").alias("n_node"),
+            F.col("pos").cast("long").alias("pos_node"),
+            F.col("n_left").cast("long").alias("n_split_left"),
+            F.col("pos_left").cast("long").alias("pos_split_left"),
+            f32(F.col("gain")).alias("gini_gain"),
+        )
+
+    return (
+        shape(root_df, "root")
+        .unionAll(shape(best_l, "left"))
+        .unionAll(shape(best_r, "right"))
+    )
+
+
+# --------------------------------------------------------------------------
+# gains_lift_deciles — the cumulative-gains / lift table: score each
+# even-orderkey lineitem with a train-half (odd-orderkey) smoothed
+# cell return rate (cell = linestatus x qty_decade, add-1/add-2
+# smoothing so empty train cells are defined), rank the test half by
+# score into exact global deciles, and emit per decile the capture
+# counts, cumulative gain share, and lift over the base rate. The
+# targeting-model eval every campaign/quality-filter pipeline reads
+# ("top 20% of scores captures X% of positives") — the ranking-eval
+# axis between AUC (pairwise) and calibration (probabilistic).
+#
+# Replay contract: the score is ONE exact IEEE division of integers
+# ((c_pos+1)/(c_n+2)) — identical on both engines, so the decile
+# order is identical; the tie-break (ok, lno, y) makes any residual
+# equal-key rows interchangeable for every emitted aggregate (equal
+# score AND equal label). Decile/cumulative counts are exact integers;
+# shares and lift cross at the f32 boundary.
+#
+# Scale shape: model = one map-combinable ~12-row cell rollup,
+# broadcast back into the test scan; deciles via
+# functions.ranks.with_global_ntile (range-partitioned rank, no
+# single-task sort); the cumulative window runs on the 10-row
+# decile-grain aggregate (whitelisted bounded frame).
+# --------------------------------------------------------------------------
+@CATALOG.query(
+    "gains_lift_deciles",
+    oracle="""
+    WITH cells AS (
+        SELECT DISTINCT l_linestatus AS ls,
+               CAST(CAST(floor(l_quantity / 10) AS INTEGER) AS VARCHAR) AS qd
+        FROM lineitem
+    ), traincnt AS (
+        SELECT l_linestatus AS ls,
+               CAST(CAST(floor(l_quantity / 10) AS INTEGER) AS VARCHAR) AS qd,
+               count(*) AS c_n,
+               sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS c_pos
+        FROM lineitem WHERE l_orderkey % 2 = 1 GROUP BY 1, 2
+    ), model AS (
+        SELECT c.ls, c.qd,
+               (COALESCE(t.c_pos, 0) + 1.0) / (COALESCE(t.c_n, 0) + 2.0)
+                   AS score
+        FROM cells c LEFT JOIN traincnt t ON t.ls = c.ls AND t.qd = c.qd
+    ), test AS (
+        SELECT m.score, l.l_orderkey AS ok, l.l_linenumber AS lno,
+               CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+        FROM lineitem l
+        JOIN model m ON m.ls = l.l_linestatus
+            AND m.qd = CAST(CAST(floor(l.l_quantity / 10) AS INTEGER)
+                            AS VARCHAR)
+        WHERE l.l_orderkey % 2 = 0
+    ), ranked AS (
+        SELECT y, NTILE(10) OVER (ORDER BY score DESC, ok, lno, y)
+                      AS decile
+        FROM test
+    ), dec AS (
+        SELECT decile, count(*) AS n_rows, sum(y) AS n_pos
+        FROM ranked GROUP BY 1
+    )
+    SELECT decile, n_rows, CAST(n_pos AS BIGINT) AS n_pos,
+           CAST(sum(n_pos) OVER (ORDER BY decile
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum_pos,
+           CAST(CAST(sum(n_pos) OVER (ORDER BY decile
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS DOUBLE)
+                / sum(n_pos) OVER () AS REAL) AS cum_gain_share,
+           CAST((CAST(n_pos AS DOUBLE) / n_rows)
+                / (CAST(sum(n_pos) OVER () AS DOUBLE)
+                   / sum(n_rows) OVER ()) AS REAL) AS decile_lift
+    FROM dec
+    """,
+)
+def gains_lift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from orca_ztbus_python_processor_spark.functions.ranks import (  # noqa: PLC0415
+        with_global_ntile,
+    )
+
+    qd = F.expr("cast(cast(floor(l_quantity / 10) as int) as string)")
+    y = F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+    li = _t(spark, sf_dir, "lineitem")
+    cells = li.select(
+        F.col("l_linestatus").alias("ls"), qd.alias("qd")
+    ).distinct()
+    traincnt = (
+        li.where(F.col("l_orderkey") % 2 == 1)
+        .groupBy(F.col("l_linestatus").alias("ls"), qd.alias("qd"))
+        .agg(F.count("*").alias("c_n"), F.sum(y).alias("c_pos"))
+    )
+    model = cells.join(traincnt, ["ls", "qd"], "left").select(
+        "ls",
+        "qd",
+        (
+            (F.coalesce(F.col("c_pos"), F.lit(0)) + F.lit(1.0))
+            / (F.coalesce(F.col("c_n"), F.lit(0)) + F.lit(2.0))
+        ).alias("score"),
+    )
+    test = (
+        li.where(F.col("l_orderkey") % 2 == 0)
+        .join(
+            F.broadcast(model),
+            (F.col("l_linestatus") == F.col("ls")) & (qd == F.col("qd")),
+        )
+        .select(
+            "score",
+            F.col("l_orderkey").alias("ok"),
+            F.col("l_linenumber").alias("lno"),
+            y.alias("y"),
+        )
+    )
+    ranked = with_global_ntile(
+        test, 10, [F.desc("score"), F.col("ok"), F.col("lno"), F.col("y")],
+        "decile",
+    )
+    dec = ranked.groupBy("decile").agg(
+        F.count("*").alias("n_rows"), F.sum("y").alias("n_pos")
+    )
+    cum = W.orderBy("decile").rowsBetween(W.unboundedPreceding, W.currentRow)
+    whole = W.orderBy("decile").rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    return dec.select(
+        "decile",
+        "n_rows",
+        F.col("n_pos").cast("long").alias("n_pos"),
+        F.sum("n_pos").over(cum).cast("long").alias("cum_pos"),
+        f32(
+            F.sum("n_pos").over(cum).cast("double")
+            / F.sum("n_pos").over(whole)
+        ).alias("cum_gain_share"),
+        f32(
+            (F.col("n_pos").cast("double") / F.col("n_rows"))
+            / (
+                F.sum("n_pos").over(whole).cast("double")
+                / F.sum("n_rows").over(whole)
+            )
+        ).alias("decile_lift"),
+    )
+
+
+# --------------------------------------------------------------------------
+# ips_offpolicy_priority_eval — counterfactual (off-policy) policy
+# evaluation on logged data: treat o_orderpriority as the logged
+# ACTION, quarter(o_orderdate) as the CONTEXT, and o_totalprice as the
+# REWARD. Learn a deterministic target policy on the odd-orderkey half
+# (argmax of the f32-quantized per-(context, action) mean reward),
+# estimate behavior propensities from the same half, then score the
+# target policy on the even half with the IPS and self-normalized
+# (SNIPS) estimators plus the effective sample size. The
+# bandit-feedback eval primitive — at 100 TB this is the offline A/B
+# readout computed before any policy ships.
+#
+# Replay contract: propensity weights are single exact IEEE divisions
+# of integer counts (c_ctx / c_cell); the policy argmax compares
+# f32-QUANTIZED train means (quantized at a materialized ~20-row
+# boundary, ties broken by action name), so both engines select the
+# same action; estimator sums cross engines only at the f32 output
+# boundary.
+#
+# Scale shape: the policy/propensity model is ONE map-combinable
+# ~20-cell rollup broadcast back into the test scan; per-context
+# estimates are a second map-combinable rollup. The argmax window runs
+# on the ~20-row cell-grain frame (|contexts| x |actions|, fixed by
+# schema — never corpus grain).
+# --------------------------------------------------------------------------
+@CATALOG.query(
+    "ips_offpolicy_priority_eval",
+    oracle="""
+    WITH train AS (
+        SELECT quarter(o_orderdate) AS ctx, o_orderpriority AS act,
+               o_totalprice AS r
+        FROM orders WHERE o_orderkey % 2 = 1
+    ), cellstats AS (
+        SELECT ctx, act, count(*) AS c_cell,
+               CAST(avg(r) AS REAL) AS mean_r
+        FROM train GROUP BY 1, 2
+    ), ctxstats AS (
+        SELECT ctx, sum(c_cell) AS c_ctx FROM cellstats GROUP BY 1
+    ), policy AS (
+        SELECT ctx, act AS chosen_action, c_cell, c_ctx
+        FROM (
+            SELECT cs.ctx, cs.act, cs.c_cell, cx.c_ctx,
+                   row_number() OVER (PARTITION BY cs.ctx
+                       ORDER BY cs.mean_r DESC, cs.act) AS rn
+            FROM cellstats cs JOIN ctxstats cx ON cx.ctx = cs.ctx
+        ) t WHERE rn = 1
+    ), test AS (
+        SELECT quarter(o_orderdate) AS ctx, o_orderpriority AS act,
+               o_totalprice AS r
+        FROM orders WHERE o_orderkey % 2 = 0
+    ), weighted AS (
+        SELECT t.ctx, p.chosen_action,
+               CASE WHEN t.act = p.chosen_action
+                    THEN CAST(p.c_ctx AS DOUBLE) / p.c_cell
+                    ELSE 0.0 END AS w,
+               t.r
+        FROM test t JOIN policy p ON p.ctx = t.ctx
+    )
+    SELECT ctx AS context_quarter, chosen_action,
+           count(*) AS n_test,
+           CAST(sum(w * r) / count(*) AS REAL) AS ips_value,
+           CAST(CASE WHEN sum(w) > 0 THEN sum(w * r) / sum(w) END AS REAL)
+               AS snips_value,
+           CAST(CASE WHEN sum(w * w) > 0
+                THEN (sum(w) * sum(w)) / sum(w * w) END AS REAL)
+               AS effective_sample_size
+    FROM weighted GROUP BY 1, 2
+    """,
+)
+def ips_offpolicy_priority_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    ctx = F.quarter("o_orderdate").alias("ctx")
+    train = orders.where(F.col("o_orderkey") % 2 == 1).select(
+        ctx, F.col("o_orderpriority").alias("act"),
+        F.col("o_totalprice").alias("r"),
+    )
+    cellstats = train.groupBy("ctx", "act").agg(
+        F.count("*").alias("c_cell"), f32(F.avg("r")).alias("mean_r")
+    )
+    ctxstats = cellstats.groupBy("ctx").agg(F.sum("c_cell").alias("c_ctx"))
+    rn = F.row_number().over(
+        W.partitionBy("ctx").orderBy(F.desc("mean_r"), F.col("act"))
+    )
+    policy = (
+        cellstats.join(ctxstats, "ctx")
+        .withColumn("rn", rn)
+        .where(F.col("rn") == 1)
+        .select(
+            "ctx", F.col("act").alias("chosen_action"), "c_cell", "c_ctx"
+        )
+    )
+    test = orders.where(F.col("o_orderkey") % 2 == 0).select(
+        ctx,
+        F.col("o_orderpriority").alias("act"),
+        F.col("o_totalprice").alias("r"),
+    )
+    w = F.when(
+        F.col("act") == F.col("chosen_action"),
+        F.col("c_ctx").cast("double") / F.col("c_cell"),
+    ).otherwise(F.lit(0.0))
+    weighted = test.join(F.broadcast(policy), "ctx").select(
+        F.col("ctx"), "chosen_action", w.alias("w"), "r"
+    )
+    sw, swr, sww = F.sum("w"), F.sum(F.col("w") * F.col("r")), F.sum(
+        F.col("w") * F.col("w")
+    )
+    return weighted.groupBy(
+        F.col("ctx").alias("context_quarter"), F.col("chosen_action")
+    ).agg(
+        F.count("*").alias("n_test"),
+        f32(swr / F.count("*")).alias("ips_value"),
+        f32(F.when(sw > 0, swr / sw)).alias("snips_value"),
+        f32(F.when(sww > 0, (sw * sw) / sww)).alias("effective_sample_size"),
+    )
+
+
+# --------------------------------------------------------------------------
+# did_promo_revenue_effect — difference-in-differences: did PROMO-type
+# parts' per-lineitem discounted revenue move differently from other
+# parts' between the first and second half of the shipdate range? The
+# two-period two-group DiD estimator completes the causal-eval axis
+# (cuped_adjusted_experiment_lift = variance reduction,
+# ips_offpolicy_priority_eval = counterfactual policy value, this =
+# the parallel-trends observational estimate).
+#
+# Replay contract: the period midpoint is whole-day integer arithmetic
+# (the pinball anchor); cell means cross engines at the f32 boundary
+# and the DiD estimate is arithmetic ON those f32 means (identical on
+# both engines); counts are exact.
+#
+# Scale shape: one lineitem⋈part equi-join (dim join — broadcast under
+# AQE at any realistic |part|/cluster ratio) feeding ONE conditional
+# map-combinable rollup to a single row. No window, no second pass.
+# --------------------------------------------------------------------------
+@CATALOG.query(
+    "did_promo_revenue_effect",
+    oracle="""
+    WITH bounds AS (
+        SELECT min(l_shipdate) + to_days(CAST(floor(
+                   date_diff('day', min(l_shipdate), max(l_shipdate)) / 2
+               ) AS INTEGER)) AS mid
+        FROM lineitem
+    ), cells AS (
+        SELECT CASE WHEN p.p_type = 'PROMO' THEN 1 ELSE 0 END AS treated,
+               CASE WHEN l.l_shipdate > b.mid THEN 1 ELSE 0 END AS post,
+               l.l_extendedprice * (1 - l.l_discount) AS rev
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        CROSS JOIN bounds b
+    )
+    SELECT CAST(sum(CASE WHEN treated = 1 AND post = 0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_treat_pre,
+           CAST(sum(CASE WHEN treated = 1 AND post = 1 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_treat_post,
+           CAST(sum(CASE WHEN treated = 0 AND post = 0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_ctrl_pre,
+           CAST(sum(CASE WHEN treated = 0 AND post = 1 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_ctrl_post,
+           CAST(avg(CASE WHEN treated = 1 AND post = 0 THEN rev END) AS REAL)
+               AS mean_treat_pre,
+           CAST(avg(CASE WHEN treated = 1 AND post = 1 THEN rev END) AS REAL)
+               AS mean_treat_post,
+           CAST(avg(CASE WHEN treated = 0 AND post = 0 THEN rev END) AS REAL)
+               AS mean_ctrl_pre,
+           CAST(avg(CASE WHEN treated = 0 AND post = 1 THEN rev END) AS REAL)
+               AS mean_ctrl_post,
+           CAST((CAST(avg(CASE WHEN treated = 1 AND post = 1 THEN rev END)
+                      AS REAL)
+                 - CAST(avg(CASE WHEN treated = 1 AND post = 0 THEN rev END)
+                        AS REAL))
+                - (CAST(avg(CASE WHEN treated = 0 AND post = 1 THEN rev END)
+                        AS REAL)
+                   - CAST(avg(CASE WHEN treated = 0 AND post = 0 THEN rev END)
+                          AS REAL)) AS REAL) AS did_estimate
+    FROM cells
+    """,
+)
+def did_promo_revenue_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datetime import timedelta  # noqa: PLC0415
+
+    li = _t(spark, sf_dir, "lineitem")
+    lo, hi = li.agg(F.min("l_shipdate"), F.max("l_shipdate")).first()
+    mid = lo + timedelta(days=(hi - lo).days // 2)
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    cells = (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            F.when(F.col("p_type") == "PROMO", 1).otherwise(0).alias("treated"),
+            F.when(F.col("l_shipdate") > F.lit(mid), 1)
+            .otherwise(0)
+            .alias("post"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+        )
+    )
+
+    def cnt(t, p):
+        return F.sum(
+            F.when((F.col("treated") == t) & (F.col("post") == p), 1).otherwise(0)
+        )
+
+    def mean(t, p):
+        return f32(
+            F.avg(
+                F.when(
+                    (F.col("treated") == t) & (F.col("post") == p),
+                    F.col("rev"),
+                )
+            )
+        )
+
+    agg = cells.agg(
+        cnt(1, 0).alias("n_treat_pre"),
+        cnt(1, 1).alias("n_treat_post"),
+        cnt(0, 0).alias("n_ctrl_pre"),
+        cnt(0, 1).alias("n_ctrl_post"),
+        mean(1, 0).alias("mean_treat_pre"),
+        mean(1, 1).alias("mean_treat_post"),
+        mean(0, 0).alias("mean_ctrl_pre"),
+        mean(0, 1).alias("mean_ctrl_post"),
+    )
+    return agg.select(
+        "*",
+        f32(
+            (F.col("mean_treat_post") - F.col("mean_treat_pre"))
+            - (F.col("mean_ctrl_post") - F.col("mean_ctrl_pre"))
+        ).alias("did_estimate"),
+    )
+
+
+# --------------------------------------------------------------------------
+# km_repurchase_survival — Kaplan-Meier estimator with right-censoring:
+# per customer, the days from FIRST order to SECOND order (event), or
+# to the corpus max date (censored, no second order yet); emit, at
+# every duration with at least one event, the risk-set size, event and
+# censor counts, and the KM survival estimate
+# S(t) = prod_{t_i <= t} (1 - d_i / n_i). The censoring-aware survival
+# primitive session_gap_survival (fixed-grid tail shares, no
+# censoring) does not cover — at 100 TB this is the repurchase-curve /
+# churn readout computed over every cohort.
+#
+# Replay contract: durations, risk sets, and event counts are exact
+# integers; each KM factor ln(1 - d_i/n_i) is one libm call on an
+# exact rational, and the cumulative product runs as an ORDERED prefix
+# sum of those logs (window order is deterministic on both engines, so
+# the sum is bit-stable per engine and ulp-bounded across engines),
+# exp'd and f32-quantized at the output boundary.
+#
+# Scale shape: one row_number window partitioned by o_custkey (entity-
+# grain key — parallel), one customer-grain rollup, then everything
+# runs at DURATION grain: distinct day-counts, calendar-bounded (the
+# orders_backlog_over_time posture), so the cumulative window frame is
+# bounded by the date-range span, never by |customers|.
+# --------------------------------------------------------------------------
+@CATALOG.query(
+    "km_repurchase_survival",
+    oracle="""
+    WITH ranked AS (
+        SELECT o_custkey, o_orderdate,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate, o_orderkey) AS rn
+        FROM orders
+    ), cust AS (
+        SELECT o_custkey,
+               min(CASE WHEN rn = 1 THEN o_orderdate END) AS t1,
+               min(CASE WHEN rn = 2 THEN o_orderdate END) AS t2
+        FROM ranked WHERE rn <= 2 GROUP BY 1
+    ), maxd AS (SELECT max(o_orderdate) AS mx FROM orders
+    ), obs AS (
+        SELECT CASE WHEN t2 IS NOT NULL
+                    THEN date_diff('day', t1, t2)
+                    ELSE date_diff('day', t1, mx) END AS dur,
+               CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END AS ev
+        FROM cust CROSS JOIN maxd
+    ), bydur AS (
+        SELECT dur, sum(ev) AS d, sum(1 - ev) AS c FROM obs GROUP BY 1
+    ), risked AS (
+        SELECT dur, d, c,
+               (SELECT count(*) FROM obs) - COALESCE(sum(d + c) OVER (
+                   ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND 1 PRECEDING), 0) AS n_risk
+        FROM bydur
+    ), termed AS (
+        SELECT dur, d, c, n_risk,
+               CASE WHEN d > 0 AND d < n_risk
+                    THEN ln(1.0 - CAST(d AS DOUBLE) / n_risk)
+                    ELSE 0.0 END AS log_term
+        FROM risked
+    ), km AS (
+        SELECT dur, d, c, n_risk,
+               sum(log_term) OVER (ORDER BY dur ROWS BETWEEN
+                   UNBOUNDED PRECEDING AND CURRENT ROW) AS log_s
+        FROM termed
+    )
+    SELECT dur AS duration_days,
+           CAST(n_risk AS BIGINT) AS n_risk,
+           CAST(d AS BIGINT) AS n_events,
+           CAST(c AS BIGINT) AS n_censored,
+           CAST(CASE WHEN d = n_risk THEN 0.0 ELSE exp(log_s) END
+                AS REAL) AS km_survival
+    FROM km WHERE d > 0
+    """,
+)
+def km_repurchase_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_orderkey"
+    )
+    rn = F.row_number().over(
+        W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    )
+    ranked = orders.withColumn("rn", rn).where(F.col("rn") <= 2)
+    cust = ranked.groupBy("o_custkey").agg(
+        F.min(F.when(F.col("rn") == 1, F.col("o_orderdate"))).alias("t1"),
+        F.min(F.when(F.col("rn") == 2, F.col("o_orderdate"))).alias("t2"),
+    )
+    maxd = orders.agg(F.max("o_orderdate").alias("mx"))
+    obs = cust.crossJoin(F.broadcast(maxd)).select(
+        F.when(
+            F.col("t2").isNotNull(), F.datediff("t2", "t1")
+        )
+        .otherwise(F.datediff("mx", "t1"))
+        .alias("dur"),
+        F.when(F.col("t2").isNotNull(), 1).otherwise(0).alias("ev"),
+    )
+    bydur = obs.groupBy("dur").agg(
+        F.sum("ev").alias("d"), F.sum(1 - F.col("ev")).alias("c")
+    )
+    total = obs.agg(F.count("*").alias("n_total"))
+    prior = W.orderBy("dur").rowsBetween(W.unboundedPreceding, -1)
+    upto = W.orderBy("dur").rowsBetween(W.unboundedPreceding, W.currentRow)
+    n_risk = F.col("n_total") - F.coalesce(
+        F.sum(F.col("d") + F.col("c")).over(prior), F.lit(0)
+    )
+    km = (
+        bydur.crossJoin(F.broadcast(total))
+        .withColumn("n_risk", n_risk)
+        .withColumn(
+            "log_term",
+            F.when(
+                (F.col("d") > 0) & (F.col("d") < F.col("n_risk")),
+                F.log(
+                    F.lit(1.0)
+                    - F.col("d").cast("double") / F.col("n_risk")
+                ),
+            ).otherwise(F.lit(0.0)),
+        )
+        .withColumn("log_s", F.sum("log_term").over(upto))
+    )
+    return km.where(F.col("d") > 0).select(
+        F.col("dur").alias("duration_days"),
+        F.col("n_risk").cast("long").alias("n_risk"),
+        F.col("d").cast("long").alias("n_events"),
+        F.col("c").cast("long").alias("n_censored"),
+        f32(
+            F.when(F.col("d") == F.col("n_risk"), F.lit(0.0)).otherwise(
+                F.exp("log_s")
+            )
+        ).alias("km_survival"),
+    )

@@ -1903,7 +1903,7 @@ def doc_length_log2_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     "token_length_histogram",
     oracle=f"""
     WITH tok AS (
-        SELECT unnest(regexp_extract_all(lower(text), '{TOKEN_RE.lower()}')) AS token
+        SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
         FROM documents
     ), counted AS (
         SELECT length(token) AS token_len, token FROM tok
@@ -1920,7 +1920,7 @@ def doc_length_log2_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 def token_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = _docs(spark, sf_dir).select(
         F.explode(
-            F.expr(f"regexp_extract_all(lower(text), '{TOKEN_RE.lower()}', 0)")
+            F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
         ).alias("token")
     )
     counts = (
@@ -1955,7 +1955,7 @@ def token_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH vocab AS (
         SELECT DISTINCT source,
-               unnest(regexp_extract_all(lower(text), '{TOKEN_RE.lower()}')) AS token
+               unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
         FROM documents
     ), sizes AS (
         SELECT source, count(*) AS vocab_size FROM vocab GROUP BY source
@@ -1981,7 +1981,7 @@ def source_vocab_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "source",
             F.explode(
-                F.expr(f"regexp_extract_all(lower(text), '{TOKEN_RE.lower()}', 0)")
+                F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
             ).alias("token"),
         )
         .distinct()
@@ -2168,7 +2168,7 @@ def source_char_trigram_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH tok AS (
         SELECT source,
-               unnest(regexp_extract_all(lower(text), '{TOKEN_RE.lower()}')) AS token
+               unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
         FROM documents
     ), counts AS (
         SELECT source, token, count(*) AS c FROM tok GROUP BY source, token
@@ -2189,7 +2189,7 @@ def hapax_legomena_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "source",
             F.explode(
-                F.expr(f"regexp_extract_all(lower(text), '{TOKEN_RE.lower()}', 0)")
+                F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
             ).alias("token"),
         )
         .groupBy("source", "token")
@@ -2342,7 +2342,7 @@ def training_shard_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     "heavy_hitters_topk_tokens",
     oracle=f"""
     WITH tok AS (
-        SELECT unnest(regexp_extract_all(lower(text), '{TOKEN_RE.lower()}')) AS item
+        SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS item
         FROM documents
     )
     SELECT item, count(*) AS n
@@ -2359,7 +2359,7 @@ def heavy_hitters_topk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tok = _docs(spark, sf_dir).select(
         F.explode(
-            F.expr(f"regexp_extract_all(lower(text), '{TOKEN_RE.lower()}', 0)")
+            F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
         ).alias("item")
     )
     return heavy_hitters_topk(tok, "item", k=50, capacity=4096)
@@ -4715,4 +4715,115 @@ def lang_separability_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("rpos") - F.col("n_pos") * (F.col("n_pos") + 1) / 2.0)
             / (F.col("n_pos") * (F.col("n") - F.col("n_pos")))
         ).alias("auc"),
+    )
+
+
+# --------------------------------------------------------------------------
+# feature_hash_collision_profile — the hashing trick audited: hash
+# every distinct token BIGRAM (the hashed-vectorizer feature unit that
+# actually collides at realistic dimensions) into 256 buckets
+# (md5-derived so both engines replay the same assignment) and emit
+# the bucket-load histogram (how many buckets hold k distinct grams)
+# plus, per load level, the share of corpus gram OCCURRENCES whose
+# feature collides with at least one other gram. The feature-hashing
+# design query every hashed-vectorizer pipeline runs before fixing its
+# dimension: the occurrence-weighted collision mass tells you what a
+# 256-dim hashed bag-of-bigrams actually destroys. (Unigrams are
+# useless for this audit on a closed ~31-word vocabulary — every
+# bucket would hold at most one token; the ~|V|^2 bigram space is what
+# exercises the collision branch, here and at 100 TB.)
+#
+# Replay contract: bucket = md5(gram) first-15-hex-digits mod 256 —
+# exact integer arithmetic, the repo's standard md5-replay idiom. All
+# outputs are exact integer counts except the f32 occurrence-share
+# boundary.
+#
+# Scale shape: one row-local bigram explode (the dedup shingle
+# pattern), one gram-grain rollup (occurrence counts), one
+# bucket-grain rollup (loads), one load-grain rollup (histogram) —
+# each map-combinable, each strictly smaller than the last; the corpus
+# text is scanned ONCE. At 100 TB the bucket table is 256 rows
+# regardless of vocabulary size.
+# --------------------------------------------------------------------------
+FEATURE_HASH_BUCKETS = 256
+
+
+@CATALOG.query(
+    "feature_hash_collision_profile",
+    oracle=f"""
+    WITH arr AS (
+        SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+        FROM documents
+    ), idx AS (
+        SELECT ts, unnest(range(1, greatest(len(ts), 1))) AS i FROM arr
+    ), gram AS (
+        SELECT ts[i] || ' ' || ts[i + 1] AS gram FROM idx
+    ), vocab AS (
+        SELECT gram, count(*) AS n_occ FROM gram GROUP BY 1
+    ), hashed AS (
+        SELECT gram, n_occ,
+               CAST(('0x' || substr(md5(gram), 1, 15)) AS BIGINT)
+                   % {FEATURE_HASH_BUCKETS} AS bucket
+        FROM vocab
+    ), buckets AS (
+        SELECT bucket, count(*) AS load, sum(n_occ) AS occ_in_bucket
+        FROM hashed GROUP BY 1
+    )
+    SELECT load AS grams_in_bucket,
+           count(*) AS n_buckets,
+           CAST(sum(occ_in_bucket) AS BIGINT) AS n_occurrences,
+           CAST(CAST(CASE WHEN load > 1 THEN sum(occ_in_bucket)
+                          ELSE 0 END AS DOUBLE)
+                / (SELECT sum(n_occ) FROM vocab) AS REAL)
+               AS collided_occurrence_share
+    FROM buckets GROUP BY 1
+    """,
+)
+def feature_hash_collision_profile(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    grams = (
+        _docs(spark, sf_dir)
+        .select(
+            F.expr(
+                "regexp_extract_all(lower(text), '[a-z0-9]+', 0)"
+            ).alias("ts")
+        )
+        .select(
+            F.explode(
+                F.expr(
+                    "case when size(ts) >= 2 then"
+                    " transform(sequence(1, size(ts) - 1),"
+                    " i -> concat_ws(' ', ts[i - 1], ts[i]))"
+                    " else array() end"
+                )
+            ).alias("gram")
+        )
+    )
+    vocab = grams.groupBy("gram").agg(F.count("*").alias("n_occ"))
+    bucket = F.expr(
+        f"cast(conv(substr(md5(gram), 1, 15), 16, 10) as bigint)"
+        f" % {FEATURE_HASH_BUCKETS}"
+    )
+    buckets = (
+        vocab.select(bucket.alias("bucket"), "n_occ")
+        .groupBy("bucket")
+        .agg(F.count("*").alias("load"), F.sum("n_occ").alias("occ_in_bucket"))
+    )
+    total_occ = vocab.agg(F.sum("n_occ").alias("total_occ"))
+    return (
+        buckets.crossJoin(F.broadcast(total_occ))
+        .groupBy(F.col("load").alias("grams_in_bucket"))
+        .agg(
+            F.count("*").alias("n_buckets"),
+            F.sum("occ_in_bucket").cast("long").alias("n_occurrences"),
+            f32(
+                F.sum(
+                    F.when(F.col("load") > 1, F.col("occ_in_bucket")).otherwise(
+                        F.lit(0)
+                    )
+                ).cast("double")
+                / F.first("total_occ")
+            ).alias("collided_occurrence_share"),
+        )
     )

@@ -63,6 +63,8 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--reps", type=int, default=2)
     ap.add_argument("--queries", default=",".join(DEFAULT_QUERIES))
+    ap.add_argument("--out", default="batch_3pt_r10.json",
+                    help="artifact filename under .benchmarks/")
     args = ap.parse_args()
     names = [q for q in args.queries.split(",") if q]
 
@@ -127,12 +129,12 @@ def main() -> None:
         "points": {lbl: d for lbl, d, _ in POINTS},
         "queries": results,
     }
-    path = os.path.join(REPO_ROOT, ".benchmarks", "batch_3pt_r10.json")
+    path = os.path.join(REPO_ROOT, ".benchmarks", args.out)
     with open(path, "w") as f:
         json.dump(out, f, indent=1, sort_keys=True)
     n_ok = sum(1 for r in results.values() if r["within_band"])
     print(
-        f"wrote .benchmarks/batch_3pt_r10.json — {n_ok}/{len(results)} "
+        f"wrote .benchmarks/{args.out} — {n_ok}/{len(results)} "
         "within band"
     )
 

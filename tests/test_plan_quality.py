@@ -654,6 +654,8 @@ BOUNDED_GLOBAL_WINDOW_OK = {
     # the result (edge-cache release), so no Window survives in the
     # returned plan — no whitelist entry needed (the LPA precedent).
     "cm_sketch_heavy_hitters": "CM_TOPK (20) rows after TakeOrdered limit (rank stamping)",
+    "gains_lift_deciles": "10 decile rows after decile-grain agg (cumulative gain/lift)",
+    "km_repurchase_survival": "|durations| rows after duration-grain agg (calendar-bounded; 582 event times at sf0.01 — the orders_backlog_over_time posture)",
     "lang_separability_auc": "<=1001-row quantized-TTR score frame (floor(1000*ttr) value domain, never doc grain)",
     # kruskal_wallis_qty_by_priority's global rank window runs on the
     # ~50-row distinct-quantity frame but is localCheckpoint'ed, so no
