@@ -6165,3 +6165,578 @@ def km_repurchase_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("km_survival"),
     )
+
+
+# --------------------------------------------------------------------------
+# anova2_qty_flag_status — two-way ANOVA (cell-means decomposition) of
+# l_quantity by returnflag x linestatus: main-effect and interaction
+# sums of squares, degrees of freedom, mean squares, and F statistics.
+# Extends the one-way anova_price_by_brand to the factorial design
+# every two-factor experiment readout needs; on unbalanced data this
+# is the weighted cell-means decomposition (stated, not hidden — the
+# regression-based Type II/III answer differs on unbalanced designs).
+#
+# Replay contract: every SS is arithmetic on per-cell exact counts and
+# sums (grand/level/cell means are single IEEE divisions); the only
+# cross-engine boundary is the f32 output. Cell/level/grand stats all
+# derive from ONE ~6-cell rollup, so no aggregation-order float leaks
+# into intermediate keys.
+#
+# Scale shape: one map-combinable (flag, status) moment rollup
+# (sum, sum of squares, count per cell — |cells| ~ 6 rows), then pure
+# driver-free arithmetic on the broadcast-sized cell frame. SS_within
+# uses the sum-of-squares identity so no second corpus pass is needed.
+# --------------------------------------------------------------------------
+@CATALOG.query(
+    "anova2_qty_flag_status",
+    oracle="""
+    WITH cells AS (
+        SELECT l_returnflag AS a, l_linestatus AS b,
+               count(*) AS n, sum(l_quantity) AS s,
+               sum(l_quantity * l_quantity) AS ss
+        FROM lineitem GROUP BY 1, 2
+    ), ga AS (
+        SELECT a, sum(n) AS n_a, sum(s) AS s_a FROM cells GROUP BY 1
+    ), gb AS (
+        SELECT b, sum(n) AS n_b, sum(s) AS s_b FROM cells GROUP BY 1
+    ), g AS (
+        SELECT sum(n) AS n_t, sum(s) AS s_t, sum(ss) AS ss_t,
+               count(*) AS n_cells,
+               (SELECT count(*) FROM ga) AS n_lev_a,
+               (SELECT count(*) FROM gb) AS n_lev_b
+        FROM cells
+    ), terms AS (
+        SELECT
+            (SELECT sum(n_a * (s_a / n_a - s_t / n_t)
+                        * (s_a / n_a - s_t / n_t))
+             FROM ga, g) AS ss_a,
+            (SELECT sum(n_b * (s_b / n_b - s_t / n_t)
+                        * (s_b / n_b - s_t / n_t))
+             FROM gb, g) AS ss_b,
+            (SELECT sum(c.n * (c.s / c.n - ga.s_a / ga.n_a
+                               - gb.s_b / gb.n_b + g.s_t / g.n_t)
+                        * (c.s / c.n - ga.s_a / ga.n_a
+                           - gb.s_b / gb.n_b + g.s_t / g.n_t))
+             FROM cells c
+             JOIN ga ON ga.a = c.a JOIN gb ON gb.b = c.b CROSS JOIN g)
+                AS ss_ab,
+            (SELECT sum(c.ss - c.s * c.s / c.n) FROM cells c) AS ss_w,
+            g.n_t, g.n_cells, g.n_lev_a, g.n_lev_b
+        FROM g
+    )
+    SELECT CAST(ss_a AS REAL) AS ss_flag,
+           CAST(ss_b AS REAL) AS ss_status,
+           CAST(ss_ab AS REAL) AS ss_interaction,
+           CAST(ss_w AS REAL) AS ss_within,
+           CAST(n_lev_a - 1 AS BIGINT) AS df_flag,
+           CAST(n_lev_b - 1 AS BIGINT) AS df_status,
+           CAST(n_cells - n_lev_a - n_lev_b + 1 AS BIGINT) AS df_interaction,
+           CAST(n_t - n_cells AS BIGINT) AS df_within,
+           CAST((ss_a / (n_lev_a - 1))
+                / (ss_w / (n_t - n_cells)) AS REAL) AS f_flag,
+           CAST((ss_b / (n_lev_b - 1))
+                / (ss_w / (n_t - n_cells)) AS REAL) AS f_status,
+           CAST((ss_ab / (n_cells - n_lev_a - n_lev_b + 1))
+                / (ss_w / (n_t - n_cells)) AS REAL) AS f_interaction
+    FROM terms
+    """,
+)
+def anova2_qty_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    cells = li.groupBy(
+        F.col("l_returnflag").alias("a"), F.col("l_linestatus").alias("b")
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum("l_quantity").alias("s"),
+        F.sum(F.col("l_quantity") * F.col("l_quantity")).alias("ss"),
+    )
+    ga = cells.groupBy("a").agg(
+        F.sum("n").alias("n_a"), F.sum("s").alias("s_a")
+    )
+    gb = cells.groupBy("b").agg(
+        F.sum("n").alias("n_b"), F.sum("s").alias("s_b")
+    )
+    g = cells.agg(
+        F.sum("n").alias("n_t"),
+        F.sum("s").alias("s_t"),
+        F.count("*").alias("n_cells"),
+    )
+    na = ga.agg(F.count("*").alias("n_lev_a"))
+    nb = gb.agg(F.count("*").alias("n_lev_b"))
+
+    enriched = (
+        cells.join(F.broadcast(ga), "a")
+        .join(F.broadcast(gb), "b")
+        .crossJoin(F.broadcast(g))
+    )
+    dev_ab = (
+        F.col("s") / F.col("n")
+        - F.col("s_a") / F.col("n_a")
+        - F.col("s_b") / F.col("n_b")
+        + F.col("s_t") / F.col("n_t")
+    )
+    parts = enriched.agg(
+        F.sum(
+            F.col("n") * dev_ab * dev_ab
+        ).alias("ss_ab"),
+        F.sum(F.col("ss") - F.col("s") * F.col("s") / F.col("n")).alias(
+            "ss_w"
+        ),
+    )
+    dev_a = F.col("s_a") / F.col("n_a") - F.col("s_t") / F.col("n_t")
+    ssa = ga.crossJoin(F.broadcast(g)).agg(
+        F.sum(F.col("n_a") * dev_a * dev_a).alias("ss_a")
+    )
+    dev_b = F.col("s_b") / F.col("n_b") - F.col("s_t") / F.col("n_t")
+    ssb = gb.crossJoin(F.broadcast(g)).agg(
+        F.sum(F.col("n_b") * dev_b * dev_b).alias("ss_b")
+    )
+    allr = (
+        ssa.crossJoin(ssb)
+        .crossJoin(parts)
+        .crossJoin(g)
+        .crossJoin(na)
+        .crossJoin(nb)
+    )
+    df_ab = F.col("n_cells") - F.col("n_lev_a") - F.col("n_lev_b") + 1
+    df_w = F.col("n_t") - F.col("n_cells")
+    return allr.select(
+        f32(F.col("ss_a")).alias("ss_flag"),
+        f32(F.col("ss_b")).alias("ss_status"),
+        f32(F.col("ss_ab")).alias("ss_interaction"),
+        f32(F.col("ss_w")).alias("ss_within"),
+        (F.col("n_lev_a") - 1).cast("long").alias("df_flag"),
+        (F.col("n_lev_b") - 1).cast("long").alias("df_status"),
+        df_ab.cast("long").alias("df_interaction"),
+        df_w.cast("long").alias("df_within"),
+        f32(
+            (F.col("ss_a") / (F.col("n_lev_a") - 1)) / (F.col("ss_w") / df_w)
+        ).alias("f_flag"),
+        f32(
+            (F.col("ss_b") / (F.col("n_lev_b") - 1)) / (F.col("ss_w") / df_w)
+        ).alias("f_status"),
+        f32((F.col("ss_ab") / df_ab) / (F.col("ss_w") / df_w)).alias(
+            "f_interaction"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# paired_classifier_agreement — McNemar's paired test + Cohen's kappa
+# for two frozen row-local return-prediction rules evaluated on the
+# SAME rows: rule A = the calibration query's frozen logistic score
+# thresholded at 1/3 (f32-quantized before the compare, the
+# return_model_calibration_bins bin-key trick), rule B = a quantity
+# stump (l_quantity >= 25). Emits the correctness-discordance cells
+# (the McNemar b/c counts), the continuity-corrected chi-square, both
+# accuracies, and prediction-agreement kappa. The paired-comparison
+# primitive the eval family lacks: AUC/calibration score ONE model —
+# this is the test you run to claim model A beats model B on the same
+# benchmark rows.
+#
+# Replay contract: both rules are row-local with f32-quantized
+# decision boundaries, so every row's (pred_a, pred_b, y) triple is
+# identical cross-engine; all cells are exact integers and the
+# statistics are literal arithmetic on them at the f32 boundary.
+#
+# Scale shape: ONE conditional map-combinable rollup to a single row —
+# whole-stage-codegen scan, no join, no window, no second pass.
+# --------------------------------------------------------------------------
+@CATALOG.query(
+    "paired_classifier_agreement",
+    oracle="""
+    WITH scored AS (
+        SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y,
+               CASE WHEN CAST(1.0 / (1.0 + exp(-(-3.0 + 30.0 * l_discount
+                                       + 0.08 * l_quantity))) AS REAL)
+                         > CAST(1.0 / 3.0 AS REAL)
+                    THEN 1 ELSE 0 END AS pa,
+               CASE WHEN l_quantity >= 25 THEN 1 ELSE 0 END AS pb
+        FROM lineitem
+    ), cells AS (
+        SELECT count(*) AS n,
+               CAST(sum(CASE WHEN pa = y AND pb = y THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_both_correct,
+               CAST(sum(CASE WHEN pa = y AND pb <> y THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_only_a,
+               CAST(sum(CASE WHEN pa <> y AND pb = y THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_only_b,
+               CAST(sum(CASE WHEN pa <> y AND pb <> y THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_neither,
+               sum(CASE WHEN pa = pb THEN 1 ELSE 0 END) AS n_agree,
+               sum(pa) AS n_a1, sum(pb) AS n_b1
+        FROM scored
+    )
+    SELECT n_both_correct, n_only_a, n_only_b, n_neither,
+           CAST(CAST(n_both_correct + n_only_a AS DOUBLE) / n AS REAL)
+               AS accuracy_a,
+           CAST(CAST(n_both_correct + n_only_b AS DOUBLE) / n AS REAL)
+               AS accuracy_b,
+           CAST(CASE WHEN n_only_a + n_only_b > 0 THEN
+                (abs(CAST(n_only_a AS DOUBLE) - n_only_b) - 1.0)
+                * (abs(CAST(n_only_a AS DOUBLE) - n_only_b) - 1.0)
+                / (n_only_a + n_only_b) END AS REAL) AS mcnemar_chi2,
+           CAST((CAST(n_agree AS DOUBLE) / n
+                 - (CAST(n_a1 AS DOUBLE) / n * (CAST(n_b1 AS DOUBLE) / n)
+                    + (1.0 - CAST(n_a1 AS DOUBLE) / n)
+                      * (1.0 - CAST(n_b1 AS DOUBLE) / n)))
+                / (1.0
+                   - (CAST(n_a1 AS DOUBLE) / n * (CAST(n_b1 AS DOUBLE) / n)
+                      + (1.0 - CAST(n_a1 AS DOUBLE) / n)
+                        * (1.0 - CAST(n_b1 AS DOUBLE) / n)))
+               AS REAL) AS prediction_kappa
+    FROM cells
+    """,
+)
+def paired_classifier_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    score = F.lit(1.0) / (
+        F.lit(1.0)
+        + F.exp(
+            -(
+                F.lit(-3.0)
+                + 30.0 * F.col("l_discount")
+                + 0.08 * F.col("l_quantity")
+            )
+        )
+    )
+    y = F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+    pa = F.when(
+        score.cast("float") > F.lit(1.0 / 3.0).cast("float"), 1
+    ).otherwise(0)
+    pb = F.when(F.col("l_quantity") >= 25, 1).otherwise(0)
+    scored = _t(spark, sf_dir, "lineitem").select(
+        y.alias("y"), pa.alias("pa"), pb.alias("pb")
+    )
+    c = scored.agg(
+        F.count("*").alias("n"),
+        F.sum(
+            F.when((F.col("pa") == F.col("y")) & (F.col("pb") == F.col("y")), 1)
+            .otherwise(0)
+        ).cast("long").alias("n_both_correct"),
+        F.sum(
+            F.when((F.col("pa") == F.col("y")) & (F.col("pb") != F.col("y")), 1)
+            .otherwise(0)
+        ).cast("long").alias("n_only_a"),
+        F.sum(
+            F.when((F.col("pa") != F.col("y")) & (F.col("pb") == F.col("y")), 1)
+            .otherwise(0)
+        ).cast("long").alias("n_only_b"),
+        F.sum(
+            F.when((F.col("pa") != F.col("y")) & (F.col("pb") != F.col("y")), 1)
+            .otherwise(0)
+        ).cast("long").alias("n_neither"),
+        F.sum(F.when(F.col("pa") == F.col("pb"), 1).otherwise(0)).alias(
+            "n_agree"
+        ),
+        F.sum("pa").alias("n_a1"),
+        F.sum("pb").alias("n_b1"),
+    )
+    nd = F.col("n").cast("double")
+    pa1 = F.col("n_a1").cast("double") / nd
+    pb1 = F.col("n_b1").cast("double") / nd
+    pe = pa1 * pb1 + (1.0 - pa1) * (1.0 - pb1)
+    po = F.col("n_agree").cast("double") / nd
+    disc = F.col("n_only_a") + F.col("n_only_b")
+    absdiff = F.abs(F.col("n_only_a").cast("double") - F.col("n_only_b"))
+    return c.select(
+        "n_both_correct", "n_only_a", "n_only_b", "n_neither",
+        f32(
+            (F.col("n_both_correct") + F.col("n_only_a")).cast("double") / nd
+        ).alias("accuracy_a"),
+        f32(
+            (F.col("n_both_correct") + F.col("n_only_b")).cast("double") / nd
+        ).alias("accuracy_b"),
+        f32(
+            F.when(disc > 0, (absdiff - 1.0) * (absdiff - 1.0) / disc)
+        ).alias("mcnemar_chi2"),
+        f32((po - pe) / (1.0 - pe)).alias("prediction_kappa"),
+    )
+
+
+# --------------------------------------------------------------------------
+# ab_power_mde_by_priority — experiment-design power analysis from
+# logged data: per order priority, take the observed fulfillment rate
+# (o_orderstatus = 'F') as the baseline conversion p and the observed
+# arm size n (half the priority's orders) and emit (a) the minimum
+# detectable absolute effect at alpha = 0.05 (two-sided) / power = 0.8
+# given that n, and (b) the required per-arm n to detect a 2-point
+# absolute lift. The pre-experiment sizing readout the A/B family
+# (cuped / sprt / did / ips) reads BEFORE collecting data; the normal
+# quantiles are literal constants of the contract.
+#
+# Replay contract: p and n are exact-count arithmetic; mde/n_required
+# are literal closed-form expressions (one sqrt) at the f32 boundary;
+# n_required is additionally ceil'd into an exact BIGINT on both
+# engines (ceil of a double is representation-stable at these
+# magnitudes).
+#
+# Scale shape: ONE map-combinable 5-row rollup; everything after is
+# row-local arithmetic on the 5-row frame.
+# --------------------------------------------------------------------------
+Z_ALPHA_2 = 1.9599639845400545  # Phi^-1(0.975)
+Z_BETA = 0.8416212335729143  # Phi^-1(0.8)
+AB_MDE_TARGET_LIFT = 0.02
+
+
+@CATALOG.query(
+    "ab_power_mde_by_priority",
+    oracle=f"""
+    WITH g AS (
+        SELECT o_orderpriority,
+               count(*) AS n_orders,
+               CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_filled
+        FROM orders GROUP BY 1
+    )
+    SELECT o_orderpriority,
+           n_orders, n_filled,
+           CAST(CAST(n_filled AS DOUBLE) / n_orders AS REAL) AS base_rate,
+           CAST(({Z_ALPHA_2} + {Z_BETA})
+                * sqrt(2.0 * (CAST(n_filled AS DOUBLE) / n_orders)
+                       * (1.0 - CAST(n_filled AS DOUBLE) / n_orders)
+                       / (CAST(n_orders AS DOUBLE) / 2.0)) AS REAL)
+               AS mde_abs,
+           CAST(ceil(({Z_ALPHA_2} + {Z_BETA}) * ({Z_ALPHA_2} + {Z_BETA})
+                * 2.0 * (CAST(n_filled AS DOUBLE) / n_orders)
+                * (1.0 - CAST(n_filled AS DOUBLE) / n_orders)
+                / ({AB_MDE_TARGET_LIFT} * {AB_MDE_TARGET_LIFT}))
+                AS BIGINT) AS n_required_per_arm
+    FROM g
+    """,
+)
+def ab_power_mde_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0))
+            .cast("long")
+            .alias("n_filled"),
+        )
+    )
+    p = F.col("n_filled").cast("double") / F.col("n_orders")
+    zsum = F.lit(Z_ALPHA_2 + Z_BETA)
+    mde = zsum * F.sqrt(
+        2.0 * p * (1.0 - p) / (F.col("n_orders").cast("double") / 2.0)
+    )
+    n_req = F.ceil(
+        zsum * zsum * 2.0 * p * (1.0 - p)
+        / F.lit(AB_MDE_TARGET_LIFT * AB_MDE_TARGET_LIFT)
+    )
+    return g.select(
+        "o_orderpriority",
+        "n_orders",
+        "n_filled",
+        f32(p).alias("base_rate"),
+        f32(mde).alias("mde_abs"),
+        n_req.cast("long").alias("n_required_per_arm"),
+    )
+
+
+# --------------------------------------------------------------------------
+# logreg_newton_returnflag — distributed LOGISTIC-REGRESSION TRAINING:
+# three Newton-Raphson (IRLS) rounds for P(returnflag = 'R') on
+# (1, l_discount, l_quantity / 50) over lineitem, from a zero init,
+# followed by a distributed scoring pass (train log-loss + accuracy at
+# 0.5). The model-TRAINING axis of the ML-primitive family (gini/tree
+# = induction, NB = counting, the rest = eval): each round is one
+# map-combinable 9-sum rollup (gradient + symmetric Hessian), a 3x3
+# Cramer solve on the driver, and nothing else — the k-means/pagerank
+# bounded-driver-state contract.
+#
+# Replay contract (the r11 f32-round pattern, plus one new trick): the
+# nine per-round sums are f32-QUANTIZED at the aggregation boundary
+# (absorbing summation order and per-row libm exp() ulps), and the
+# Cramer/Newton update is arithmetic on those f32 scalars whose
+# formula TEXT is generated from one template for BOTH engines
+# (_CRAMER_* below) — Python driver and DuckDB evaluate structurally
+# identical binary64 expressions, so the post-round f32 betas are
+# bit-equal and divergence cannot compound. Scoring-pass aggregates
+# cross at the f32 output boundary.
+#
+# Scale shape: per round, ONE whole-stage-codegen scan into a 9-value
+# partial-aggregated rollup (the shuffle carries 9 doubles per task);
+# driver state is 3 betas. The scoring pass is one more scan. No
+# window, no join, nothing vector-grain ever leaves the executors.
+# --------------------------------------------------------------------------
+LOGREG_ROUNDS = 3
+
+# one formula text, two engines: substitute either python variable
+# names or SQL column refs. H is symmetric: [[h00,h01,h02],
+# [h01,h11,h12],[h02,h12,h22]]; solve H * delta = g by Cramer.
+_CRAMER_DET = (
+    "({h00}) * (({h11}) * ({h22}) - ({h12}) * ({h12}))"
+    " - ({h01}) * (({h01}) * ({h22}) - ({h12}) * ({h02}))"
+    " + ({h02}) * (({h01}) * ({h12}) - ({h11}) * ({h02}))"
+)
+_CRAMER_D0 = (
+    "({g0}) * (({h11}) * ({h22}) - ({h12}) * ({h12}))"
+    " - ({h01}) * (({g1}) * ({h22}) - ({h12}) * ({g2}))"
+    " + ({h02}) * (({g1}) * ({h12}) - ({h11}) * ({g2}))"
+)
+_CRAMER_D1 = (
+    "({h00}) * (({g1}) * ({h22}) - ({h12}) * ({g2}))"
+    " - ({g0}) * (({h01}) * ({h22}) - ({h12}) * ({h02}))"
+    " + ({h02}) * (({h01}) * ({g2}) - ({g1}) * ({h02}))"
+)
+_CRAMER_D2 = (
+    "({h00}) * (({h11}) * ({g2}) - ({g1}) * ({h12}))"
+    " - ({h01}) * (({h01}) * ({g2}) - ({g1}) * ({h02}))"
+    " + ({g0}) * (({h01}) * ({h12}) - ({h11}) * ({h02}))"
+)
+
+
+def _logreg_oracle() -> str:
+    """Unroll LOGREG_ROUNDS Newton rounds as chained CTEs; each round's
+    sums CTE f32-quantizes the nine aggregates and each solve CTE runs
+    the shared Cramer formula text, f32-quantizing the updated betas."""
+    names = {k: k for k in
+             ("h00", "h01", "h02", "h11", "h12", "h22", "g0", "g1", "g2")}
+    det = _CRAMER_DET.format(**names)
+    d0, d1, d2 = (t.format(**names) for t in
+                  (_CRAMER_D0, _CRAMER_D1, _CRAMER_D2))
+    parts = ["WITH feat AS (\n"
+             "    SELECT CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END"
+             " AS y,\n"
+             "           l_discount AS x1, l_quantity / 50.0 AS x2\n"
+             "    FROM lineitem\n"
+             "), b0 AS (SELECT CAST(0.0 AS REAL) AS b0,"
+             " CAST(0.0 AS REAL) AS b1, CAST(0.0 AS REAL) AS b2)"]
+    prev = "b0"
+    for r in range(1, LOGREG_ROUNDS + 1):
+        parts.append(f""", s{r} AS (
+        SELECT
+            CAST(sum(y - p) AS REAL) AS g0,
+            CAST(sum((y - p) * x1) AS REAL) AS g1,
+            CAST(sum((y - p) * x2) AS REAL) AS g2,
+            CAST(sum(p * (1.0 - p)) AS REAL) AS h00,
+            CAST(sum(p * (1.0 - p) * x1) AS REAL) AS h01,
+            CAST(sum(p * (1.0 - p) * x2) AS REAL) AS h02,
+            CAST(sum(p * (1.0 - p) * x1 * x1) AS REAL) AS h11,
+            CAST(sum(p * (1.0 - p) * x1 * x2) AS REAL) AS h12,
+            CAST(sum(p * (1.0 - p) * x2 * x2) AS REAL) AS h22
+        FROM (
+            SELECT y, x1, x2,
+                   1.0 / (1.0 + exp(-(CAST(b.b0 AS DOUBLE)
+                       + CAST(b.b1 AS DOUBLE) * x1
+                       + CAST(b.b2 AS DOUBLE) * x2))) AS p
+            FROM feat CROSS JOIN {prev} b
+        ) t
+    ), q{r} AS (
+        SELECT CAST(g0 AS DOUBLE) AS g0, CAST(g1 AS DOUBLE) AS g1,
+               CAST(g2 AS DOUBLE) AS g2, CAST(h00 AS DOUBLE) AS h00,
+               CAST(h01 AS DOUBLE) AS h01, CAST(h02 AS DOUBLE) AS h02,
+               CAST(h11 AS DOUBLE) AS h11, CAST(h12 AS DOUBLE) AS h12,
+               CAST(h22 AS DOUBLE) AS h22
+        FROM s{r}
+    ), b{r} AS (
+        SELECT CAST(CAST(b.b0 AS DOUBLE) + ({d0}) / ({det}) AS REAL) AS b0,
+               CAST(CAST(b.b1 AS DOUBLE) + ({d1}) / ({det}) AS REAL) AS b1,
+               CAST(CAST(b.b2 AS DOUBLE) + ({d2}) / ({det}) AS REAL) AS b2
+        FROM q{r} CROSS JOIN {prev} b
+    )""")
+        prev = f"b{r}"
+    parts.append(f"""
+    SELECT count(*) AS n_rows,
+           CAST(b.b0 AS REAL) AS beta0,
+           CAST(b.b1 AS REAL) AS beta1,
+           CAST(b.b2 AS REAL) AS beta2,
+           CAST(avg(-(y * ln(p) + (1.0 - y) * ln(1.0 - p))) AS REAL)
+               AS train_logloss,
+           CAST(CAST(sum(CASE WHEN (CASE WHEN p > 0.5 THEN 1.0 ELSE 0.0 END)
+                                    = y THEN 1 ELSE 0 END) AS DOUBLE)
+                / count(*) AS REAL) AS train_accuracy
+    FROM (
+        SELECT y,
+               1.0 / (1.0 + exp(-(CAST(b.b0 AS DOUBLE)
+                   + CAST(b.b1 AS DOUBLE) * x1
+                   + CAST(b.b2 AS DOUBLE) * x2))) AS p,
+               b.b0, b.b1, b.b2
+        FROM feat CROSS JOIN {prev} b
+    ) sc CROSS JOIN {prev} b
+    GROUP BY b.b0, b.b1, b.b2
+    """)
+    return "".join(parts)
+
+
+@CATALOG.query("logreg_newton_returnflag", oracle=_logreg_oracle())
+def logreg_newton_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np  # noqa: PLC0415
+
+    feat = _t(spark, sf_dir, "lineitem").select(
+        F.when(F.col("l_returnflag") == "R", 1.0).otherwise(0.0).alias("y"),
+        F.col("l_discount").alias("x1"),
+        (F.col("l_quantity") / 50.0).alias("x2"),
+    )
+
+    def q32(v: float) -> float:
+        return float(np.float32(v))
+
+    b = (0.0, 0.0, 0.0)
+    for _ in range(LOGREG_ROUNDS):
+        p = F.lit(1.0) / (
+            F.lit(1.0)
+            + F.exp(
+                -(
+                    F.lit(b[0])
+                    + F.lit(b[1]) * F.col("x1")
+                    + F.lit(b[2]) * F.col("x2")
+                )
+            )
+        )
+        w = p * (F.lit(1.0) - p)
+        r = feat.agg(
+            f32(F.sum(F.col("y") - p)).alias("g0"),
+            f32(F.sum((F.col("y") - p) * F.col("x1"))).alias("g1"),
+            f32(F.sum((F.col("y") - p) * F.col("x2"))).alias("g2"),
+            f32(F.sum(w)).alias("h00"),
+            f32(F.sum(w * F.col("x1"))).alias("h01"),
+            f32(F.sum(w * F.col("x2"))).alias("h02"),
+            f32(F.sum(w * F.col("x1") * F.col("x1"))).alias("h11"),
+            f32(F.sum(w * F.col("x1") * F.col("x2"))).alias("h12"),
+            f32(F.sum(w * F.col("x2") * F.col("x2"))).alias("h22"),
+        ).first()
+        # binary64 Cramer solve on the f32 scalars — the SAME formula
+        # text the oracle evaluates (template above), so the update is
+        # bit-identical cross-engine
+        env = {k: float(r[k]) for k in r.asDict()}
+        det = eval(_CRAMER_DET.format(**{k: k for k in env}), {}, env)  # noqa: S307
+        d0 = eval(_CRAMER_D0.format(**{k: k for k in env}), {}, env)  # noqa: S307
+        d1 = eval(_CRAMER_D1.format(**{k: k for k in env}), {}, env)  # noqa: S307
+        d2 = eval(_CRAMER_D2.format(**{k: k for k in env}), {}, env)  # noqa: S307
+        b = (
+            q32(b[0] + d0 / det),
+            q32(b[1] + d1 / det),
+            q32(b[2] + d2 / det),
+        )
+
+    p = F.lit(1.0) / (
+        F.lit(1.0)
+        + F.exp(
+            -(
+                F.lit(b[0])
+                + F.lit(b[1]) * F.col("x1")
+                + F.lit(b[2]) * F.col("x2")
+            )
+        )
+    )
+    pred = F.when(p > 0.5, 1.0).otherwise(0.0)
+    return feat.agg(
+        F.count("*").alias("n_rows"),
+        f32(F.lit(b[0])).alias("beta0"),
+        f32(F.lit(b[1])).alias("beta1"),
+        f32(F.lit(b[2])).alias("beta2"),
+        f32(
+            F.avg(
+                -(
+                    F.col("y") * F.log(p)
+                    + (F.lit(1.0) - F.col("y")) * F.log(F.lit(1.0) - p)
+                )
+            )
+        ).alias("train_logloss"),
+        f32(
+            F.sum(F.when(pred == F.col("y"), 1).otherwise(0)).cast("double")
+            / F.count("*")
+        ).alias("train_accuracy"),
+    )

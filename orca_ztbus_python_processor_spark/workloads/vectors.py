@@ -1474,3 +1474,105 @@ def embedding_effective_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
             "participation_ratio"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# jl_projection_distortion — Johnson-Lindenstrauss random-projection
+# audit: project every 64-dim embedding to 16 dims with a FIXED
+# md5-derived Rademacher (+-1) sign matrix (Achlioptas construction)
+# and emit, per vector, the original L2 norm and the squared-norm
+# distortion ratio ||Rx||^2 / (k * ||x||^2) — the quantity JL bounds
+# promise concentrates near 1. The dimension-reduction design audit
+# the embedding family lacks (PCA = data-dependent axes; this is the
+# data-OBLIVIOUS projection a 100 TB pipeline uses when covariance is
+# too expensive): read the ratio spread, pick the target dimension.
+#
+# Replay contract: the sign matrix is generated at import from
+# md5("i:j") parity (hashlib) and EMBEDDED AS LITERALS in both the
+# Spark expression and the oracle SQL — both engines fold the same
+# +-1 literals against the same doubles; dot products differ at most
+# in summation-order ulps, absorbed at the f32 output boundary. The
+# d = 64 source dimension is part of the query contract (as with
+# pca_top_component's fixture contract).
+#
+# Scale shape: entirely ROW-LOCAL — the projection is a per-row fold
+# against a broadcast-free literal matrix inside whole-stage codegen;
+# no explode, no join, no shuffle. Output is vector-grain, like
+# embedding_norms.
+# --------------------------------------------------------------------------
+JL_TARGET_DIM = 16
+JL_SOURCE_DIM = 64
+
+
+def _jl_sign(i: int, j: int) -> int:
+    import hashlib  # noqa: PLC0415
+
+    h = int(hashlib.md5(f"{i}:{j}".encode()).hexdigest()[:15], 16)
+    return 1 if h % 2 == 0 else -1
+
+
+_JL_SIGNS = [
+    [_jl_sign(i, j) for j in range(JL_SOURCE_DIM)]
+    for i in range(JL_TARGET_DIM)
+]
+_JL_SIGNS_SPARK = (
+    "array("
+    + ", ".join(
+        "array(" + ", ".join(f"{s}.0D" for s in row) + ")"
+        for row in _JL_SIGNS
+    )
+    + ")"
+)
+_JL_SIGNS_SQL = (
+    "["
+    + ", ".join(
+        "[" + ", ".join(f"{s}.0" for s in row) + "]" for row in _JL_SIGNS
+    )
+    + "]"
+)
+
+
+@CATALOG.query(
+    "jl_projection_distortion",
+    oracle=f"""
+    WITH base AS (
+        SELECT vec_id, CAST(label AS BIGINT) AS label,
+               CAST(embedding AS DOUBLE[]) AS emb
+        FROM embeddings
+    ), proj AS (
+        SELECT vec_id, label,
+               list_dot_product(emb, emb) AS norm2,
+               list_sum(list_transform({_JL_SIGNS_SQL},
+                   r -> power(list_dot_product(emb, r), 2))) AS pnorm2
+        FROM base
+    )
+    SELECT vec_id, label,
+           CAST(sqrt(norm2) AS REAL) AS l2_norm,
+           CAST(CASE WHEN norm2 > 0
+                THEN (pnorm2 / {JL_TARGET_DIM}.0) / norm2 END AS REAL)
+               AS distortion_ratio
+    FROM proj
+    """,
+)
+def jl_projection_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _emb(spark, sf_dir)
+    norm2 = F.aggregate(
+        F.col("emb"), F.lit(0.0), lambda acc, x: acc + x * x
+    )
+    pnorm2 = F.aggregate(
+        F.expr(
+            f"transform({_JL_SIGNS_SPARK},"
+            " r -> aggregate(zip_with(emb, r, (x, s) -> x * s),"
+            " cast(0.0 as double), (a, x) -> a + x))"
+        ),
+        F.lit(0.0),
+        lambda acc, p: acc + p * p,
+    )
+    return df.select(
+        "vec_id",
+        "label",
+        f32(F.sqrt(norm2)).alias("l2_norm"),
+        f32(
+            F.when(norm2 > 0, (pnorm2 / JL_TARGET_DIM) / norm2)
+        ).alias("distortion_ratio"),
+    )

@@ -99,6 +99,7 @@ def _run_tree(tree: str, sf: str, reps: int) -> dict[str, float]:
             sf,
             "--reps",
             str(reps),
+            *(["--queries", ",".join(QUERIES)]),
         ],
         capture_output=True,
         text=True,
@@ -122,7 +123,17 @@ def main() -> None:
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
     ap.add_argument("--reps", type=int, default=7)
     ap.add_argument("--measure-tree", default=None, help="internal")
+    ap.add_argument(
+        "--queries", default=None,
+        help="comma list overriding the default probe set",
+    )
+    ap.add_argument(
+        "--out", default="warm_probes_r11_regressions.json",
+        help="artifact filename under .benchmarks/",
+    )
     args = ap.parse_args()
+    if args.queries:
+        QUERIES[:] = [q for q in args.queries.split(",") if q]
 
     if args.measure_tree:
         _measure_tree(args.measure_tree, args.sf, args.reps)
@@ -183,8 +194,7 @@ def main() -> None:
         f"{len(QUERIES) - n_noise}/{len(QUERIES)} regression",
     }
     with open(
-        os.path.join(REPO_ROOT, ".benchmarks", "warm_probes_r11_regressions.json"),
-        "w",
+        os.path.join(REPO_ROOT, ".benchmarks", args.out), "w"
     ) as f:
         json.dump(out, f, indent=1, sort_keys=True)
     print(out["summary"])

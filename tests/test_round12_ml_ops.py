@@ -325,3 +325,154 @@ def test_km_matches_python_reference(spark):
         assert r["n_events"] == d
         assert r["n_censored"] == c
         assert r["km_survival"] == pytest.approx(surv, abs=1e-6)
+
+
+def test_anova2_matches_python_reference(spark, li):
+    gm = li["l_quantity"].mean()
+    am = li.groupby("l_returnflag")["l_quantity"].mean()
+    bm = li.groupby("l_linestatus")["l_quantity"].mean()
+    ssa = sum(
+        len(g) * (g["l_quantity"].mean() - gm) ** 2
+        for _, g in li.groupby("l_returnflag")
+    )
+    ssb = sum(
+        len(g) * (g["l_quantity"].mean() - gm) ** 2
+        for _, g in li.groupby("l_linestatus")
+    )
+    ssab = sum(
+        len(g) * (g["l_quantity"].mean() - am[a] - bm[b] + gm) ** 2
+        for (a, b), g in li.groupby(["l_returnflag", "l_linestatus"])
+    )
+    ssw = sum(
+        ((g["l_quantity"] - g["l_quantity"].mean()) ** 2).sum()
+        for _, g in li.groupby(["l_returnflag", "l_linestatus"])
+    )
+    n_cells = li.groupby(["l_returnflag", "l_linestatus"]).ngroups
+    df_a = li["l_returnflag"].nunique() - 1
+    df_b = li["l_linestatus"].nunique() - 1
+    df_ab = n_cells - df_a - df_b - 1
+    df_w = len(li) - n_cells
+    r = CATALOG.queries["anova2_qty_flag_status"](
+        spark, ORACLE_SF_DIR
+    ).collect()[0]
+    assert r["ss_flag"] == pytest.approx(ssa, rel=1e-5)
+    assert r["ss_status"] == pytest.approx(ssb, rel=1e-5)
+    assert r["ss_interaction"] == pytest.approx(ssab, rel=1e-4)
+    assert r["ss_within"] == pytest.approx(ssw, rel=1e-6)
+    assert (r["df_flag"], r["df_status"]) == (df_a, df_b)
+    assert (r["df_interaction"], r["df_within"]) == (df_ab, df_w)
+    assert r["f_flag"] == pytest.approx(
+        (ssa / df_a) / (ssw / df_w), rel=1e-5
+    )
+    assert r["f_interaction"] == pytest.approx(
+        (ssab / df_ab) / (ssw / df_w), rel=1e-4
+    )
+
+
+def test_paired_classifier_matches_python_reference(spark, li):
+    score = 1.0 / (
+        1.0 + np.exp(-(-3.0 + 30.0 * li["l_discount"] + 0.08 * li["l_quantity"]))
+    )
+    pa = (score.astype(np.float32) > np.float32(1.0 / 3.0)).astype(int)
+    pb = (li["l_quantity"] >= 25).astype(int)
+    y = li["y"]
+    n = len(li)
+    both = int(((pa == y) & (pb == y)).sum())
+    only_a = int(((pa == y) & (pb != y)).sum())
+    only_b = int(((pa != y) & (pb == y)).sum())
+    neither = int(((pa != y) & (pb != y)).sum())
+    agree = int((pa == pb).sum())
+    pa1, pb1 = pa.sum() / n, pb.sum() / n
+    pe = pa1 * pb1 + (1 - pa1) * (1 - pb1)
+    po = agree / n
+    r = CATALOG.queries["paired_classifier_agreement"](
+        spark, ORACLE_SF_DIR
+    ).collect()[0]
+    assert (r["n_both_correct"], r["n_only_a"]) == (both, only_a)
+    assert (r["n_only_b"], r["n_neither"]) == (only_b, neither)
+    assert r["accuracy_a"] == pytest.approx((both + only_a) / n, rel=1e-6)
+    assert r["accuracy_b"] == pytest.approx((both + only_b) / n, rel=1e-6)
+    assert r["mcnemar_chi2"] == pytest.approx(
+        (abs(only_a - only_b) - 1) ** 2 / (only_a + only_b), rel=1e-6
+    )
+    assert r["prediction_kappa"] == pytest.approx(
+        (po - pe) / (1 - pe), rel=1e-5
+    )
+
+
+def test_ab_power_matches_python_reference(spark):
+    orders = pd.read_parquet(f"{ORACLE_SF_DIR}/orders.parquet")
+    z = 1.9599639845400545 + 0.8416212335729143
+    got = {
+        r["o_orderpriority"]: r
+        for r in CATALOG.queries["ab_power_mde_by_priority"](
+            spark, ORACLE_SF_DIR
+        ).collect()
+    }
+    for prio, grp in orders.groupby("o_orderpriority"):
+        n = len(grp)
+        p = (grp["o_orderstatus"] == "F").mean()
+        mde = z * math.sqrt(2 * p * (1 - p) / (n / 2.0))
+        n_req = math.ceil(z * z * 2 * p * (1 - p) / (0.02 * 0.02))
+        r = got[prio]
+        assert r["n_orders"] == n
+        assert r["base_rate"] == pytest.approx(p, rel=1e-6)
+        assert r["mde_abs"] == pytest.approx(mde, rel=1e-6)
+        assert r["n_required_per_arm"] == n_req
+
+
+def test_jl_projection_matches_python_reference(spark):
+    from orca_ztbus_python_processor_spark.workloads.vectors import (
+        _JL_SIGNS,
+        JL_TARGET_DIM,
+    )
+
+    emb = pd.read_parquet(f"{ORACLE_SF_DIR}/embeddings.parquet")
+    signs = np.array(_JL_SIGNS, dtype=np.float64)  # k x d
+    got = {
+        r["vec_id"]: r
+        for r in CATALOG.queries["jl_projection_distortion"](
+            spark, ORACLE_SF_DIR
+        ).collect()
+    }
+    assert len(got) == len(emb)
+    # independently recompute for every vector
+    for _, row in emb.iterrows():
+        x = np.asarray(row["embedding"], dtype=np.float64)
+        norm2 = float(x @ x)
+        pnorm2 = float(((signs @ x) ** 2).sum())
+        r = got[row["vec_id"]]
+        assert r["l2_norm"] == pytest.approx(math.sqrt(norm2), rel=1e-6)
+        assert r["distortion_ratio"] == pytest.approx(
+            (pnorm2 / JL_TARGET_DIM) / norm2, rel=1e-5
+        )
+    # the sign matrix itself is balanced-ish (md5 parity): no row all
+    # one sign — a corrupted generator would skew every ratio
+    for srow in _JL_SIGNS:
+        assert -len(srow) < sum(srow) < len(srow)
+
+
+def test_logreg_matches_full_precision_newton(spark, li):
+    X = np.column_stack(
+        [np.ones(len(li)), li["l_discount"], li["l_quantity"] / 50.0]
+    )
+    y = li["y"].astype(float).to_numpy()
+    b = np.zeros(3)
+    for _ in range(3):
+        p = 1 / (1 + np.exp(-X @ b))
+        wv = p * (1 - p)
+        b = b + np.linalg.solve((X * wv[:, None]).T @ X, X.T @ (y - p))
+    p = 1 / (1 + np.exp(-X @ b))
+    logloss = float(-(y * np.log(p) + (1 - y) * np.log(1 - p)).mean())
+    acc = float(((p > 0.5) == y).mean())
+    r = CATALOG.queries["logreg_newton_returnflag"](
+        spark, ORACLE_SF_DIR
+    ).collect()[0]
+    assert r["n_rows"] == len(li)
+    # f32 round-boundary quantization vs full-precision float64 Newton:
+    # agreement to ~1e-5 relative is the designed envelope
+    assert r["beta0"] == pytest.approx(b[0], rel=1e-4)
+    assert r["beta1"] == pytest.approx(b[1], rel=1e-3)
+    assert r["beta2"] == pytest.approx(b[2], rel=1e-3, abs=1e-4)
+    assert r["train_logloss"] == pytest.approx(logloss, rel=1e-5)
+    assert r["train_accuracy"] == pytest.approx(acc, abs=1e-6)
