@@ -1576,3 +1576,36 @@ def test_stat_battery_single_bounded_rollup(spark, catalog):
         plan = _plan(spark, catalog.queries[name](spark, SMOKE_SF_DIR))
         assert "partial_sum" in plan or "partial_count" in plan, (name, plan)
         assert "SortMergeJoin" not in plan, (name, plan)
+
+
+def test_naive_bayes_model_joins_broadcast(spark, catalog):
+    """The three per-feature model joins and the priors cross join must
+    all be broadcast — the fact table never shuffles after the model
+    rollup (the round-12 NB scale contract)."""
+    plan = _plan(
+        spark, catalog.queries["naive_bayes_returnflag"](spark, SMOKE_SF_DIR)
+    )
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_gains_lift_model_join_broadcast(spark, catalog):
+    """The smoothed-cell score model joins into the test scan via
+    broadcast; deciles run on the range-partitioned rank machinery (no
+    corpus-grain unpartitioned sort — covered by the window lints)."""
+    plan = _plan(
+        spark, catalog.queries["gains_lift_deciles"](spark, SMOKE_SF_DIR)
+    )
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_jl_projection_plan_is_scan_only(spark, catalog):
+    """The JL projection is entirely row-local: no exchange other than
+    the parquet scan's output should appear — no join, no aggregate
+    shuffle, no window."""
+    plan = _plan(
+        spark, catalog.queries["jl_projection_distortion"](spark, SMOKE_SF_DIR)
+    )
+    for op in ("Join", "Window", "Exchange"):
+        assert op not in plan, (op, plan)
