@@ -24,6 +24,20 @@ two-pass distributed order statistic:
 
 Every stage is bounded by partition size or by the scalar counts
 matrix; nothing anywhere holds a whole group.
+
+Round-12 optimization (guide §1.2/§5): ``repartitionByRange`` executes
+TWO full evaluations of its child — the RangePartitioner's
+reservoir-sampling job scans every child row to draw bounds, then the
+shuffle itself evaluates the child again. Every operator here therefore
+pins the narrow ``(group, value)`` projection ONCE with a lazy
+``localCheckpoint`` before range-partitioning (the sampling job is the
+first action, so it is also the job that materializes the blocks): the caller's upstream
+(scan + joins + filters) runs exactly once, and both the sampling pass
+and the shuffle read the pinned narrow blocks. The price is one extra
+materialization of a 2-3-column frame (the same row volume the shuffle
+already moves); the win is never paying the upstream subtree twice —
+at 100 TB the upstream is a parquet scan + joins, strictly more
+expensive than re-reading narrow local blocks.
 """
 
 from __future__ import annotations
@@ -57,6 +71,10 @@ def exact_group_quantiles(
     src = (
         df.select(F.col(group_col).alias("g"), F.col(value_col).cast("double").alias("v"))
         .where(F.col("v").isNotNull())
+        # pin the narrow projection so the range sampler and the shuffle
+        # don't each re-run the caller's upstream (module docstring);
+        # lazy: the sampling job itself materializes the blocks
+        .localCheckpoint(eager=False)
     )
     nparts = max(spark.sparkContext.defaultParallelism, 2)
     s = src.repartitionByRange(nparts, "g", "v").localCheckpoint(eager=False)
@@ -150,6 +168,10 @@ def exact_group_rank_values(
     src = (
         df.select(F.col(group_col).alias("g"), F.col(value_col).cast("double").alias("v"))
         .where(F.col("v").isNotNull())
+        # pin the narrow projection so the range sampler and the shuffle
+        # don't each re-run the caller's upstream (module docstring);
+        # lazy: the sampling job itself materializes the blocks
+        .localCheckpoint(eager=False)
     )
     nparts = max(spark.sparkContext.defaultParallelism, 2)
     s = src.repartitionByRange(nparts, "g", "v").localCheckpoint(eager=False)
@@ -246,7 +268,11 @@ def group_prefix_sum(
     g_type = df.schema[group_col].dataType.simpleString()
     nparts = max(spark.sparkContext.defaultParallelism, 2)
     s = (
-        df.repartitionByRange(nparts, group_col, order_col)
+        # pin the input so the range sampler and the shuffle don't each
+        # re-run the caller's upstream (module docstring); lazy: the
+        # sampling job itself materializes the blocks
+        df.localCheckpoint(eager=False)
+        .repartitionByRange(nparts, group_col, order_col)
         .localCheckpoint(eager=False)
         .withColumn("_pid", F.spark_partition_id())
     )
@@ -312,6 +338,10 @@ def exact_weighted_quantiles(
             F.col(weight_col).cast("double").alias("w"),
         )
         .where(F.col("v").isNotNull() & F.col("w").isNotNull() & (F.col("w") > 0))
+        # pin the narrow projection so the range sampler and the shuffle
+        # don't each re-run the caller's upstream (module docstring);
+        # lazy: the sampling job itself materializes the blocks
+        .localCheckpoint(eager=False)
     )
     nparts = max(spark.sparkContext.defaultParallelism, 2)
     s = src.repartitionByRange(nparts, "v").localCheckpoint(eager=False)

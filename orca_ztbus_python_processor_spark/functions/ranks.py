@@ -49,7 +49,16 @@ def with_global_rank(
     """
     spark = df.sparkSession
     nparts = max(spark.sparkContext.defaultParallelism, 2)
-    s = df.repartitionByRange(nparts, *order_by).localCheckpoint(eager=False)
+    # Pin the input once (lazy localCheckpoint, materialized by the
+    # sampling job) before range partitioning: the RangePartitioner's
+    # sampling job and the shuffle each evaluate their child in full,
+    # so without the pin the caller's upstream (scan + joins) runs
+    # twice per call (functions/quantiles.py module docstring).
+    s = (
+        df.localCheckpoint(eager=False)
+        .repartitionByRange(nparts, *order_by)
+        .localCheckpoint(eager=False)
+    )
     s = s.withColumn("_pid", F.spark_partition_id())
 
     # Per-partition counts: n_partitions scalars — the only driver

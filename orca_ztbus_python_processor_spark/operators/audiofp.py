@@ -60,6 +60,7 @@ from orca_ztbus_python_processor_spark.operators.dedup import (
 __all__ = [
     "audiofp64",
     "audiofp_signatures",
+    "audiofp_signatures_from_docs",
     "audiofp_near_dups",
     "synthesize_audio_media",
     "wav_samples",
@@ -187,24 +188,59 @@ def synthesize_audio_media(docs: DataFrame) -> DataFrame:
             ids, fmts, payloads = [], [], []
             for doc_id in pdf["doc_id"]:
                 d = int(doc_id)
-                base, member = d // AUDIO_GROUP, d % AUDIO_GROUP
-                n = 1024 + 64 * (base % 7)
-                a = (
-                    _audio_base_samples(base, n) * _AUDIO_GAINS[member]
-                ).astype("<i2")
-                buf = io.BytesIO()
-                with wave.open(buf, "wb") as w:
-                    w.setnchannels(1)
-                    w.setsampwidth(2)
-                    w.setframerate(8000)
-                    w.writeframes(a.tobytes())
                 ids.append(d)
                 fmts.append("wav")
-                payloads.append(buf.getvalue())
+                payloads.append(_audio_payload(d))
             yield pd.DataFrame(
                 {"media_id": ids, "format": fmts, "payload": payloads}
             )
 
     return _spread(docs.select("doc_id")).mapInPandas(
         gen, schema="media_id long, format string, payload binary"
+    )
+
+
+def _audio_payload(d: int) -> bytes:
+    """One doc's synthesized WAV payload — the per-row body of
+    ``synthesize_audio_media``, shared with the fused signature path so
+    the two cannot drift."""
+    base, member = d // AUDIO_GROUP, d % AUDIO_GROUP
+    n = 1024 + 64 * (base % 7)
+    a = (_audio_base_samples(base, n) * _AUDIO_GAINS[member]).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(a.tobytes())
+    return buf.getvalue()
+
+
+def audiofp_signatures_from_docs(docs: DataFrame) -> DataFrame:
+    """Fused synthesize + fingerprint: ONE Arrow stage builds each WAV
+    payload and fingerprints it in-process, so PCM bytes never cross
+    the JVM boundary at all. The unfused
+    ``audiofp_signatures(synthesize_audio_media(docs))`` form shipped
+    every WAV Python→JVM, re-partitioned it, and shipped it back
+    Python-side — two Arrow crossings plus an exchange of the heaviest
+    column (guide §8). Byte-identical result: same ``_audio_payload``
+    encoder, same real byte-level ``wav_samples`` decode (parity pinned
+    in tests/test_round12_fused_media.py).
+
+    Output: ``media_id, afp`` — 8 bytes/clip leave the stage.
+    """
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, sigs = [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                ids.append(d)
+                sigs.append(audiofp64(wav_samples(_audio_payload(d))))
+            yield pd.DataFrame(
+                {"media_id": ids, "afp": np.array(sigs, dtype=np.int64)}
+            )
+
+    return _spread(docs.select("doc_id")).mapInPandas(
+        gen, schema="media_id long, afp long"
     )

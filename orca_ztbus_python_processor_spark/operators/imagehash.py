@@ -247,20 +247,7 @@ def synthesize_phash_media(docs: DataFrame) -> DataFrame:
             ids, fmts, payloads = [], [], []
             for doc_id in pdf["doc_id"]:
                 d = int(doc_id)
-                base, member = d // PHASH_GROUP, d % PHASH_GROUP
-                ht, wd = 12 + base % 7, 16 + base % 9
-                grey = _phash_base_pixels(base, ht, wd) + 3 * member
-                rgb = np.repeat(grey[:, :, None], 3, axis=2)
-                fmt = _PHASH_FORMATS[base % len(_PHASH_FORMATS)]
-                if fmt == "bmp":
-                    payload = _encode_bmp_rgb(rgb)
-                elif fmt == "ppm":
-                    payload = (
-                        f"P6\n{wd} {ht}\n255\n".encode() + rgb.tobytes()
-                    )
-                else:
-                    rows = [rgb[r].tobytes() for r in range(ht)]
-                    payload = _encode_png_rgb(rows, wd)
+                fmt, payload = _phash_payload(d)
                 ids.append(d)
                 fmts.append(fmt)
                 payloads.append(payload)
@@ -270,4 +257,56 @@ def synthesize_phash_media(docs: DataFrame) -> DataFrame:
 
     return _spread(docs.select("doc_id")).mapInPandas(
         gen, schema="media_id long, format string, payload binary"
+    )
+
+
+def _phash_payload(d: int) -> tuple[str, bytes]:
+    """One doc's synthesized (format, payload) — the per-row body of
+    ``synthesize_phash_media``, shared with the fused signature path so
+    the two cannot drift."""
+    base, member = d // PHASH_GROUP, d % PHASH_GROUP
+    ht, wd = 12 + base % 7, 16 + base % 9
+    grey = _phash_base_pixels(base, ht, wd) + 3 * member
+    rgb = np.repeat(grey[:, :, None], 3, axis=2)
+    fmt = _PHASH_FORMATS[base % len(_PHASH_FORMATS)]
+    if fmt == "bmp":
+        payload = _encode_bmp_rgb(rgb)
+    elif fmt == "ppm":
+        payload = f"P6\n{wd} {ht}\n255\n".encode() + rgb.tobytes()
+    else:
+        rows = [rgb[r].tobytes() for r in range(ht)]
+        payload = _encode_png_rgb(rows, wd)
+    return fmt, payload
+
+
+def phash_signatures_from_docs(docs: DataFrame) -> DataFrame:
+    """Fused synthesize + fingerprint: ONE Arrow stage builds each
+    payload and hashes it in-process, so payload bytes never cross the
+    JVM boundary at all. The unfused
+    ``phash_signatures(synthesize_phash_media(docs))`` form shipped
+    every encoded image Python→JVM, re-partitioned it, and shipped it
+    back Python-side — two Arrow crossings plus an exchange of the
+    heaviest column for zero analytical value (guide §8: move heavy
+    opaque payloads zero times when only their hash travels on).
+    Byte-identical result: same ``_phash_payload`` encoders, same real
+    byte-level ``decode_image_raster`` path (parity pinned in
+    tests/test_round12_fused_media.py).
+
+    Output: ``media_id, phash`` — 8 bytes/image leave the stage.
+    """
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, sigs = [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                fmt, payload = _phash_payload(d)
+                ids.append(d)
+                sigs.append(phash64(decode_image_raster(fmt, payload)))
+            yield pd.DataFrame(
+                {"media_id": ids, "phash": np.array(sigs, dtype=np.int64)}
+            )
+
+    return _spread(docs.select("doc_id")).mapInPandas(
+        gen, schema="media_id long, phash long"
     )

@@ -93,15 +93,22 @@ def pagerank(
 
     # transition weight src->dst, pinned once for all iterations; the
     # out-weight side is node-sized, so it broadcasts under the same
-    # threshold as the ranks.
+    # threshold as the ranks. Pinned via repartition("dst") + persist(),
+    # NOT localCheckpoint: LogicalRDD drops outputPartitioning, which
+    # re-inserted a full edge-grain Exchange under EVERY iteration's
+    # groupBy(dst) — with HashPartitioning(dst) in the cache, each
+    # iteration is broadcast-join + in-place aggregation, ZERO
+    # exchanges (round-12; the same device copurchase_label_propagation
+    # documents for its src-keyed rounds).
     ow = F.broadcast(out_w) if small else out_w
     trans = (
         sym.join(ow, "src")
         .select("src", "dst", (F.col("weight") / F.col("out_w")).alias("p"))
-        .localCheckpoint(eager=False)
+        .repartition("dst")
+        .persist()
     )
     ranks = out_w.select(F.col("src").alias("node"), F.lit(1.0 / n).alias("rank"))
-    for _ in range(iters):
+    for i in range(iters):
         rank_side = F.broadcast(ranks) if small else ranks
         contrib = (
             trans.join(rank_side, trans.src == rank_side.node)
@@ -116,5 +123,11 @@ def pagerank(
         ranks = contrib.select(
             F.col("dst").alias("node"),
             new_rank.alias("rank"),
-        ).localCheckpoint(eager=False)
+        ).localCheckpoint(eager=i == iters - 1)
+        # The LAST iteration checkpoints EAGERLY so the edge cache can
+        # be released before returning — a CacheManager entry would
+        # otherwise pin executor storage for the rest of the session
+        # (the LPA round-8 finding); intermediate rounds stay lazy (the
+        # next round's broadcast build materializes them).
+    trans.unpersist()
     return ranks

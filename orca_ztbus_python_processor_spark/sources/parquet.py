@@ -105,6 +105,22 @@ def normalize_events_ts(df: DataFrame, is_nanos: bool) -> DataFrame:
     return df.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
+# Per-session memo of ANALYZED table DataFrames. A DataFrame here is a
+# lazy plan (file listing + parquet footer schema resolved once) — NO
+# data or results are cached; every action still scans the parquet
+# files in full. ``spark.read.parquet`` costs ~90 ms per call even warm
+# (DataSource resolution: listing, footer schema read, analysis RPCs),
+# which a query engine serving a catalog pays once per table per
+# session, not once per query (round-12 optimization; the same
+# metadata-caching posture as Spark's own catalog tables /
+# FileStatusCache). Keyed by (application id, resolved file path,
+# file size, file mtime_ns): a fixture rewritten in place — the scale
+# scripts and tests do this — re-resolves instead of serving a stale
+# file snapshot, and a new Spark application never sees another
+# session's plans.
+_TABLE_MEMO: dict[tuple, DataFrame] = {}
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one corpus table, normalizing physical-type quirks.
 
@@ -123,10 +139,31 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
     ensure_engine_confs(spark)
     path = table_path(sf_dir, name)
+    try:
+        f = _sniff_file(path)
+        st = os.stat(f)
+        key = (
+            spark.sparkContext.applicationId,
+            os.path.realpath(path),
+            st.st_size,
+            st.st_mtime_ns,
+        )
+    except OSError:
+        key = None  # unstat-able path: let spark.read surface the error
+    if key is not None:
+        memo = _TABLE_MEMO.get(key)
+        if memo is not None:
+            return memo
     if name == "events":
         df = normalize_events_ts(spark.read.parquet(path), events_ts_is_nanos(sf_dir))
-        return df.select("event_id", "ts", "user_id", "event_type", "value", "props")
-    return spark.read.parquet(path)
+        df = df.select("event_id", "ts", "user_id", "event_type", "value", "props")
+    else:
+        df = spark.read.parquet(path)
+    if key is not None:
+        if len(_TABLE_MEMO) > 256:  # bound growth across many fixtures
+            _TABLE_MEMO.clear()
+        _TABLE_MEMO[key] = df
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:

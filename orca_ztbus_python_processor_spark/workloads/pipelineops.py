@@ -623,16 +623,23 @@ def text_dedup_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _docs(spark, sf_dir).select("doc_id", "source", "text")
-    hashed = docs.where(F.length("text") > 0).select(
-        F.sha2(F.col("text"), 256).alias("h"), "doc_id"
+    # pinned: hashed feeds the group rollup AND the dup-expansion join —
+    # one sha256 pass over the corpus instead of two (round-12)
+    hashed = (
+        docs.where(F.length("text") > 0)
+        .select(F.sha2(F.col("text"), 256).alias("h"), "doc_id")
+        .localCheckpoint(eager=False)
     )
     groups = hashed.groupBy("h").agg(
         F.min("doc_id").alias("rep_id"), F.count("*").alias("n")
     )
+    # pinned: extra feeds the representative anti-join AND the final
+    # rep attribution — dup-mass-sized, computed once
     extra = (
         hashed.join(groups.where(F.col("n") > 1), "h")
         .where(F.col("doc_id") != F.col("rep_id"))
         .select("doc_id", "rep_id")
+        .localCheckpoint(eager=False)
     )
     reps = docs.join(extra.select("doc_id"), "doc_id", "left_anti")
     pairs = minhash_near_dups(reps, threshold=0.5)
@@ -1050,13 +1057,13 @@ def image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         PHASH_GROUP,
         _PHASH_FORMATS,
         phash_near_dups,
-        phash_signatures,
-        synthesize_phash_media,
+        phash_signatures_from_docs,
     )
 
     docs = _docs(spark, sf_dir)
-    media = synthesize_phash_media(docs)
-    sigs = phash_signatures(media)
+    # fused synth+hash: payload bytes never cross the JVM boundary
+    # (round-12; parity pinned in tests/test_round12_fused_media.py)
+    sigs = phash_signatures_from_docs(docs)
     pairs = phash_near_dups(sigs, max_hamming=3)
     comp = connected_components(pairs.select("id_a", "id_b"))
     # every image keeps a cluster id: its component if it paired,
@@ -1126,11 +1133,10 @@ def image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @CATALOG.query("image_phash_bit_balance")
 def image_phash_bit_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     from orca_ztbus_python_processor_spark.operators.imagehash import (  # noqa: PLC0415
-        phash_signatures,
-        synthesize_phash_media,
+        phash_signatures_from_docs,
     )
 
-    sigs = phash_signatures(synthesize_phash_media(_docs(spark, sf_dir)))
+    sigs = phash_signatures_from_docs(_docs(spark, sf_dir))
     bits = sigs.select(
         F.explode(
             F.array(
@@ -1237,12 +1243,12 @@ def image_decontam_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
         PHASH_GROUP,
         _PHASH_FORMATS,
         phash_near_dups,
-        phash_signatures,
-        synthesize_phash_media,
+        phash_signatures_from_docs,
     )
 
     docs = _docs(spark, sf_dir)
-    sigs = phash_signatures(synthesize_phash_media(docs))
+    # fused synth+hash (round-12, see image_phash_dedup)
+    sigs = phash_signatures_from_docs(docs)
     pairs = phash_near_dups(sigs, max_hamming=3)
     is_bench_a = F.col("id_a") % IMG_DECONTAM_MOD == 0
     is_bench_b = F.col("id_b") % IMG_DECONTAM_MOD == 0
@@ -1311,16 +1317,16 @@ def audio_fp_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from orca_ztbus_python_processor_spark.operators.audiofp import (  # noqa: PLC0415
         AUDIO_GROUP,
         audiofp_near_dups,
-        audiofp_signatures,
-        synthesize_audio_media,
+        audiofp_signatures_from_docs,
     )
     from orca_ztbus_python_processor_spark.operators.dedup import (  # noqa: PLC0415
         connected_components,
     )
 
     docs = _docs(spark, sf_dir)
-    media = synthesize_audio_media(docs)
-    sigs = audiofp_signatures(media)
+    # fused synth+fingerprint: PCM bytes never cross the JVM boundary
+    # (round-12; parity pinned in tests/test_round12_fused_media.py)
+    sigs = audiofp_signatures_from_docs(docs)
     pairs = audiofp_near_dups(sigs, max_hamming=3)
     comp = connected_components(pairs.select("id_a", "id_b"))
     # every clip keeps a cluster id: its component if it paired, itself
@@ -1378,11 +1384,10 @@ def audio_fp_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @CATALOG.query("audio_fp_bit_balance")
 def audio_fp_bit_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     from orca_ztbus_python_processor_spark.operators.audiofp import (  # noqa: PLC0415
-        audiofp_signatures,
-        synthesize_audio_media,
+        audiofp_signatures_from_docs,
     )
 
-    sigs = audiofp_signatures(synthesize_audio_media(_docs(spark, sf_dir)))
+    sigs = audiofp_signatures_from_docs(_docs(spark, sf_dir))
     bits = sigs.select(
         F.explode(
             F.array(
@@ -1528,12 +1533,12 @@ def audio_decontam_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     from orca_ztbus_python_processor_spark.operators.audiofp import (  # noqa: PLC0415
         AUDIO_GROUP,
         audiofp_near_dups,
-        audiofp_signatures,
-        synthesize_audio_media,
+        audiofp_signatures_from_docs,
     )
 
     docs = _docs(spark, sf_dir)
-    sigs = audiofp_signatures(synthesize_audio_media(docs))
+    # fused synth+fingerprint (round-12, see audio_fp_dedup)
+    sigs = audiofp_signatures_from_docs(docs)
     pairs = audiofp_near_dups(sigs, max_hamming=3)
     is_bench_a = F.col("id_a") % IMG_DECONTAM_MOD == 0
     is_bench_b = F.col("id_b") % IMG_DECONTAM_MOD == 0

@@ -1036,21 +1036,27 @@ def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         parent: DataFrame,
         parent_key: str,
     ) -> DataFrame:
-        # one LAZY row per constraint: total and orphan counts are both
-        # 1-row aggregates cross-joined (never a driver-side .count()),
-        # so the whole audit stays a single distributed plan.
-        total = child.agg(F.count("*").alias("n_child_rows"))
-        orphans = (
-            child.select(child_key)
-            .join(
-                parent.select(parent_key),
-                F.col(child_key) == F.col(parent_key),
-                "left_anti",
-            )
-            .agg(F.count("*").alias("n_orphans"))
-        )
+        # one LAZY row per constraint, ONE child pass (round-12): a
+        # left join against the DISTINCT parent keys yields the total
+        # (count of all rows — distinct keys cannot fan a child row
+        # out) and the orphan count (parent key NULL) from the same
+        # scan; the previous total-agg + anti-join shape scanned every
+        # child table twice (15 scans at the census, 10 now).
         return (
-            total.crossJoin(orphans)
+            child.select(F.col(child_key).alias("_ck"))
+            .join(
+                parent.select(F.col(parent_key).alias("_pk")).distinct(),
+                F.col("_ck") == F.col("_pk"),
+                "left",
+            )
+            .agg(
+                F.count("*").alias("n_child_rows"),
+                # coalesce: sum over an EMPTY child is NULL, the old
+                # anti-join count was 0 — keep the 0
+                F.coalesce(
+                    F.sum(F.col("_pk").isNull().cast("long")), F.lit(0)
+                ).alias("n_orphans"),
+            )
             .select(
                 F.lit(name).alias("constraint_name"),
                 "n_child_rows",
@@ -5354,7 +5360,9 @@ def naive_bayes_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = train.agg(
         (F.sum("y") / 3).alias("n_pos"),
         ((F.count("*") - F.sum("y")) / 3).alias("n_neg"),
-    )
+        # pinned: referenced by the model AND the priors — without the
+        # pin each reference re-ran the train-half corpus rollup
+    ).localCheckpoint(eager=False)
     model = (
         vocab.join(traincnt, ["feature", "value"], "left")
         .join(vf, "feature")
@@ -5375,6 +5383,12 @@ def naive_bayes_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("lp_neg"),
         )
+        # pin the vocabulary-sized model: the three per-feature mdl()
+        # slices below each referenced it, and Catalyst does not CSE
+        # duplicate subtrees — without the pin the plan re-ran the
+        # corpus stack + distinct + train rollup once per feature
+        # (17 Exchanges at the round-12 census; one corpus pass now)
+        .localCheckpoint(eager=False)
     )
     priors = tot.select(
         f32(
@@ -5593,11 +5607,18 @@ def tree_depth2_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def gains(subset: DataFrame) -> DataFrame:
         stacked = subset.select(F.expr(stack_expr), y.alias("y"))
-        tot = stacked.agg(
-            (F.count("*") / 3).alias("n"), (F.sum("y") / 3).alias("pos")
+        cells = (
+            stacked.groupBy("feature", "value")
+            .agg(F.count("*").alias("n_left"), F.sum("y").alias("pos_left"))
+            # pinned: feeds the totals rollup AND the gain projection —
+            # and the totals now derive FROM the cell rollup (every
+            # stacked row lands in exactly one cell), so each gains()
+            # pass scans the subset ONCE instead of twice (round-12)
+            .localCheckpoint(eager=False)
         )
-        cells = stacked.groupBy("feature", "value").agg(
-            F.count("*").alias("n_left"), F.sum("y").alias("pos_left")
+        tot = cells.agg(
+            (F.sum("n_left") / 3).alias("n"),
+            (F.sum("pos_left") / 3).alias("pos"),
         )
         n, pos = F.col("n"), F.col("pos")
         nl, pl = F.col("n_left"), F.col("pos_left")
@@ -6132,8 +6153,12 @@ def km_repurchase_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bydur = obs.groupBy("dur").agg(
         F.sum("ev").alias("d"), F.sum(1 - F.col("ev")).alias("c")
-    )
-    total = obs.agg(F.count("*").alias("n_total"))
+        # pinned: feeds the KM fold AND the total (which now derives
+        # from the duration rollup — every obs row lands in exactly one
+        # dur cell), so the orders scan + customer window run once
+        # instead of twice (round-12 census: 4 scans -> 2)
+    ).localCheckpoint(eager=False)
+    total = bydur.agg(F.sum(F.col("d") + F.col("c")).alias("n_total"))
     prior = W.orderBy("dur").rowsBetween(W.unboundedPreceding, -1)
     upto = W.orderBy("dur").rowsBetween(W.unboundedPreceding, W.currentRow)
     n_risk = F.col("n_total") - F.coalesce(
@@ -6243,12 +6268,21 @@ def km_repurchase_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def anova2_qty_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
-    cells = li.groupBy(
-        F.col("l_returnflag").alias("a"), F.col("l_linestatus").alias("b")
-    ).agg(
-        F.count("*").alias("n"),
-        F.sum("l_quantity").alias("s"),
-        F.sum(F.col("l_quantity") * F.col("l_quantity")).alias("ss"),
+    cells = (
+        li.groupBy(
+            F.col("l_returnflag").alias("a"), F.col("l_linestatus").alias("b")
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("l_quantity").alias("s"),
+            F.sum(F.col("l_quantity") * F.col("l_quantity")).alias("ss"),
+        )
+        # pin the ~6-row cell rollup: it feeds EIGHT downstream branches
+        # (ga/gb/g/na/nb/enriched/ssa/ssb) and Catalyst does not CSE
+        # duplicate subtrees, so without the pin the final plan re-ran
+        # the corpus scan + rollup once per branch — 24 Exchanges at the
+        # round-12 census; with it, ONE corpus pass (guide §2.4)
+        .localCheckpoint(eager=False)
     )
     ga = cells.groupBy("a").agg(
         F.sum("n").alias("n_a"), F.sum("s").alias("s_a")

@@ -930,7 +930,9 @@ def cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     texts = docs.select(
         "source", F.lit("text").alias("grain"), F.md5(F.col("text")).alias("h")
     )
-    hashed = spans.unionByName(texts).distinct()
+    # pinned: both self-join legs read the distinct hash set — one
+    # tokenize + md5 + distinct pass instead of two (round-12 census)
+    hashed = spans.unionByName(texts).distinct().localCheckpoint(eager=False)
     a = hashed.select(F.col("source").alias("source_a"), "grain", "h")
     b = hashed.select(F.col("source").alias("source_b"), "grain", "h")
     return (
@@ -1809,7 +1811,10 @@ def token_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         (F.col("pos0") + 1).alias("pos"),
         F.lower(F.col("raw")).alias("tok"),
-    )
+        # pinned: four consumers (unigrams, total, both bigram join
+        # legs) — one regexp tokenize pass instead of four (round-12;
+        # the one-tokenize-pass discipline)
+    ).localCheckpoint(eager=False)
     uni = toks.groupBy("tok").agg(F.count("*").alias("c"))
     n_total = toks.agg(F.count("*").alias("n"))
     nxt = toks.select(
@@ -2911,6 +2916,14 @@ def benchmark_decontam_13gram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("g")
         .distinct()
         .withColumn("_hit", F.lit(1))
+        # pin the distinct bench-gram set (lazy localCheckpoint): the
+        # count fence below is its first action and materializes the
+        # blocks, so the probe join re-reads them instead of re-running
+        # the bench-slice tokenize+gram+distinct subtree a second time
+        # (round-12; the stored set is bounded by the held-out slice's
+        # distinct-gram mass — the same bound the broadcast fence
+        # already relies on)
+        .localCheckpoint(eager=False)
     )
     train = grams.where(F.col("doc_id") % DECONTAM_BENCH_MOD != 0)
     n_bench = bench.count()
@@ -3015,6 +3028,9 @@ def decontam_chunk_localization(spark: SparkSession, sf_dir: str) -> DataFrame:
         grams.where(F.col("doc_id") % DECONTAM_LOC_MOD == 0)
         .select("h")
         .distinct()
+        # pin the distinct bench-hash set so the count fence's pass is
+        # reused by the probe join (see benchmark_decontam_13gram)
+        .localCheckpoint(eager=False)
     )
     n_bench = bench.count()
     probe = (

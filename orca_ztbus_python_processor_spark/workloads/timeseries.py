@@ -1484,7 +1484,9 @@ def mad_outlier_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dev = ev.join(F.broadcast(med), "event_type").select(
         "event_type", "med", F.abs(F.col("value") - F.col("med")).alias("absdev")
-    )
+        # pinned: feeds the MAD rollup AND the outlier census — one
+        # scan + broadcast-join pass instead of two (round-12 census)
+    ).localCheckpoint(eager=False)
     mad = dev.groupBy("event_type").agg(
         F.percentile("absdev", F.lit(0.5)).alias("mad")
     )
@@ -2993,10 +2995,16 @@ def value_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def funnel_time_constrained(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir).select("user_id", "event_type", "ts")
+    # v feeds FOUR branches (c, stages, entry) and c feeds two (p,
+    # stages); pinned (lazy localCheckpoint) so each user-grain stage
+    # frame is computed once instead of re-scanning events per branch
+    # (7 parquet scans at the round-12 census, 1 now — the user-grain
+    # frames are far smaller than the event corpus at any scale)
     v = (
         ev.where(F.col("event_type") == "view")
         .groupBy("user_id")
         .agg(F.min("ts").alias("t_view"))
+        .localCheckpoint(eager=False)
     )
     c = (
         ev.where(F.col("event_type") == "click")
@@ -3007,6 +3015,7 @@ def funnel_time_constrained(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("user_id")
         .agg(F.min("ts").alias("t_click"))
+        .localCheckpoint(eager=False)
     )
     p = (
         ev.where(F.col("event_type") == "purchase")
@@ -4486,7 +4495,14 @@ def _kmv_pair_estimates(typed: DataFrame) -> DataFrame:
 )
 def kmv_overlap_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     est = _kmv_pair_estimates(_kmv_user_type_summaries(spark, sf_dir))
-    dx = _events(spark, sf_dir).select("event_type", "user_id").distinct()
+    # pinned: dx feeds cnt and BOTH self-join legs — one distinct pass
+    # instead of three events scans (round-12 census)
+    dx = (
+        _events(spark, sf_dir)
+        .select("event_type", "user_id")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     cnt = dx.groupBy("event_type").agg(F.count("*").alias("nd"))
     a = dx.select(F.col("event_type").alias("type_a"), "user_id")
     b = dx.select(F.col("event_type").alias("type_b"), "user_id")
@@ -4800,16 +4816,24 @@ def conformal_threshold_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         exact_group_rank_value,
     )
 
+    # Pin the filtered scan once (lazy localCheckpoint): ev feeds the
+    # center machinery, the score pass and nothing else re-reads the
+    # parquet (round-12: three scans -> one scan + block reads).
     ev = (
         _events(spark, sf_dir)
         .where(F.col("value").isNotNull())
         .select("event_type", "event_id", "value")
+        .localCheckpoint(eager=False)
     )
     center = exact_group_rank_value(
         ev, "event_type", "value", lambda n: math.ceil(n / 2.0), out_col="med"
     ).select("event_type", "med")
-    scored = ev.join(F.broadcast(center), "event_type").select(
-        "event_type", F.abs(F.col("value") - F.col("med")).alias("s")
+    # scored feeds BOTH the threshold machinery and the final coverage
+    # rollup — pin it so the broadcast join + abs runs once.
+    scored = (
+        ev.join(F.broadcast(center), "event_type")
+        .select("event_type", F.abs(F.col("value") - F.col("med")).alias("s"))
+        .localCheckpoint(eager=False)
     )
     thr = exact_group_rank_value(
         scored,

@@ -420,8 +420,15 @@ def kmeans_embedding_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         kmeans_fit,
     )
 
+    # Pin the parsed embeddings for the whole Lloyd trajectory: the
+    # operator otherwise re-scans the parquet + re-crosses the Arrow
+    # boundary SEVEN times per run (init collect, 5 iteration passes,
+    # final assignment). Standard Lloyd practice (MLlib caches its
+    # training set); the k-row profile below is eagerly checkpointed so
+    # the cache releases before returning (the LPA round-8 discipline).
+    emb = _emb(spark, sf_dir).persist()
     assigned, centers = kmeans_fit(
-        _emb(spark, sf_dir), k=KMEANS_K, iters=KMEANS_ITERS, quantize_f32=True
+        emb, k=KMEANS_K, iters=KMEANS_ITERS, quantize_f32=True
     )
     center_norm = {
         j: float(sum(x * x for x in c)) ** 0.5 for j, c in enumerate(centers)
@@ -430,7 +437,7 @@ def kmeans_embedding_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array(*[F.lit(center_norm[j]) for j in range(KMEANS_K)]),
         F.col("cluster") + 1,
     )
-    return (
+    result = (
         assigned.groupBy("cluster")
         .agg(
             F.count("*").alias("size"),
@@ -442,7 +449,10 @@ def kmeans_embedding_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             f32(F.col("mean_sq_dist")).alias("mean_sq_dist"),
             f32(norm_col).alias("center_norm"),
         )
+        .localCheckpoint(eager=True)
     )
+    emb.unpersist()
+    return result
 
 
 # --------------------------------------------------------------------------
@@ -1291,6 +1301,9 @@ def embedding_batch_centroid_drift(
         eb.select("batch", F.posexplode("emb").alias("dim", "v"))
         .groupBy("batch", "dim")
         .agg(F.sum("v").alias("s"), F.count("*").alias("n"))
+        # pinned: feeds both the global-centroid rollup and the
+        # per-batch projection — one explode pass instead of two
+        .localCheckpoint(eager=False)
     )
     g = cells.groupBy("dim").agg(
         (F.sum("s") / F.sum("n")).alias("gx")
@@ -1429,7 +1442,11 @@ def embedding_effective_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     label_cells = partials.groupBy("label", "i", "j").agg(
         F.sum("s2").alias("s2"), F.sum("s1").alias("s1"), F.sum("n").alias("n")
-    )
+        # pinned: the |labels| x d^2 cell frame feeds FOUR downstream
+        # branches (cells, pooled, n_of, both mean slices); without the
+        # pin each branch re-ran the Arrow gram pass over the corpus —
+        # 8 ArrowEval nodes at the round-12 census, one now
+    ).localCheckpoint(eager=False)
     # pooled grain from the label cells — moments are additive
     pooled = label_cells.groupBy("i", "j").agg(
         F.sum("s2").alias("s2"), F.sum("s1").alias("s1"), F.sum("n").alias("n")

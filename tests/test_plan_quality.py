@@ -531,12 +531,20 @@ def test_zorder_profile_two_exchanges_no_python(spark, catalog):
     assert "CartesianProduct" not in plan, plan
 
 
-def test_referential_audit_all_anti_joins(spark, catalog):
-    """Every constraint is a LeftAnti with the parent reduced to its
-    key column — never an outer join + null filter over the fact."""
+def test_referential_audit_single_pass_per_constraint(spark, catalog):
+    """Every constraint is ONE left join of the child against its
+    parent's DISTINCT key (total + orphan counts from the same scan —
+    the round-12 rework of the total-agg + anti-join shape, which
+    scanned every child table twice), and no constraint degrades to a
+    SortMergeJoin. Five constraints -> exactly five outer joins and no
+    second per-child aggregate scan."""
     plan = _plan(spark, catalog.queries["referential_integrity_audit"](spark, SMOKE_SF_DIR))
-    assert plan.count("LeftAnti") >= 5, plan
+    assert plan.count("LeftOuter") >= 5, plan
+    assert "LeftAnti" not in plan, plan
     assert "SortMergeJoin" not in plan, plan
+    # one scan per child per constraint: 5 children + 5 parents = 10
+    # (formatted explain lists each scan twice — tree + details)
+    assert plan.count("Scan parquet") <= 20, plan
 
 
 def test_scan_splittability_conf_splits_multi_rowgroup_files(spark, tmp_path):
