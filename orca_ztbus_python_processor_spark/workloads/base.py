@@ -437,6 +437,38 @@ _RESAMPLE_R12 = frozenset({
     "conformal_threshold_by_type", "sequence_packing_profile",
     "markov_stationary_behavior", "pca_top_component",
     "bpe_learn_merges",
+    # Round-12 OPTIMIZATION restructures (results verified identical
+    # against the DuckDB oracle locally; forced so fresh driver
+    # evidence covers the new plans):
+    # - referential_integrity_audit: total+anti-join per constraint
+    #   fused into one left join vs distinct parent keys.
+    # - tree_depth2_returnflag / km_repurchase_survival: totals now
+    #   derive from the pinned cell rollup instead of a second pass.
+    # - source_qq_drift: per-source + global deciles in ONE
+    #   exact_group_quantiles call via a sentinel global group.
+    # - customer_value_deciles / weighted_price_quantiles /
+    #   heaps_vocab_growth: representative users of the range-partition
+    #   machinery's new pinned-input single-evaluation path.
+    # - benchmark_decontam_13gram / decontam_chunk_localization: the
+    #   count fence's bench-gram set is pinned and reused by the probe
+    #   join (was evaluated twice).
+    # - copurchase_pagerank_topk: transition table pinned
+    #   repartition(dst)+persist, zero-exchange iterations.
+    # - kmeans_embedding_profile: Lloyd input persisted for the
+    #   trajectory, released via the eager-checkpointed profile.
+    # - the six media-fingerprint queries (rows-only): fused
+    #   single-Arrow-stage synth+fingerprint (payload never crosses
+    #   the JVM); exact-signature parity pinned in
+    #   tests/test_round12_fused_media.py.
+    "referential_integrity_audit", "tree_depth2_returnflag",
+    "km_repurchase_survival", "source_qq_drift",
+    "customer_value_deciles", "weighted_price_quantiles",
+    "heaps_vocab_growth", "benchmark_decontam_13gram",
+    "decontam_chunk_localization", "copurchase_pagerank_topk",
+    "kmeans_embedding_profile",
+    "audio_fp_dedup", "audio_decontam_fp", "audio_fp_bit_balance",
+    "image_phash_dedup", "image_decontam_phash",
+    "image_phash_bit_balance",
 })
 
 _DRIVER_VERIFIED = (

@@ -2743,20 +2743,26 @@ def source_qq_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _docs(spark, sf_dir).select("source", "n_chars")
-    per_src = exact_group_quantiles(docs, "source", "n_chars", QQ_DECILES)
-    glob = exact_group_quantiles(
-        docs.withColumn("_g", F.lit(1)), "_g", "n_chars", QQ_DECILES
+    # ONE machinery invocation for per-source AND global deciles: the
+    # global grain rides a sentinel group over a unioned copy of the
+    # rows (exact order statistics of the union == global), so the
+    # range-partition + counts-collect + pick pipeline runs once
+    # instead of twice (round-12; the sentinel can't collide with a
+    # real source because source is a bare word in this corpus)
+    both = docs.unionByName(
+        docs.select(F.lit("\x00__global__").alias("source"), "n_chars")
     )
+    q_all = exact_group_quantiles(both, "source", "n_chars", QQ_DECILES)
     stack_src = ", ".join(
         f"{int(q * 100)}, p{int(q * 100)}" for q in QQ_DECILES
     )
-    sl = per_src.select(
+    sl = q_all.where(F.col("source") != "\x00__global__").select(
         "source",
         F.expr(
             f"stack({len(QQ_DECILES)}, {stack_src}) AS (pct, source_value)"
         ),
     )
-    gl = glob.select(
+    gl = q_all.where(F.col("source") == "\x00__global__").select(
         F.expr(
             f"stack({len(QQ_DECILES)}, {stack_src}) AS (pct, global_value)"
         )
