@@ -1,4 +1,4 @@
-"""Distributed EXACT quantiles without a per-group single-reducer
+"""Distributed EXACT order statistics without a per-group single-reducer
 buffer (SURVEY.md §2 A7/A8 at corpus grain).
 
 ``F.percentile`` / ``F.median`` are exact but their aggregation buffer
@@ -6,42 +6,46 @@ gathers every value of a group onto one task — the right trade at
 per-key grain (groups of ~60 rows), a scale wall at corpus grain
 (3 groups x 10^11 rows at 100 TB; measured 15x wall at 10x data on the
 sf1 fixture). ``approx_percentile`` is the sketch path when error is
-acceptable; this module is the EXACT corpus-grain path, the classic
-two-pass distributed order statistic:
+acceptable; this module is the EXACT corpus-grain path.
 
-  1. range-repartition (group, value) and pin the layout
-     (lazy ``localCheckpoint``, the same device ``connected_components``
-     uses) so partition ids are stable across passes;
-  2. count rows per (partition, group) — a scalar-sized driver
-     exchange (n_partitions x n_groups), from which the driver computes
-     each target rank's (partition, local_rank) address;
-  3. one hash-partitioned window by (partition, group) assigns local
-     ranks — each window cell is bounded by PARTITION size, never group
-     size — and a broadcast join picks the addressed rows;
-  4. linear interpolation between the two bracketing ranks, exactly
-     pandas/DuckDB ``quantile_cont`` semantics: v_lo + frac*(v_hi-v_lo)
-     at rank q*(n-1).
+Round-13 engine (guide §1.2/§2.4): ITERATIVE HISTOGRAM SELECTION — the
+classic distributed selection algorithm (bisection on value range with
+per-bucket counts), replacing round 11/12's range-repartition +
+per-partition-window addressing:
 
-Every stage is bounded by partition size or by the scalar counts
-matrix; nothing anywhere holds a whole group.
+  1. one map-combinable pass per group: count, min, max — n_groups
+     scalars to the driver (guarded, see ``_MAX_GROUPS``);
+  2. per refinement pass, ONE map-combinable aggregation computes, for
+     every unresolved (group, value-interval), a B-bucket histogram of
+     (count, exact min, exact max) — n_intervals x B scalars to the
+     driver, never rows. The driver walks each histogram's cumulative
+     counts to locate the bucket holding each target rank;
+  3. a bucket whose min == max IS the answer (ties collapse); a bucket
+     with <= ``_COLLECT_LIMIT`` rows is fetched and finished exactly on
+     the driver; anything larger refines over [bucket_min, bucket_max]
+     (each pass cuts the candidate value range by ~B, so doubles
+     converge in <= ~6 passes; 1 pass + 1 bounded fetch is typical).
 
-Round-12 optimization (guide §1.2/§5): ``repartitionByRange`` executes
-TWO full evaluations of its child — the RangePartitioner's
-reservoir-sampling job scans every child row to draw bounds, then the
-shuffle itself evaluates the child again. Every operator here therefore
-pins the narrow ``(group, value)`` projection ONCE with a lazy
-``localCheckpoint`` before range-partitioning (the sampling job is the
-first action, so it is also the job that materializes the blocks): the caller's upstream
-(scan + joins + filters) runs exactly once, and both the sampling pass
-and the shuffle read the pinned narrow blocks. The price is one extra
-materialization of a 2-3-column frame (the same row volume the shuffle
-already moves); the win is never paying the upstream subtree twice —
-at 100 TB the upstream is a parquet scan + joins, strictly more
-expensive than re-reading narrow local blocks.
+Versus the range-shuffle form this removes, per invocation: the
+RangePartitioner sampling job, a full shuffle of every row, two
+``localCheckpoint`` pins (the executor-loss fragility VERDICT r12 #4
+flagged), and a per-partition window sort. What remains is 2-4 scans
+of the narrow input with tiny aggregation traffic — at 100 TB the
+bytes that cross the network drop from "the whole column, once" to
+"n_intervals x B scalars per pass". Results are EXACTLY the values at
+the requested ranks of the sorted multiset — bit-identical to the old
+form (same doubles picked, same interpolation arithmetic), verified
+caller-by-caller against the DuckDB oracle.
+
+Inputs containing NaN/±Inf values (which break value-range bisection)
+fall back to the proven range-shuffle forms kept below — a
+deterministic, data-dependent routing, decided by the same pass-1
+aggregate either path needs.
 """
 
 from __future__ import annotations
 
+import bisect
 import math
 from collections import defaultdict
 
@@ -50,6 +54,189 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from orca_ztbus_python_processor_spark.functions.stats import f32
+
+# Histogram buckets per (group, interval) per refinement pass. Partial
+# aggregation state per map task is bounded by n_intervals x B cells of
+# (count, min, max); driver traffic per pass is the same. 4096 splits a
+# 10^11-row group under _COLLECT_LIMIT in two passes.
+_HIST_BUCKETS = 4096
+# A candidate interval at or under this row count is fetched to the
+# driver (Arrow toPandas — a few MB) and finished exactly (sorted
+# pick); larger intervals refine through another histogram pass.
+_COLLECT_LIMIT = 131072
+# Total fetched rows per invocation; intervals past the budget refine
+# instead, so driver memory stays bounded whatever the target count.
+_FETCH_BUDGET = 4_000_000
+# Driver-collect cardinality guard (VERDICT r12 #5): pass 1 collects
+# one row per group, so a high-cardinality group column would build a
+# driver-sized result. Every declared caller is low-cardinality
+# (priorities, event types, sources); anything past this bound is a
+# misuse of corpus-grain machinery, not a workload.
+_MAX_GROUPS = 100_000
+# Bisection on IEEE doubles cuts the representable range by ~B per
+# pass; 20 passes is unreachable without NaN/Inf (routed out in pass
+# 1) — a hard stop against an undiscovered degeneracy, not a tunable.
+_MAX_HIST_PASSES = 20
+
+
+def _check_group_guard(n_groups: int, where: str) -> None:
+    if n_groups > _MAX_GROUPS:
+        raise ValueError(
+            f"{where}: {n_groups} distinct groups exceeds the driver-collect "
+            f"guard ({_MAX_GROUPS}). This operator computes corpus-grain "
+            "order statistics for LOW-cardinality groups; for entity-grain "
+            "keys use a per-key aggregate (F.percentile) instead."
+        )
+
+
+def _interval_case(intervals: dict, value_expr) -> object:
+    """WHEN-chain mapping each row to ``iid * B + bucket`` (long) for
+    the interval containing it, NULL outside every interval — a pure
+    codegen expression, so the histogram/fetch passes carry no join,
+    no broadcast and no driver-built DataFrame (each of those costs a
+    visible fraction of a small job's wall)."""
+    B = _HIST_BUCKETS
+    expr = None
+    for iid, (g, lo, hi, _ab, _t) in intervals.items():
+        cond = F.col("g").eqNullSafe(F.lit(g)) & F.col("v").between(
+            F.lit(lo), F.lit(hi)
+        )
+        cell = F.lit(iid * B) + F.least(
+            F.floor((F.col("v") - F.lit(lo)) / (F.lit(hi) - F.lit(lo)) * B),
+            F.lit(B - 1),
+        ).cast("long") if value_expr else F.lit(iid).cast("long")
+        expr = F.when(cond, cell) if expr is None else expr.when(cond, cell)
+    return expr
+
+
+def _hist_rank_select(
+    src: DataFrame,
+    rank_sets: dict,
+) -> dict:
+    """Exact values at requested ranks per group via iterative histogram
+    selection (module docstring).
+
+    ``src``: columns ``g`` (any atomic type, no NULL-group targets
+    needed — NULL groups simply get no entry) and ``v`` (double,
+    non-NULL, finite — caller verifies via its pass-1 stats).
+    ``rank_sets``: {g: (n, min, max, {rank, ...})} with 1-indexed ranks
+    in [1, n_g].
+
+    Returns {(g, rank): (value, n_below, n_eq)} where ``value`` is the
+    exact double at that rank of the group's ascending sorted multiset,
+    ``n_below`` the count of group rows strictly below it and ``n_eq``
+    the count equal to it (every row of one value lands in one bucket,
+    so both counts are exact whichever path resolves the target).
+    """
+    B = _HIST_BUCKETS
+
+    # interval state: iid -> [g, lo, hi, abs_below, targets]
+    # targets: list of (local_rank 1-indexed within interval, group rank)
+    pending: dict[int, list] = {}
+    resolved: dict = {}
+    to_fetch: dict[int, list] = {}
+    fetch_rows = 0
+    next_iid = 0
+
+    def _settle(g, lo, hi, count, abs_below, targets) -> None:
+        """Route an interval: resolved / fetch / refine."""
+        nonlocal next_iid, fetch_rows
+        if lo == hi:
+            # single-value interval: all `count` rows equal `lo`
+            for _lr, gr in targets:
+                resolved[(g, gr)] = (lo, abs_below, count)
+            return
+        if count <= _COLLECT_LIMIT and fetch_rows + count <= _FETCH_BUDGET:
+            fetch_rows += count
+            to_fetch[next_iid] = [g, lo, hi, abs_below, targets]
+        else:
+            pending[next_iid] = [g, lo, hi, abs_below, targets]
+        next_iid += 1
+
+    for g, info in rank_sets.items():
+        n, mn, mx, ranks = info
+        if not ranks:
+            continue
+        _settle(g, mn, mx, n, 0, sorted((r, r) for r in ranks))
+
+    passes = 0
+    while pending:
+        passes += 1
+        if passes > _MAX_HIST_PASSES:
+            raise RuntimeError(
+                "histogram selection failed to converge "
+                f"({_MAX_HIST_PASSES} passes) — NaN/Inf should have been "
+                "routed to the shuffle fallback"
+            )
+        current, pending = pending, {}
+        cells = (
+            src.select(_interval_case(current, True).alias("_cell"), "v")
+            .where(F.col("_cell").isNotNull())
+            .groupBy("_cell")
+            .agg(
+                F.count("*").alias("_c"),
+                F.min("v").alias("_mn"),
+                F.max("v").alias("_mx"),
+            )
+            .toPandas()
+        )
+        per_iv: dict[int, list] = defaultdict(list)
+        for cell, c, mnb, mxb in zip(
+            cells["_cell"], cells["_c"], cells["_mn"], cells["_mx"]
+        ):
+            per_iv[int(cell) // B].append(
+                (int(cell) % B, int(c), float(mnb), float(mxb))
+            )
+        for iid, (g, lo, hi, abs_below, targets) in current.items():
+            buckets = sorted(per_iv[iid])
+            cum = 0
+            ti = 0  # targets sorted by local rank
+            for _b, c, mnb, mxb in buckets:
+                picked = []
+                while ti < len(targets) and targets[ti][0] <= cum + c:
+                    lr, gr = targets[ti]
+                    picked.append((lr - cum, gr))
+                    ti += 1
+                if picked:
+                    _settle(g, mnb, mxb, c, abs_below + cum, picked)
+                cum += c
+
+    if to_fetch:
+        pdf = (
+            src.select(_interval_case(to_fetch, False).alias("_iid"), "v")
+            .where(F.col("_iid").isNotNull())
+            .toPandas()
+        )
+        for iid, (g, lo, hi, abs_below, targets) in to_fetch.items():
+            vs = pdf.loc[pdf["_iid"] == iid, "v"].to_numpy()
+            vs.sort()
+            for lr, gr in targets:
+                v = float(vs[lr - 1])
+                # n strictly below = first index holding v (ties collapse)
+                left = int(bisect.bisect_left(vs, v))
+                resolved[(g, gr)] = (
+                    v,
+                    abs_below + left,
+                    int(bisect.bisect_right(vs, v)) - left,
+                )
+    return resolved
+
+
+def _group_value_stats(src: DataFrame) -> list:
+    """Pass 1: per-group (n, min, max, n_nonfinite) — the only
+    unconditional driver traffic, one map-combinable aggregation."""
+    return (
+        src.groupBy("g")
+        .agg(
+            F.count("v").alias("n"),
+            F.min("v").alias("mn"),
+            F.max("v").alias("mx"),
+            F.sum(
+                (F.isnan("v") | (F.abs(F.col("v")) == float("inf"))).cast("long")
+            ).alias("bad"),
+        )
+        .collect()
+    )
 
 
 def exact_group_quantiles(
@@ -63,25 +250,306 @@ def exact_group_quantiles(
     Output: one row per group — ``<group_col>, n, p<q*100>...`` with
     float32-cast quantile values (hash-stable across engines). NULL
     values are excluded, matching SQL ``quantile_cont`` /
-    ``F.percentile``. Group column may be any atomic type (its DDL
-    type is propagated into the driver-built target/total frames).
+    ``F.percentile``; a NULL group yields no output row (join
+    semantics of the original form). Group column may be any atomic
+    type. Linear interpolation at rank q*(n-1), exactly
+    pandas/DuckDB ``quantile_cont``: (1-frac)*v_lo + frac*v_hi.
     """
     spark = df.sparkSession
     g_type = df.schema[group_col].dataType.simpleString()
     src = (
         df.select(F.col(group_col).alias("g"), F.col(value_col).cast("double").alias("v"))
         .where(F.col("v").isNotNull())
-        # pin the narrow projection so the range sampler and the shuffle
-        # don't each re-run the caller's upstream (module docstring);
-        # lazy: the sampling job itself materializes the blocks
+    )
+    stats = _group_value_stats(src)
+    _check_group_guard(len(stats), "exact_group_quantiles")
+    if any(r["bad"] for r in stats):
+        return _exact_group_quantiles_shuffle(df, group_col, value_col, qs)
+
+    rank_sets: dict = {}
+    picks: dict = {}  # g -> list of (q, lo_rank, hi_rank, frac)
+    for r in stats:
+        g, n = r["g"], r["n"]
+        if g is None:
+            continue  # NULL group: dropped, as in the join form
+        ranks = set()
+        gp = []
+        for q in qs:
+            rk = q * (n - 1)
+            lo, hi = math.floor(rk), math.ceil(rk)
+            frac = rk - lo
+            ranks.add(lo + 1)
+            ranks.add(hi + 1)
+            gp.append((q, lo + 1, hi + 1, frac))
+        rank_sets[g] = (n, r["mn"], r["mx"], ranks)
+        picks[g] = (n, gp)
+
+    sel = _hist_rank_select(src, rank_sets)
+    rows = []
+    for g, (n, gp) in picks.items():
+        out = [g, n]
+        for q, lo, hi, frac in gp:
+            v_lo = sel[(g, lo)][0]
+            if hi == lo:
+                out.append(1.0 * v_lo)
+            else:
+                v_hi = sel[(g, hi)][0]
+                # same two-term IEEE sum as the old agg form
+                out.append((1.0 - frac) * v_lo + frac * v_hi)
+        rows.append(tuple(out))
+    p_names = [f"p{int(round(q * 100))}" for q in qs]
+    schema = f"g {g_type}, n long, " + ", ".join(f"{p} double" for p in p_names)
+    return spark.createDataFrame(rows, schema).select(
+        F.col("g").alias(group_col), "n", *[f32(F.col(p)).alias(p) for p in p_names]
+    )
+
+
+def exact_group_rank_values(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    ranks_of_n,
+) -> DataFrame:
+    """Exact per-group ORDER-STATISTIC values, distributed — the
+    explicit-rank sibling of ``exact_group_quantiles`` (no
+    interpolation): ``ranks_of_n(n)`` maps a group's non-NULL count to
+    ``{label: 1-indexed rank}``; the output carries, per group, the
+    value at each labeled rank under the ascending value order. The
+    value at a rank of a sorted multiset is deterministic regardless of
+    tie order, so no tiebreak column is needed even when values repeat.
+    A rank outside [1, n] (or None) yields NULL for that label — the
+    same corner semantics as a SQL ``max(CASE WHEN rn = k ...)`` whose
+    k exceeds n (conformal's k > n corner). A NULL group yields a row
+    with ``n`` and all labels NULL (left-join semantics of the
+    original form).
+
+    Output: one row per group — ``<group_col>, n, <label>...`` with
+    raw double values (callers cast at their own f32 boundary). Label
+    order follows the first group's dict; every group must yield the
+    same label set.
+    """
+    spark = df.sparkSession
+    g_type = df.schema[group_col].dataType.simpleString()
+    src = (
+        df.select(F.col(group_col).alias("g"), F.col(value_col).cast("double").alias("v"))
+        .where(F.col("v").isNotNull())
+    )
+    stats = _group_value_stats(src)
+    _check_group_guard(len(stats), "exact_group_rank_values")
+    if any(r["bad"] for r in stats):
+        return _exact_group_rank_values_shuffle(df, group_col, value_col, ranks_of_n)
+
+    labels = None
+    rank_sets: dict = {}
+    grmaps: dict = {}
+    for r in stats:
+        g, n = r["g"], r["n"]
+        rmap = ranks_of_n(n)
+        if labels is None:
+            labels = list(rmap)
+        elif list(rmap) != labels:
+            raise ValueError(f"inconsistent rank labels: {list(rmap)} vs {labels}")
+        grmaps[g] = (n, rmap)
+        if g is None:
+            continue  # no selection; row still emitted with NULL labels
+        ranks = {
+            int(rank)
+            for rank in rmap.values()
+            if rank is not None and 1 <= int(rank) <= n
+        }
+        rank_sets[g] = (n, r["mn"], r["mx"], ranks)
+
+    sel = _hist_rank_select(src, rank_sets)
+    rows = []
+    for g, (n, rmap) in grmaps.items():
+        out = [g, n]
+        for label in labels or []:
+            rank = rmap[label]
+            if g is None or rank is None or not (1 <= int(rank) <= n):
+                out.append(None)
+            else:
+                out.append(sel[(g, int(rank))][0])
+        rows.append(tuple(out))
+    schema = f"g {g_type}, n long" + "".join(f", {lbl} double" for lbl in (labels or []))
+    return spark.createDataFrame(rows, schema).select(
+        F.col("g").alias(group_col), "n", *(labels or [])
+    )
+
+
+def exact_group_rank_value(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    rank_of_n,
+    out_col: str = "v_at_rank",
+) -> DataFrame:
+    """Single-rank convenience wrapper over ``exact_group_rank_values``:
+    output ``<group_col>, n, <out_col>``."""
+    return exact_group_rank_values(
+        df, group_col, value_col, lambda n: {out_col: rank_of_n(n)}
+    )
+
+
+def exact_weighted_quantiles(
+    df: DataFrame,
+    value_col: str,
+    weight_col: str,
+    qs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.9, 0.99),
+) -> DataFrame:
+    """Exact WEIGHTED quantiles, distributed — quantile q is the
+    smallest value whose cumulative weight reaches ``q * total_weight``
+    (the lower weighted quantile — the definition both engines can
+    state identically, so results hash-match; with integer-valued
+    weights every cumulative sum is exact in doubles regardless of
+    summation order).
+
+    Histogram-selection path (module docstring) for integer-valued
+    weights: per-bucket weight sums locate the crossing bucket, the
+    bounded fetch finishes exactly (ties share their cumulative weight
+    — RANGE-frame semantics — because equal values are summed before
+    comparison). Fractional weights fall back to the range-shuffle
+    form, whose epsilon analysis covers their summation-order error.
+
+    Output: ``q (double), wq (float32 value), total_weight (double)``.
+    """
+    spark = df.sparkSession
+    src = (
+        df.select(
+            F.col(value_col).cast("double").alias("v"),
+            F.col(weight_col).cast("double").alias("w"),
+        )
+        .where(F.col("v").isNotNull() & F.col("w").isNotNull() & (F.col("w") > 0))
+    )
+    st = src.agg(
+        F.count("*").alias("n"),
+        F.sum("w").alias("tw"),
+        F.min("v").alias("mn"),
+        F.max("v").alias("mx"),
+        F.max(F.abs(F.col("w") - F.round(F.col("w")))).alias("frac"),
+        F.sum(
+            (
+                F.isnan("v")
+                | (F.abs(F.col("v")) == float("inf"))
+                | F.isnan("w")
+                | (F.abs(F.col("w")) == float("inf"))
+            ).cast("long")
+        ).alias("bad"),
+    ).first()
+    out_schema = "q double, wq float, total_weight double"
+    if not st["n"]:
+        return spark.createDataFrame([], out_schema)
+    if st["bad"] or float(st["frac"] or 0.0) != 0.0:
+        return _exact_weighted_quantiles_shuffle(df, value_col, weight_col, qs)
+
+    total_w = float(st["tw"])
+    # integral weights: cumulative sums exact in doubles (n * w <= 2^53
+    # for any realistic corpus), so selection is exact with eps = 0.
+    targets = sorted((float(q) * total_w, float(q)) for q in qs)
+
+    B = _HIST_BUCKETS
+    # interval state: (lo, hi, base_cum_w, targets=[(local_target_w, q)])
+    pending = [(float(st["mn"]), float(st["mx"]), [(t, q) for t, q in targets])]
+    answers: dict[float, float] = {}
+    passes = 0
+    while pending:
+        lo, hi, tgts = pending.pop()
+        if lo == hi:
+            for _t, q in tgts:
+                answers[q] = lo
+            continue
+        passes += 1
+        if passes > _MAX_HIST_PASSES:
+            raise RuntimeError("weighted histogram selection failed to converge")
+        b = F.least(
+            F.floor((F.col("v") - F.lit(lo)) / (F.lit(hi) - F.lit(lo)) * B),
+            F.lit(B - 1),
+        ).cast("int")
+        cells = sorted(
+            (r["_b"], r["_c"], r["_sw"], r["_mn"], r["_mx"])
+            for r in src.where(F.col("v").between(F.lit(lo), F.lit(hi)))
+            .groupBy(b.alias("_b"))
+            .agg(
+                F.count("*").alias("_c"),
+                F.sum("w").alias("_sw"),
+                F.min("v").alias("_mn"),
+                F.max("v").alias("_mx"),
+            )
+            .collect()
+        )
+        cum = 0.0
+        ti = 0
+        for _b, c, sw, mnb, mxb in cells:
+            picked = []
+            while ti < len(tgts) and tgts[ti][0] <= cum + sw:
+                picked.append((tgts[ti][0] - cum, tgts[ti][1]))
+                ti += 1
+            if picked:
+                if mnb == mxb:
+                    for _t, q in picked:
+                        answers[q] = mnb
+                elif c <= _COLLECT_LIMIT:
+                    pdf = (
+                        src.where(F.col("v").between(F.lit(mnb), F.lit(mxb)))
+                        .select("v", "w")
+                        .toPandas()
+                    )
+                    by_v: dict[float, float] = defaultdict(float)
+                    for vv, ww in zip(pdf["v"], pdf["w"]):
+                        by_v[float(vv)] += float(ww)
+                    cw = 0.0
+                    vi = 0
+                    vs = sorted(by_v.items())
+                    for t_local, q in picked:
+                        while vi < len(vs) and cw + vs[vi][1] < t_local:
+                            cw += vs[vi][1]
+                            vi += 1
+                        answers[q] = vs[vi][0]
+                else:
+                    pending.append((mnb, mxb, picked))
+            cum += sw
+        # float-rounding tail: a target can be left unpicked only if it
+        # exceeds the interval's total cumulative weight; integral
+        # weights make cum exact, so any leftover target belongs to the
+        # last non-empty bucket (defensive; unreachable on this path).
+        while ti < len(tgts):
+            lastb = cells[-1]
+            pending.append((lastb[3], lastb[4], [(lastb[2], tgts[ti][1])]))
+            ti += 1
+
+    rows = [(q, answers[q], total_w) for q in [float(q) for q in qs]]
+    return spark.createDataFrame(rows, out_schema).select(
+        "q", f32(F.col("wq")).alias("wq"), "total_weight"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Range-shuffle forms (rounds 11-12) — kept as the NaN/Inf and
+# fractional-weight fallbacks. Two-pass partition-offset addressing:
+# range-repartition, per-(partition, group) counts to the driver, one
+# window bounded by PARTITION size, broadcast target join. See git
+# history for the full derivation; the lazy localCheckpoints pin the
+# narrow projection so the RangePartitioner's sampling job and the
+# shuffle don't each re-run the caller's upstream.
+# ---------------------------------------------------------------------------
+
+
+def _exact_group_quantiles_shuffle(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    qs: tuple[float, ...] = (0.25, 0.5, 0.75),
+) -> DataFrame:
+    spark = df.sparkSession
+    g_type = df.schema[group_col].dataType.simpleString()
+    src = (
+        df.select(F.col(group_col).alias("g"), F.col(value_col).cast("double").alias("v"))
+        .where(F.col("v").isNotNull())
         .localCheckpoint(eager=False)
     )
     nparts = max(spark.sparkContext.defaultParallelism, 2)
     s = src.repartitionByRange(nparts, "g", "v").localCheckpoint(eager=False)
     s = s.withColumn("pid", F.spark_partition_id())
 
-    # Pass 1: per-(partition, group) counts — n_partitions x n_groups
-    # scalars, the only driver traffic in the operator.
     cells = s.groupBy("pid", "g").count().collect()
     per_g: dict = defaultdict(list)
     for r in cells:
@@ -114,9 +582,6 @@ def exact_group_quantiles(
     )
     ndf = F.broadcast(spark.createDataFrame(totals, f"g {g_type}, n long"))
 
-    # Pass 2: local rank within each (partition, group) cell — the
-    # window cell is bounded by partition size, not group size — then
-    # pick the addressed rows and interpolate.
     lr = F.row_number().over(W.partitionBy("pid", "g").orderBy("v")) - 1
     picked = s.withColumn("lr", lr.cast("long")).join(tdf, ["pid", "g", "lr"])
     agg = [
@@ -133,51 +598,23 @@ def exact_group_quantiles(
     )
 
 
-def exact_group_rank_values(
+def _exact_group_rank_values_shuffle(
     df: DataFrame,
     group_col: str,
     value_col: str,
     ranks_of_n,
 ) -> DataFrame:
-    """Exact per-group ORDER-STATISTIC values, distributed — the
-    explicit-rank sibling of ``exact_group_quantiles`` (no
-    interpolation): ``ranks_of_n(n)`` maps a group's non-NULL count to
-    ``{label: 1-indexed rank}``; the output carries, per group, the
-    value at each labeled rank under the ascending value order. The
-    value at a rank of a sorted multiset is deterministic regardless of
-    tie order, so no tiebreak column is needed even when values repeat.
-    A rank outside [1, n] (or None) yields NULL for that label — the
-    same corner semantics as a SQL ``max(CASE WHEN rn = k ...)`` whose
-    k exceeds n (conformal's k > n corner).
-
-    Same two-pass addressing scheme and scale posture as
-    ``exact_group_quantiles`` (VERDICT r11 #1 — this replaces the
-    ``Window.partitionBy(low-cardinality-key)`` full-group sort shape):
-    range-repartition (group, value) with a pinned layout, per-cell
-    counts to the driver (n_partitions x n_groups scalars), one window
-    bounded by PARTITION size for local ranks, broadcast target join.
-    Nothing anywhere holds a whole group.
-
-    Output: one row per group — ``<group_col>, n, <label>...`` with
-    raw double values (callers cast at their own f32 boundary). Label
-    order follows the first group's dict; every group must yield the
-    same label set.
-    """
     spark = df.sparkSession
     g_type = df.schema[group_col].dataType.simpleString()
     src = (
         df.select(F.col(group_col).alias("g"), F.col(value_col).cast("double").alias("v"))
         .where(F.col("v").isNotNull())
-        # pin the narrow projection so the range sampler and the shuffle
-        # don't each re-run the caller's upstream (module docstring);
-        # lazy: the sampling job itself materializes the blocks
         .localCheckpoint(eager=False)
     )
     nparts = max(spark.sparkContext.defaultParallelism, 2)
     s = src.repartitionByRange(nparts, "g", "v").localCheckpoint(eager=False)
     s = s.withColumn("pid", F.spark_partition_id())
 
-    # Pass 1: per-(partition, group) counts — the only driver traffic.
     cells = s.groupBy("pid", "g").count().collect()
     per_g: dict = defaultdict(list)
     for r in cells:
@@ -185,7 +622,7 @@ def exact_group_rank_values(
 
     targets, totals, labels = [], [], None
     for g, gcells in per_g.items():
-        gcells.sort()  # pid order == ascending (g, v) range order
+        gcells.sort()
         n = sum(c for _, c in gcells)
         totals.append((g, n))
         rmap = ranks_of_n(n)
@@ -195,7 +632,7 @@ def exact_group_rank_values(
             raise ValueError(f"inconsistent rank labels: {list(rmap)} vs {labels}")
         for label, rank in rmap.items():
             if rank is None or not (1 <= int(rank) <= n):
-                continue  # out-of-range rank -> NULL output for label
+                continue
             rank0 = int(rank) - 1
             start = 0
             for pid, c in gcells:
@@ -207,14 +644,8 @@ def exact_group_rank_values(
     tdf = F.broadcast(
         spark.createDataFrame(targets, f"pid int, g {g_type}, lr long, lbl string")
     )
-    # ndf is the left side of a LEFT join (all groups survive, labels
-    # with no in-range rank stay NULL), so the broadcast hint goes on
-    # the n_groups-row aggregated right side.
     ndf = spark.createDataFrame(totals, f"g {g_type}, n long")
 
-    # Pass 2: local rank within each (partition, group) cell — bounded
-    # by partition size, never group size — then pick the addressed
-    # rows (several labels may address one row; the join fans out).
     lr = F.row_number().over(W.partitionBy("pid", "g").orderBy("v")) - 1
     picked = s.withColumn("lr", lr.cast("long")).join(tdf, ["pid", "g", "lr"])
     agg = [
@@ -224,20 +655,6 @@ def exact_group_rank_values(
     return (
         ndf.join(F.broadcast(picked.groupBy("g").agg(*agg)), "g", "left")
         .select(F.col("g").alias(group_col), "n", *(labels or []))
-    )
-
-
-def exact_group_rank_value(
-    df: DataFrame,
-    group_col: str,
-    value_col: str,
-    rank_of_n,
-    out_col: str = "v_at_rank",
-) -> DataFrame:
-    """Single-rank convenience wrapper over ``exact_group_rank_values``:
-    output ``<group_col>, n, <out_col>``."""
-    return exact_group_rank_values(
-        df, group_col, value_col, lambda n: {out_col: rank_of_n(n)}
     )
 
 
@@ -308,29 +725,12 @@ def group_prefix_sum(
     )
 
 
-def exact_weighted_quantiles(
+def _exact_weighted_quantiles_shuffle(
     df: DataFrame,
     value_col: str,
     weight_col: str,
     qs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.9, 0.99),
 ) -> DataFrame:
-    """Exact WEIGHTED quantiles, distributed — the weighted dual of
-    ``exact_group_quantiles``: quantile q is the smallest value whose
-    cumulative weight reaches ``q * total_weight`` (the lower weighted
-    quantile — the definition both engines can state identically, so
-    results hash-match; with integer-valued weights every cumulative
-    sum is exact in doubles regardless of summation order).
-
-    Same addressing scheme as the unweighted form: range-repartition on
-    the value, per-partition WEIGHT sums to the driver (n_partitions
-    scalars), broadcast prefix offsets, one pid-partitioned window for
-    the local cumulative weight (RANGE frame — tied values share their
-    cumulative weight in both engines, which cannot change the min-v
-    selection). Targets enter as a broadcast ~|qs|-row frame; the
-    selection is a map-side partial min per target.
-
-    Output: ``q (double), wq (float32 value), total_weight (double)``.
-    """
     spark = df.sparkSession
     src = (
         df.select(
@@ -338,9 +738,6 @@ def exact_weighted_quantiles(
             F.col(weight_col).cast("double").alias("w"),
         )
         .where(F.col("v").isNotNull() & F.col("w").isNotNull() & (F.col("w") > 0))
-        # pin the narrow projection so the range sampler and the shuffle
-        # don't each re-run the caller's upstream (module docstring);
-        # lazy: the sampling job itself materializes the blocks
         .localCheckpoint(eager=False)
     )
     nparts = max(spark.sparkContext.defaultParallelism, 2)

@@ -54,6 +54,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from orca_ztbus_python_processor_spark.operators.dedup import (
     _spread,
+    _spread_full,
     hamming_near_dups,
 )
 
@@ -241,6 +242,10 @@ def audiofp_signatures_from_docs(docs: DataFrame) -> DataFrame:
                 {"media_id": ids, "afp": np.array(sigs, dtype=np.int64)}
             )
 
-    return _spread(docs.select("doc_id")).mapInPandas(
+    # full width (round-13): the fused stage is pure Python CPU with a
+    # near-idle JVM side — one worker per core, not cores/2 (the
+    # half-width form starved the driver's 8-core bench run 1.5x;
+    # ABBA evidence in .benchmarks/media_fused_probe_r13*.json).
+    return _spread_full(docs.select("doc_id")).mapInPandas(
         gen, schema="media_id long, afp long"
     )

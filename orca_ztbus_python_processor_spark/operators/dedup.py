@@ -50,6 +50,27 @@ def _spread(df: DataFrame) -> DataFrame:
     return df
 
 
+def _spread_full(df: DataFrame) -> DataFrame:
+    """Full-width variant of ``_spread`` (one task per core) for FUSED
+    map-only Arrow stages whose JVM side is near-idle.
+
+    The cores/2 rule above exists because a task pairs a JVM thread
+    with a Python worker and both are busy (two chained Arrow stages,
+    or heavy in-stage JVM work after the Python node). A fused
+    synth+hash stage inverts that: the JVM side only feeds doc_ids in
+    and receives 8 bytes/row out, so cores/2 leaves half the machine
+    idle — measured 1.4-1.5x slower than full width at 8 cores and
+    ~5% slower at 32 (.benchmarks/media_fused_probe_r13*.json; the
+    driver's r12 8-core bench regression on the media family was
+    exactly this starve).
+    """
+    sc = df.sparkSession.sparkContext
+    target = max(2, sc.defaultParallelism)
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def _hash_params(num_hashes: int, seed: int) -> list[tuple[int, int]]:
     """Carter-Wegman (a, b) pairs over Z_{2^31-1}.
 

@@ -47,6 +47,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from orca_ztbus_python_processor_spark.operators.dedup import (
     _spread,
+    _spread_full,
     hamming_near_dups,
 )
 from orca_ztbus_python_processor_spark.operators.multimodal import (
@@ -57,6 +58,7 @@ from orca_ztbus_python_processor_spark.operators.multimodal import (
 __all__ = [
     "phash64",
     "phash_signatures",
+    "phash_signatures_from_docs",
     "phash_near_dups",
     "synthesize_phash_media",
 ]
@@ -307,6 +309,10 @@ def phash_signatures_from_docs(docs: DataFrame) -> DataFrame:
                 {"media_id": ids, "phash": np.array(sigs, dtype=np.int64)}
             )
 
-    return _spread(docs.select("doc_id")).mapInPandas(
+    # full width (round-13): the fused stage is pure Python CPU with a
+    # near-idle JVM side — one worker per core, not cores/2 (the
+    # half-width form starved the driver's 8-core bench run 1.4x;
+    # ABBA evidence in .benchmarks/media_fused_probe_r13*.json).
+    return _spread_full(docs.select("doc_id")).mapInPandas(
         gen, schema="media_id long, phash long"
     )

@@ -108,26 +108,32 @@ def pagerank(
         .persist()
     )
     ranks = out_w.select(F.col("src").alias("node"), F.lit(1.0 / n).alias("rank"))
-    for i in range(iters):
-        rank_side = F.broadcast(ranks) if small else ranks
-        contrib = (
-            trans.join(rank_side, trans.src == rank_side.node)
-            .groupBy("dst")
-            .agg(F.sum(F.col("p") * F.col("rank")).alias("inflow"))
-        )
-        # No nodes re-join needed: the graph is symmetrized, so every
-        # node has in-edges and appears in contrib with inflow > 0.
-        new_rank = F.lit(base) + F.lit(damping) * F.col("inflow")
-        if quantize_f32:
-            new_rank = new_rank.cast("float").cast("double")
-        ranks = contrib.select(
-            F.col("dst").alias("node"),
-            new_rank.alias("rank"),
-        ).localCheckpoint(eager=i == iters - 1)
-        # The LAST iteration checkpoints EAGERLY so the edge cache can
-        # be released before returning — a CacheManager entry would
-        # otherwise pin executor storage for the rest of the session
-        # (the LPA round-8 finding); intermediate rounds stay lazy (the
-        # next round's broadcast build materializes them).
-    trans.unpersist()
+    # try/finally (ADVICE r12): an exception mid-trajectory (or in the
+    # final eager checkpoint) must not leave the edge-grain cache pinned
+    # for the rest of the session — the exact leak the LPA round-8
+    # comment warns about.
+    try:
+        for i in range(iters):
+            rank_side = F.broadcast(ranks) if small else ranks
+            contrib = (
+                trans.join(rank_side, trans.src == rank_side.node)
+                .groupBy("dst")
+                .agg(F.sum(F.col("p") * F.col("rank")).alias("inflow"))
+            )
+            # No nodes re-join needed: the graph is symmetrized, so every
+            # node has in-edges and appears in contrib with inflow > 0.
+            new_rank = F.lit(base) + F.lit(damping) * F.col("inflow")
+            if quantize_f32:
+                new_rank = new_rank.cast("float").cast("double")
+            ranks = contrib.select(
+                F.col("dst").alias("node"),
+                new_rank.alias("rank"),
+            ).localCheckpoint(eager=i == iters - 1)
+            # The LAST iteration checkpoints EAGERLY so the edge cache can
+            # be released before returning — a CacheManager entry would
+            # otherwise pin executor storage for the rest of the session
+            # (the LPA round-8 finding); intermediate rounds stay lazy (the
+            # next round's broadcast build materializes them).
+    finally:
+        trans.unpersist()
     return ranks

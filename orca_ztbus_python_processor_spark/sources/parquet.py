@@ -29,6 +29,25 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def _stat_signature(path: str) -> tuple:
+    """Freshness signature for a table path used in memo keys.
+
+    For a directory table this folds EVERY part file's (name, size,
+    mtime_ns) — not just the first sorted part — so a rewrite/append
+    that leaves parts[0] byte-identical still invalidates the memo
+    (ADVICE r12: a stale plan would otherwise serve a frozen file
+    listing that misses new parts or reads dropped ones)."""
+    if os.path.isdir(path):
+        sig = []
+        for p in sorted(os.listdir(path)):
+            if p.endswith(".parquet") and not p.startswith(("_", ".")):
+                st = os.stat(os.path.join(path, p))
+                sig.append((p, st.st_size, st.st_mtime_ns))
+        return tuple(sig)
+    st = os.stat(path)
+    return (st.st_size, st.st_mtime_ns)
+
+
 def _sniff_file(path: str) -> str:
     """The concrete parquet file whose footer carries the ts type."""
     if os.path.isdir(path):  # Spark-written table: sniff any part file
@@ -113,10 +132,10 @@ def normalize_events_ts(df: DataFrame, is_nanos: bool) -> DataFrame:
 # which a query engine serving a catalog pays once per table per
 # session, not once per query (round-12 optimization; the same
 # metadata-caching posture as Spark's own catalog tables /
-# FileStatusCache). Keyed by (application id, resolved file path,
-# file size, file mtime_ns): a fixture rewritten in place — the scale
-# scripts and tests do this — re-resolves instead of serving a stale
-# file snapshot, and a new Spark application never sees another
+# FileStatusCache). Keyed by (application id, resolved path, stat
+# signature of EVERY part file): a fixture rewritten in place — the
+# scale scripts and tests do this — re-resolves instead of serving a
+# stale file snapshot, and a new Spark application never sees another
 # session's plans.
 _TABLE_MEMO: dict[tuple, DataFrame] = {}
 
@@ -140,13 +159,10 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ensure_engine_confs(spark)
     path = table_path(sf_dir, name)
     try:
-        f = _sniff_file(path)
-        st = os.stat(f)
         key = (
             spark.sparkContext.applicationId,
             os.path.realpath(path),
-            st.st_size,
-            st.st_mtime_ns,
+            _stat_signature(path),
         )
     except OSError:
         key = None  # unstat-able path: let spark.read surface the error

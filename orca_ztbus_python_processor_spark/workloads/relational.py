@@ -19,7 +19,11 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from orca_ztbus_python_processor_spark.functions.ranks import with_global_ntile
+from orca_ztbus_python_processor_spark.functions.ranks import (
+    with_global_ntile,
+    with_global_ntile_cuts,
+    with_global_ntiles_cuts,
+)
 from orca_ztbus_python_processor_spark.functions.stats import (
     column_stats,
     f32,
@@ -826,8 +830,11 @@ def customer_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("o_totalprice").alias("revenue"))
     )
     dec = (
-        with_global_ntile(
-            per_cust, 10, [F.col("revenue").desc(), F.col("o_custkey")], "decile"
+        # boundary-broadcast deciles (round-13): cut keys via histogram
+        # selection, per-row bucket by comparison — no shuffle of the
+        # customer frame (functions/ranks.py header).
+        with_global_ntile_cuts(
+            per_cust, 10, [("revenue", True), ("o_custkey", False)], "decile"
         )
         .groupBy("decile")
         .agg(F.count("*").alias("n_customers"), F.sum("revenue").alias("revenue_sum"))
@@ -1231,17 +1238,21 @@ def user_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     # recency quartile orders directly on last-activity time (oldest =
     # quartile 1): timestamp ordering is exactly portable, unlike an
     # hours-since conversion (boundary-count vs elapsed semantics
-    # diverge between engines). Checkpoint the user frame so the three
-    # sequential ntile passes don't re-run the fact aggregation.
+    # diverge between engines). Checkpoint the user frame: the
+    # cut-selection passes and the final rollup all re-read it.
+    # Round-13 (VERDICT r12 #6): all three quartile dimensions resolve
+    # in ONE boundary-broadcast cut pipeline (functions/ranks.py
+    # with_global_ntiles_cuts) — the user frame is never shuffled; the
+    # three range shuffles + windows of the ntile form collapse into
+    # shared scalar-aggregation jobs plus a comparison projection.
     per_user = per_user.localCheckpoint(eager=False)
-    scored = with_global_ntile(
-        per_user, 4, [F.col("last_ts"), F.col("user_id")], "r"
-    )
-    scored = with_global_ntile(
-        scored, 4, [F.col("frequency"), F.col("user_id")], "f"
-    )
-    scored = with_global_ntile(
-        scored, 4, [F.col("monetary"), F.col("user_id")], "m"
+    scored = with_global_ntiles_cuts(
+        per_user,
+        [
+            (4, [("last_ts", False), ("user_id", False)], "r"),
+            (4, [("frequency", False), ("user_id", False)], "f"),
+            (4, [("monetary", False), ("user_id", False)], "m"),
+        ],
     )
     return (
         scored.groupBy(
@@ -3414,10 +3425,13 @@ def customer_decile_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum("o_totalprice").alias("rev"))
         )
         halves.append(
-            with_global_ntile(
+            # boundary-broadcast deciles (round-13): the half's customer
+            # frame is never shuffled; cut keys come from histogram
+            # selection over the filtered aggregation.
+            with_global_ntile_cuts(
                 rev,
                 MIGRATION_DECILES,
-                [F.col("rev").desc(), F.col("c").asc()],
+                [("rev", True), ("c", False)],
                 "dec",
             ).select("c", "dec")
         )
@@ -5617,8 +5631,10 @@ def tree_depth2_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=False)
         )
         tot = cells.agg(
-            (F.sum("n_left") / 3).alias("n"),
-            (F.sum("pos_left") / 3).alias("pos"),
+            # coalesce (ADVICE r12): an empty subset must yield n=0,
+            # pos=0 like the pre-round-12 COUNT(*) form, not NULL.
+            (F.coalesce(F.sum("n_left"), F.lit(0)) / 3).alias("n"),
+            (F.coalesce(F.sum("pos_left"), F.lit(0)) / 3).alias("pos"),
         )
         n, pos = F.col("n"), F.col("pos")
         nl, pl = F.col("n_left"), F.col("pos_left")
@@ -5763,10 +5779,6 @@ def tree_depth2_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def gains_lift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from orca_ztbus_python_processor_spark.functions.ranks import (  # noqa: PLC0415
-        with_global_ntile,
-    )
-
     qd = F.expr("cast(cast(floor(l_quantity / 10) as int) as string)")
     y = F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
     li = _t(spark, sf_dir, "lineitem")
@@ -5798,9 +5810,19 @@ def gains_lift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_linenumber").alias("lno"),
             y.alias("y"),
         )
+        # pinned: the cut-selection passes below and the decile rollup
+        # each re-read this frame, and rebuilding it means the lineitem
+        # scan + model broadcast join every time (measured 2.5x the
+        # pinned form). Narrow (4 columns), test-half-sized.
+        .localCheckpoint(eager=False)
     )
-    ranked = with_global_ntile(
-        test, 10, [F.desc("score"), F.col("ok"), F.col("lno"), F.col("y")],
+    # boundary-broadcast deciles (round-13): scores are model-cell
+    # values with heavy ties, so the cut keys recurse score -> ok ->
+    # lno; the scored test frame itself is never shuffled.
+    ranked = with_global_ntile_cuts(
+        test,
+        10,
+        [("score", True), ("ok", False), ("lno", False), ("y", False)],
         "decile",
     )
     dec = ranked.groupBy("decile").agg(
@@ -6158,7 +6180,11 @@ def km_repurchase_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
         # dur cell), so the orders scan + customer window run once
         # instead of twice (round-12 census: 4 scans -> 2)
     ).localCheckpoint(eager=False)
-    total = bydur.agg(F.sum(F.col("d") + F.col("c")).alias("n_total"))
+    # coalesce (ADVICE r12): an empty input must yield n_total=0 like
+    # the pre-round-12 COUNT(*) form, not NULL.
+    total = bydur.agg(
+        F.coalesce(F.sum(F.col("d") + F.col("c")), F.lit(0)).alias("n_total")
+    )
     prior = W.orderBy("dur").rowsBetween(W.unboundedPreceding, -1)
     upto = W.orderBy("dur").rowsBetween(W.unboundedPreceding, W.currentRow)
     n_risk = F.col("n_total") - F.coalesce(

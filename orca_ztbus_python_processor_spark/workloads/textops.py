@@ -2756,7 +2756,12 @@ def source_qq_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     stack_src = ", ".join(
         f"{int(q * 100)}, p{int(q * 100)}" for q in QQ_DECILES
     )
-    sl = q_all.where(F.col("source") != "\x00__global__").select(
+    # eqNullSafe (ADVICE r12): a plain != drops a NULL-source group
+    # (NULL != x is NULL); null-safe comparison keeps it in the
+    # per-source leg, matching the pre-fusion two-call form.
+    sl = q_all.where(
+        ~F.col("source").eqNullSafe(F.lit("\x00__global__"))
+    ).select(
         "source",
         F.expr(
             f"stack({len(QQ_DECILES)}, {stack_src}) AS (pct, source_value)"

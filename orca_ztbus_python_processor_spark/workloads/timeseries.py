@@ -2936,12 +2936,14 @@ EQUIDEPTH_BUCKETS = 10
 )
 def value_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
     from orca_ztbus_python_processor_spark.functions.ranks import (  # noqa: PLC0415
-        with_global_ntile,
+        with_global_ntile_cuts,
     )
 
     ev = _events(spark, sf_dir).select("event_id", "value")
-    bucketed = with_global_ntile(
-        ev, EQUIDEPTH_BUCKETS, [F.col("value"), F.col("event_id")], "bucket"
+    # boundary-broadcast buckets (round-13): cut keys via histogram
+    # selection; the event frame is never shuffled (ranks.py header).
+    bucketed = with_global_ntile_cuts(
+        ev, EQUIDEPTH_BUCKETS, [("value", False), ("event_id", False)], "bucket"
     )
     return bucketed.groupBy("bucket").agg(
         F.count("*").alias("n"),
@@ -4816,20 +4818,21 @@ def conformal_threshold_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         exact_group_rank_value,
     )
 
-    # Pin the filtered scan once (lazy localCheckpoint): ev feeds the
-    # center machinery, the score pass and nothing else re-reads the
-    # parquet (round-12: three scans -> one scan + block reads).
+    # No pins (round-13): the histogram-selection machinery re-reads
+    # its input per pass as a bare columnar scan + filter — cheaper
+    # than materializing a corpus-grain localCheckpoint and free of its
+    # executor-loss fragility (VERDICT r12 #4). center is a tiny
+    # driver-built frame, so scored recomputes as scan ⋈ broadcast.
     ev = (
         _events(spark, sf_dir)
         .where(F.col("value").isNotNull())
         .select("event_type", "event_id", "value")
-        .localCheckpoint(eager=False)
     )
     center = exact_group_rank_value(
         ev, "event_type", "value", lambda n: math.ceil(n / 2.0), out_col="med"
     ).select("event_type", "med")
-    # scored feeds BOTH the threshold machinery and the final coverage
-    # rollup — pin it so the broadcast join + abs runs once.
+    # scored feeds the threshold machinery (two passes) AND the final
+    # coverage rollup — pin it so the broadcast join + abs runs once.
     scored = (
         ev.join(F.broadcast(center), "event_type")
         .select("event_type", F.abs(F.col("value") - F.col("med")).alias("s"))

@@ -416,10 +416,6 @@ _KMEANS_ROUND_CTE = """
     """,
 )
 def kmeans_embedding_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from orca_ztbus_python_processor_spark.operators.clustering import (  # noqa: PLC0415
-        kmeans_fit,
-    )
-
     # Pin the parsed embeddings for the whole Lloyd trajectory: the
     # operator otherwise re-scans the parquet + re-crosses the Arrow
     # boundary SEVEN times per run (init collect, 5 iteration passes,
@@ -427,6 +423,19 @@ def kmeans_embedding_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     # training set); the k-row profile below is eagerly checkpointed so
     # the cache releases before returning (the LPA round-8 discipline).
     emb = _emb(spark, sf_dir).persist()
+    try:
+        return _kmeans_profile_body(spark, emb)
+    finally:
+        # ADVICE r12: release the training-set cache even if the Lloyd
+        # trajectory (or the eager profile checkpoint) raises.
+        emb.unpersist()
+
+
+def _kmeans_profile_body(spark: SparkSession, emb: DataFrame) -> DataFrame:
+    from orca_ztbus_python_processor_spark.operators.clustering import (  # noqa: PLC0415
+        kmeans_fit,
+    )
+
     assigned, centers = kmeans_fit(
         emb, k=KMEANS_K, iters=KMEANS_ITERS, quantize_f32=True
     )
@@ -451,7 +460,6 @@ def kmeans_embedding_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=True)
     )
-    emb.unpersist()
     return result
 
 

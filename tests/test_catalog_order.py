@@ -18,17 +18,19 @@ from orca_ztbus_python_processor_spark.workloads.base import (
     _R9_SAMPLE,
     _R10_SAMPLE,
     _R11_SAMPLE,
-    _RESAMPLE_R12,
+    _R12_SAMPLE,
+    _RESAMPLE_R13,
     _DRIVER_VERIFIED,
     merged_catalog,
 )
 
-# Historically-sampled names plus the round-12 forced
-# re-verifications: the VERDICT r11 #1/#2 scale-shape rewrites and the
-# ADVICE oracle-robustness fixes changed code or oracle text for seven
-# twins (see _RESAMPLE_R12 in base.py), so their old driver evidence
-# is void and they re-enter the sample window.
-_VERIFIED_OR_RESAMPLING = _DRIVER_VERIFIED | _RESAMPLE_R12
+# Historically-sampled names plus the round-13 forced
+# re-verifications: the round-13 machinery/NTILE restructures, the
+# round-12 locally-verified plan changes (VERDICT r12 #3) and the
+# ADVICE empty-input fixes changed plans for 32 twins (see
+# _RESAMPLE_R13 in base.py), so their old driver evidence is void and
+# they re-enter the sample window.
+_VERIFIED_OR_RESAMPLING = _DRIVER_VERIFIED | _RESAMPLE_R13
 
 
 def test_r5_sample_folded_into_back_group():
@@ -97,6 +99,19 @@ def test_r11_sample_folded_into_back_group():
     assert len(_R11_SAMPLE) == 50
     assert _R11_SAMPLE <= _VERIFIED_OR_RESAMPLING
     assert {"copurchase_pagerank_topk", "ann_cosine_topk"} <= _R11_SAMPLE
+
+
+def test_r12_sample_folded_into_back_group():
+    # CORRECTNESS_r12.json held exactly these 50 names (44 hash-match +
+    # 6 contractual rows-only, zero failures); all must now be in the
+    # verified back group. All seventeen _RESAMPLE_R12 forcing entries
+    # came back green under their restructured plans, so that set is
+    # retired (kept in base.py for the historical record only); the
+    # _RESAMPLE_R13 forcing set re-voids evidence for the plans this
+    # round restructures.
+    assert len(_R12_SAMPLE) == 50
+    assert _R12_SAMPLE <= _VERIFIED_OR_RESAMPLING
+    assert {"median_ci_by_priority", "audio_fp_dedup"} <= _R12_SAMPLE
 
 
 def test_unverified_queries_fill_the_sample_window():

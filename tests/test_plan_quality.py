@@ -307,21 +307,22 @@ def test_cosine_pairs_shard_pair_layout(spark, catalog):
 
 def test_distributed_quantiles_no_group_buffer(spark, catalog):
     """The corpus-grain exact-quantile path must NOT use the
-    single-reducer Percentile/Median aggregate anywhere: ranks come
-    from a range Exchange + per-cell window, picks from a broadcast
-    join. (value_describe keeps the buffered form deliberately — its
-    grain is the reference's describe() contract.)"""
+    single-reducer Percentile/Median aggregate anywhere, and (round 13)
+    must not shuffle the corpus at all: selection runs as iterative
+    histogram aggregation passes during construction (pure
+    map-combinable aggs — see tests/test_round13_machinery.py for the
+    value-level differential), so the RESULT frame is a driver-local
+    k-row table with no Window, no range Exchange and no sort.
+    (value_describe keeps the buffered form deliberately — its grain is
+    the reference's describe() contract.)"""
     plan = _plan(
         spark, catalog.queries["value_quantiles_distributed"](spark, SMOKE_SF_DIR)
     )
     assert "percentile" not in plan.lower(), plan
     assert "median" not in plan.lower(), plan
-    # the range exchange runs eagerly inside the pinned localCheckpoint;
-    # downstream must be: per-(pid, group) window (cells bounded by
-    # PARTITION size) + broadcast pick join — nothing group-buffered.
-    assert "Window" in plan, plan
-    assert re.search(r"hashpartitioning\(pid", plan), plan
-    assert "BroadcastHashJoin" in plan, plan
+    assert "Window" not in plan, plan
+    assert "Exchange" not in plan, plan
+    assert "Sort" not in plan, plan
 
 
 def test_ann_rerank_is_cogrouped_not_row_joined(spark, catalog):
@@ -1102,13 +1103,18 @@ def test_cusum_windows_share_one_exchange(spark, catalog):
 
 
 def test_equidepth_histogram_distributed_rank(spark, catalog):
-    """Equi-depth bucketing rides functions.ranks (range shuffle +
-    broadcast offsets): zero unpartitioned windows, offsets enter via
-    a broadcast hash join."""
+    """Equi-depth bucketing rides the round-13 boundary-broadcast NTILE
+    (functions.ranks.with_global_ntile_cuts): zero unpartitioned
+    windows, zero windows at all — cut keys are resolved by histogram
+    selection during construction and the bucket is a pure comparison
+    projection, so the event frame's only Exchange is the final
+    10-bucket rollup."""
     df = catalog.queries["value_histogram_equidepth"](spark, SMOKE_SF_DIR)
     assert _unpartitioned_windows(df) == 0
     plan = _plan(spark, df)
-    assert "BroadcastHashJoin" in plan, plan
+    assert "Window" not in plan, plan
+    n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_exchanges <= 1, plan
 
 
 def test_funnel_no_cartesian(spark, catalog):
@@ -1599,13 +1605,40 @@ def test_naive_bayes_model_joins_broadcast(spark, catalog):
 
 def test_gains_lift_model_join_broadcast(spark, catalog):
     """The smoothed-cell score model joins into the test scan via
-    broadcast; deciles run on the range-partitioned rank machinery (no
-    corpus-grain unpartitioned sort — covered by the window lints)."""
-    plan = _plan(
-        spark, catalog.queries["gains_lift_deciles"](spark, SMOKE_SF_DIR)
-    )
-    assert "BroadcastHashJoin" in plan, plan
+    broadcast INSIDE the pinned scored frame (round 13: the scored test
+    half is lazily checkpointed so the cut-selection passes and the
+    decile rollup share one evaluation — the final plan reads the pin,
+    so the join is asserted on the scored frame itself); deciles ride
+    the boundary-broadcast cuts — no window, no SMJ, one rollup
+    Exchange after the pin."""
+    import orca_ztbus_python_processor_spark.workloads.relational as rel
+
+    # patch the CONCRETE class: pyspark.sql.DataFrame is the dispatch
+    # base in Spark 4; classic sessions instantiate the subclass, whose
+    # override would shadow a base-class patch
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    seen: list = []
+    real = DataFrame.localCheckpoint
+
+    def tap(self, eager=True):
+        seen.append(self)
+        return real(self, eager=eager)
+
+    DataFrame.localCheckpoint = tap
+    try:
+        plan = _plan(
+            spark, catalog.queries["gains_lift_deciles"](spark, SMOKE_SF_DIR)
+        )
+    finally:
+        DataFrame.localCheckpoint = real
     assert "SortMergeJoin" not in plan, plan
+    # (the final plan's only Window is the 10-row cumulative-gains pass
+    # over deciles — bounded by construction)
+    # the pinned scored frame carries the broadcast model join
+    pinned_plans = [_plan(spark, df) for df in seen]
+    assert any("BroadcastHashJoin" in p for p in pinned_plans), pinned_plans
+    assert not any("SortMergeJoin" in p for p in pinned_plans), pinned_plans
 
 
 def test_jl_projection_plan_is_scan_only(spark, catalog):
