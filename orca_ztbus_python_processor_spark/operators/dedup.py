@@ -345,6 +345,23 @@ def minhash_candidate_pairs(
     ``return_estimate`` is set.
     """
     sigs = _doc_signatures(docs, id_col, text_col, k, num_hashes, bands, seed)
+    return candidate_pairs_from_sigs(
+        sigs, num_hashes=num_hashes, min_est=min_est, return_estimate=return_estimate
+    )
+
+
+def candidate_pairs_from_sigs(
+    sigs: DataFrame,
+    num_hashes: int = 64,
+    min_est: float | None = None,
+    return_estimate: bool = False,
+) -> DataFrame:
+    """Banding + sketch gate over PRECOMPUTED signatures (the back half
+    of ``minhash_candidate_pairs``, split out in round 13 so a fused
+    signatures+sets stage can feed banding AND the exact verify from
+    one Arrow pass — see ``minhash_signatures_and_sets``). ``sigs``
+    needs ``_id, band_hashes, sk0..skN``; extra columns are ignored
+    (pruned before the band explode)."""
     n_sk = (num_hashes + 15) // 16
     sk_cols = [f"sk{i}" for i in range(n_sk)]
     member = F.struct(F.col("_id").alias("id"), *sk_cols)
@@ -508,6 +525,114 @@ def _shingle_hash_sets(
     )
 
 
+def minhash_signatures_and_sets(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    num_hashes: int = 64,
+    bands: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """``_doc_signatures`` + ``_shingle_hash_sets`` FUSED into one
+    Arrow stage (round 13, guide §4.1/§2.4): the LSH-verify pipelines
+    (``ngram_jaccard_pairs``, ``minhash_jaccard_calibration``,
+    ``minhash_near_dups``) consume BOTH per-doc band hashes (banding /
+    sketch gate) and per-doc exact shingle-hash sets (Jaccard verify),
+    and the two-stage form scans, Arrow-transfers and UTF-decodes every
+    document's text twice. One pass computes both: same byte-polynomial
+    Carter-Wegman minhash (band hashes + nibble sketches) and same
+    UTF-32 double-polynomial hash sets, bit-identical to the split
+    forms (pinned against them in tests). Callers pin the (narrow
+    id + bands + sketches + set) result so banding and verify read it
+    once each.
+
+    Output: ``_id, band_hashes, sk0..skN, _set``.
+    """
+    import numpy as np
+    import pandas as pd
+
+    params = _hash_params(num_hashes, seed)
+    rows = num_hashes // bands
+    n_sk = (num_hashes + 15) // 16
+    M2 = 2147483629  # _shingle_hash_sets' second hash modulus
+
+    def gen(batches):
+        A = np.array([a for a, _ in params], dtype=np.int64)[:, None]
+        B = np.array([b for _, b in params], dtype=np.int64)[:, None]
+        pows = np.array([pow(257, k - 1 - j, MERSENNE31) for j in range(k)], dtype=np.int64)
+        band_pows = np.array([pow(1_000_003, rows - 1 - j, MERSENNE31) for j in range(rows)], dtype=np.int64)
+        pows1_k = np.array([pow(257, k - 1 - j, MERSENNE31) for j in range(k)], dtype=np.int64)
+        pows2_k = np.array([pow(263, k - 1 - j, M2) for j in range(k)], dtype=np.int64)
+        for pdf in batches:
+            out_id, out_bands, out_sk, out_set = [], [], [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                t = text or ""
+                b = np.frombuffer(t.encode("utf-8"), dtype=np.uint8)
+                if len(b) == 0:
+                    continue
+                # --- minhash signature over BYTE k-windows (verbatim
+                # _doc_signatures arithmetic) ---
+                if len(b) < k:
+                    h = np.array([(b.astype(np.int64) @ pows[-len(b):]) % MERSENNE31])
+                else:
+                    win = np.lib.stride_tricks.sliding_window_view(b, k).astype(np.int64)
+                    h = (win @ pows) % MERSENNE31
+                hu = np.unique(h)
+                sig = ((A * hu[None, :] + B) % MERSENNE31).min(axis=1)
+                bh = (sig.reshape(bands, rows) @ band_pows) % MERSENNE31
+                nib = sig & 15
+                sk = [
+                    int(
+                        np.bitwise_or.reduce(
+                            nib[i * 16 : (i + 1) * 16].astype(np.uint64)
+                            << (np.arange(len(nib[i * 16 : (i + 1) * 16]), dtype=np.uint64) * np.uint64(4))
+                        ).astype(np.int64)
+                    )
+                    if len(nib[i * 16 : (i + 1) * 16])
+                    else 0
+                    for i in range(n_sk)
+                ]
+                # --- exact shingle-hash set over CODEPOINT k-windows
+                # (verbatim _shingle_hash_sets arithmetic) ---
+                cp = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
+                if len(cp) < k:
+                    kk = len(cp)
+                    pows1 = np.array([pow(257, kk - 1 - j, MERSENNE31) for j in range(kk)], dtype=np.int64)
+                    pows2 = np.array([pow(263, kk - 1 - j, M2) for j in range(kk)], dtype=np.int64)
+                    swin = cp[None, :]
+                else:
+                    pows1, pows2 = pows1_k, pows2_k
+                    swin = np.lib.stride_tricks.sliding_window_view(cp, k)
+                h1 = (swin @ pows1) % MERSENNE31
+                h2 = (swin @ pows2) % M2
+                out_id.append(doc_id)
+                out_bands.append(bh)
+                out_sk.append(sk)
+                out_set.append(np.unique((h1 << np.int64(31)) | h2))
+            if not out_id:
+                # empty pandas frames type array columns float64, which
+                # Arrow cannot convert to list<int64> — skip
+                continue
+            yield pd.DataFrame(
+                {
+                    "_id": out_id,
+                    "band_hashes": out_bands,
+                    **{
+                        f"sk{i}": np.array([s[i] for s in out_sk], dtype=np.int64)
+                        for i in range(n_sk)
+                    },
+                    "_set": out_set,
+                }
+            )
+
+    sk_schema = ", ".join(f"sk{i} long" for i in range(n_sk))
+    return _spread(docs.select(id_col, text_col)).mapInPandas(
+        gen,
+        schema=f"_id long, band_hashes array<long>, {sk_schema}, _set array<long>",
+    )
+
+
 def jaccard_pairs_shuffled(
     docs: DataFrame,
     pairs: DataFrame,
@@ -527,6 +652,13 @@ def jaccard_pairs_shuffled(
     Output: ``id_a, id_b, jaccard`` (float32).
     """
     sets = _shingle_hash_sets(docs, id_col, text_col, k)
+    return jaccard_pairs_from_sets(sets, pairs)
+
+
+def jaccard_pairs_from_sets(sets: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Exact-Jaccard verify over PRECOMPUTED shingle-hash sets (the back
+    half of ``jaccard_pairs_shuffled``, split out in round 13 for the
+    fused signatures+sets pipeline). ``sets`` needs ``_id, _set``."""
     # SHUFFLE_HASH, not broadcast: the set table is |docs| rows of
     # ~|text| packed longs — materializing that through a driver-built
     # broadcast costs more than the whole verify (and at corpus scale
@@ -584,6 +716,20 @@ def minhash_near_dups(
     callers pass ``gate_margin=None`` to disable the gate and fall back
     to pure banding recall.
     """
+    min_est = None if gate_margin is None else max(0.0, threshold - gate_margin)
+    if verify == "shuffled":
+        # fused signatures+sets (round 13): one text scan / Arrow pass
+        # feeds banding AND the exact verify, pinned so each leg reads
+        # the computed blocks instead of re-running the stage.
+        fused = minhash_signatures_and_sets(
+            docs, id_col, text_col, k, num_hashes, bands, seed
+        ).localCheckpoint(eager=False)
+        cands = candidate_pairs_from_sigs(
+            fused, num_hashes=num_hashes, min_est=min_est
+        )
+        return jaccard_pairs_from_sets(fused.select("_id", "_set"), cands).where(
+            F.col("jaccard") >= threshold
+        )
     cands = minhash_candidate_pairs(
         docs,
         id_col,
@@ -592,10 +738,9 @@ def minhash_near_dups(
         num_hashes,
         bands,
         seed,
-        min_est=None if gate_margin is None else max(0.0, threshold - gate_margin),
+        min_est=min_est,
     )
-    verify_fn = {"shuffled": jaccard_pairs_shuffled, "broadcast": jaccard_pairs}[verify]
-    return verify_fn(docs, cands, id_col, text_col, k).where(
+    return jaccard_pairs(docs, cands, id_col, text_col, k).where(
         F.col("jaccard") >= threshold
     )
 

@@ -28,10 +28,18 @@ DEFAULT_WATERMARK = "400 seconds"
 # Streaming state shard count == shuffle partitions at query start: every
 # stateful operator opens one state store PER PARTITION PER SIDE, and the
 # per-store fixed cost (init, snapshot, commit) dominates small batches —
-# measured 3-4x wall-time on local[32] at 32 shards vs 8. On a cluster,
-# size this to executors x cores with state volume per shard fitting
-# executor memory; it is a start-time knob, not a code change.
-STREAM_STATE_SHARDS = 8
+# measured 3-4x wall-time on local[32] at 32 shards vs 8, and the round-13
+# sweep (.benchmarks/stream_click_probe_r13.json: shards x provider, ABBA,
+# dedicated sessions) shows the remaining floor is per-store COMMIT cost,
+# near-linear in shard count (8 -> 4 cuts the stream-stream join pair 25%,
+# 8 -> 2 cuts 32%; RocksDB loses to the HDFS-backed store at every cell;
+# the instrumented batch spends ~1.2 s in real state work vs ~4 s summed
+# store commits at 8 shards). Default 4 balances that fixed cost against
+# keeping real state work parallel. On a cluster, size via
+# SPARK_GRAFT_STREAM_SHARDS to executors x cores with state volume per
+# shard fitting executor memory; it is a start-time knob, not a code
+# change.
+STREAM_STATE_SHARDS = int(os.environ.get("SPARK_GRAFT_STREAM_SHARDS", "4"))
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:

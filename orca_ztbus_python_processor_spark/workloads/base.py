@@ -555,6 +555,10 @@ _RESAMPLE_R13 = frozenset({
     "audio_fp_dedup", "audio_decontam_fp", "audio_fp_bit_balance",
     "image_phash_dedup", "image_decontam_phash",
     "image_phash_bit_balance",
+    # (f) batch-2: fused minhash signatures+sets pipeline
+    # (text_dedup_retention, also affected, is already in (a))
+    "ngram_jaccard_pairs", "minhash_jaccard_calibration",
+    "minhash_near_dup_pairs",
 })
 
 _DRIVER_VERIFIED = (

@@ -26,8 +26,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from orca_ztbus_python_processor_spark.operators.dedup import (
-    jaccard_pairs_shuffled,
-    minhash_candidate_pairs,
     minhash_near_dups,
     simhash_near_dups,
     winnow_fingerprints,
@@ -195,9 +193,19 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     banding alone admits ~100x false candidates around j ~ 0.2-0.3, and
     exact-scoring those is pure waste in a dedup pipeline whose
     downstream thresholds start at 0.4."""
+    from orca_ztbus_python_processor_spark.operators.dedup import (  # noqa: PLC0415
+        candidate_pairs_from_sigs,
+        jaccard_pairs_from_sets,
+        minhash_signatures_and_sets,
+    )
+
     docs = _docs(spark, sf_dir)
-    cands = minhash_candidate_pairs(docs, min_est=0.2)
-    return jaccard_pairs_shuffled(docs, cands)
+    # fused signatures+sets (round-13): the two-stage form scanned and
+    # UTF-decoded every doc's text twice (once for band hashes, once
+    # for exact shingle sets); one Arrow pass + pin computes both.
+    fused = minhash_signatures_and_sets(docs).localCheckpoint(eager=False)
+    cands = candidate_pairs_from_sigs(fused, min_est=0.2)
+    return jaccard_pairs_from_sets(fused.select("_id", "_set"), cands)
 
 
 def _simhash_sql() -> str:
@@ -1191,15 +1199,26 @@ def image_phash_bit_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def minhash_jaccard_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from orca_ztbus_python_processor_spark.operators.dedup import (  # noqa: PLC0415
+        candidate_pairs_from_sigs,
+        jaccard_pairs_from_sets,
+        minhash_signatures_and_sets,
+    )
+
     docs = _docs(spark, sf_dir)
+    # fused signatures+sets (round-13): one text scan / Arrow pass
+    # feeds banding and the exact verify (was two full passes).
+    fused = minhash_signatures_and_sets(docs).localCheckpoint(eager=False)
     # Lazy-checkpoint the candidate pairs: they feed BOTH the exact
     # verify's pair argument and the estimate join, and without the cut
-    # the whole signature/banding pipeline (two Arrow stages) executes
-    # twice — measured 2x wall and multi-second rep variance at sf0.1.
-    cands = minhash_candidate_pairs(docs, return_estimate=True).localCheckpoint(
+    # the banding pipeline executes twice — measured 2x wall and
+    # multi-second rep variance at sf0.1.
+    cands = candidate_pairs_from_sigs(fused, return_estimate=True).localCheckpoint(
         eager=False
     )
-    exact = jaccard_pairs_shuffled(docs, cands.select("id_a", "id_b"))
+    exact = jaccard_pairs_from_sets(
+        fused.select("_id", "_set"), cands.select("id_a", "id_b")
+    )
     joined = cands.join(exact, ["id_a", "id_b"])
     bin_col = F.floor(F.col("j_est") / 0.05).cast("long").alias("est_bin")
     return (

@@ -2115,48 +2115,96 @@ def source_char_trigram_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", "tri", (F.col("c") / F.col("t").cast("double")).alias("p"))
         .localCheckpoint(eager=False)  # reused by hs and both mixture legs
     )
-    hs = shares.groupBy("source").agg(
-        (-F.sum(F.col("p") * F.log("p"))).alias("h")
+    # Round-13 restructure (guide §2.3 "aggregate before you shuffle",
+    # §2.4): the union-leg mixture replicated every share row once per
+    # pair it participates in ((|sources|-1) x |shares| rows) into a
+    # (pair, tri) aggregation whose keys are near-unique — no map-side
+    # collapse. The JSD mixture decomposes instead into per-source
+    # scalars plus shared-trigram corrections:
+    #   -sum_union mp ln mp
+    #     = -[ sum_both ((pa+pb)/2) ln((pa+pb)/2)
+    #          + (T_a - sum_both (pa/2) ln(pa/2))
+    #          + (T_b - sum_both (pb/2) ln(pb/2)) ]
+    #   with T_s = sum_{tri in s} (p/2) ln(p/2)  (a per-source scalar:
+    #   a tri only in one source contributes mp = p/2), and
+    #   n_tri_union = n_a + n_b - n_both.
+    # One self-join of shares on tri (both legs read the pinned blocks
+    # through ONE reused exchange) replaces the pair fan-out, and every
+    # aggregation collapses map-side to |sources|^2 rows. Per-term
+    # doubles are identical to the union form; only summation grouping
+    # changes, absorbed by the f32 output boundary exactly like the
+    # engine-to-engine order difference already is.
+    half = F.col("p") / 2
+    stats = (
+        shares.groupBy("source")
+        .agg(
+            (-F.sum(F.col("p") * F.log("p"))).alias("h"),
+            F.sum(half * F.log(half)).alias("t_half"),
+            F.count("*").alias("n_tri"),
+        )
+        .localCheckpoint(eager=False)  # |sources| rows, read by 3 legs
     )
-    srcs = shares.select("source").distinct()
     prs = F.broadcast(
-        srcs.select(F.col("source").alias("source_a"))
+        stats.select(F.col("source").alias("source_a"))
         .join(
-            srcs.select(F.col("source").alias("source_b")),
+            stats.select(F.col("source").alias("source_b")),
             F.col("source_a") < F.col("source_b"),
         )
     )
-    leg_a = prs.join(
-        shares.withColumnRenamed("source", "source_a"), "source_a"
-    ).select("source_a", "source_b", "tri", "p")
-    leg_b = prs.join(
-        shares.withColumnRenamed("source", "source_b"), "source_b"
-    ).select("source_a", "source_b", "tri", "p")
-    m = (
-        leg_a.unionByName(leg_b)
-        .groupBy("source_a", "source_b", "tri")
-        .agg((F.sum("p") / 2).alias("mp"))
+    mp = (F.col("sa.p") + F.col("sb.p")) / 2
+    pa_half = F.col("sa.p") / 2
+    pb_half = F.col("sb.p") / 2
+    both = (
+        shares.alias("sa")
+        .join(
+            shares.alias("sb"),
+            (F.col("sa.tri") == F.col("sb.tri"))
+            & (F.col("sa.source") < F.col("sb.source")),
+        )
+        .groupBy(
+            F.col("sa.source").alias("source_a"),
+            F.col("sb.source").alias("source_b"),
+        )
+        .agg(
+            F.sum(mp * F.log(mp)).alias("s_m"),
+            F.sum(pa_half * F.log(pa_half)).alias("s_a"),
+            F.sum(pb_half * F.log(pb_half)).alias("s_b"),
+            F.count("*").alias("n_both"),
+        )
     )
-    hm = m.groupBy("source_a", "source_b").agg(
-        (-F.sum(F.col("mp") * F.log("mp"))).alias("h"),
-        F.count("*").alias("n_tri_union"),
+    sta = F.broadcast(
+        stats.select(
+            F.col("source").alias("source_a"),
+            F.col("h").alias("ha"),
+            F.col("t_half").alias("ta"),
+            F.col("n_tri").alias("na"),
+        )
     )
-    ha = F.broadcast(
-        hs.select(F.col("source").alias("source_a"), F.col("h").alias("ha"))
+    stb = F.broadcast(
+        stats.select(
+            F.col("source").alias("source_b"),
+            F.col("h").alias("hb"),
+            F.col("t_half").alias("tb"),
+            F.col("n_tri").alias("nb"),
+        )
     )
-    hb = F.broadcast(
-        hs.select(F.col("source").alias("source_b"), F.col("h").alias("hb"))
+    hm = -(
+        F.coalesce(F.col("s_m"), F.lit(0.0))
+        + (F.col("ta") - F.coalesce(F.col("s_a"), F.lit(0.0)))
+        + (F.col("tb") - F.coalesce(F.col("s_b"), F.lit(0.0)))
     )
     return (
-        hm.join(ha, "source_a")
-        .join(hb, "source_b")
+        prs.join(both, ["source_a", "source_b"], "left")
+        .join(sta, "source_a")
+        .join(stb, "source_b")
         .select(
             "source_a",
             "source_b",
-            "n_tri_union",
-            f32(
-                F.col("h") - (F.col("ha") + F.col("hb")) / 2
-            ).alias("jsd_nats"),
+            (
+                F.col("na") + F.col("nb")
+                - F.coalesce(F.col("n_both"), F.lit(0).cast("long"))
+            ).alias("n_tri_union"),
+            f32(hm - (F.col("ha") + F.col("hb")) / 2).alias("jsd_nats"),
         )
     )
 
@@ -4288,17 +4336,18 @@ def bpe_learn_merges(
 # increasing; beta ~ 0.33 at sf0.01). On a real corpus the tokenizer
 # expression swaps without touching the curve machinery.
 #
-# Scale shape: the ONLY corpus-sized passes are the gram explode and
-# the exact global doc rank (functions/ranks.py with_global_rank — a
-# range repartition plus per-partition counts, no single-partition
-# sort). A gram's entire contribution to the curve is its FIRST
-# occurrence rank (min over an equi-join grain), so the vocabulary
-# curve costs one (gram, first_rank) rollup and a <=10x fan-out of the
-# gram table — never a distinct-per-prefix rescan (the naive 10-pass
-# form); the per-doc gram MASS is the closed form greatest(len-7, 1),
-# no second explode. Checkpoint membership is pure integer arithmetic
-# ((10*rk + N - 1) div N), bit-identical in both engines; the fit runs
-# on the 10-row frame.
+# Scale shape: the ONLY corpus-sized pass is the gram explode — the
+# exact global doc rank is gone (round-13): checkpoint membership is
+# decided by NINE histogram-selected cut doc_ids compared as literals
+# (quantiles.py machinery — map-combinable passes, scalar driver
+# traffic), so no doc-frame shuffle, no window, and no rank join under
+# the gram explode. A gram's entire contribution to the curve is its
+# FIRST checkpoint (min over the gram rollup — cp is monotone in rank,
+# so min cp == cp of min rank), one (gram, first_cp) rollup and a
+# <=10x fan-out; the per-doc gram MASS is the closed form
+# greatest(len-7, 1), no second explode. The checkpoint arithmetic
+# (ceil(10*rk/n) as rank-cut comparisons) is bit-identical in both
+# engines; the fit runs on the 10-row frame.
 # --------------------------------------------------------------------------
 @CATALOG.query(
     "heaps_vocab_growth",
@@ -4359,38 +4408,44 @@ def bpe_learn_merges(
     """,
 )
 def heaps_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from orca_ztbus_python_processor_spark.functions.ranks import (  # noqa: PLC0415
-        with_global_rank,
+    from orca_ztbus_python_processor_spark.functions.quantiles import (  # noqa: PLC0415
+        exact_group_rank_values,
     )
 
     docs = _docs(spark, sf_dir).select("doc_id", "text")
-    ranked, n = with_global_rank(
-        docs.select(
-            "doc_id",
-            F.greatest(F.length("text") - 7, F.lit(1)).alias("n_gram"),
-        ),
-        [F.col("doc_id")],
-        "_r0",
-    )
-    ranked = ranked.select(
-        "doc_id", "n_gram", (F.col("_r0") + 1).alias("rk")
-    ).localCheckpoint(eager=False)
+    # Boundary-broadcast checkpoints (round-13, same shape as the NTILE
+    # cuts in ranks.py): cp(rk) = ceil(10*rk/n) <= b iff
+    # rk <= floor(b*n/10), and doc_ids are unique, so the checkpoint of
+    # a doc is 1 + #{b in 1..9 : doc_id > value_at_rank(floor(b*n/10))}
+    # — nine histogram-selected cut doc_ids turn the exact global rank
+    # (range shuffle + window + a rank join under the gram explode)
+    # into a literal comparison chain evaluated map-side everywhere.
+    cuts_row = exact_group_rank_values(
+        docs.select(F.lit(1).alias("_g"), F.col("doc_id").alias("_v")),
+        "_g",
+        "_v",
+        lambda nn: {f"c{b}": (b * nn) // 10 for b in range(1, 10)},
+    ).first()
+    cp = F.lit(1)
+    for b in range(1, 10):
+        v = None if cuts_row is None else cuts_row[f"c{b}"]
+        # a 0 cut rank (n < 10) means buckets <= b are empty: every doc
+        # sits above the cut — same corner as the rank form
+        cp = cp + (
+            F.lit(1)
+            if v is None
+            else F.when(F.col("doc_id") > F.lit(int(v)), 1).otherwise(0)
+        )
+    cp = cp.cast("bigint")
 
-    grams = docs.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "transform(sequence(1, greatest(length(text) - 7, 1)),"
-                " i -> substring(text, i, 8))"
-            )
-        ).alias("gram"),
-    )
-
-    cp_of = f"cast((10 * rk + {n} - 1) div {n} as bigint)"
     doc_curve = (
-        ranked.select(
+        docs.select(
+            cp.alias("cpd"),
+            F.greatest(F.length("text") - 7, F.lit(1)).alias("n_gram"),
+        )
+        .select(
             F.explode(
-                F.sequence(F.expr(cp_of), F.lit(10).cast("bigint"))
+                F.sequence(F.col("cpd"), F.lit(10).cast("bigint"))
             ).alias("cp"),
             "n_gram",
         )
@@ -4400,15 +4455,23 @@ def heaps_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_gram").alias("n_grams_cum"),
         )
     )
-    firsts = (
-        grams.join(ranked.select("doc_id", "rk"), "doc_id")
-        .groupBy("gram")
-        .agg(F.min("rk").alias("rk"))
+    grams = docs.select(
+        cp.alias("cpd"),
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(length(text) - 7, 1)),"
+                " i -> substring(text, i, 8))"
+            )
+        ).alias("gram"),
     )
+    # min over the group of cp == cp of the min rank (cp is monotone
+    # nondecreasing in rk), so the first-occurrence checkpoint needs no
+    # rank join at all
+    firsts = grams.groupBy("gram").agg(F.min("cpd").alias("cpf"))
     vocab_curve = (
         firsts.select(
             F.explode(
-                F.sequence(F.expr(cp_of), F.lit(10).cast("bigint"))
+                F.sequence(F.col("cpf"), F.lit(10).cast("bigint"))
             ).alias("cp")
         )
         .groupBy("cp")

@@ -45,7 +45,7 @@ def run_cell(sf: str, shards: int, provider: str, reps: int) -> dict:
         merged_catalog,
     )
 
-    spark = bench_spark()
+    spark = bench_spark("stream_click_probe_r13")
     spark.conf.set(
         "spark.sql.streaming.stateStore.providerClass", PROVIDERS[provider]
     )
