@@ -40,6 +40,14 @@ DEFAULT_WATERMARK = "400 seconds"
 # shard fitting executor memory; it is a start-time knob, not a code
 # change.
 STREAM_STATE_SHARDS = int(os.environ.get("SPARK_GRAFT_STREAM_SHARDS", "4"))
+# Python-state (applyInPandasWithState) queries invert the trade above:
+# their per-batch work is CPU-bound Python (one worker per shard), so
+# halving shards halves compute width — measured 1.5x slower at 4 vs 8
+# on stream_error_runs while the join/agg queries got 25% faster
+# (ABBA, .benchmarks/stream_click_probe_r13.json + the fsm probe in
+# OPTIMIZATION_r13.md §8). Those queries keep the wider default via
+# run_to_memory(shards=...).
+STREAM_FSM_SHARDS = int(os.environ.get("SPARK_GRAFT_STREAM_FSM_SHARDS", "8"))
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -107,16 +115,23 @@ def run_to_memory(
     stream_df: DataFrame,
     query_name: str,
     output_mode: str = "complete",
+    shards: int | None = None,
 ) -> StreamingQuery:
     """Drive a streaming frame to completion synchronously into an
     in-memory table (test/driver harness path): availableNow processes
-    all existing input then stops — the batch≡stream bridge."""
+    all existing input then stops — the batch≡stream bridge.
+
+    ``shards`` overrides STREAM_STATE_SHARDS for queries whose per-batch
+    work is CPU-bound Python state handling (see STREAM_FSM_SHARDS)."""
     spark = stream_df.sparkSession
     for q in spark.streams.active:
         if q.name == query_name:
             q.stop()
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(STREAM_STATE_SHARDS))
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        str(STREAM_STATE_SHARDS if shards is None else shards),
+    )
     try:
         query = (
             stream_df.writeStream.outputMode(output_mode)

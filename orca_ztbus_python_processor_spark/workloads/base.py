@@ -559,6 +559,11 @@ _RESAMPLE_R13 = frozenset({
     # (text_dedup_retention, also affected, is already in (a))
     "ngram_jaccard_pairs", "minhash_jaccard_calibration",
     "minhash_near_dup_pairs",
+    # (g) batch-2: cut-key checkpoints / shared-trigram self-join /
+    # stream state shards 8 -> 4 (the named pair; the shard knob is
+    # plan-neutral and every streaming query was re-verified locally)
+    "heaps_vocab_growth", "source_char_trigram_jsd",
+    "stream_click_error_join", "stream_click_error_left_join",
 })
 
 _DRIVER_VERIFIED = (

@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 
 from orca_ztbus_python_processor_spark.functions.stats import f32
 from orca_ztbus_python_processor_spark.streaming.pipeline import (
+    STREAM_FSM_SHARDS,
     read_events_stream,
     run_to_memory,
     windowed_agg_stream,
@@ -191,7 +192,11 @@ def stream_error_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs = fsm_runs_stream(
         stream, "is_error", key_col="user_id", time_col="ts", order_col="event_id"
     )
-    run_to_memory(runs, "q_stream_error_runs", output_mode="append")
+    # CPU-bound Python FSM: keep compute width (pipeline.py shard notes)
+    run_to_memory(
+        runs, "q_stream_error_runs", output_mode="append",
+        shards=STREAM_FSM_SHARDS,
+    )
     return spark.table("q_stream_error_runs")
 
 
@@ -798,7 +803,11 @@ def stream_time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     partials = twap_partials_stream(
         read_events_stream(spark, sf_dir), key_col="user_id", value_col="value"
     )
-    run_to_memory(partials, "q_stream_twap_partials", output_mode="append")
+    # CPU-bound Python state fn: keep compute width (pipeline.py notes)
+    run_to_memory(
+        partials, "q_stream_twap_partials", output_mode="append",
+        shards=STREAM_FSM_SHARDS,
+    )
     return (
         spark.table("q_stream_twap_partials")
         .groupBy(F.col("key").alias("user_id"))
